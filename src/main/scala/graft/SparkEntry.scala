@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Casts, DedupeAgg}
+import graft.pdq.Dq
+import graft.sinks.Upsert
+import graft.sources.RawStore
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry exercises a library operator (SURVEY.md §2 inventory) on the
+  * driver testdata and pairs with an exact-match DuckDB oracle in
+  * [[oracleSql]]. Determinism rules used throughout so the driver's
+  * hash-compare is exact, not approximate:
+  *  - money/measure sums run in DECIMAL (exact, order-independent) and are
+  *    cast to an explicit decimal type on both sides;
+  *  - integer aggregates are cast to BIGINT on both sides (DuckDB's
+  *    sum(int) is HUGEINT, Spark's is LONG);
+  *  - every multi-row result carries a total ORDER BY with a unique
+  *    tiebreak, mirrored in the oracle.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** cast to the exact-arithmetic money type used on both engines */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec2(c: Column): Column = c.cast("decimal(28,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(28,4)")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("staging_events_monthly")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Query implementations (Spark side)
+  // ---------------------------------------------------------------------
+
+  /** S4+P6+P7+P8+A1 — the transform_lease-shaped staging slice on `events`:
+    * month key from event time, tolerant strict-int parse of the JSON
+    * payload, dedupe-agg to (user_id, yyyymm) grain.
+    */
+  private def stagingEventsMonthly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("yyyymm", Casts.yyyymmOfTs(col("ts")))
+      .withColumn("k", Casts.toIntStrict(get_json_object(col("props"), "$.k")))
+      .groupBy(col("user_id"), col("yyyymm"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dec2(sum(dec(col("value")))).as("value_sum"),
+        sum(col("k")).cast("long").as("k_sum"),
+        min(col("event_type")).as("first_event_type"))
+      .orderBy(col("user_id"), col("yyyymm"))
+
+  /** S6+S4 — raw-layer roundtrip: encode events rows to (yyyymm, raw JSON),
+    * decode with the tolerant all-string schema, re-aggregate. The oracle
+    * computes the same aggregate straight from the source, proving the
+    * JSON encode/decode is lossless.
+    */
+  private def rawRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("event_id").cast("string").as("event_id"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_type"),
+      col("value").cast("string").as("value"),
+      Casts.yyyymmOfTs(col("ts")).as("yyyymm"))
+    val raw = RawStore.encode(ev)
+    val back = RawStore.decode(raw.drop("ingested_at"), "raw",
+      Seq("event_id", "user_id", "event_type", "value", "MISSING_FIELD"))
+    back.groupBy(col("yyyymm"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dec2(sum(dec(col("value")))).as("value_sum"),
+        sum(when(col("MISSING_FIELD").isNull, 1).otherwise(0)).cast("long").as("n_missing"))
+      .orderBy(col("yyyymm"))
+  }
+
+  /** A2 — rollup: per-supplier sums over lineitem in exact decimal. */
+  private def rollupSupplier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        dec2(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dec2(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        dec4(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("sum_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_suppkey"))
+
+  /** A2+J1-J4+U1+O2 — the reference's three-way rollup reconciliation
+    * (operator/district/field ≙ orderkey/custkey/month), tolerance 0.5,
+    * stitched with check_type.
+    */
+  private def rollupReconcile(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val fineOrder = li.select(col("l_orderkey").as("k"), dec(col("l_extendedprice")).as("total"))
+    val byOrder = Dq.reconcile(
+      orders.select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("total")),
+      fineOrder, "k", Seq("total"), tol = 0.5, checkType = "order_vs_lineitem")
+    val custOfOrder = orders.select(col("o_orderkey"), col("o_custkey"))
+    val byCust = Dq.reconcile(
+      orders.groupBy(col("o_custkey").as("k")).agg(dec2(sum(dec(col("o_totalprice")))).as("total")),
+      li.join(custOfOrder, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), dec(col("l_extendedprice")).as("total")),
+      "k", Seq("total"), tol = 0.5, checkType = "customer_vs_lineitem")
+    val byMonth = Dq.reconcile(
+      orders.groupBy(Casts.yyyymmOfTs(col("o_orderdate")).as("k"))
+        .agg(dec2(sum(dec(col("o_totalprice")))).as("total")),
+      li.select(Casts.yyyymmOfTs(col("l_shipdate")).as("k"), dec(col("l_extendedprice")).as("total")),
+      "k", Seq("total"), tol = 0.5, checkType = "ordermonth_vs_shipmonth")
+    Dq.reconciliationReport(Seq(byOrder, byCust, byMonth))
+      .select(col("check_type"), col("key"),
+        dec2(col("total_coarse")).as("total_coarse"),
+        dec2(col("total_fine")).as("total_fine"))
+      .orderBy(col("check_type"), col("key"))
+  }
+
+  /** A5 — non-negativity gate: violation count over lineitem measures. */
+  private def dqNonNegative(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val viol = Dq.negativeMeasures(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    viol.agg(count(lit(1)).as("n_violations"))
+  }
+
+  /** A4 — uniqueness gate: duplicate (l_orderkey, l_linenumber) groups. */
+  private def dqUniqueKeys(s: SparkSession, dir: String): DataFrame =
+    Dq.duplicateKeys(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      .agg(count(lit(1)).as("n_duplicate_groups"))
+
+  /** A3 — duplicate-group diagnostic on (user_id, day-of-month) grain. */
+  private def dupGroupsEvents(s: SparkSession, dir: String): DataFrame =
+    DedupeAgg.duplicateGroups(
+        t(s, dir, "events").withColumn("yyyymm", Casts.yyyymmOfTs(col("ts"))),
+        Seq("user_id", "yyyymm"))
+      .select(col("user_id"), col("yyyymm"), col("count").as("n_rows"))
+      .orderBy(col("n_rows").desc, col("user_id"), col("yyyymm"))
+
+  /** A6 — dimension load (customer). */
+  private def dimCustomer(s: SparkSession, dir: String): DataFrame =
+    DedupeAgg.dimLoad(t(s, dir, "customer"), Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** P1+P2+F6 — fact projection with derived month key. */
+  private def factOrdersMonthly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        Casts.yyyymmOfTs(col("o_orderdate")).as("yyyymm"),
+        dec(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderkey"))
+
+  /** S8 — last-write-wins upsert of a derived delta into `customer`. */
+  private def curatedUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val delta = cust.where(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+    Upsert.merge(cust, delta, Seq("c_custkey"), updateOnConflict = true)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J1 + implied star surface — revenue by (mktsegment, orderpriority). */
+  private def starJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(dec4(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  /** O1+L1 — top-k: brands by revenue, deterministic tiebreak. */
+  private def topBrandsByRevenue(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dec4(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(15)
+  }
+
+  /** Anti join — orders with no lineitem (engine surface beyond the
+    * reference's J1-J4; the reference's tolerance filter is the semantic
+    * EXCEPT, SURVEY.md §2.3).
+    */
+  private def ordersWithoutLineitem(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    orders.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** P5/P6/P7/P10 parity probe — the tolerant-cast family applied to
+    * string data, hash-compared against the same expressions in DuckDB.
+    */
+  private def tolerantCastsProbe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        Casts.toIntStrict(regexp_extract(col("source"), "(\\d+)", 1)).as("src_no_strict"),
+        Casts.toIntTolerant(col("lang")).as("lang_as_int"),
+        Casts.toNumZero(Casts.normNull(lit(""))).as("blank_to_zero"),
+        Casts.keyDefault(col("lang")).as("lang_key_default"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Contract maps
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "staging_events_monthly" -> (stagingEventsMonthly _),
+    "raw_roundtrip" -> (rawRoundtrip _),
+    "rollup_supplier" -> (rollupSupplier _),
+    "rollup_reconcile" -> (rollupReconcile _),
+    "dq_non_negative" -> (dqNonNegative _),
+    "dq_unique_keys" -> (dqUniqueKeys _),
+    "dup_groups_events" -> (dupGroupsEvents _),
+    "dim_customer" -> (dimCustomer _),
+    "fact_orders_monthly" -> (factOrdersMonthly _),
+    "curated_upsert" -> (curatedUpsert _),
+    "star_join_revenue" -> (starJoinRevenue _),
+    "top_brands_by_revenue" -> (topBrandsByRevenue _),
+    "orders_without_lineitem" -> (ordersWithoutLineitem _),
+    "tolerant_casts_probe" -> (tolerantCastsProbe _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "staging_events_monthly" ->
+      """SELECT user_id,
+        |       CAST(year(ts)*100 + month(ts) AS INTEGER) AS yyyymm,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS value_sum,
+        |       CAST(sum(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\s*\d+\s*$')
+        |                     THEN CAST(trim(json_extract_string(props, '$.k')) AS INTEGER) END) AS BIGINT) AS k_sum,
+        |       min(event_type) AS first_event_type
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, yyyymm""".stripMargin,
+    "raw_roundtrip" ->
+      """SELECT CAST(year(ts)*100 + month(ts) AS INTEGER) AS yyyymm,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS value_sum,
+        |       CAST(count(*) AS BIGINT) AS n_missing
+        |FROM events GROUP BY 1 ORDER BY yyyymm""".stripMargin,
+    "rollup_supplier" ->
+      """SELECT l_suppkey,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+    "rollup_reconcile" ->
+      """WITH by_order AS (
+        |  SELECT 'order_vs_lineitem' AS check_type, CAST(o.o_orderkey AS VARCHAR) AS key,
+        |         CAST(o.o_totalprice AS DECIMAL(28,2)) AS total_coarse,
+        |         CAST(l.total AS DECIMAL(28,2)) AS total_fine
+        |  FROM orders o LEFT JOIN (
+        |    SELECT l_orderkey, sum(COALESCE(CAST(l_extendedprice AS DECIMAL(18,2)), 0)) AS total
+        |    FROM lineitem GROUP BY 1) l ON o.o_orderkey = l.l_orderkey
+        |  WHERE abs(COALESCE(CAST(o.o_totalprice AS DECIMAL(28,2)), 0) - COALESCE(l.total, 0)) > 0.5
+        |), by_cust AS (
+        |  SELECT 'customer_vs_lineitem' AS check_type, CAST(o.k AS VARCHAR) AS key,
+        |         CAST(o.total AS DECIMAL(28,2)) AS total_coarse,
+        |         CAST(l.total AS DECIMAL(28,2)) AS total_fine
+        |  FROM (SELECT o_custkey AS k, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+        |        FROM orders GROUP BY 1) o
+        |  LEFT JOIN (
+        |    SELECT oo.o_custkey AS k, sum(COALESCE(CAST(li.l_extendedprice AS DECIMAL(18,2)), 0)) AS total
+        |    FROM lineitem li JOIN orders oo ON li.l_orderkey = oo.o_orderkey GROUP BY 1) l ON o.k = l.k
+        |  WHERE abs(COALESCE(o.total, 0) - COALESCE(l.total, 0)) > 0.5
+        |), by_month AS (
+        |  SELECT 'ordermonth_vs_shipmonth' AS check_type, CAST(o.k AS VARCHAR) AS key,
+        |         CAST(o.total AS DECIMAL(28,2)) AS total_coarse,
+        |         CAST(l.total AS DECIMAL(28,2)) AS total_fine
+        |  FROM (SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS k,
+        |               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+        |        FROM orders GROUP BY 1) o
+        |  LEFT JOIN (
+        |    SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS INTEGER) AS k,
+        |           sum(COALESCE(CAST(l_extendedprice AS DECIMAL(18,2)), 0)) AS total
+        |    FROM lineitem GROUP BY 1) l ON o.k = l.k
+        |  WHERE abs(COALESCE(o.total, 0) - COALESCE(l.total, 0)) > 0.5
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM by_order UNION ALL
+        |  SELECT * FROM by_cust UNION ALL
+        |  SELECT * FROM by_month)
+        |ORDER BY check_type, key""".stripMargin,
+    "dq_non_negative" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_violations FROM lineitem
+        |WHERE l_quantity < 0 OR l_extendedprice < 0 OR l_discount < 0 OR l_tax < 0""".stripMargin,
+    "dq_unique_keys" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_duplicate_groups FROM (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+    "dup_groups_events" ->
+      """SELECT user_id, CAST(year(ts)*100 + month(ts) AS INTEGER) AS yyyymm,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY n_rows DESC, user_id, yyyymm""".stripMargin,
+    "dim_customer" ->
+      """SELECT DISTINCT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey IS NOT NULL ORDER BY c_custkey""".stripMargin,
+    "fact_orders_monthly" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "curated_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+        |       c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "star_join_revenue" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "top_brands_by_revenue" ->
+      """SELECT p.p_brand,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 15""".stripMargin,
+    "orders_without_lineitem" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "tolerant_casts_probe" ->
+      """SELECT doc_id,
+        |       CASE WHEN regexp_matches(regexp_extract(source, '(\d+)', 1), '^\s*\d+\s*$')
+        |            THEN CAST(trim(regexp_extract(source, '(\d+)', 1)) AS INTEGER) END AS src_no_strict,
+        |       TRY_CAST(trim(lang) AS INTEGER) AS lang_as_int,
+        |       CAST(0.0 AS DOUBLE) AS blank_to_zero,
+        |       COALESCE(TRY_CAST(trim(lang) AS INTEGER), 0) AS lang_key_default
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,30 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Idempotent month-slice writes (S7).
+  *
+  * The reference re-runs a month safely by `DELETE FROM t WHERE yyyymm = n`
+  * before every JDBC append (transform_operator.py:16-31 and twins) —
+  * out-of-band psycopg2 because Spark's JDBC sink can't delete. The
+  * Spark-native equivalent for file/lakehouse sinks is dynamic partition
+  * overwrite on a month-partitioned layout: only the partitions present in
+  * the incoming frame are replaced, so re-running a month is a no-op
+  * delete+insert of exactly that slice — and at 100 TB the layout doubles
+  * as the partition-pruning index the reference built with a btree on
+  * yyyymm (sql/schema.sql:17,25).
+  */
+object Idempotent {
+
+  /** Overwrite exactly the month partitions present in `df` at `path`.
+    * Requires a `yyyymm` column; other months already at `path` survive.
+    */
+  def writeMonthSlice(df: DataFrame, path: String,
+                      partitionCol: String = "yyyymm"): Unit =
+    df.write
+      .mode("overwrite")
+      // per-write option overrides spark.sql.sources.partitionOverwriteMode
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+}

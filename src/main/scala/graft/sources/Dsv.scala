@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.ops.Casts
+
+/** `}`-delimited DSV reader (S1/S2 — reference dags/pdq_etl_dag.py:193-206).
+  *
+  * The reference reads the RRC PDQ `.dsv` exports with pandas in 1M-row
+  * chunks, all columns as strings, literal quoting, and a null-token list.
+  * Spark-first replacement: one partitioned CSV scan — chunking disappears
+  * (Spark splits the file), and the multi-token null normalization the
+  * pandas reader does via `na_values` becomes a post-read column pass
+  * (Spark CSV supports a single `nullValue`, so the rest of the tokens are
+  * normalized by [[graft.ops.Casts.normNull]]).
+  */
+object Dsv {
+
+  /** Read a `}`-delimited file: header row, every column `StringType`,
+    * quotes treated literally (pandas `quoting=3`), null tokens
+    * `"", NULL, null, NaN, nan` → null, header names trimmed (S2).
+    *
+    * @param schemaCols optional declared column list; when given, the scan
+    *        uses an explicit all-string schema (tolerant-declared style).
+    */
+  def read(spark: SparkSession, path: String,
+           schemaCols: Seq[String] = Nil): DataFrame = {
+    val reader = spark.read
+      .option("sep", "}")
+      .option("header", "true")
+      // pandas csv.QUOTE_NONE analog: \u0000 quote char disables quoting
+      .option("quote", "\u0000")
+      .option("mode", "PERMISSIVE")
+    val base =
+      if (schemaCols.nonEmpty)
+        reader
+          .schema(StructType(schemaCols.map(StructField(_, StringType, nullable = true))))
+          .option("header", "true")
+          .csv(path)
+      else reader.csv(path)
+    // S2: trim header whitespace; P10: normalize null tokens + trim values.
+    val trimmed = base.toDF(base.columns.map(_.trim): _*)
+    Casts.normNullAll(trimmed)
+  }
+}
