@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pdq.Dq
+
+/** DQ gates + rollup reconciliation (dags/pdq_etl_dag.py:254-429). */
+class DqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("negativeMeasures flags any negative measure (A5)") {
+    val df = Seq((1, 1.0, 2.0), (2, -0.5, 0.0), (3, 0.0, -1.0))
+      .toDF("k", "oil", "gas")
+    val viol = Dq.negativeMeasures(df, Seq("oil", "gas"))
+    assert(viol.select("k").as[Int].collect().toSet === Set(2, 3))
+  }
+
+  test("duplicateKeys flags PK violations (A4)") {
+    val df = Seq((1, 202401), (1, 202401), (2, 202401)).toDF("k", "yyyymm")
+    val dup = Dq.duplicateKeys(df, Seq("k", "yyyymm")).collect()
+    assert(dup.length === 1 && dup(0).getLong(2) === 2L)
+  }
+
+  test("reconcile: tolerance filter keeps only real mismatches (J4)") {
+    // coarse totals vs fine detail: key 1 matches (within 0.5), key 2 off
+    // by 1.0, key 3 has no fine rows (null → 0 coalesce)
+    val coarse = Seq((1, 10.0), (2, 10.0), (3, 5.0)).toDF("k", "m")
+    val fine = Seq((1, 6.0), (1, 4.2), (2, 9.0)).toDF("k", "m")
+    val out = Dq.reconcile(coarse, fine, "k", Seq("m"), tol = 0.5, checkType = "t")
+      .orderBy("key").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("2", "3"))
+    assert(out(0).getString(0) === "t")
+  }
+
+  test("reconciliationReport unions and orders (U1+O2)") {
+    val coarse = Seq((1, 10.0)).toDF("k", "m")
+    val fine = Seq((1, 1.0)).toDF("k", "m")
+    val a = Dq.reconcile(coarse, fine, "k", Seq("m"), checkType = "b_check")
+    val b = Dq.reconcile(coarse, fine, "k", Seq("m"), checkType = "a_check")
+    val rep = Dq.reconciliationReport(Seq(a, b)).collect()
+    assert(rep.map(_.getString(0)).toSeq === Seq("a_check", "b_check"))
+  }
+}

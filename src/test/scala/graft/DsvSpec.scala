@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Dsv
+
+/** S1/S2/P10 — `}`-delimited reader semantics (dags/pdq_etl_dag.py:193-206). */
+class DsvSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("reads }-delimited with header trim, literal quotes, null tokens") {
+    val dir = Files.createTempDirectory("dsv").toFile
+    val f = new java.io.File(dir, "op.dsv")
+    val w = new java.io.PrintWriter(f)
+    w.println(" OPERATOR_NO }OPERATOR_NAME}OIL")
+    w.println("""123456}ACME "QUOTED" CO}1500.25""")
+    w.println("""789012}NULL} 250 """)
+    w.println("""345678}NaN}""")
+    w.close()
+    val df = Dsv.read(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq === Seq("OPERATOR_NO", "OPERATOR_NAME", "OIL"))
+    val rows = df.orderBy("OPERATOR_NO").collect()
+    assert(rows.length === 3)
+    // rows sorted by string key: 123456, 345678, 789012
+    // quotes survive literally (pandas quoting=3)
+    assert(rows(0).getString(1) === """ACME "QUOTED" CO""")
+    // null tokens → null ("NaN" name, "" oil)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    // "NULL" name → null; value trim (P10): " 250 " → "250"
+    assert(rows(2).isNullAt(1) && rows(2).getString(2) === "250")
+  }
+
+  test("declared all-string schema nulls missing trailing columns") {
+    val dir = Files.createTempDirectory("dsv2").toFile
+    val f = new java.io.File(dir, "l.dsv")
+    val w = new java.io.PrintWriter(f)
+    w.println("A}B")
+    w.println("1}x")
+    w.close()
+    val df = Dsv.read(spark, f.getAbsolutePath, schemaCols = Seq("A", "B", "C"))
+    val r = df.collect()(0)
+    assert(r.getString(0) === "1" && r.getString(1) === "x" && r.isNullAt(2))
+  }
+}
