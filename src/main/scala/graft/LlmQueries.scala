@@ -1,0 +1,333 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm._
+
+/** LLM-data-pipeline query surface (dedup, similarity search, text
+  * analysis, multimodal) over the `documents`/`embeddings` testdata, with
+  * exact-match DuckDB oracles. Hash-dependent ops (minhash, simhash,
+  * fingerprints) are built on md5 so both engines produce identical bits.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ----- text analysis ---------------------------------------------------
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_check"),
+        TextStats.nTokens(col("text")).as("n_tokens"),
+        TextStats.nWordPieces(col("text")).as("n_word_pieces"),
+        TextStats.punctRatio(col("text")).as("punct_ratio"),
+        TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextStats.avgTokenLen(col("text")).as("avg_token_len"),
+        TextStats.qualityScore(col("text")).as("quality_score"),
+        TextStats.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private def langIdPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextStats.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("n") > 1, 1).otherwise(0)).cast("long").as("n_dup_groups"))
+
+  // ----- near-dup detection ---------------------------------------------
+
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    MinHash.signatures(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def minhashDupPairs(s: SparkSession, dir: String): DataFrame =
+    MinHash.dupPairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        SimHash.simhash32(TextStats.tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d1 = t(s, dir, "documents").select(
+      col("doc_id").as("id_a"), col("text").as("text_a"))
+    val d2 = t(s, dir, "documents").select(
+      col("doc_id").as("id_b"), col("text").as("text_b"))
+    d1.join(d2, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        Jaccard.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  // ----- similarity search ----------------------------------------------
+
+  private def knnCosineBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnBrute(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def knnCosineBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnBucketed(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "vec_id", "embedding",
+        "label", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sampled slice (vec_id % 8 = 0) so the within-bucket pair count stays
+    * bounded at bench scale; threshold low enough to emit real pairs on
+    * random data.
+    */
+  private def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(
+        t(s, dir, "embeddings").where(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ----- multimodal ------------------------------------------------------
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+      .orderBy(col("media_id"))
+
+  // ----- contract maps ---------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "lang_id_pred" -> (langIdPred _),
+    "dedup_exact_stats" -> (dedupExactStats _),
+    "minhash_signatures" -> (minhashSignatures _),
+    "minhash_dup_pairs" -> (minhashDupPairs _),
+    "simhash_fingerprints" -> (simhashFingerprints _),
+    "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "knn_cosine_brute" -> (knnCosineBrute _),
+    "knn_cosine_bucketed" -> (knnCosineBucketed _),
+    "embedding_near_dups" -> (embeddingNearDups _),
+    "multimodal_features" -> (multimodalFeatures _),
+  )
+
+  // DuckDB fragments shared by several oracles.
+  private val Toks =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"""
+  private def toksOf(c: String) =
+    s"""list_filter(regexp_split_to_array(trim($c), '\\s+'), x -> x <> '')"""
+  private val Fingerprint =
+    """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+  private val Shingles =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private val EnSw = TextStats.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** dot product in double with left-to-right accumulation (mirrors
+    * Similarity.dot's fold order exactly).
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String) =
+    s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0
+       | THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+       | ELSE 0.0 END""".stripMargin
+
+  /** 32-bit simhash as generated SQL (bit j from md5 hex nibble j). */
+  private val SimhashSql: String = {
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN 2*len(list_filter(hs, h -> substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f'))) - len(hs) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    bits.mkString("CAST(", " + ", " AS BIGINT)")
+  }
+
+  private val SigExprs = (0 until 8).map { p =>
+    s"list_min(list_transform(shingles, x -> md5('$p' || ':' || x))) AS sig_$p"
+  }.mkString(",\n       ")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $Toks AS toks FROM documents
+         |), stats AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS n_chars_check,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_word_pieces,
+         |         CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($EnSw, lower(t)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+         |         CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+         |         $Fingerprint AS fingerprint
+         |  FROM base
+         |)
+         |SELECT doc_id, n_chars_check, n_tokens, n_word_pieces, punct_ratio,
+         |       stopword_ratio, avg_token_len,
+         |       least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+         |         + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25
+         |         + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END) * 0.25 AS quality_score,
+         |       fingerprint
+         |FROM stats ORDER BY doc_id""".stripMargin,
+    "lang_id_pred" -> {
+      val hits = TextStats.LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(toks, t -> list_contains($lst, lower(t)))) AS hits_$lang"
+      }.mkString(",\n         ")
+      val langs = TextStats.LangStopwords.keys.toSeq.sorted
+      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val cases = langs.map(l =>
+        s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString("\n         ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, $Toks AS toks FROM documents
+         |), h AS (
+         |  SELECT doc_id, lang,
+         |         $hits
+         |  FROM base
+         |)
+         |SELECT doc_id, lang,
+         |       CASE $cases ELSE 'und' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "dedup_exact_stats" ->
+      s"""WITH fp AS (SELECT $Fingerprint AS f FROM documents),
+         |g AS (SELECT f, count(*) AS n FROM fp GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_unique,
+         |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+         |FROM g""".stripMargin,
+    "minhash_signatures" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $Shingles AS shingles FROM base
+         |)
+         |SELECT doc_id,
+         |       $SigExprs
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "minhash_dup_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $Shingles AS shingles FROM base
+         |), sigs AS (
+         |  SELECT doc_id,
+         |       $SigExprs
+         |  FROM sh
+         |), bands AS (
+         |  SELECT doc_id, u.b AS band_idx,
+         |         CASE u.b WHEN 0 THEN sig_0 || '|' || sig_1
+         |                  WHEN 1 THEN sig_2 || '|' || sig_3
+         |                  WHEN 2 THEN sig_4 || '|' || sig_5
+         |                  ELSE sig_6 || '|' || sig_7 END AS band_val
+         |  FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_4 = sb.sig_4 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_5 = sb.sig_5 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_6 = sb.sig_6 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_7 = sb.sig_7 THEN 1 ELSE 0 END)) AS BIGINT) AS n_matching_sigs,
+         |       (((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_4 = sb.sig_4 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_5 = sb.sig_5 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_6 = sb.sig_6 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN sa.sig_7 = sb.sig_7 THEN 1 ELSE 0 END)) / 8.0) AS est_jaccard
+         |FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
+         |            JOIN sigs sb ON c.id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "simhash_fingerprints" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_transform($Toks, t -> md5(t)) AS hs FROM documents
+         |)
+         |SELECT doc_id, $SimhashSql AS simhash
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $Shingles AS shingles FROM base
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CASE WHEN (len(a.shingles) + len(b.shingles)
+         |                  - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) > 0
+         |            THEN CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+         |                 / CAST(len(a.shingles) + len(b.shingles)
+         |                        - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+         |            ELSE 0.0 END AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin,
+    "knn_cosine_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
+         |s AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, cosine_sim
+         |FROM s
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "knn_cosine_bucketed" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings WHERE vec_id < 16),
+         |s AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim
+         |  FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, cosine_sim
+         |FROM s
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "embedding_near_dups" ->
+      s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id % 8 = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cosine_sim
+         |FROM e a JOIN e b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS h0
+        |  FROM documents
+        |)
+        |SELECT media_id, media_type, n_bytes,
+        |       CAST(CASE media_type WHEN 'image' THEN 64 + n_bytes % 512
+        |                            WHEN 'video' THEN 320
+        |                            ELSE 1 END AS INTEGER) AS width,
+        |       CAST(CASE media_type WHEN 'image' THEN 64 + h0 * 4
+        |                            WHEN 'video' THEN 240
+        |                            ELSE 1 END AS INTEGER) AS height,
+        |       CAST(CASE media_type WHEN 'image' THEN 1
+        |                            WHEN 'video' THEN 1 + n_bytes % 256
+        |                            ELSE 1 + n_bytes % 4096 END AS INTEGER) AS n_frames
+        |FROM m ORDER BY media_id""".stripMargin,
+  )
+}

@@ -213,7 +213,9 @@ object SparkEntry {
   // Contract maps
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ LlmQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "staging_events_monthly" -> (stagingEventsMonthly _),
     "raw_roundtrip" -> (rawRoundtrip _),
     "rollup_supplier" -> (rollupSupplier _),
@@ -230,7 +232,9 @@ object SparkEntry {
     "tolerant_casts_probe" -> (tolerantCastsProbe _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "staging_events_monthly" ->
       """SELECT user_id,
         |       CAST(year(ts)*100 + month(ts) AS INTEGER) AS yyyymm,

@@ -1,0 +1,33 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard similarity between documents.
+  *
+  * Set intersection/union sizes are computed with explicit
+  * filter/contains expressions (not engine `array_intersect` built-ins)
+  * so the semantics — distinct-element set ops — are identical on every
+  * engine and exactly oracle-checkable.
+  */
+object Jaccard {
+
+  /** |A ∩ B| over distinct-element arrays. */
+  def intersectionSize(a: Column, b: Column): Column =
+    size(filter(array_distinct(a), x => array_contains(b, x)))
+
+  /** Jaccard = |A∩B| / |A∪B| over the distinct elements of a and b. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(filter(ad, x => array_contains(bd, x))).cast("double")
+    val union = (size(ad) + size(bd)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Word n-gram Jaccard between two text columns. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column =
+    jaccard(
+      MinHash.shingles(TextStats.tokens(textA), n),
+      MinHash.shingles(TextStats.tokens(textB), n))
+}

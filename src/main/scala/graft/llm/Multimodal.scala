@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with
+  * typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side shape is real — schema, partition-parallel batch
+  * iteration, deterministic output contract — while the actual codec
+  * work is STUBBED (this container has no image/audio libraries): the
+  * "decoder" derives metadata from the payload bytes deterministically.
+  * Swapping [[stubDecode]] for a real JNI/library call changes nothing
+  * about the plan shape.
+  */
+object Multimodal {
+
+  /** Canonical media-record schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Decoded-feature schema emitted by [[decodeFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** STUB decoder — deterministic fake standing in for e.g. libjpeg:
+    * dimensions derived from payload length/first bytes. Replace with a
+    * real codec without touching the surrounding plan.
+    */
+  def stubDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
+    val n = if (payload == null) 0 else payload.length
+    val h0 = if (n > 0) java.lang.Byte.toUnsignedInt(payload(0)) else 0
+    mediaType match {
+      case "image" => (64 + (n % 512), 64 + (h0 * 4), 1)
+      case "video" => (320, 240, 1 + n % 256)
+      case "audio" => (1, 1, 1 + n % 4096) // frames ≙ samples
+      case _       => (0, 0, 0)
+    }
+  }
+
+  /** Batch feature extraction over media records: per-partition iterator
+    * (the `mapPartitions` seam where a real decoder would amortize
+    * per-batch setup), no shuffle, output schema fixed.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select("media_id", "media_type", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h, f) = stubDecode(r.getString(1), payload)
+        val n = if (payload == null) 0L else payload.length.toLong
+        Row(r.getLong(0), r.getString(1), n, w, h, f)
+      }
+    }(enc)
+  }
+
+  /** Build a media frame from the documents table (text bytes standing in
+    * for undecoded payloads — the plumbing fixture used by tests/bench).
+    */
+  def mediaFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("video"), lit("audio")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+}

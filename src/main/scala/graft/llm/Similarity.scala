@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * - [[knnBrute]] — exact cosine top-k via a broadcast join of the query
+  *   set against the corpus: O(|Q|·|C|) dot products but no shuffle of
+  *   the corpus, so it scales to large corpora as long as the query set
+  *   broadcasts. The baseline every ANN variant is checked against.
+  * - [[knnBucketed]] — IVF-style: candidates restricted to the query's
+  *   coarse partition (any int bucket column, e.g. a cluster/label id or
+  *   an LSH sign-bucket from [[signBucket]]). The join keys on the
+  *   bucket, so the per-query work drops by the bucket fan-out — the
+  *   100 TB scale path.
+  *
+  * Dot products are explicit `zip_with` + left-fold `aggregate`
+  * expressions in DOUBLE: element-order-sequential, hence deterministic
+  * and reproducible in an oracle engine with the same fold order.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 when either vector is all-zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** LSH-style coarse bucket: sign bits of the first `bits` dimensions
+    * packed into an int — a trivially deterministic space partitioner
+    * for [[knnBucketed]] when no cluster id exists.
+    */
+  def signBucket(a: Column, bits: Int = 4): Column =
+    (0 until bits).map { i =>
+      when(element_at(a, i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: for each query vector, the `k` nearest corpus
+    * vectors. Ranking uses (rounded similarity desc, corpus id) so
+    * results are total-order deterministic.
+    *
+    * @param queries (qidCol, vecCol) frame — must be small enough to
+    *                broadcast (it is hinted).
+    * @param corpus  (idCol, vecCol) frame.
+    */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, qidCol: String,
+               idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** IVF-style bucketed top-k: like [[knnBrute]] but candidates must
+    * share `bucketCol` with the query — the join keys on the bucket.
+    */
+  def knnBucketed(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                  idCol: String, vecCol: String, bucketCol: String,
+                  k: Int = 10): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+      col(bucketCol).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(bucketCol).as("__bucket"))
+    val sims = c.join(broadcast(q), Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+}

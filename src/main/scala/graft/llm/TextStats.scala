@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID, and
+  * document fingerprinting. (Extension surface beyond the reference —
+  * SURVEY.md §7.2 step 6; the reference's own text handling stops at
+  * null-token normalization, dags/pdq_etl_dag.py:149-158.)
+  *
+  * Everything is a pure Catalyst column expression (no UDFs): codegen'd,
+  * partition-parallel, shuffle-free — per-document map work that scales
+  * linearly at 100 TB. Hash-based ops use `md5`, which is bit-identical
+  * across engines, so results are exactly oracle-checkable.
+  */
+object TextStats {
+
+  /** Whitespace tokens, empties dropped (split-then-filter keeps the
+    * semantics identical across engines regardless of how each handles
+    * leading/trailing separators).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish word-piece count: runs of letters, runs of digits, or single
+    * other non-space chars — a cheap deterministic proxy for subword
+    * token counts.
+    */
+  def nWordPieces(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Punctuation chars / total chars (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val p = size(regexp_extract_all(text, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0)))
+    when(n > 0, p.cast("double") / n.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 for empty text). */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(ts).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** English stopwords used by the ratio/language heuristics. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Fraction of tokens found in `stopwords` (case-insensitive). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val ts = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(ts) > 0,
+      size(filter(ts, t => array_contains(sw, lower(t)))).cast("double")
+        / size(ts).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, nonzero stopword mass — the standard cheap pre-filter
+    * shape for web-scale corpora (cf. C4/Gopher-style heuristics).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nTokens(text).cast("double") / lit(64.0), lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.5))
+    val swOk = when(stopwordRatio(text) > 0.05, lit(1.0)).otherwise(lit(0.5))
+    lenScore * lit(0.5) + punctOk * lit(0.25) + swOk * lit(0.25)
+  }
+
+  /** Tiny per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic (deterministic, dictionary-free).
+    */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "para", "en", "que"))
+
+  /** Language-ID: argmax of per-language stopword hit counts; `und`
+    * (undetermined) when no list scores a hit. Ties break by language
+    * code order for determinism.
+    */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      lang -> size(filter(ts, t => array_contains(sw, lower(t))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc > 0 && sc === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Canonical text for exact-dup detection: lowercase, collapse
+    * whitespace, strip leading/trailing space.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+}

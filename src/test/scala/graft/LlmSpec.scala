@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm._
+
+/** LLM-pipeline operators: dedup (exact/minhash/simhash/jaccard),
+  * similarity search, text stats, multimodal plumbing.
+  */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docA2 = "the quick brown fox jumps over the lazy dog again and again tomorrow" // near-dup of A
+  private val docB = "completely different content about spark shuffles and partitions at scale"
+  private val docs = Seq((0L, docA), (1L, docA2), (2L, docB), (3L, docA))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: fingerprint groups and deterministic survivor") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups(0).getLong(1) === 2L && groups(0).getLong(2) === 0L) // docs 0,3; keep 0
+    val kept = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("minhash LSH: near-dup pair found, unrelated pair not") {
+    val pairs = MinHash.dupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "n_matching_sigs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // exact dup (0,3): all 8 sigs match
+    assert(pairs(((0L, 3L))) === 8L)
+    // near-dup (0,1) and (1,3): found with most sigs matching
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 4L)
+    // unrelated docB never pairs
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val sh = docs.select(col("doc_id"),
+        SimHash.simhash32(TextStats.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+    assert(ham(sh(0L), sh(1L)) <= 6)
+  }
+
+  test("ngram jaccard: identity 1.0, near-dup high, unrelated 0") {
+    val j = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Jaccard.ngramJaccard(col("a.text"), col("b.text")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 3L)) === 1.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+    assert(j((0L, 2L)) === 0.0)
+  }
+
+  test("knn cosine: self-similar vectors rank first, bucketed ≡ brute within bucket") {
+    // 4-dim toy vectors: v1 ≈ v0, v2 orthogonal, v3 = -v0
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(-1f, 0f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val knn = Similarity.knnBrute(emb.where($"vec_id" === 0), emb,
+        "vec_id", "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(knn.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+    assert(knn(0).getDouble(3) > 0.99)
+    assert(knn(2).getDouble(3) === -1.0)
+    val bucketed = Similarity.knnBucketed(emb.where($"vec_id" === 0), emb,
+        "vec_id", "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    // label-0 bucket only: the -v0 vector (label 1) is pruned
+    assert(bucketed.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+  }
+
+  test("embedding near-dups: threshold keeps only the twin pair") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.9)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 0L && pairs(0).getLong(1) === 1L)
+  }
+
+  test("text stats: counts and ratios on a known sentence") {
+    val df = Seq((1L, "The quick, brown fox! It is a fox.")).toDF("id", "text")
+    val r = df.select(
+      TextStats.nTokens($"text").as("nt"),
+      TextStats.punctRatio($"text").as("pr"),
+      TextStats.stopwordRatio($"text").as("sr"),
+      TextStats.langId($"text").as("lang")).collect()(0)
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) > 0 && r.getDouble(1) < 0.2)
+    assert(r.getDouble(2) > 0.3) // the, it, is, a
+    assert(r.getString(3) === "en")
+  }
+
+  test("multimodal: stub decode runs per-partition with fixed schema") {
+    val media = Seq(
+      (1L, "image", "abcdef".getBytes("UTF-8")),
+      (2L, "audio", "xy".getBytes("UTF-8")),
+      (3L, "video", Array.empty[Byte])
+    ).toDF("media_id", "media_type", "payload")
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(6L, 2L, 0L))
+    assert(out(0).getInt(3) === 64 + 6 && out(0).getInt(4) === 64 + 'a'.toInt * 4)
+    assert(out(1).getInt(5) === 3) // audio frames = 1 + 2 % 4096
+    assert(out(2).getInt(3) === 320 && out(2).getInt(5) === 1)
+  }
+}
