@@ -14,10 +14,19 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** CPU-heavy per-row pipelines need the scan spread across cores: the
+    * local testdata is one small parquet row-group (→ one task), which
+    * would serialize tens of millions of digest calls. On a cluster the
+    * same operator reads many splits; the explicit repartition also guards
+    * against few-large-files skew there.
+    */
+  private def tPar(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   // ----- text analysis ---------------------------------------------------
 
   private def textStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+    tPar(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_check"),
         TextStats.nTokens(col("text")).as("n_tokens"),
@@ -30,13 +39,13 @@ object LlmQueries {
       .orderBy(col("doc_id"))
 
   private def langIdPred(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+    tPar(s, dir, "documents").select(
         col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    tPar(s, dir, "documents")
       .select(TextStats.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .agg(
@@ -47,41 +56,46 @@ object LlmQueries {
   // ----- near-dup detection ---------------------------------------------
 
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    MinHash.signatures(t(s, dir, "documents"), "doc_id", "text")
+    MinHash.signatures(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private def minhashDupPairs(s: SparkSession, dir: String): DataFrame =
-    MinHash.dupPairs(t(s, dir, "documents"), "doc_id", "text")
+    MinHash.dupPairs(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
   private def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+    tPar(s, dir, "documents").select(
         col("doc_id"),
         SimHash.simhash32(TextStats.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d1 = t(s, dir, "documents").select(
-      col("doc_id").as("id_a"), col("text").as("text_a"))
-    val d2 = t(s, dir, "documents").select(
-      col("doc_id").as("id_b"), col("text").as("text_b"))
+    // Materialize shingle arrays BEFORE the self-join: the shuffle carries
+    // each doc's array once, and the pairwise compare reads attributes
+    // (inlining the shingle expression into the join output would
+    // re-evaluate it per array element).
+    val sh = tPar(s, dir, "documents").select(
+      col("doc_id"),
+      MinHash.shingles(TextStats.tokens(col("text"))).as("sh"))
+    val d1 = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val d2 = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     d1.join(d2, col("id_b") === col("id_a") + 1)
       .select(col("id_a"), col("id_b"),
-        Jaccard.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+        Jaccard.jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .orderBy(col("id_a"))
   }
 
   // ----- similarity search ----------------------------------------------
 
   private def knnCosineBrute(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = tPar(s, dir, "embeddings")
     Similarity.knnBrute(
         emb.where(col("vec_id") < 16), emb, "vec_id", "vec_id", "embedding", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 
   private def knnCosineBucketed(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = tPar(s, dir, "embeddings")
     Similarity.knnBucketed(
         emb.where(col("vec_id") < 16), emb, "vec_id", "vec_id", "embedding",
         "label", k = 5)
@@ -94,7 +108,7 @@ object LlmQueries {
     */
   private def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(
-        t(s, dir, "embeddings").where(col("vec_id") % 8 === 0),
+        tPar(s, dir, "embeddings").where(col("vec_id") % 8 === 0),
         "vec_id", "embedding", "label", threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -102,7 +116,7 @@ object LlmQueries {
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(
-        Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        Multimodal.mediaFromDocuments(tPar(s, dir, "documents")))
       .orderBy(col("media_id"))
 
   // ----- contract maps ---------------------------------------------------

@@ -25,9 +25,28 @@ object Jaccard {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** Word n-gram Jaccard between two text columns. */
+  /** Jaccard over arrays already known to be distinct-element (e.g.
+    * [[MinHash.shingles]] output materialized as columns). Skipping the
+    * re-distinct matters when the inputs are plain attribute references:
+    * the `filter` lambda re-evaluates the captured `b` per element, which
+    * is a cheap attribute read here but an array rebuild if wrapped in
+    * `array_distinct`.
+    */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(filter(a, x => array_contains(b, x))).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Word n-gram Jaccard between two text columns.
+    *
+    * NOTE: prefer materializing [[MinHash.shingles]] as real columns
+    * before a pairwise compare (shuffle carries the arrays; the compare
+    * then reads attributes) — inlining this whole expression into a join
+    * output re-evaluates the shingle pipeline per array element.
+    */
   def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column =
-    jaccard(
+    jaccardDistinct(
       MinHash.shingles(TextStats.tokens(textA), n),
       MinHash.shingles(TextStats.tokens(textB), n))
 }

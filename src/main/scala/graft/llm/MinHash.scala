@@ -16,27 +16,40 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** Word n-gram shingles of the token array (distinct). */
+  /** Word n-gram shingles of the token array (distinct). Native
+    * single-pass expression; [[shinglesDeclarative]] is the bit-identical
+    * executable spec. (The declarative nested-lambda form re-evaluates the
+    * token expression per shingle index — O(tokens²) per document.)
+    */
   def shingles(tokens: Column, n: Int = 3): Column =
+    graft.functions.HashExpressions.wordNgrams(tokens, n)
+
+  /** Declarative (built-ins only) formulation of [[shingles]]. */
+  def shinglesDeclarative(tokens: Column, n: Int = 3): Column =
     array_distinct(
       when(size(tokens) >= n,
         transform(sequence(lit(1), size(tokens) - (n - 1)),
           i => concat_ws(" ", slice(tokens, i, lit(n)))))
         .otherwise(array(concat_ws(" ", tokens))))
 
-  /** One minhash: lexicographic min of salted md5 over the shingles. */
+  /** One minhash: lexicographic min of salted md5 over the shingles
+    * (declarative executable spec; [[signatures]] computes all k perms in
+    * one native-expression pass instead).
+    */
   def minhash(shingles: Column, perm: Int): Column =
     array_min(transform(shingles, s => md5(concat(lit(perm.toString), lit(":"), s))))
 
-  /** k-permutation signature as named columns sig_0..sig_{k-1}. */
-  def signatureCols(shingles: Column, k: Int = 8): Seq[Column] =
-    (0 until k).map(p => minhash(shingles, p).as(s"sig_$p"))
-
-  /** Attach signature columns to a frame with an `idCol` and `textCol`. */
+  /** Attach signature columns sig_0..sig_{k-1} to a frame. All k
+    * permutations are computed by one
+    * [[graft.functions.HashExpressions.MinHashSigs]] evaluation per row
+    * (bit-identical to k [[minhash]] columns, k× cheaper).
+    */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 8): DataFrame = {
     val sh = shingles(TextStats.tokens(col(textCol)), n)
-    df.select(col(idCol) +: signatureCols(sh, k): _*)
+    df.select(col(idCol), graft.functions.HashExpressions.minhashSigs(sh, k).as("__sigs"))
+      .select(col(idCol) +: (0 until k).map(p =>
+        element_at(col("__sigs"), p + 1).as(s"sig_$p")): _*)
   }
 
   /** LSH band values: concatenation of `rowsPerBand` consecutive sigs. */
@@ -56,7 +69,13 @@ object MinHash {
     */
   def dupPairs(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // The signature table feeds the band explode, then both sides of the
+    // final signature-compare join — persist it once (k hex strings per
+    // doc: tiny next to the text it replaces) instead of recomputing the
+    // shingle+md5 pipeline per consumer. At cluster scale this is the
+    // table you'd write to storage between stages.
     val sigs = signatures(df, idCol, textCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = sigs.select(col(idCol) +: (0 until k).map(p => col(s"sig_$p"))
       ++: bandCols(k, rowsPerBand): _*)
     val nBands = k / rowsPerBand

@@ -17,8 +17,18 @@ object SimHash {
 
   private val HighNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-  /** 32-bit simhash of a token array, as a non-negative BIGINT. */
-  def simhash32(tokens: Column): Column = {
+  /** 32-bit simhash of a token array, as a non-negative BIGINT.
+    * Evaluated by the native [[graft.functions.HashExpressions.SimHash32]]
+    * expression (one fused loop per row); [[simhash32Declarative]] is the
+    * bit-identical column-function formulation it was derived from.
+    */
+  def simhash32(tokens: Column): Column =
+    graft.functions.HashExpressions.simhash32(tokens)
+
+  /** Declarative (built-ins only) formulation — same bits as
+    * [[simhash32]]; kept as the executable spec.
+    */
+  def simhash32Declarative(tokens: Column): Column = {
     val hashes = transform(tokens, t => md5(t))
     val bits = (0 until 32).map { j =>
       // vote_j = #tokens with bit set − #tokens with bit clear

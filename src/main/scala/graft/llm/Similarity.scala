@@ -32,8 +32,16 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (0 when either vector is all-zero). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity (0 when either vector is all-zero). Evaluated by
+    * the fused native [[graft.functions.HashExpressions.CosineSim]]
+    * expression — same left-to-right double accumulation as the
+    * declarative `dot/norm` form, so bits match.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashExpressions.cosineSim(a, b)
+
+  /** Declarative formulation (executable spec for [[cosine]]). */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }

@@ -105,6 +105,33 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getString(3) === "en")
   }
 
+  test("native expressions are bit-identical to their declarative specs") {
+    val df = docs.select(col("doc_id"),
+      TextStats.tokens(col("text")).as("toks"))
+    val cmp = df.select(
+      MinHash.shingles(col("toks")).as("native_sh"),
+      MinHash.shinglesDeclarative(col("toks")).as("decl_sh"),
+      SimHash.simhash32(col("toks")).as("native_h"),
+      SimHash.simhash32Declarative(col("toks")).as("decl_h")).collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+    val emb = Seq((Array(0.3f, -1.2f, 4f), Array(1f, 0.5f, -0.25f)))
+      .toDF("a", "b")
+    val c = emb.select(
+      Similarity.cosine(col("a"), col("b")).as("n"),
+      Similarity.cosineDeclarative(col("a"), col("b")).as("d")).collect()(0)
+    assert(c.getDouble(0) === c.getDouble(1))
+    // minhash native sigs == declarative per-perm minhash columns
+    val sh = df.select(col("doc_id"), MinHash.shingles(col("toks")).as("sh"))
+    val both = sh.select(col("doc_id"),
+      graft.functions.HashExpressions.minhashSigs(col("sh"), 4).as("nat"),
+      array((0 until 4).map(p => MinHash.minhash(col("sh"), p)): _*).as("dec"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2)))
+  }
+
   test("multimodal: stub decode runs per-partition with fixed schema") {
     val media = Seq(
       (1L, "image", "abcdef".getBytes("UTF-8")),
