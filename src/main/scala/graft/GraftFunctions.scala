@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.HashExpressions.{CosineSim, MinHashSigs, SimHash32, WordNgrams}
+
+/** SQL registration of the native expressions, so `spark.sql` users get
+  * the same operators as the Column API:
+  *
+  *   SELECT simhash32(tokens), minhash_sigs(shingles, 8),
+  *          word_ngrams(tokens, 3), cosine_sim(a, b)
+  *
+  * Either call [[GraftFunctions.register]] on a session, or configure
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash32" -> { es => SimHash32(es.head) },
+    "minhash_sigs" -> { es => MinHashSigs(es.head, intLit(es(1), "k")) },
+    "word_ngrams" -> { es => WordNgrams(es.head, intLit(es(1), "n")) },
+    "cosine_sim" -> { es => CosineSim(es.head, es(1)) })
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point registering the graft functions at
+  * session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.HashExpressions", name),
+        builder))
+    }
+}

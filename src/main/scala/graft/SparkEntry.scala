@@ -217,6 +217,71 @@ object SparkEntry {
         Casts.keyDefault(col("lang")).as("lang_key_default"))
       .orderBy(col("doc_id"))
 
+  /** W — deterministic pick-one per key via row_number (the upgrade path
+    * for A1's nondeterministic `first`, SURVEY.md §2.5 W1).
+    */
+  private def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.latestPerKey(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_custkey"))
+
+  /** W — running total per key (exact decimal, explicit ROWS frame). */
+  private def runningLineitemTotal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.runningTotal(
+        t(s, dir, "lineitem")
+          .where(col("l_suppkey") < 20) // bound the ordered output size
+          .select(
+            col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), dec(col("l_quantity")).as("qty")),
+        Seq("l_suppkey"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        col("qty"), "running_qty")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        dec2(col("running_qty")).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+
+  /** W — gap-based sessionization (30-min) rolled up per user. */
+  private def userSessions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.sessionize(
+        t(s, dir, "events"), "user_id", "ts",
+        Seq(col("ts"), col("event_id")), gapSeconds = 1800)
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** CUBE over (returnflag, linestatus) — beyond the reference's separate
+    * GROUP BYs (SURVEY.md §2.4 note).
+    */
+  private def cubeLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dec2(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Distinct aggregates (exact; the approximate HLL twin is unit-tested
+    * since approx values can't hash-match an oracle).
+    */
+  private def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Skew-safe two-stage salted aggregation — must equal the plain
+    * rollup (the oracle is the unsalted GROUP BY).
+    */
+  private def rollupSupplierSalted(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Salt.saltedSum(
+        t(s, dir, "lineitem").select(col("l_suppkey"), dec(col("l_quantity")).as("qty")),
+        Seq("l_suppkey"), Seq("qty"), factor = 16)
+      .select(col("l_suppkey"), dec2(col("qty")).as("sum_qty"))
+      .orderBy(col("l_suppkey"))
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -238,6 +303,12 @@ object SparkEntry {
     "top_brands_by_revenue" -> (topBrandsByRevenue _),
     "orders_without_lineitem" -> (ordersWithoutLineitem _),
     "tolerant_casts_probe" -> (tolerantCastsProbe _),
+    "latest_order_per_customer" -> (latestOrderPerCustomer _),
+    "running_lineitem_total" -> (runningLineitemTotal _),
+    "user_sessions" -> (userSessions _),
+    "cube_lineitem" -> (cubeLineitem _),
+    "distinct_counts" -> (distinctCounts _),
+    "rollup_supplier_salted" -> (rollupSupplierSalted _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -344,6 +415,53 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "running_lineitem_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "user_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "cube_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "distinct_counts" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "rollup_supplier_salted" ->
+      """SELECT l_suppkey,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
     "tolerant_casts_probe" ->
       """SELECT doc_id,
         |       CASE WHEN regexp_matches(regexp_extract(source, '(\d+)', 1), '^\s*\d+\s*$')

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigating two-stage aggregation (salting).
+  *
+  * A single hot key (one giant operator / one viral document) turns a
+  * groupBy into one straggler task at cluster scale. Salting splits each
+  * key into `factor` deterministic sub-groups, pre-aggregates, then
+  * merges — the partial-agg shuffle carries `factor` rows per hot key
+  * instead of every raw row. Spark's AQE skew handling covers joins;
+  * this covers aggregations, decomposable aggregates only
+  * (sum/count/min/max).
+  */
+object Salt {
+
+  /** `groupBy(keys).agg(sum(m))` with `factor`-way salt. The salt is a
+    * deterministic hash of the whole row (`xxhash64` over all columns),
+    * so results are reproducible run to run.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], measures: Seq[String],
+                factor: Int = 16): DataFrame = {
+    val withSalt = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(factor)))
+    val pAggs: Seq[Column] = measures.map(m => sum(col(m)).as(m))
+    val partial = withSalt
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(pAggs.head, pAggs.tail: _*)
+    val fAggs: Seq[Column] = measures.map(m => sum(col(m)).as(m))
+    partial.groupBy(keys.map(col): _*).agg(fAggs.head, fAggs.tail: _*)
+  }
+}

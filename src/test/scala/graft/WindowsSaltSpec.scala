@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Salt, Windows}
+
+/** Window surface (latest-per-key, running totals, sessionization),
+  * salted aggregation equivalence, and SQL function registration.
+  */
+class WindowsSaltSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("latestPerKey picks exactly one deterministic row per key") {
+    val df = Seq((1, "2024-01-01", 10.0), (1, "2024-02-01", 20.0),
+      (2, "2024-01-15", 5.0)).toDF("k", "d", "v")
+    val out = Windows.latestPerKey(df, Seq("k"), Seq(col("d").desc))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getDouble(2))).toSeq ===
+      Seq((1, 20.0), (2, 5.0)))
+  }
+
+  test("runningTotal accumulates in window order") {
+    val df = Seq((1, 1, 10.0), (1, 2, 5.0), (1, 3, 1.0), (2, 1, 7.0))
+      .toDF("k", "seq", "v")
+    val out = Windows.runningTotal(df, Seq("k"), Seq(col("seq")), col("v"), "rt")
+      .orderBy("k", "seq").select("rt").as[Double].collect()
+    assert(out.toSeq === Seq(10.0, 15.0, 16.0, 7.0))
+  }
+
+  test("sessionize: 30-min gap starts a new session") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (1L, "2024-01-01 11:30:00"), // 80-min gap → session 2
+      (2L, "2024-01-01 09:00:00")
+    ).toDF("user_id", "ts_s")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+        monotonically_increasing_id().as("event_id"))
+    val out = Windows.sessionize(df, "user_id", "ts",
+        Seq(col("ts"), col("event_id")), 1800)
+      .groupBy("user_id").agg(max("session_id").as("n"))
+      .orderBy("user_id").select("n").as[Long].collect()
+    assert(out.toSeq === Seq(2L, 1L))
+  }
+
+  test("saltedSum equals the direct groupBy sum") {
+    val df = (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("v"))
+      .orderBy("k").as[(Int, Double)].collect().toSeq
+    val salted = Salt.saltedSum(df, Seq("k"), Seq("v"), factor = 8)
+      .orderBy("k").as[(Int, Double)].collect().toSeq
+    assert(salted === direct)
+  }
+
+  test("approx_count_distinct within 5% of exact (HLL sketch surface)") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("SQL registration: simhash32/cosine_sim callable from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq(("a b c d", Array(1f, 0f), Array(1f, 0f))).toDF("text", "va", "vb")
+      .createOrReplaceTempView("probe")
+    val r = spark.sql(
+      """SELECT simhash32(split(text, ' ')) AS h,
+        |       cosine_sim(va, vb) AS c,
+        |       word_ngrams(split(text, ' '), 2) AS ng,
+        |       minhash_sigs(word_ngrams(split(text, ' '), 2), 4) AS sigs
+        |FROM probe""".stripMargin).collect()(0)
+    val expect = Seq(("a b c d", 1)).toDF("text", "one").select(
+      graft.llm.SimHash.simhash32(split(col("text"), " ")).as("h")).collect()(0)
+    assert(r.getLong(0) === expect.getLong(0))
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](3).length === 4)
+  }
+}
