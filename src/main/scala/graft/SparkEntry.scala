@@ -282,6 +282,34 @@ object SparkEntry {
       .select(col("l_suppkey"), dec2(col("qty")).as("sum_qty"))
       .orderBy(col("l_suppkey"))
 
+  /** As-of join — each event picks up the user's most recent order as of
+    * the event time (right side deduped to one order per (cust, date) so
+    * the pick is deterministic). Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  private def eventsAsofOrders(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").where(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val od = graft.ops.Windows.latestPerKey(
+        t(s, dir, "orders").select(
+          col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey")),
+        Seq("user_id", "o_orderdate"), Seq(col("o_orderkey").desc))
+    graft.ops.AsOf.asofJoin(ev, od, Seq("user_id"), "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact interpolated percentiles per group (rounded on both engines —
+    * the interpolation formulas differ in ulp-level arithmetic).
+    */
+  private def quantileQuantity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -309,6 +337,8 @@ object SparkEntry {
     "cube_lineitem" -> (cubeLineitem _),
     "distinct_counts" -> (distinctCounts _),
     "rollup_supplier_salted" -> (rollupSupplierSalted _),
+    "events_asof_orders" -> (eventsAsofOrders _),
+    "quantile_quantity" -> (quantileQuantity _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -457,6 +487,23 @@ object SparkEntry {
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
         |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "events_asof_orders" ->
+      """WITH od AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+        |), e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE user_id < 50
+        |)
+        |SELECT e.event_id, e.user_id, od.o_orderkey AS asof_orderkey
+        |FROM e ASOF LEFT JOIN od
+        |  ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    "quantile_quantity" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "rollup_supplier_salted" ->
       """SELECT l_suppkey,

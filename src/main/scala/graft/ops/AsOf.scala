@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the latest right row
+  * with `rightTs <= leftTs` per key — the lookup every training-data /
+  * time-series pipeline needs (attach the dimension snapshot that was
+  * current when the event happened).
+  *
+  * Spark has no native as-of join; the preference ladder (compose
+  * built-ins before custom plans) lands on the union + last-observation-
+  * carried-forward window:
+  *
+  *   1. union left (tag 1) and right (tag 0) rows on a common `__ts`;
+  *   2. per key, sort by (`__ts`, tag) — right-before-left on equal
+  *      timestamps gives inclusive `<=` semantics;
+  *   3. `last(rightCol, ignoreNulls)` over the unbounded-preceding frame
+  *      carries the newest right values forward;
+  *   4. keep the left rows.
+  *
+  * One shuffle on the key (same as any equi-join), no range explosion,
+  * no per-key driver loop — linear at 100 TB. Right side must be unique
+  * per (key, rightTs); dedupe first ([[Windows.latestPerKey]]) or the
+  * carried value is order-nondeterministic.
+  */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == leftTs)
+    val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"overlapping non-key columns: ${leftCols.intersect(rightCols).mkString(",")}")
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType).as(c)
+
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).cast("timestamp").as("__ts"), lit(1).as("__tag")) ++
+        leftCols.map(col) ++ rightCols.map(nullOf(right, _)): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).cast("timestamp").as("__ts"), lit(0).as("__tag")) ++
+        leftCols.map(nullOf(left, _)) ++ rightCols.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).select(
+      keys.map(col) ++ Seq(col("__ts"), col("__tag")) ++ leftCols.map(col) ++
+        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    filled.where(col("__tag") === 1)
+      .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
+        (leftCols ++ rightCols).map(col): _*)
+  }
+}
