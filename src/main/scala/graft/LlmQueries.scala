@@ -85,6 +85,24 @@ object LlmQueries {
       .orderBy(col("id_a"))
   }
 
+  /** Top-3 TF-IDF terms for a bounded doc subset (idf from the whole
+    * corpus).
+    */
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    Tfidf.topTerms(tPar(s, dir, "documents"), "doc_id", "text", k = 3)
+      .where(col("doc_id") < 50)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Vocabulary head: top-20 terms by document frequency. */
+  private def vocabStats(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tfidf.termFrequencies(tPar(s, dir, "documents"), "doc_id", "text")
+    Tfidf.vocabulary(tf, "doc_id")
+      .select(col("term"), col("df").cast("long").as("df"),
+        col("total_tf").cast("long").as("total_tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
   // ----- similarity search ----------------------------------------------
 
   private def knnCosineBrute(s: SparkSession, dir: String): DataFrame = {
@@ -129,6 +147,8 @@ object LlmQueries {
     "minhash_dup_pairs" -> (minhashDupPairs _),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "vocab_stats" -> (vocabStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
     "embedding_near_dups" -> (embeddingNearDups _),
@@ -292,6 +312,34 @@ object LlmQueries {
          |            ELSE 0.0 END AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($Toks) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+         |), vocab AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round(CAST(tf.tf AS DOUBLE) * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(vocab.df AS DOUBLE) + 1.0)), 6) AS tfidf
+         |  FROM tf JOIN vocab USING (term) CROSS JOIN n
+         |)
+         |SELECT doc_id, CAST(row_number() OVER w AS INTEGER) AS rank, term, tfidf
+         |FROM scored
+         |WINDOW w AS (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+         |QUALIFY row_number() OVER w <= 3 AND doc_id < 50
+         |ORDER BY doc_id, rank""".stripMargin,
+    "vocab_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($Toks) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM tf GROUP BY 1
+         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
     "knn_cosine_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
          |s AS (
