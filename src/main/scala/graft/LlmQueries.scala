@@ -80,6 +80,9 @@ object LlmQueries {
     val d1 = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val d2 = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     d1.join(d2, col("id_b") === col("id_a") + 1)
+      // AQE would coalesce the tiny join output to ~1 partition; spread
+      // the O(pairs × shingles) compare back across cores first
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("id_a"), col("id_b"),
         Jaccard.jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .orderBy(col("id_a"))
