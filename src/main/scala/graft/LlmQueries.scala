@@ -59,6 +59,23 @@ object LlmQueries {
     MinHash.signatures(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Same signatures via the [[graft.functions.MinHashAgg]]
+    * TypedImperativeAggregate over exploded shingles — an independent
+    * execution path (partial agg + merge of digest buffers through the
+    * shuffle) checked by the same oracle as `minhash_signatures`.
+    */
+  private def minhashSignaturesAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashAgg.minhashAgg
+    tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(MinHash.shingles(TextStats.tokens(col("text")))).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(minhashAgg(col("shingle"), 8).as("__sigs"))
+      .select(col("doc_id") +: (0 until 8).map(p =>
+        element_at(col("__sigs"), p + 1).as(s"sig_$p")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   private def minhashDupPairs(s: SparkSession, dir: String): DataFrame =
     MinHash.dupPairs(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
@@ -147,6 +164,7 @@ object LlmQueries {
     "lang_id_pred" -> (langIdPred _),
     "dedup_exact_stats" -> (dedupExactStats _),
     "minhash_signatures" -> (minhashSignatures _),
+    "minhash_signatures_agg" -> (minhashSignaturesAgg _),
     "minhash_dup_pairs" -> (minhashDupPairs _),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
@@ -244,6 +262,15 @@ object LlmQueries {
          |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
          |FROM g""".stripMargin,
     "minhash_signatures" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $Shingles AS shingles FROM base
+         |)
+         |SELECT doc_id,
+         |       $SigExprs
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "minhash_signatures_agg" ->
       s"""WITH base AS (
          |  SELECT doc_id, $Toks AS toks FROM documents
          |), sh AS (
