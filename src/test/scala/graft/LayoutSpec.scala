@@ -13,6 +13,8 @@ class LayoutSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("joining two same-bucketed tables plans no shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bt_a")
+    spark.sql("DROP TABLE IF EXISTS bt_b")
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
     Bucketed.writeBucketed(a, "bt_a", buckets = 4, bucketCols = Seq("k"))
