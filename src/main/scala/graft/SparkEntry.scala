@@ -217,6 +217,30 @@ object SparkEntry {
         Casts.keyDefault(col("lang")).as("lang_key_default"))
       .orderBy(col("doc_id"))
 
+  /** S1/S2/P10 oracle coverage — the `}`-DSV path as a roundtrip: events
+    * stringified with reference null tokens, written as a `}`-separated
+    * file, re-read through [[graft.sources.Dsv]] (null-token normalize +
+    * trim), re-aggregated. The oracle computes the same aggregate from
+    * the source table, proving the DSV write/read is lossless modulo the
+    * intended null normalization.
+    */
+  private def dsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_dsv_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val src = t(s, dir, "events").select(
+      col("event_id").cast("string").as("EVENT_ID"),
+      // every 7th row becomes a reference null token in the file
+      when(col("event_id") % 7 === 0, lit("NULL"))
+        .otherwise(col("event_type")).as("EVENT_TYPE"),
+      col("value").cast("string").as("VALUE"))
+    src.coalesce(1).write.mode("overwrite")
+      .option("sep", "}").option("header", "true").csv(path)
+    val back = graft.sources.Dsv.read(s, path)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("EVENT_TYPE").isNull, 1).otherwise(0)).cast("long").as("n_null_types"),
+      dec2(sum(dec(col("VALUE").cast("double")))).as("value_sum"))
+  }
+
   /** W — deterministic pick-one per key via row_number (the upgrade path
     * for A1's nondeterministic `first`, SURVEY.md §2.5 W1).
     */
@@ -339,6 +363,7 @@ object SparkEntry {
     "rollup_supplier_salted" -> (rollupSupplierSalted _),
     "events_asof_orders" -> (eventsAsofOrders _),
     "quantile_quantity" -> (quantileQuantity _),
+    "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -488,6 +513,11 @@ object SparkEntry {
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "dsv_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_types,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS value_sum
+        |FROM events""".stripMargin,
     "events_asof_orders" ->
       """WITH od AS (
         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey FROM orders
