@@ -140,6 +140,19 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN via dimension-sign LSH buckets (the no-cluster-id scale path:
+    * [[Similarity.signBucket]] partitions the space by the sign bits of
+    * the first 4 dimensions).
+    */
+  private def knnCosineLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+    Similarity.knnBucketed(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "vec_id", "embedding",
+        "bucket", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Sampled slice (vec_id % 8 = 0) so the within-bucket pair count stays
     * bounded at bench scale; threshold low enough to emit real pairs on
     * random data.
@@ -172,6 +185,7 @@ object LlmQueries {
     "vocab_stats" -> (vocabStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
+    "knn_cosine_lsh" -> (knnCosineLsh _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
   )
@@ -388,6 +402,25 @@ object LlmQueries {
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim
          |  FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, cosine_sim
+         |FROM s
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "knn_cosine_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label,
+         |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+         |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+         |       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM embeddings
+         |), q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 16),
+         |s AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim
+         |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
          |)
          |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, cosine_sim
          |FROM s

@@ -108,4 +108,17 @@ object TextStats {
 
   /** Content fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** Rolling polynomial fingerprint over the token stream
+    * (Rabin-Karp-shaped: acc = acc*31 + h(token) mod 2^31-1, h from the
+    * md5 hex prefix). Order-sensitive — unlike [[fingerprint]] it
+    * distinguishes permuted documents; unlike a raw md5 it can be
+    * computed incrementally over appended chunks. No DuckDB oracle
+    * (hex→int conversion is not portable there); pinned by unit test.
+    */
+  def rollingFingerprint(tokens: Column): Column =
+    aggregate(
+      transform(tokens, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+      lit(0L),
+      (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
 }

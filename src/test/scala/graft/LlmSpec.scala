@@ -132,6 +132,19 @@ class LlmSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2)))
   }
 
+  test("rolling fingerprint: order-sensitive, deterministic, bounded") {
+    val df = Seq(
+      ("a b c", "a b c"), ("a b c", "c b a"), ("a b c", "a b c d"))
+      .toDF("x", "y").select(
+        TextStats.rollingFingerprint(TextStats.tokens(col("x"))).as("fx"),
+        TextStats.rollingFingerprint(TextStats.tokens(col("y"))).as("fy"))
+      .collect()
+    assert(df(0).getLong(0) === df(0).getLong(1))  // identical text
+    assert(df(1).getLong(0) !== df(1).getLong(1))  // permuted ≠
+    assert(df(2).getLong(0) !== df(2).getLong(1))  // appended ≠
+    df.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 2147483647L))
+  }
+
   test("multimodal: stub decode runs per-partition with fixed schema") {
     val media = Seq(
       (1L, "image", "abcdef".getBytes("UTF-8")),
