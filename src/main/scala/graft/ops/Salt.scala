@@ -30,4 +30,20 @@ object Salt {
     val fAggs: Seq[Column] = measures.map(m => sum(col(m)).as(m))
     partial.groupBy(keys.map(col): _*).agg(fAggs.head, fAggs.tail: _*)
   }
+
+  /** Skew-safe equi-join: salt the big/skewed left side `factor` ways and
+    * replicate the (smaller) right side across every salt value, so a hot
+    * join key spreads over `factor` tasks instead of one straggler.
+    * (AQE's skew-join split covers sort-merge joins adaptively; this is
+    * the explicit form for when the right side is replicable and the skew
+    * is known.) Result ≡ `left.join(right, keys, joinType)`.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 factor: Int = 16, joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(factor)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

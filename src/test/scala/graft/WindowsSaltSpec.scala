@@ -52,6 +52,22 @@ class WindowsSaltSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // 90% of left rows hit one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i % 7 else 3, i))
+      .toDF("k", "v")
+    val right = (0 to 6).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).orderBy("k", "v")
+      .as[(Int, Int, String)].collect().toSeq
+    val salted = Salt.saltedJoin(left, right, Seq("k"), factor = 8)
+      .orderBy("k", "v").as[(Int, Int, String)].collect().toSeq
+    assert(salted === plain)
+    // left rows with no dim match drop in inner join both ways
+    val leftOuter = Salt.saltedJoin(left, right, Seq("k"), 8, "left")
+      .orderBy("k", "v").count()
+    assert(leftOuter === left.count())
+  }
+
   test("approx_count_distinct within 5% of exact (HLL sketch surface)") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val r = li.agg(
