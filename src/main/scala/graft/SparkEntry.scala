@@ -25,6 +25,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Spread a scan across cores before CPU-heavy per-row work. The local
+    * testdata is one parquet row-group per file (→ one task per scan); on a
+    * cluster the same repartition guards against few-large-files skew.
+    * Only used where the per-row pipeline dominates the shuffle cost.
+    */
+  private def tPar(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** cast to the exact-arithmetic money type used on both engines */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def dec2(c: Column): Column = c.cast("decimal(28,2)")
@@ -71,7 +79,7 @@ object SparkEntry {
     * JSON encode/decode is lossless.
     */
   private def rawRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(
+    val ev = tPar(s, dir, "events").select(
       col("event_id").cast("string").as("event_id"),
       col("user_id").cast("string").as("user_id"),
       col("event_type"),
@@ -182,8 +190,8 @@ object SparkEntry {
   /** J1 + implied star surface — revenue by (mktsegment, orderpriority). */
   private def starJoinRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+    val orders = tPar(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val li = tPar(s, dir, "lineitem").select(col("l_orderkey"),
       (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -195,7 +203,7 @@ object SparkEntry {
   /** O1+L1 — top-k: brands by revenue, deterministic tiebreak. */
   private def topBrandsByRevenue(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+    val li = tPar(s, dir, "lineitem").select(col("l_partkey"),
       (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
@@ -322,7 +330,7 @@ object SparkEntry {
     * the pick is deterministic). Oracle: DuckDB's native ASOF LEFT JOIN.
     */
   private def eventsAsofOrders(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").where(col("user_id") < 50)
+    val ev = tPar(s, dir, "events").where(col("user_id") < 50)
       .select(col("user_id"), col("ts"), col("event_id"))
     val od = graft.ops.Windows.latestPerKey(
         t(s, dir, "orders").select(

@@ -22,7 +22,9 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // Integer division that stays in LONG: `/` would promote to double,
+        // and nanos epochs (~1.7e18) exceed double's 53-bit exact mantissa.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }
