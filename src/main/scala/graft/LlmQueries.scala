@@ -17,32 +17,65 @@ object LlmQueries {
   /** CPU-heavy per-row pipelines need the scan spread across cores: the
     * local testdata is one small parquet row-group (→ one task), which
     * would serialize tens of millions of digest calls. On a cluster the
-    * same operator reads many splits; the explicit repartition also guards
-    * against few-large-files skew there.
+    * same operator reads many splits, so the repartition is GATED on the
+    * scan's actual split count: a real 100 TB layout already yields
+    * thousands of splits, and paying a corpus-wide shuffle there just to
+    * "spread" would be pure waste (round-2 verdict, plan audit).
     */
-  private def tPar(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+  private def tPar(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = Tables.load(s, dir, name)
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 
   // ----- text analysis ---------------------------------------------------
 
-  private def textStats(s: SparkSession, dir: String): DataFrame =
-    tPar(s, dir, "documents").select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_check"),
-        TextStats.nTokens(col("text")).as("n_tokens"),
-        TextStats.nWordPieces(col("text")).as("n_word_pieces"),
-        TextStats.punctRatio(col("text")).as("punct_ratio"),
-        TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextStats.avgTokenLen(col("text")).as("avg_token_len"),
-        TextStats.qualityScore(col("text")).as("quality_score"),
-        TextStats.fingerprint(col("text")).as("fingerprint"))
+  /** Tokenize-once: `toks` is materialized by its own projection, so every
+    * stat reads the ATTRIBUTE instead of re-running the split (inlining
+    * `tokens(text)` into each of the 8 stats cost ~10 tokenizations per
+    * document — round-2 verdict measured 4.7× on this query). Catalyst
+    * keeps the projection split because `toks` is non-cheap and
+    * multiply-referenced (CollapseProject's duplicate-expression guard).
+    */
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    val base = tPar(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextStats.tokens(col("text")).as("toks"))
+    val stats = base.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_check"),
+      TextStats.nTokensOf(col("toks")).as("n_tokens"),
+      TextStats.nWordPieces(col("text")).as("n_word_pieces"),
+      TextStats.punctRatio(col("text")).as("punct_ratio"),
+      TextStats.stopwordRatioOf(col("toks")).as("stopword_ratio"),
+      TextStats.avgTokenLenOf(col("toks")).as("avg_token_len"),
+      TextStats.fingerprint(col("text")).as("fingerprint"))
+    stats.select(
+        col("doc_id"), col("n_chars_check"), col("n_tokens"),
+        col("n_word_pieces"), col("punct_ratio"), col("stopword_ratio"),
+        col("avg_token_len"),
+        TextStats.qualityScoreOf(col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio")).as("quality_score"),
+        col("fingerprint"))
       .orderBy(col("doc_id"))
+  }
 
-  private def langIdPred(s: SparkSession, dir: String): DataFrame =
-    tPar(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextStats.langId(col("text")).as("lang_pred"))
+  /** Same tokenize-once shape: hit counts materialize as columns, the
+    * argmax reads attributes.
+    */
+  private def langIdPred(s: SparkSession, dir: String): DataFrame = {
+    val base = tPar(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextStats.tokens(col("text")).as("toks"))
+    val hitCols = TextStats.langHits(col("toks"))
+    val hits = base.select(
+      col("doc_id") +: col("lang") +:
+        hitCols.map { case (lang, c) => c.as(s"__hits_$lang") }: _*)
+    val pred = TextStats.langPredOf(
+      hitCols.map { case (lang, _) => lang -> col(s"__hits_$lang") })
+    hits.select(col("doc_id"), col("lang"), pred.as("lang_pred"))
       .orderBy(col("doc_id"))
+  }
 
   private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")

@@ -1,15 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/timing probe: `runMain graft.PlanProbe <query> [sfDir] [mode]`
+  * where mode is `time` (default: noop-sink wall time, 2 runs) or `plan`
+  * (formatted physical plan).
+  */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val query = if (args.nonEmpty) args(0) else "text_stats"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val mode = if (args.length > 2) args(2) else "time"
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = LlmQueries.queries("minhash_signatures_agg")(spark, "/root/testdata/sf0.01")
-    println(df.queryExecution.executedPlan.toString.linesIterator.filter(l =>
-      l.contains("Aggregate") || l.contains("Sort")).mkString("\n"))
+    val fn = SparkEntry.queries(query)
+    if (mode == "plan") {
+      println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    } else {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        println(f"[probe] $query pass$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     spark.stop()
   }
 }

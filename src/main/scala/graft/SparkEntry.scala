@@ -26,12 +26,17 @@ object SparkEntry {
     Tables.load(s, dir, name)
 
   /** Spread a scan across cores before CPU-heavy per-row work. The local
-    * testdata is one parquet row-group per file (→ one task per scan); on a
-    * cluster the same repartition guards against few-large-files skew.
+    * testdata is one parquet row-group per file (→ one task per scan), so
+    * the scan is repartitioned — but ONLY when the layout actually yields
+    * fewer splits than cores: a real 100 TB layout already splits into
+    * thousands of tasks and the corpus-wide shuffle would be pure waste.
     * Only used where the per-row pipeline dominates the shuffle cost.
     */
-  private def tPar(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+  private def tPar(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = Tables.load(s, dir, name)
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 
   /** cast to the exact-arithmetic money type used on both engines */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")

@@ -26,6 +26,9 @@ object TextStats {
   /** Whitespace token count. */
   def nTokens(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Token count over a pre-materialized token-array column. */
+  def nTokensOf(toks: Column): Column = size(toks).cast("long")
+
   /** BPE-ish word-piece count: runs of letters, runs of digits, or single
     * other non-space chars — a cheap deterministic proxy for subword
     * token counts.
@@ -41,13 +44,18 @@ object TextStats {
   }
 
   /** Mean token length (0 for empty text). */
-  def avgTokenLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) > 0,
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(ts).cast("double"))
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(tokens(text))
+
+  /** [[avgTokenLen]] over a pre-materialized token-array column. Pass an
+    * ATTRIBUTE (a column materialized by a projection), not the raw
+    * `tokens(text)` expression: higher-order functions re-evaluate captured
+    * non-attribute expressions per element (see [[tokensOnce]]).
+    */
+  def avgTokenLenOf(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
       .otherwise(lit(0.0))
-  }
 
   /** English stopwords used by the ratio/language heuristics. */
   val EnStopwords: Seq[String] = Seq(
@@ -55,12 +63,15 @@ object TextStats {
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
   /** Fraction of tokens found in `stopwords` (case-insensitive). */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
-    val ts = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column =
+    stopwordRatioOf(tokens(text), stopwords)
+
+  /** [[stopwordRatio]] over a pre-materialized token-array column. */
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String] = EnStopwords): Column = {
     val sw = array(stopwords.map(lit): _*)
-    when(size(ts) > 0,
-      size(filter(ts, t => array_contains(sw, lower(t)))).cast("double")
-        / size(ts).cast("double"))
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, lower(t)))).cast("double")
+        / size(toks).cast("double"))
       .otherwise(lit(0.0))
   }
 
@@ -68,10 +79,20 @@ object TextStats {
     * punctuation, nonzero stopword mass — the standard cheap pre-filter
     * shape for web-scale corpora (cf. C4/Gopher-style heuristics).
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(nTokens(text).cast("double") / lit(64.0), lit(1.0))
-    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.5))
-    val swOk = when(stopwordRatio(text) > 0.05, lit(1.0)).otherwise(lit(0.5))
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(nTokens(text), punctRatio(text), stopwordRatio(text))
+
+  /** [[qualityScore]] composed from already-computed stat columns — the
+    * tokenize-once path: compute `n_tokens`/`punct_ratio`/`stopword_ratio`
+    * in one projection and feed the attributes here, so the document is
+    * tokenized once instead of once per stat (at corpus scale that is one
+    * vs ~10 regex passes over every document).
+    */
+  def qualityScoreOf(nTokens: Column, punctRatio: Column,
+                     stopwordRatio: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / lit(64.0), lit(1.0))
+    val punctOk = when(punctRatio < 0.2, lit(1.0)).otherwise(lit(0.5))
+    val swOk = when(stopwordRatio > 0.05, lit(1.0)).otherwise(lit(0.5))
     lenScore * lit(0.5) + punctOk * lit(0.25) + swOk * lit(0.25)
   }
 
@@ -88,14 +109,26 @@ object TextStats {
     * (undetermined) when no list scores a hit. Ties break by language
     * code order for determinism.
     */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
-    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+  def langId(text: Column): Column = langPredOf(langHits(tokens(text)))
+
+  /** Per-language stopword hit counts over a token-array column, in
+    * language-code order. Materialize these as columns in a projection and
+    * feed the attributes to [[langPredOf]] — the tokenize-once path (the
+    * inline [[langId]] re-evaluates the token split per language filter
+    * AND per `greatest`/`when` reference, ~12 tokenizations per row).
+    */
+  def langHits(toks: Column): Seq[(String, Column)] =
+    LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val sw = array(words.map(lit): _*)
-      lang -> size(filter(ts, t => array_contains(sw, lower(t))))
+      lang -> size(filter(toks, t => array_contains(sw, lower(t))))
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+
+  /** Argmax of per-language hit counts; `und` when no list scores a hit.
+    * Ties break by language code order for determinism.
+    */
+  def langPredOf(hits: Seq[(String, Column)]): Column = {
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((lang, sc), els) =>
       when(sc > 0 && sc === best, lit(lang)).otherwise(els)
     }
   }
