@@ -46,6 +46,25 @@ object Pipeline {
     Idempotent.writeMonthSlice(RawStore.encode(sliced), rawPath)
   }
 
+  /** SCD1 upsert of a dimension path (S8, model_curated.py:72-101 as a
+    * file-sink merge). "First load" is decided by an explicit
+    * path-existence probe, NOT by catching the read exception: a transient
+    * IO/permission/corruption error while reading an EXISTING dim must
+    * propagate — treating it as first-load would overwrite the path with
+    * only the incoming rows and silently discard everything previously
+    * merged (round-2 advice).
+    */
+  def upsertDim(spark: SparkSession, df: DataFrame, keys: Seq[String],
+                path: String): Unit = {
+    val incoming = df.localCheckpoint(true)
+    val merged =
+      if (graft.sinks.Idempotent.pathExists(spark, path))
+        Upsert.merge(spark.read.parquet(path), incoming, keys)
+          .localCheckpoint(true)
+      else incoming // first load
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** Run one month end-to-end from two `.dsv` exports into a parquet
     * warehouse laid out as `raw_* / staging_* / dim_* / fact_*`, and
     * return the DQ gate counts.
@@ -71,18 +90,10 @@ object Pipeline {
     Idempotent.writeMonthSlice(leaseMonthly, s"$warehouse/staging_lease")
 
     // ---- model curated (spark_model_curated job) ----
-    def upsertDim(df: DataFrame, keys: Seq[String], path: String): Unit = {
-      val incoming = df.localCheckpoint(true)
-      val merged =
-        try Upsert.merge(spark.read.parquet(path), incoming, keys)
-          .localCheckpoint(true)
-        catch { case _: Exception => incoming } // first load
-      merged.write.mode("overwrite").parquet(path)
-    }
-    upsertDim(Curated.dimOperator(opMonthly), Seq("operator_no"), s"$warehouse/dim_operator")
-    upsertDim(Curated.dimDistrict(leaseMonthly), Seq("district_no"), s"$warehouse/dim_district")
-    upsertDim(Curated.dimField(leaseMonthly), Seq("field_no"), s"$warehouse/dim_field")
-    upsertDim(Curated.dimLease(leaseMonthly), Seq("lease_key"), s"$warehouse/dim_lease")
+    upsertDim(spark, Curated.dimOperator(opMonthly), Seq("operator_no"), s"$warehouse/dim_operator")
+    upsertDim(spark, Curated.dimDistrict(leaseMonthly), Seq("district_no"), s"$warehouse/dim_district")
+    upsertDim(spark, Curated.dimField(leaseMonthly), Seq("field_no"), s"$warehouse/dim_field")
+    upsertDim(spark, Curated.dimLease(leaseMonthly), Seq("lease_key"), s"$warehouse/dim_lease")
     Idempotent.writeMonthSlice(Curated.factOperatorMonthly(opMonthly),
       s"$warehouse/fact_operator_monthly")
     Idempotent.writeMonthSlice(Curated.factLeaseMonthly(leaseMonthly),

@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Idempotent month-slice writes (S7).
   *
@@ -27,4 +28,15 @@ object Idempotent {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Explicit sink-existence probe (Hadoop FileSystem, so it works on any
+    * supported storage scheme, not just local paths). "Read failed" and
+    * "sink doesn't exist yet" are different conditions: first-load /
+    * first-batch branches must key off THIS, and let read errors on an
+    * existing sink propagate instead of silently discarding prior state.
+    */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StringType
 import graft.ops.Casts
 
 /** `}`-delimited DSV reader (S1/S2 — reference dags/pdq_etl_dag.py:193-206).
@@ -20,8 +21,15 @@ object Dsv {
     * quotes treated literally (pandas `quoting=3`), null tokens
     * `"", NULL, null, NaN, nan` → null, header names trimmed (S2).
     *
-    * @param schemaCols optional declared column list; when given, the scan
-    *        uses an explicit all-string schema (tolerant-declared style).
+    * @param schemaCols optional declared column list. Binding is BY HEADER
+    *        NAME, like the reference's pandas `read_csv` — an explicit
+    *        Spark CSV schema would bind positionally and silently mislabel
+    *        a file whose column order differs from the declaration
+    *        (round-2 advice). Declared columns present in the header are
+    *        selected in declared order; declared columns absent from the
+    *        file come back as null columns (the tolerant-declared style
+    *        the pipeline relies on for optional variant columns); file
+    *        columns not declared are dropped.
     */
   def read(spark: SparkSession, path: String,
            schemaCols: Seq[String] = Nil): DataFrame = {
@@ -31,15 +39,20 @@ object Dsv {
       // pandas csv.QUOTE_NONE analog: \u0000 quote char disables quoting
       .option("quote", "\u0000")
       .option("mode", "PERMISSIVE")
-    val base =
-      if (schemaCols.nonEmpty)
-        reader
-          .schema(StructType(schemaCols.map(StructField(_, StringType, nullable = true))))
-          .option("header", "true")
-          .csv(path)
-      else reader.csv(path)
+    // No explicit schema: names come from the header (all columns land as
+    // StringType since inference is off), then bind by name below.
+    val base = reader.csv(path)
     // S2: trim header whitespace; P10: normalize null tokens + trim values.
     val trimmed = base.toDF(base.columns.map(_.trim): _*)
-    Casts.normNullAll(trimmed)
+    val bound =
+      if (schemaCols.nonEmpty) {
+        val present = trimmed.columns.toSet
+        trimmed.select(schemaCols.map { c =>
+          val name = c.trim
+          if (present.contains(name)) col(name)
+          else lit(null).cast(StringType).as(name)
+        }: _*)
+      } else trimmed
+    Casts.normNullAll(bound)
   }
 }

@@ -67,12 +67,17 @@ object MonthlySlices {
         if (months.nonEmpty) {
           // localCheckpoint materializes the prior slice so the dynamic
           // partition overwrite below isn't writing a path it still reads.
+          // First-batch detection is an explicit existence probe: a read
+          // error on an EXISTING sink must fail the batch (catching it
+          // would re-aggregate without the prior rows and overwrite the
+          // month slices with partial state).
           val prior =
-            try spark.read.parquet(outPath)
-              .where(col("yyyymm").isin(months.toSeq: _*))
-              .select(col("user_id"), col("yyyymm"), col("n_events"), col("value_sum"))
-              .localCheckpoint(true)
-            catch { case _: Exception => null } // first batch: no sink yet
+            if (Idempotent.pathExists(spark, outPath))
+              spark.read.parquet(outPath)
+                .where(col("yyyymm").isin(months.toSeq: _*))
+                .select(col("user_id"), col("yyyymm"), col("n_events"), col("value_sum"))
+                .localCheckpoint(true)
+            else null // first batch: no sink yet
           val staged = stageBatch(batch.where(
             Casts.yyyymmOfTs(col("ts")).isin(months.toSeq: _*)))
           val merged =

@@ -41,4 +41,23 @@ class DsvSpec extends AnyFunSuite {
     val r = df.collect()(0)
     assert(r.getString(0) === "1" && r.getString(1) === "x" && r.isNullAt(2))
   }
+
+  test("declared columns bind by header name, not position (pandas semantics)") {
+    val dir = Files.createTempDirectory("dsv3").toFile
+    val f = new java.io.File(dir, "r.dsv")
+    val w = new java.io.PrintWriter(f)
+    // file order differs from the declared (A, B, C); EXTRA is undeclared
+    w.println("B} A }EXTRA}C")
+    w.println("bee}1}ignored}sea")
+    w.close()
+    val df = Dsv.read(spark, f.getAbsolutePath, schemaCols = Seq("A", "B", "C", "D"))
+    assert(df.columns.toSeq === Seq("A", "B", "C", "D"))
+    val r = df.collect()(0)
+    // by-name: A="1" (despite being 2nd in the file), B="bee", C="sea";
+    // declared-but-absent D is null; EXTRA is dropped
+    assert(r.getString(0) === "1")
+    assert(r.getString(1) === "bee")
+    assert(r.getString(2) === "sea")
+    assert(r.isNullAt(3))
+  }
 }

@@ -64,4 +64,33 @@ class PipelineSpec extends AnyFunSuite {
       .where($"lease_key" === "8-11111").collect()(0)
     assert(math.abs(smith2.getAs[Double]("oil_bbl") - 1500.25) < 1e-9)
   }
+
+  test("upsertDim: read failure on an existing dim propagates, does not wipe it") {
+    val root = Files.createTempDirectory("pdqdim").toString
+    val path = s"$root/dim_x"
+    val v1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Pipeline.upsertDim(spark, v1, Seq("k"), path)
+    assert(spark.read.parquet(path).count() === 2)
+
+    // merge path works: upsert (2 -> b2) + insert (3 -> c)
+    Pipeline.upsertDim(spark, Seq((2, "b2"), (3, "c")).toDF("k", "v"), Seq("k"), path)
+    val merged = spark.read.parquet(path).orderBy("k").collect()
+    assert(merged.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "b2"), (3, "c")))
+
+    // corrupt the EXISTING dim: parquet footers unreadable → the read
+    // inside the merge must throw, and the path must NOT be overwritten
+    // with only the incoming rows (the old catch-all treated any failure
+    // as "first load" and silently discarded prior state)
+    val dir = new java.io.File(path)
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+      val w = new java.io.PrintWriter(pf); w.print("not parquet"); w.close()
+    }
+    intercept[Exception] {
+      Pipeline.upsertDim(spark, Seq((9, "z")).toDF("k", "v"), Seq("k"), path)
+    }
+    // the corrupt files are still there — nothing got wiped/overwritten
+    assert(dir.listFiles().exists(pf =>
+      pf.getName.endsWith(".parquet") && pf.length() === "not parquet".length))
+  }
 }

@@ -66,6 +66,27 @@ class WindowsSaltSpec extends AnyFunSuite {
     val leftOuter = Salt.saltedJoin(left, right, Seq("k"), 8, "left")
       .orderBy("k", "v").count()
     assert(leftOuter === left.count())
+    // left_semi/left_anti partition the left side exactly like the plain join
+    val semi = Salt.saltedJoin(left, right, Seq("k"), 8, "left_semi").count()
+    val anti = Salt.saltedJoin(left, right, Seq("k"), 8, "left_anti").count()
+    assert(semi === left.join(right, Seq("k"), "left_semi").count())
+    assert(anti === left.join(right, Seq("k"), "left_anti").count())
+    assert(semi + anti === left.count())
+  }
+
+  test("saltedJoin refuses right/full outer joins (replicas would duplicate unmatched right rows)") {
+    val left = Seq((1, "a")).toDF("k", "v")
+    val right = Seq((1, "x"), (2, "unmatched")).toDF("k", "name")
+    val e1 = intercept[IllegalArgumentException] {
+      Salt.saltedJoin(left, right, Seq("k"), 4, "right")
+    }
+    assert(e1.getMessage.contains("unmatched right row"))
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(left, right, Seq("k"), 4, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(left, right, Seq("k"), 4, "outer")
+    }
   }
 
   test("approx_count_distinct within 5% of exact (HLL sketch surface)") {
