@@ -35,14 +35,41 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * bucketed by `bucketCol` (cluster id / [[Similarity.signBucket]]).
+    *
+    * `maxBucketSize` guards against bucket skew: within-bucket pairing is
+    * O(n²) per bucket, so one hot label (n rows) becomes an O(n²)
+    * straggler task at corpus scale. Buckets larger than the cap are
+    * deterministically sub-salted into ⌈n/cap⌉ sub-buckets (hash of id)
+    * and pairs are only generated within a sub-bucket — bounding every
+    * task at ~cap² compares at a documented recall cost: cross-sub-bucket
+    * pairs of the hot bucket are skipped (≈1-1/⌈n/cap⌉ of that bucket's
+    * pairs). Results on buckets at-or-under the cap are unchanged. The
+    * default (no cap) keeps exact within-bucket semantics and adds no
+    * extra shuffle.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        bucketCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+                        bucketCol: String, threshold: Double,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       col(bucketCol).as("__bucket"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col(bucketCol).as("__bucket"))
-    a.join(b, Seq("__bucket"))
+    val keyed =
+      if (maxBucketSize == Int.MaxValue) base.withColumn("__sub", lit(0))
+      else {
+        // bucket-grain size table; the join shuffles on __bucket, the same
+        // key the pair-join below shuffles on anyway
+        val sizes = base.groupBy(col("__bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__nsub",
+            greatest(lit(1L), ceil(col("__n") / lit(maxBucketSize))).cast("int"))
+        base.join(sizes.select(col("__bucket"), col("__nsub")), Seq("__bucket"))
+          .withColumn("__sub", pmod(xxhash64(col("__id")), col("__nsub")).cast("int"))
+          .drop("__nsub")
+      }
+    val a = keyed.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("__bucket"), col("__sub"))
+    val b = keyed.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("__bucket"), col("__sub"))
+    a.join(b, Seq("__bucket", "__sub"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine_sim", round(Similarity.cosine(col("__va"), col("__vb")), 6))
       .where(col("cosine_sim") >= threshold)

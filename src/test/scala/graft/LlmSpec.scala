@@ -92,6 +92,34 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs(0).getLong(0) === 0L && pairs(0).getLong(1) === 1L)
   }
 
+  test("embedding near-dups: bucket-size cap bounds the hot bucket, leaves small buckets exact") {
+    // hot bucket: 40 near-identical vectors under one label; cold bucket:
+    // a twin pair that must survive untouched
+    val hot = (0L until 40L).map(i => (i, Array(1f, i.toFloat * 1e-4f, 0f, 0f), 0))
+    val cold = Seq((100L, Array(0f, 1f, 0f, 0f), 1), (101L, Array(0f, 0.99f, 0.01f, 0f), 1))
+    val emb = (hot ++ cold).toDF("vec_id", "embedding", "label")
+
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.9,
+        maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // capped output is a subset: only candidate generation is restricted
+    assert(capped.subsetOf(exact))
+    // the hot bucket really was split (C(40,2)=780 pairs exact; 4 sub-
+    // buckets of ~10 leave at most ~C(13,2)*4 — far fewer)
+    assert(exact.size === 780 + 1)
+    assert(capped.size < 400 && capped.size > 10)
+    // the small bucket's pair is untouched by the cap
+    assert(capped.contains((100L, 101L)))
+    // a cap larger than every bucket changes nothing
+    val bigCap = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.9,
+        maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigCap === exact)
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "The quick, brown fox! It is a fox.")).toDF("id", "text")
     val r = df.select(
