@@ -196,6 +196,82 @@ object LlmQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ----- curation (PII / contamination / sampling / repetition) ----------
+
+  /** The documents table carries no real PII, so the query grafts a
+    * deterministic contact tail (email + phone + IP derived from doc_id)
+    * onto every text and proves the scrubber removes it: placeholder
+    * counts per rule plus an md5 of the scrubbed text, exact on both
+    * engines.
+    */
+  private def piiScrubStats(s: SparkSession, dir: String): DataFrame = {
+    val raw = tPar(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" or call 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")).as("raw"))
+    val scrubbed = raw.select(col("doc_id"),
+      Curation.scrubPii(col("raw")).as("scrubbed"))
+    scrubbed.select(
+        col("doc_id"),
+        Curation.redactionCount(col("scrubbed"), "<EMAIL>").as("n_emails"),
+        Curation.redactionCount(col("scrubbed"), "<PHONE>").as("n_phones"),
+        Curation.redactionCount(col("scrubbed"), "<IP>").as("n_ips"),
+        Curation.redactionCount(col("scrubbed"), "<LONGNUM>").as("n_longnums"),
+        md5(col("scrubbed")).as("fp_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train/test contamination sweep: every 50th document plays the
+    * benchmark set; corpus docs sharing ≥3 distinct 3-gram shingles with a
+    * benchmark doc are flagged. Shingle-grain equi-join — the scale path.
+    */
+  private def benchmarkContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    Curation.contamination(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", minShared = 3)
+      .select(col("corpus_id"), col("bench_id"),
+        col("n_shared_shingles").cast("long").as("n_shared_shingles"))
+      .orderBy(col("corpus_id"), col("bench_id"))
+  }
+
+  /** Per-language stratum fractions for the deterministic sampler demo. */
+  private val SampleFractions: Map[String, Double] = Map(
+    "en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 0.05, "zh" -> 1.0)
+
+  /** Deterministic stratified sample (integer-hash keep decision, no RNG)
+    * aggregated to per-stratum counts — same rows kept on every engine,
+    * so the oracle is exact, not statistical.
+    */
+  private def stratifiedSampleStats(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(
+        tPar(s, dir, "documents"), "doc_id", "lang", SampleFractions)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy(col("lang"))
+
+  /** Within-document repetition: token- and shingle-level duplicate
+    * ratios. Arrays materialize as columns once (HOF re-evaluation trap);
+    * the ratios read attributes.
+    */
+  private def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val arrs = tPar(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        Curation.shinglesAll(col("toks")).as("sh"))
+    arrs.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(Curation.dupRatioOf(col("toks")), 6).as("dup_token_ratio"),
+        round(Curation.dupRatioOf(col("sh")), 6).as("dup_shingle_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----- multimodal ------------------------------------------------------
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -221,6 +297,10 @@ object LlmQueries {
     "knn_cosine_lsh" -> (knnCosineLsh _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
+    "pii_scrub_stats" -> (piiScrubStats _),
+    "benchmark_contamination" -> (benchmarkContamination _),
+    "stratified_sample_stats" -> (stratifiedSampleStats _),
+    "repetition_stats" -> (repetitionStats _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -259,7 +339,88 @@ object LlmQueries {
     s"list_min(list_transform(shingles, x -> md5('$p' || ':' || x))) AS sig_$p"
   }.mkString(",\n       ")
 
+  /** DuckDB twin of the PII construction + scrub chain (regex subset is
+    * shared Java-regex/RE2; DuckDB needs the 'g' flag to replace all).
+    */
+  private val ScrubbedSql: String = {
+    // single line: this fragment nests inside stripMargin oracle strings,
+    // where an embedded "\n ||" would lose a pipe to margin stripping
+    val raw = Seq(
+      "text", "' contact user'", "CAST(doc_id AS VARCHAR)",
+      "'@mail.example.com'", "' or call 555-'",
+      "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')", "'-'",
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')", "' from 10.0.'",
+      "CAST(doc_id % 256 AS VARCHAR)", "'.7'").mkString(" || ")
+    Curation.PiiRules.foldLeft(s"($raw)") { case (acc, (pat, tok)) =>
+      val sqlPat = pat.replace("'", "''")
+      s"regexp_replace($acc, '$sqlPat', '$tok', 'g')"
+    }
+  }
+  private def redactionsSql(token: String): String =
+    s"CAST((length(scrubbed) - length(regexp_replace(scrubbed, '$token', '', 'g'))) / ${token.length} AS BIGINT)"
+
+  private val StratifiedKeepSql: String = {
+    val cases = SampleFractions.toSeq.sortBy(_._1).map { case (lang, f) =>
+      s"WHEN '$lang' THEN ((doc_id % 1000003) * 2654435761 + 12345) % 1000000 < ${(f * 1e6).toLong}"
+    }.mkString("\n         ")
+    s"CASE lang $cases ELSE FALSE END"
+  }
+
+  /** ALL shingles, repeats preserved (the $Shingles fragment without
+    * list_distinct) — mirror of [[Curation.shinglesAll]].
+    */
+  private val ShinglesAll =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  private def dupRatioSql(c: String) =
+    s"""round(CASE WHEN len($c) > 0
+       | THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct($c)) AS DOUBLE) / CAST(len($c) AS DOUBLE)
+       | ELSE 0.0 END, 6)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "pii_scrub_stats" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, $ScrubbedSql AS scrubbed FROM documents
+         |)
+         |SELECT doc_id,
+         |       ${redactionsSql("<EMAIL>")} AS n_emails,
+         |       ${redactionsSql("<PHONE>")} AS n_phones,
+         |       ${redactionsSql("<IP>")} AS n_ips,
+         |       ${redactionsSql("<LONGNUM>")} AS n_longnums,
+         |       md5(scrubbed) AS fp_scrubbed
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "benchmark_contamination" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $Shingles AS shingles FROM base
+         |), ex AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |)
+         |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+         |       CAST(count(*) AS BIGINT) AS n_shared_shingles
+         |FROM (SELECT * FROM ex WHERE doc_id % 50 <> 0) c
+         |JOIN (SELECT * FROM ex WHERE doc_id % 50 = 0) b USING (shingle)
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY corpus_id, bench_id""".stripMargin,
+    "stratified_sample_stats" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM documents
+         |WHERE $StratifiedKeepSql
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "repetition_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), arrs AS (
+         |  SELECT doc_id, toks, $ShinglesAll AS sh FROM base
+         |)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       ${dupRatioSql("toks")} AS dup_token_ratio,
+         |       ${dupRatioSql("sh")} AS dup_shingle_ratio
+         |FROM arrs ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $Toks AS toks FROM documents

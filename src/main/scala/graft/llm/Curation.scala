@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: PII scrubbing, benchmark-contamination
+  * detection, deterministic stratified sampling, and within-document
+  * repetition metrics (extension surface — SURVEY.md §7.2 step 6; the
+  * reference's pipeline stops at warehouse DQ gates, dags/pdq_etl_dag.py).
+  *
+  * Everything is either a pure column expression (map-only, codegen'd,
+  * linear at 100 TB) or a shingle-grain equi-join (contamination — same
+  * shuffle shape as MinHash LSH candidate generation, never all-pairs).
+  * Patterns stick to the regex subset shared by Java regex and RE2 (no
+  * lookarounds/backrefs) so results are exactly oracle-checkable.
+  */
+object Curation {
+
+  // ----- PII scrubbing ---------------------------------------------------
+
+  /** (pattern, replacement token) applied in order by [[scrubPii]].
+    * Order matters: emails are scrubbed before phone/number patterns so a
+    * digit-bearing local-part isn't half-eaten by a later rule.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // two phone forms: a leading \b cannot sit before '(' (both sides are
+    // non-word chars), so the parenthesized area code is its own rule
+    "(?:\\+?1[-. ])?\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}\\b" -> "<PHONE>",
+    "\\b(?:\\+?1[-. ])?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b" -> "<PHONE>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{13,19}\\b" -> "<LONGNUM>")
+
+  /** Redact PII-shaped spans (emails, NANP phone numbers, IPv4 addresses,
+    * card-length digit runs) with typed placeholder tokens. Map-only
+    * regexp_replace chain — Spark replaces ALL occurrences by default
+    * (DuckDB needs the 'g' flag to match).
+    */
+  def scrubPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (pat, tok)) => regexp_replace(c, pat, tok) }
+
+  /** Count of redactions a [[scrubPii]] pass performs, per rule token:
+    * run the scrub, then count placeholder occurrences. Placeholders are
+    * counted on the SCRUBBED text so overlapping rules aren't
+    * double-counted.
+    */
+  def redactionCount(scrubbed: Column, token: String): Column = {
+    // occurrences = (len - len(text with token removed)) / len(token);
+    // placeholder tokens contain no regex metacharacters by construction
+    (length(scrubbed) - length(regexp_replace(scrubbed, token, "")))
+      ./(lit(token.length)).cast("long")
+  }
+
+  // ----- benchmark contamination ----------------------------------------
+
+  /** Corpus documents sharing at least `minShared` distinct word-shingles
+    * with any benchmark document — the standard train/test contamination
+    * sweep, as a shingle-grain equi-join:
+    *
+    *   corpus → explode(shingles)  ⋈ shingle ⋈  benchmark → explode(shingles)
+    *   → groupBy (corpus_doc, bench_doc) → count ≥ minShared
+    *
+    * The shuffle is keyed by shingle (like LSH banding) then by doc pair —
+    * never an all-pairs product, so it holds at corpus × benchmark scale.
+    * Common-shingle hot keys (stopword trigrams) fan out; callers can
+    * pre-filter with a document-frequency cap on shingles if the benchmark
+    * is large.
+    *
+    * Returns (corpus id, benchmark id, n_shared_shingles).
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    minShared: Int = 1): DataFrame = {
+    def exploded(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+          MinHash.shingles(TextStats.tokens(col(textCol))).as("__sh"))
+        .select(col(outId), explode(col("__sh")).as("__shingle"))
+    exploded(corpus, "corpus_id")
+      .join(exploded(benchmark, "bench_id"), Seq("__shingle"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .where(col("n_shared_shingles") >= minShared)
+  }
+
+  // ----- deterministic stratified sampling -------------------------------
+
+  /** Keep-decision for a deterministic `fraction` sample keyed on an
+    * integer id: Knuth multiplicative hash, pure BIGINT arithmetic, so the
+    * SAME rows are kept on every engine and every run (`rand()` is neither
+    * reproducible nor oracle-checkable). The id is reduced mod a large
+    * prime first so the multiply cannot overflow 64 bits even for
+    * planet-scale id spaces.
+    */
+  def sampleHash(id: Column, fraction: Double, seed: Long = 12345L): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    val bucket = pmod((id % lit(1000003L)) * lit(2654435761L) + lit(seed), lit(1000000L))
+    bucket < lit((fraction * 1e6).toLong)
+  }
+
+  /** Stratified sample: one deterministic fraction per stratum value
+    * (missing strata keep nothing). Map-only — the filter pushes to the
+    * scan; no shuffle, no per-stratum pass, unlike `sampleByKey`'s
+    * per-partition RNG which is neither deterministic across runs nor
+    * engine-portable.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 12345L): DataFrame = {
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, sampleHash(col(idCol), f, seed))
+        .otherwise(acc)
+    }
+    df.where(keep)
+  }
+
+  // ----- within-document repetition --------------------------------------
+
+  /** Repetition ratio of any array column: fraction of elements that are
+    * repeats of an earlier element, `1 - distinct/total` (0 for empty
+    * arrays). Gopher-style repetition signal; high values flag
+    * boilerplate/spam. Pass a pre-materialized ATTRIBUTE column — the
+    * array is referenced three times here, so an inlined expression would
+    * be built three times per row.
+    *
+    * Apply to tokens for token diversity, and to [[shinglesAll]] for
+    * phrase repetition (a doc looping one sentence has low token
+    * diversity but near-total shingle repetition).
+    */
+  def dupRatioOf(arr: Column): Column =
+    when(size(arr) > 0,
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** ALL word n-gram shingles, repeats preserved (unlike
+    * [[MinHash.shingles]], which dedups for set-based Jaccard/minhash) —
+    * repetition measurement needs the multiplicity. Pass an attribute
+    * column (HOF re-evaluation trap).
+    */
+  def shinglesAll(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+}

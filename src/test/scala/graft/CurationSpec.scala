@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Curation, TextStats}
+
+/** Corpus-curation operators: PII scrubbing, contamination detection,
+  * deterministic stratified sampling, repetition ratios.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("scrubPii redacts emails, phones, IPs, and card-length digit runs") {
+    val df = Seq(
+      "mail me at jane.doe+spam@corp.example.co.uk today",
+      "call (512) 555-0142 or 1-800-555-0199 now",
+      "server 192.168.10.254 answered",
+      "card 4111111111111111 leaked",
+      "clean text with number 42 and version 1.2.3"
+    ).toDF("t").select(Curation.scrubPii(col("t")).as("s"))
+    val out = df.as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> today")
+    assert(out(1) === "call <PHONE> or <PHONE> now")
+    assert(out(2) === "server <IP> answered")
+    assert(out(3) === "card <LONGNUM> leaked")
+    // no false positives on ordinary text / short numbers / semver
+    assert(out(4) === "clean text with number 42 and version 1.2.3")
+  }
+
+  test("redactionCount counts placeholders exactly") {
+    val df = Seq("a@b.co and c@d.org plus 10.0.0.1").toDF("t")
+      .select(Curation.scrubPii(col("t")).as("s"))
+      .select(
+        Curation.redactionCount(col("s"), "<EMAIL>").as("e"),
+        Curation.redactionCount(col("s"), "<IP>").as("i"),
+        Curation.redactionCount(col("s"), "<PHONE>").as("p"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 1L && r.getLong(2) === 0L)
+  }
+
+  test("contamination flags only docs sharing enough shingles") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words about spark plans"),
+      (3L, "the quick brown fox naps all day")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val hits = Curation.contamination(corpus, bench, "doc_id", "text", minShared = 2)
+      .orderBy("corpus_id").collect()
+    // doc 1 shares "the quick brown","quick brown fox","brown fox jumps";
+    // doc 3 shares the first two; doc 2 shares none
+    assert(hits.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(hits(0).getLong(2) === 3L)
+    assert(hits(1).getLong(2) === 2L)
+  }
+
+  test("stratifiedSample is deterministic, per-stratum, and roughly proportional") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val fr = Map("a" -> 0.5, "b" -> 0.1)
+    val s1 = Curation.stratifiedSample(df, "id", "grp", fr)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = Curation.stratifiedSample(df, "id", "grp", fr)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 === s2) // same rows every run
+    val aKept = s1.count(_._2 == "a").toDouble / 2000
+    val bKept = s1.count(_._2 == "b").toDouble / 2000
+    assert(math.abs(aKept - 0.5) < 0.05, s"a kept $aKept")
+    assert(math.abs(bKept - 0.1) < 0.05, s"b kept $bKept")
+    // unlisted strata keep nothing
+    val s3 = Curation.stratifiedSample(df, "id", "grp", Map("a" -> 0.5))
+    assert(s3.where($"grp" === "b").count() === 0)
+    // different seed → different sample
+    val s4 = Curation.stratifiedSample(df, "id", "grp", fr, seed = 999L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s4 !== s1)
+  }
+
+  test("repetition ratios: diverse text low, looping text high") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "a b c a b c a b c a b c"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), Curation.shinglesAll(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        Curation.dupRatioOf(col("toks")).as("tok_dup"),
+        Curation.dupRatioOf(col("sh")).as("sh_dup"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getDouble(1) === 0.0 && df(0).getDouble(2) === 0.0)
+    assert(df(1).getDouble(1) === 1.0 - 1.0 / 8) // one distinct token of 8
+    assert(df(1).getDouble(2) === 1.0 - 1.0 / 6) // one distinct shingle of 6
+    // doc 3: 3 distinct tokens of 12; shingles cycle with period 3 → 3
+    // distinct of 10
+    assert(math.abs(df(2).getDouble(1) - (1.0 - 3.0 / 12)) < 1e-12)
+    assert(math.abs(df(2).getDouble(2) - (1.0 - 3.0 / 10)) < 1e-12)
+    // empty doc: both ratios 0, no div-by-zero
+    assert(df(3).getDouble(1) === 0.0 && df(3).getDouble(2) === 0.0)
+  }
+}
