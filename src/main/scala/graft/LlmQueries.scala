@@ -255,6 +255,34 @@ object LlmQueries {
         sum(col("doc_id")).cast("long").as("id_sum"))
       .orderBy(col("lang"))
 
+  /** Source mixture weights for the deterministic data-mixing demo. */
+  private val MixWeights: Map[String, Double] = Map(
+    "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25, "src3" -> 0.5)
+
+  /** Deterministic weighted source mixing, aggregated per source (counts
+    * and id sums prove the exact replicated/sampled row multiset).
+    */
+  private def weightedMixStats(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedMix(
+        tPar(s, dir, "documents"), "doc_id", "source", MixWeights)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy(col("source"))
+
+  /** Concat-and-chunk packing plan at a 512-token budget. Global window
+    * here (demo corpus); production passes `shardCol` to pack per shard.
+    */
+  private def packingPlan(s: SparkSession, dir: String): DataFrame = {
+    val toks = tPar(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    Curation.concatChunkPlan(toks, "doc_id", "n_tokens", budget = 512)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("chunk_id"), col("offset_in_chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Within-document repetition: token- and shingle-level duplicate
     * ratios. Arrays materialize as columns once (HOF re-evaluation trap);
     * the ratios read attributes.
@@ -301,6 +329,8 @@ object LlmQueries {
     "benchmark_contamination" -> (benchmarkContamination _),
     "stratified_sample_stats" -> (stratifiedSampleStats _),
     "repetition_stats" -> (repetitionStats _),
+    "weighted_mix_stats" -> (weightedMixStats _),
+    "packing_plan" -> (packingPlan _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -411,6 +441,43 @@ object LlmQueries {
          |FROM documents
          |WHERE $StratifiedKeepSql
          |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "weighted_mix_stats" -> {
+      // same weights, same hash arithmetic: floor(w) full copies via a
+      // range cross join + the fractional remainder via the keep hash
+      // (seed offset 7919 matches Curation.weightedMix)
+      val parts = MixWeights.toSeq.sortBy(_._1).flatMap { case (src, w) =>
+        val full = math.floor(w).toInt
+        val fracThreshold = ((w - math.floor(w)) * 1e6).toLong
+        val fullPart =
+          if (full > 0)
+            Some(s"SELECT doc_id, source FROM documents, range($full) WHERE source = '$src'")
+          else None
+        val fracPart =
+          if (fracThreshold > 0)
+            Some(s"SELECT doc_id, source FROM documents WHERE source = '$src' AND ((doc_id % 1000003) * 2654435761 + ${12345L + 7919L}) % 1000000 < $fracThreshold")
+          else None
+        fullPart.toSeq ++ fracPart.toSeq
+      }
+      s"""WITH mixed AS (
+         |${parts.mkString("\n  UNION ALL ")}
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM mixed GROUP BY 1 ORDER BY source""".stripMargin
+    },
+    "packing_plan" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), t AS (
+         |  SELECT doc_id, len(toks) AS n FROM base
+         |), c AS (
+         |  SELECT doc_id, n,
+         |         sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS start_offset,
+         |       CAST(s // 512 AS BIGINT) AS chunk_id, CAST(s % 512 AS BIGINT) AS offset_in_chunk
+         |FROM c ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, $Toks AS toks FROM documents

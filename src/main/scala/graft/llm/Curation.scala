@@ -114,6 +114,70 @@ object Curation {
     df.where(keep)
   }
 
+  // ----- weighted source mixing ------------------------------------------
+
+  /** Deterministic weighted mixture over a source column — the
+    * data-mixing step of a training pipeline ("web ×2.5, books ×1,
+    * forums ×0.25"). Weight w emits ⌊w⌋ full copies of every row plus one
+    * [[sampleHash]]-selected partial copy for the fractional remainder;
+    * sources missing from `weights` are dropped. The fractional pick uses
+    * an offset seed so it is decorrelated from other samplers over the
+    * same ids, and reproducible run to run.
+    *
+    * Map-side only: the explode fans each row out at most ⌈w⌉ times, no
+    * shuffle — at 100 TB the mixture is free next to the write behind it.
+    */
+  def weightedMix(df: DataFrame, idCol: String, sourceCol: String,
+                  weights: Map[String, Double],
+                  seed: Long = 12345L): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0), "weights must be >= 0")
+    val nCopies = weights.foldLeft(lit(0)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(math.ceil(w).toInt)).otherwise(acc)
+    }
+    val fullCopies = weights.foldLeft(lit(0)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    val frac = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w - math.floor(w))).otherwise(acc)
+    }
+    val fracKeep = weights.foldLeft(lit(false)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s,
+        sampleHash(col(idCol), w - math.floor(w), seed + 7919L)).otherwise(acc)
+    }
+    df.withColumn("__n", nCopies)
+      .where(col("__n") > 0) // sequence(1, 0) would run DESCENDING, not empty
+      .withColumn("copy", explode(sequence(lit(1), col("__n"))))
+      .where(col("copy") <= fullCopies || (frac > 0.0 && fracKeep))
+      .drop("__n")
+  }
+
+  // ----- sequence packing (concat-and-chunk plan) ------------------------
+
+  /** Packing plan for fixed-length training sequences: documents
+    * concatenate in `idCol` order and split into `budget`-token chunks
+    * (the GPT-style concat-and-chunk dataloader). Emits each document's
+    * global start offset, the chunk it starts in, and its offset inside
+    * that chunk — enough for a writer to materialize packed sequences
+    * without re-scanning.
+    *
+    * The running total is a window over `idCol`; with `shardCol` given it
+    * partitions per shard (each shard packs independently — the form that
+    * scales, since a global ordered window is one task). Leave `shardCol`
+    * empty only for small/demo corpora.
+    */
+  def concatChunkPlan(df: DataFrame, idCol: String, nTokensCol: String,
+                      budget: Int, shardCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = shardCol.map(s => Window.partitionBy(col(s))).getOrElse(Window.partitionBy())
+    val w = base.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("start_offset",
+        (sum(col(nTokensCol)).over(w) - col(nTokensCol)).cast("long"))
+      .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .withColumn("offset_in_chunk", pmod(col("start_offset"), lit(budget.toLong)))
+  }
+
   // ----- within-document repetition --------------------------------------
 
   /** Repetition ratio of any array column: fraction of elements that are

@@ -77,6 +77,41 @@ class CurationSpec extends AnyFunSuite {
     assert(s4 !== s1)
   }
 
+  test("weightedMix: integer weights replicate exactly, fractions sample, unlisted drop") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val mixed = Curation.weightedMix(df, "id", "src",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.25))
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 500L) // 250 rows × exactly 2
+    assert(!bySrc.contains("src3")) // unlisted source dropped
+    val f1 = bySrc("src1").toDouble / 250
+    assert(math.abs(f1 - 0.5) < 0.15, s"src1 kept ×$f1")
+    val f2 = bySrc("src2").toDouble / 250
+    assert(f2 > 1.0 && math.abs(f2 - 1.25) < 0.15, s"src2 kept ×$f2")
+    // deterministic: identical multiset on re-run
+    val again = Curation.weightedMix(df, "id", "src",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.25))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === bySrc)
+  }
+
+  test("concatChunkPlan: offsets tile the budget, sharded form packs per shard") {
+    val df = Seq((1L, 300L, "a"), (2L, 300L, "a"), (3L, 100L, "a"), (4L, 300L, "b"))
+      .toDF("id", "n", "shard")
+    val global = Curation.concatChunkPlan(df, "id", "n", budget = 512)
+      .orderBy("id").collect()
+    // starts: 0, 300, 600, 700 → chunks 0,0,1,1; offsets 0,300,88,188
+    assert(global.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L, 300L, 600L, 700L))
+    assert(global.map(_.getAs[Long]("chunk_id")).toSeq === Seq(0L, 0L, 1L, 1L))
+    assert(global.map(_.getAs[Long]("offset_in_chunk")).toSeq === Seq(0L, 300L, 88L, 188L))
+    val sharded = Curation.concatChunkPlan(df, "id", "n", 512, Some("shard"))
+      .orderBy("id").collect()
+    // shard b restarts at offset 0
+    assert(sharded.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L, 300L, 600L, 0L))
+  }
+
   test("repetition ratios: diverse text low, looping text high") {
     val df = Seq(
       (1L, "one two three four five six seven eight"),
