@@ -63,21 +63,37 @@ object Curation {
     *
     * The shuffle is keyed by shingle (like LSH banding) then by doc pair —
     * never an all-pairs product, so it holds at corpus × benchmark scale.
-    * Common-shingle hot keys (stopword trigrams) fan out; callers can
-    * pre-filter with a document-frequency cap on shingles if the benchmark
-    * is large.
+    *
+    * `maxBenchDf` guards the remaining hot spot: a shingle present in many
+    * BENCHMARK docs multiplies every corpus occurrence by its benchmark
+    * document frequency (join fan-out = corpus_df × bench_df per shingle).
+    * Capping benchmark-side df drops those stopword-like shingles before
+    * the join — standard contamination practice, since a phrase shared by
+    * half the benchmark identifies nothing. Corpus-side df needs no cap:
+    * each corpus occurrence is one row and bench_df is already bounded.
     *
     * Returns (corpus id, benchmark id, n_shared_shingles).
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
-                    minShared: Int = 1): DataFrame = {
+                    minShared: Int = 1,
+                    maxBenchDf: Int = Int.MaxValue): DataFrame = {
     def exploded(df: DataFrame, outId: String) =
       df.select(col(idCol).as(outId),
           MinHash.shingles(TextStats.tokens(col(textCol))).as("__sh"))
         .select(col(outId), explode(col("__sh")).as("__shingle"))
+    val bench = exploded(benchmark, "bench_id")
+    val benchKept =
+      if (maxBenchDf == Int.MaxValue) bench
+      else {
+        // shingles are distinct per doc, so count(*) at shingle grain IS df
+        val df = bench.groupBy(col("__shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxBenchDf)
+        bench.join(df.select(col("__shingle")), Seq("__shingle"), "left_semi")
+      }
     exploded(corpus, "corpus_id")
-      .join(exploded(benchmark, "bench_id"), Seq("__shingle"))
+      .join(benchKept, Seq("__shingle"))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .where(col("n_shared_shingles") >= minShared)

@@ -55,6 +55,26 @@ class CurationSpec extends AnyFunSuite {
     assert(hits(1).getLong(2) === 2L)
   }
 
+  test("contamination maxBenchDf drops stopword-like shingles shared across the benchmark") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // "alpha beta gamma" appears in ALL three bench docs (df=3); the
+    // distinctive tail shingle appears in one
+    val bench = Seq(
+      (100L, "alpha beta gamma one"),
+      (101L, "alpha beta gamma two"),
+      (102L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val uncapped = Curation.contamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // every bench doc matches via the common shingle; 102 also via the tail
+    assert(uncapped === Set((100L, 1L), (101L, 1L), (102L, 2L)))
+    val capped = Curation.contamination(corpus, bench, "doc_id", "text",
+        minShared = 1, maxBenchDf = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // the df=3 shingle is dropped; only the distinctive match survives
+    assert(capped === Set((102L, 1L)))
+  }
+
   test("stratifiedSample is deterministic, per-stratum, and roughly proportional") {
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "grp")
