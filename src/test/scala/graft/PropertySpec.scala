@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Curation
 import graft.ops.{Casts, DedupeAgg}
 import graft.sinks.Upsert
 
@@ -76,6 +77,38 @@ class PropertySpec extends AnyFunSuite {
       val twice = Upsert.merge(Upsert.merge(ex, in, Seq("k")), in, Seq("k"))
         .orderBy("k").as[(Int, Int)].collect().toSeq
       once == twice && once.map(_._1).distinct.size == once.size
+    })
+  }
+
+  test("sampleHash at a smaller fraction is a subset of a larger one (same seed)") {
+    val ids = Gen.listOfN(80, Gen.chooseNum(0L, 5000000L))
+    val fracs = Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0))
+    check(Prop.forAll(ids, fracs) { case (xs, (fa, fb)) =>
+      val (lo, hi) = (math.min(fa, fb), math.max(fa, fb))
+      val df = xs.distinct.toDF("id")
+      def kept(f: Double) = df.where(Curation.sampleHash(col("id"), f))
+        .as[Long].collect().toSet
+      // the keep decision is a threshold on one hash bucket, so samples
+      // are nested: growing the fraction only ever adds rows
+      kept(lo).subsetOf(kept(hi))
+    })
+  }
+
+  test("concatChunkPlan invariants: contiguous offsets, chunk math consistent") {
+    val rows = Gen.listOfN(30, Gen.chooseNum(0L, 700L))
+    check(Prop.forAll(rows, Gen.chooseNum(1, 1024)) { (ns, budget) =>
+      val df = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val out = Curation.concatChunkPlan(df, "id", "n", budget)
+        .orderBy("id")
+        .select("n", "start_offset", "chunk_id", "offset_in_chunk")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // starts are the exclusive prefix sums, in order
+      val starts = ns.scanLeft(0L)(_ + _).init
+      out.map(_._2) == starts &&
+        // chunk math is internally consistent with the budget
+        out.forall { case (_, s, c, o) =>
+          c == s / budget && o == s % budget && o < budget
+        }
     })
   }
 }
