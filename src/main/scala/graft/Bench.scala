@@ -64,10 +64,17 @@ object Bench {
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
+    // The 49 s baseline (BASELINE.md) was recorded over the round-1/2
+    // query set; queries added since are broken out so the baseline
+    // comparison stays apples-to-apples as the surface grows.
+    val addedSinceBaseline = Set(
+      "pii_scrub_stats", "benchmark_contamination", "stratified_sample_stats",
+      "repetition_stats", "weighted_mix_stats", "packing_plan")
+    val baselineSubsetTotal = best.filterNot(kv => addedSinceBaseline(kv._1)).values.sum
     val passTotals = allPasses.map(_.values.sum)
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":$passTotals,"note":"value and per-query times are the min over ${allPasses.size} in-JVM passes; pass_totals holds each raw pass sum (spread = machine noise)"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"note":"value and per-query times are the min over ${allPasses.size} in-JVM passes; pass_totals holds each raw pass sum (spread = machine noise); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
