@@ -69,7 +69,8 @@ object Bench {
     // comparison stays apples-to-apples as the surface grows.
     val addedSinceBaseline = Set(
       "pii_scrub_stats", "benchmark_contamination", "stratified_sample_stats",
-      "repetition_stats", "weighted_mix_stats", "packing_plan")
+      "repetition_stats", "weighted_mix_stats", "packing_plan",
+      "curated_corpus_stats")
     val baselineSubsetTotal = best.filterNot(kv => addedSinceBaseline(kv._1)).values.sum
     val passTotals = allPasses.map(_.values.sum)
       .mkString("[", ",", "]")

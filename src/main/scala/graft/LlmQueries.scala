@@ -283,6 +283,25 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The whole curation funnel (quality/repetition filter → exact dedup →
+    * 50% deterministic sample) aggregated per predicted language. Only
+    * order-independent aggregates (counts, id sums, min/max) so the
+    * result is exact — an accumulated double sum would be
+    * summation-order-dependent across engines.
+    */
+  private def curatedCorpusStats(s: SparkSession, dir: String): DataFrame =
+    Curation.curateCorpus(
+        tPar(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        minQuality = 0.5, maxDupTokenRatio = 0.9, sampleFraction = 0.5)
+      .groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        round(min(col("quality_score")), 6).as("min_quality"),
+        round(max(col("quality_score")), 6).as("max_quality"))
+      .orderBy(col("lang_pred"))
+
   /** Within-document repetition: token- and shingle-level duplicate
     * ratios. Arrays materialize as columns once (HOF re-evaluation trap);
     * the ratios read attributes.
@@ -331,6 +350,7 @@ object LlmQueries {
     "repetition_stats" -> (repetitionStats _),
     "weighted_mix_stats" -> (weightedMixStats _),
     "packing_plan" -> (packingPlan _),
+    "curated_corpus_stats" -> (curatedCorpusStats _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -478,6 +498,47 @@ object LlmQueries {
          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS start_offset,
          |       CAST(s // 512 AS BIGINT) AS chunk_id, CAST(s % 512 AS BIGINT) AS offset_in_chunk
          |FROM c ORDER BY doc_id""".stripMargin,
+    "curated_corpus_stats" -> {
+      val hits = TextStats.LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(toks, t -> list_contains($lst, lower(t)))) AS hits_$lang"
+      }.mkString(",\n         ")
+      val langs = TextStats.LangStopwords.keys.toSeq.sorted
+      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val langCases = langs.map(l =>
+        s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $Toks AS toks FROM documents
+         |), stats AS (
+         |  SELECT doc_id, text, toks,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($EnSw, lower(t)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+         |         CASE WHEN len(toks) > 0 THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS dup_token_ratio,
+         |         $Fingerprint AS fingerprint,
+         |         $hits
+         |  FROM base
+         |), scored AS (
+         |  SELECT *,
+         |         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+         |           + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25
+         |           + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END) * 0.25 AS quality_score,
+         |         CASE $langCases ELSE 'und' END AS lang_pred
+         |  FROM stats
+         |), deduped AS (
+         |  SELECT * FROM scored
+         |  WHERE quality_score >= 0.5 AND dup_token_ratio <= 0.9
+         |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+         |), sampled AS (
+         |  SELECT * FROM deduped
+         |  WHERE ((doc_id % 1000003) * 2654435761 + 12345) % 1000000 < 500000
+         |)
+         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       round(min(quality_score), 6) AS min_quality,
+         |       round(max(quality_score), 6) AS max_quality
+         |FROM sampled GROUP BY 1 ORDER BY lang_pred""".stripMargin
+    },
     "repetition_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, $Toks AS toks FROM documents

@@ -130,6 +130,59 @@ object Curation {
     df.where(keep)
   }
 
+  // ----- the curation funnel ---------------------------------------------
+
+  /** The standard corpus-curation funnel as one composition:
+    *
+    *   quality + repetition filter → exact dedup (min-id survivor) →
+    *   deterministic sample
+    *
+    * with language-ID and quality carried through as columns. Tokenizes
+    * once: every stat reads the materialized token attribute. Shapes:
+    * the filters and sampler are map-only; dedup is the one shuffle
+    * (fingerprint-keyed window). All stages are individually
+    * oracle-checked; the funnel's own query checks the composition.
+    *
+    * Returns the surviving rows of `df` plus `n_tokens`, `quality_score`,
+    * `lang_pred`, and `fingerprint`.
+    */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+                   minQuality: Double = 0.5,
+                   maxDupTokenRatio: Double = 0.9,
+                   sampleFraction: Double = 1.0,
+                   seed: Long = 12345L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val passthrough = df.columns.filterNot(_ == textCol).map(col).toSeq
+    val base = df.select(passthrough :+ col(textCol) :+
+      TextStats.tokens(col(textCol)).as("__toks"): _*)
+    val hitCols = TextStats.langHits(col("__toks"))
+    val stats = base.select(passthrough ++ Seq(
+      col(textCol), col("__toks"),
+      TextStats.nTokensOf(col("__toks")).as("n_tokens"),
+      TextStats.punctRatio(col(textCol)).as("__punct_ratio"),
+      TextStats.stopwordRatioOf(col("__toks")).as("__stopword_ratio"),
+      dupRatioOf(col("__toks")).as("__dup_token_ratio"),
+      TextStats.fingerprint(col(textCol)).as("fingerprint")) ++
+      hitCols.map { case (lang, c) => c.as(s"__hits_$lang") }: _*)
+    val scored = stats
+      .withColumn("quality_score", TextStats.qualityScoreOf(
+        col("n_tokens"), col("__punct_ratio"), col("__stopword_ratio")))
+      .withColumn("lang_pred", TextStats.langPredOf(
+        hitCols.map { case (lang, _) => lang -> col(s"__hits_$lang") }))
+    val filtered = scored.where(
+      col("quality_score") >= minQuality &&
+        col("__dup_token_ratio") <= maxDupTokenRatio)
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    val deduped = filtered
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1)
+    val sampled =
+      if (sampleFraction >= 1.0) deduped
+      else deduped.where(sampleHash(col(idCol), sampleFraction, seed))
+    sampled.select(passthrough ++ Seq(col(textCol), col("n_tokens"),
+      col("quality_score"), col("lang_pred"), col("fingerprint")): _*)
+  }
+
   // ----- weighted source mixing ------------------------------------------
 
   /** Deterministic weighted mixture over a source column — the

@@ -132,6 +132,31 @@ class CurationSpec extends AnyFunSuite {
     assert(sharded.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L, 300L, 600L, 0L))
   }
 
+  test("curateCorpus funnel: filters, dedups to min id, samples deterministically") {
+    // long-enough diverse text passes quality; "the/of/to..." give it
+    // stopword mass
+    val good = "the story of a fox and the dog is told in many words " +
+      "that keep going for quite a while to clear the length floor " * 3
+    val docs = Seq(
+      (1L, good),
+      (2L, good), // exact dup of 1 → dropped (min-id survivor)
+      (3L, "tiny"), // fails the quality length floor
+      (4L, ("spam " * 50).trim), // repetition ratio ~0.98 → dropped
+      (5L, good + " unique tail here")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curateCorpus(docs, "doc_id", "text",
+        minQuality = 0.5, maxDupTokenRatio = 0.9, sampleFraction = 1.0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 5L))
+    val cols = Curation.curateCorpus(docs, "doc_id", "text").columns.toSeq
+    assert(cols === Seq("doc_id", "text", "n_tokens", "quality_score",
+      "lang_pred", "fingerprint"))
+    // sampling composes: fraction 0 keeps nothing, deterministic re-run
+    val none = Curation.curateCorpus(docs, "doc_id", "text",
+      sampleFraction = 0.0).count()
+    assert(none === 0L)
+  }
+
   test("repetition ratios: diverse text low, looping text high") {
     val df = Seq(
       (1L, "one two three four five six seven eight"),
