@@ -346,6 +346,27 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME as-of semantics through the custom plan path
+    * ([[graft.plans.AsOfJoinPlan]] → strategy → streaming-merge exec) —
+    * an independent execution engine for the operator, checked by the
+    * identical DuckDB ASOF oracle as `events_asof_orders`.
+    */
+  private def eventsAsofOrdersNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = tPar(s, dir, "events").where(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val od = graft.ops.Windows.latestPerKey(
+        t(s, dir, "orders").select(
+          col("o_custkey").as("user_id"),
+          // align with events.ts (TIMESTAMP): the native plan requires
+          // identical time types on both sides rather than coercing
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_orderkey")),
+        Seq("user_id", "o_orderdate"), Seq(col("o_orderkey").desc))
+    graft.ops.AsOf.asofJoinNative(ev, od, Seq("user_id"), "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -386,6 +407,7 @@ object SparkEntry {
     "distinct_counts" -> (distinctCounts _),
     "rollup_supplier_salted" -> (rollupSupplierSalted _),
     "events_asof_orders" -> (eventsAsofOrders _),
+    "events_asof_orders_native" -> (eventsAsofOrdersNative _),
     "quantile_quantity" -> (quantileQuantity _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
@@ -543,6 +565,17 @@ object SparkEntry {
         |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS value_sum
         |FROM events""".stripMargin,
     "events_asof_orders" ->
+      """WITH od AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+        |), e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE user_id < 50
+        |)
+        |SELECT e.event_id, e.user_id, od.o_orderkey AS asof_orderkey
+        |FROM e ASOF LEFT JOIN od
+        |  ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    "events_asof_orders_native" ->
       """WITH od AS (
         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey FROM orders
         |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1

@@ -56,4 +56,41 @@ object AsOf {
       .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
         (leftCols ++ rightCols).map(col): _*)
   }
+
+  /** The same as-of semantics as a FIRST-CLASS operator:
+    * [[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinStrategy]] →
+    * [[graft.plans.AsOfJoinExec]] streaming merge (custom-operator ladder
+    * rung (c)). Registers the strategy on the session idempotently.
+    *
+    * Output = all left columns, then all right columns (right nullable);
+    * column names must be disjoint. Result rows are identical to
+    * [[asofJoin]] restricted to the same columns.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String): DataFrame = {
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    require(left.columns.intersect(rightCols).isEmpty,
+      s"overlapping non-key columns: ${left.columns.intersect(rightCols).mkString(",")}")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // shared key/time names on the right get an internal prefix so the
+    // joined output (left ++ right) stays name-unambiguous, then drop
+    val rPrepped = right.select(right.columns.map { c =>
+      if (keys.contains(c) || c == rightTs) col(c).as(s"__r_$c") else col(c)
+    }: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPrepped.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name'"))
+    val joined = PlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
+      attr(lPlan, leftTs), attr(rPlan, s"__r_$rightTs")))
+    joined.drop((keys.map(k => s"__r_$k") :+ s"__r_$rightTs"): _*)
+  }
 }

@@ -30,5 +30,52 @@ class AsOfSpec extends AnyFunSuite {
       .select("ev", "snap").collect()
       .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
     assert(out.toSeq === Seq(("e0", -1), ("e1", 100), ("e2", 150), ("e3", 200)))
+
+    // the native plan (custom logical node + strategy + merge exec)
+    // produces the identical rows on the same inputs
+    val native = AsOf.asofJoinNative(left, right, Seq("k"), "lts", "rts")
+      .orderBy("k", "lts")
+      .select("ev", "snap").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(native.toSeq === out.toSeq)
+  }
+
+  test("native as-of exec equals the composed form on skewed multi-partition data") {
+    // 500 events over 7 users (one hot user), 60 snapshot rows
+    val left = (1 to 500).map { i =>
+      (if (i % 10 == 0) (i % 7).toLong else 3L, i.toLong * 1000, s"e$i")
+    }.toDF("uid", "lt", "ev")
+      .select(col("uid"), timestamp_micros(col("lt")).as("lts"), col("ev"))
+    val right = (1 to 60).map { j =>
+      ((j % 7).toLong, j.toLong * 7777, j * 10)
+    }.toDF("uid", "rt", "snap")
+      .select(col("uid"), timestamp_micros(col("rt")).as("rts"), col("snap"))
+
+    val composed = AsOf.asofJoin(left, right, Seq("uid"), "lts", "rts")
+      .select("uid", "ev", "snap")
+      .orderBy("uid", "ev").collect().map(_.toSeq).toSeq
+    val native = AsOf.asofJoinNative(left, right, Seq("uid"), "lts", "rts")
+      .select("uid", "ev", "snap")
+      .orderBy("uid", "ev").collect().map(_.toSeq).toSeq
+    assert(native === composed)
+
+    // the physical plan really is the custom operator (with planned
+    // exchanges + sorts feeding it)
+    val planStr = AsOf.asofJoinNative(left, right, Seq("uid"), "lts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), planStr.take(500))
+    assert(planStr.contains("Sort"), planStr.take(500))
+  }
+
+  test("native as-of: keys with no right rows yield nulls; empty right side works") {
+    val left = Seq((9L, 100L, "x")).toDF("k", "lt", "ev")
+      .select(col("k"), timestamp_micros(col("lt")).as("lts"), col("ev"))
+    val right = Seq((1L, 50L, 5)).toDF("k", "rt", "snap")
+      .select(col("k"), timestamp_micros(col("rt")).as("rts"), col("snap"))
+    val r1 = AsOf.asofJoinNative(left, right, Seq("k"), "lts", "rts").collect()
+    assert(r1.length === 1 && r1(0).isNullAt(r1(0).fieldIndex("snap")))
+    val r2 = AsOf.asofJoinNative(left, right.where(col("k") < 0), Seq("k"),
+      "lts", "rts").collect()
+    assert(r2.length === 1 && r2(0).isNullAt(r2(0).fieldIndex("snap")))
   }
 }
