@@ -367,6 +367,24 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Range (interval) join via time-axis bucketing: events falling inside
+    * each order's 30-day window, per user — the bucketed shape shuffles
+    * on (key, bucket) so a hot key spreads over its time range (naive
+    * key-only equi-join + range filter is O(n·m) per key).
+    */
+  private def lineitemInOrderWindow(s: SparkSession, dir: String): DataFrame = {
+    val li = tPar(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_shipdate"), col("l_linenumber"))
+    val od = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderdate").cast("timestamp").as("win_start"),
+      (col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("timestamp").as("win_end"))
+    graft.ops.RangeJoin.intervalJoin(li, od, Seq("k"),
+        "l_shipdate", "win_start", "win_end", bucketWidth = 60L * 86400)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("k") * col("l_linenumber")).cast("long").as("pair_sum"))
+  }
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -408,6 +426,7 @@ object SparkEntry {
     "rollup_supplier_salted" -> (rollupSupplierSalted _),
     "events_asof_orders" -> (eventsAsofOrders _),
     "events_asof_orders_native" -> (eventsAsofOrdersNative _),
+    "lineitem_in_order_window" -> (lineitemInOrderWindow _),
     "quantile_quantity" -> (quantileQuantity _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
@@ -586,6 +605,16 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN od
         |  ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    "lineitem_in_order_window" ->
+      """WITH od AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS win_start,
+        |         o_orderdate + INTERVAL 60 DAY AS win_end
+        |  FROM orders
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(li.l_orderkey * li.l_linenumber) AS BIGINT) AS pair_sum
+        |FROM lineitem li JOIN od ON li.l_orderkey = od.k
+        |  AND li.l_shipdate >= od.win_start AND li.l_shipdate <= od.win_end""".stripMargin,
     "quantile_quantity" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,

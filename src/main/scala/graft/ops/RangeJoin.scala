@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: left rows with a point timestamp against right
+  * rows with a `[start, end]` interval, matched per key when
+  * `start <= ts <= end`.
+  *
+  * Spark plans a naive `ON key = key AND ts BETWEEN start AND end` as an
+  * equi-join on the key followed by a per-key nested filter — fine until
+  * one key's row counts are large, where it degenerates to O(n·m) per
+  * key. The scale-safe shape buckets the time axis:
+  *
+  *   - left rows land in ONE bucket: `ts div width`;
+  *   - right intervals explode into EVERY bucket they overlap
+  *     (`sequence(start div w, end div w)` — fan-out is bounded by
+  *     interval length / width);
+  *   - equi-join on (key, bucket), then the exact `BETWEEN` filter.
+  *
+  * Each matching pair is emitted exactly once (a left row has exactly one
+  * bucket, and integral division is monotone, so the interval's bucket
+  * sequence covers it exactly once). The shuffle is keyed on
+  * (key, bucket), so a hot key spreads across its time range instead of
+  * concentrating on one task; choose `bucketWidth` near the typical
+  * interval length (fan-out ≈ 1-2 buckets per interval).
+  */
+object RangeJoin {
+
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** @param bucketWidth bucket size in SECONDS along the time axis. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightStart: String, rightEnd: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth")
+    val overlap = left.columns.intersect(right.columns).filterNot(keys.contains)
+    require(overlap.isEmpty, s"overlapping non-key columns: ${overlap.mkString(",")}")
+    val wMicros = bucketWidth * 1000000L
+    val l = left
+      .withColumn("__lm", micros(col(leftTs)))
+      .withColumn("__bucket", expr(s"__lm div $wMicros"))
+    val r = right
+      .withColumn("__rs", micros(col(rightStart)))
+      .withColumn("__re", micros(col(rightEnd)))
+      .where(col("__rs") <= col("__re")) // empty/inverted intervals match nothing
+      .withColumn("__bucket",
+        explode(sequence(expr(s"__rs div $wMicros"), expr(s"__re div $wMicros"))))
+    l.join(r, keys :+ "__bucket")
+      .where(col("__lm") >= col("__rs") && col("__lm") <= col("__re"))
+      .drop("__lm", "__rs", "__re", "__bucket")
+  }
+}
