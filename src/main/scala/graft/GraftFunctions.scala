@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.HashExpressions.{CosineSim, MinHashSigs, SimHash32, WordNgrams}
+import graft.functions.RegexpCount
 
 /** SQL registration of the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
@@ -24,11 +25,17 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
   }
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash32" -> { es => SimHash32(es.head) },
     "minhash_sigs" -> { es => MinHashSigs(es.head, intLit(es(1), "k")) },
     "word_ngrams" -> { es => WordNgrams(es.head, intLit(es(1), "n")) },
-    "cosine_sim" -> { es => CosineSim(es.head, es(1)) })
+    "cosine_sim" -> { es => CosineSim(es.head, es(1)) },
+    "regexp_count" -> { es => RegexpCount(es.head, strLit(es(1), "pattern")) })
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

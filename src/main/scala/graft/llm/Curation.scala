@@ -45,12 +45,9 @@ object Curation {
     * counted on the SCRUBBED text so overlapping rules aren't
     * double-counted.
     */
-  def redactionCount(scrubbed: Column, token: String): Column = {
-    // occurrences = (len - len(text with token removed)) / len(token);
+  def redactionCount(scrubbed: Column, token: String): Column =
     // placeholder tokens contain no regex metacharacters by construction
-    (length(scrubbed) - length(regexp_replace(scrubbed, token, "")))
-      ./(lit(token.length)).cast("long")
-  }
+    graft.functions.RegexpCount.regexpCount(scrubbed, token)
 
   // ----- benchmark contamination ----------------------------------------
 

@@ -31,15 +31,17 @@ object TextStats {
 
   /** BPE-ish word-piece count: runs of letters, runs of digits, or single
     * other non-space chars — a cheap deterministic proxy for subword
-    * token counts.
+    * token counts. Counted natively ([[graft.functions.RegexpCount]],
+    * codegen'd) instead of materializing the `regexp_extract_all` array
+    * just to take its size.
     */
   def nWordPieces(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    graft.functions.RegexpCount.regexpCount(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
 
   /** Punctuation chars / total chars (0 for empty text). */
   def punctRatio(text: Column): Column = {
     val n = length(text)
-    val p = size(regexp_extract_all(text, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0)))
+    val p = graft.functions.RegexpCount.regexpCount(text, "[.,;:!?'\"()\\[\\]{}-]")
     when(n > 0, p.cast("double") / n.cast("double")).otherwise(lit(0.0))
   }
 

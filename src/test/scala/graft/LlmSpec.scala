@@ -160,6 +160,33 @@ class LlmSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2)))
   }
 
+  test("RegexpCount: codegen and interpreted paths both match size(regexp_extract_all)") {
+    import graft.functions.RegexpCount.regexpCount
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val rows = Seq("", "   ", "abc", "a1b2!", "héllo wörld 42", "!!!???",
+      "mixed 123 text, with.punct!", "\ttabs\nnewlines  ", "ab" * 500)
+      .zipWithIndex.map(_.swap)
+    def run(): Seq[(Long, Long)] = rows.toDF("id", "t")
+      .select(
+        regexpCount(col("t"), pat).as("native"),
+        size(regexp_extract_all(col("t"), lit(pat), lit(0))).cast("long").as("builtin"))
+      .as[(Long, Long)].collect().toSeq
+    // CODEGEN_ONLY forces doGenCode (a fallback would throw instead of
+    // silently switching to interpreted eval)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val codegen = run()
+      assert(codegen.forall { case (n, b) => n == b }, codegen.toString)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = run()
+      assert(interpreted === codegen)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT regexp_count('a,b,,c', ',')").collect()(0).getLong(0)
+    assert(viaSql === 3L)
+  }
+
   test("rolling fingerprint: order-sensitive, deterministic, bounded") {
     val df = Seq(
       ("a b c", "a b c"), ("a b c", "c b a"), ("a b c", "a b c d"))
