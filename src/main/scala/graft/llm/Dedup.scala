@@ -33,6 +33,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Drop near-duplicates: remove every document that appears as the
+    * HIGHER id of a [[MinHash.dupPairs]] candidate with estimated Jaccard
+    * at or above `minEstJaccard`. One anti-join against the distinct
+    * dropped-id set — no iterative connected components, which makes the
+    * pass conservative on chains (a≈b, b≈c with a≉c drops both b and c
+    * even though b's own survivor is gone): the standard single-pass
+    * trade for corpus-scale dedup, documented rather than hidden.
+    */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val dropped = MinHash.dupPairs(df, idCol, textCol)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_b").as("__drop_id")).distinct()
+    df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * bucketed by `bucketCol` (cluster id / [[Similarity.signBucket]]).
     *

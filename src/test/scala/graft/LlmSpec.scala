@@ -38,6 +38,18 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("dropNearDups removes the higher id of each near-dup pair, keeps the rest") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "completely different content about spark physical plans")
+    ).toDF("doc_id", "text")
+    val kept = graft.llm.Dedup.dropNearDups(docs, "doc_id", "text",
+        minEstJaccard = 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val sh = docs.select(col("doc_id"),
         SimHash.simhash32(TextStats.tokens(col("text"))).as("h"))
