@@ -71,7 +71,8 @@ object Bench {
       "pii_scrub_stats", "benchmark_contamination", "stratified_sample_stats",
       "repetition_stats", "weighted_mix_stats", "packing_plan",
       "curated_corpus_stats", "events_asof_orders_native",
-      "lineitem_in_order_window", "near_dedup_survivors")
+      "lineitem_in_order_window", "near_dedup_survivors",
+      "near_dup_clusters")
     val baselineSubsetTotal = best.filterNot(kv => addedSinceBaseline(kv._1)).values.sum
     val passTotals = allPasses.map(_.values.sum)
       .mkString("[", ",", "]")

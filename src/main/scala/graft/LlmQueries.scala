@@ -113,6 +113,15 @@ object LlmQueries {
     MinHash.dupPairs(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact near-dup clusters: connected components over the candidate
+    * graph (iterative min-label propagation), oracle-checked against a
+    * recursive-CTE transitive closure.
+    */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
+        minEstJaccard = 0.5)
+      .orderBy(col("cluster_id"), col("doc_id"))
+
   /** Survivors after the single-pass near-dup drop (est Jaccard ≥ 0.5),
     * summarized (count + id sum prove the exact survivor set).
     */
@@ -345,6 +354,7 @@ object LlmQueries {
     "minhash_signatures_agg" -> (minhashSignaturesAgg _),
     "minhash_dup_pairs" -> (minhashDupPairs _),
     "near_dedup_survivors" -> (nearDedupSurvivors _),
+    "near_dup_clusters" -> (nearDupClusters _),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -700,6 +710,46 @@ object LlmQueries {
          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM dropped)""".stripMargin
+    },
+    "near_dup_clusters" -> {
+      val matchSum = (0 until 8).map(p =>
+        s"(CASE WHEN sa.sig_$p = sb.sig_$p THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $Shingles AS shingles FROM base
+         |), sigs AS (
+         |  SELECT doc_id,
+         |       $SigExprs
+         |  FROM sh
+         |), bands AS (
+         |  SELECT doc_id, u.b AS band_idx,
+         |         CASE u.b WHEN 0 THEN sig_0 || '|' || sig_1
+         |                  WHEN 1 THEN sig_2 || '|' || sig_3
+         |                  WHEN 2 THEN sig_4 || '|' || sig_5
+         |                  ELSE sig_6 || '|' || sig_7 END AS band_val
+         |  FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
+         |              JOIN sigs sb ON c.id_b = sb.doc_id
+         |  WHERE ($matchSum) / 8.0 >= 0.5
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY 1
+         |ORDER BY cluster_id, doc_id""".stripMargin
     },
     "simhash_fingerprints" ->
       s"""WITH base AS (

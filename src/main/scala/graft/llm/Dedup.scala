@@ -49,6 +49,23 @@ object Dedup {
     df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the LSH candidate
+    * pair graph, labeled by each cluster's minimum doc id — the exact
+    * grouping [[dropNearDups]] approximates in one pass (chains a≈b≈c
+    * land in one cluster here; keep `cluster_id == doc_id` for a
+    * min-survivor dedup with no over-drop). Only documents appearing in
+    * at least one candidate pair are returned (singletons are trivially
+    * their own cluster).
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    val edges = MinHash.dupPairs(df, idCol, textCol)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+    graft.ops.ConnectedComponents.components(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * bucketed by `bucketCol` (cluster id / [[Similarity.signBucket]]).
     *

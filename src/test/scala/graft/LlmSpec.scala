@@ -38,6 +38,20 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("connected components: chains converge to min label, singleton edges isolate") {
+    import graft.ops.ConnectedComponents
+    // a 10-node chain (worst diameter), a separate pair, a triangle
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (200L, 201L), (201L, 202L), (200L, 202L)))
+      .toDF("s", "d")
+    val got = ConnectedComponents.components(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(got(i) === 0L, s"node $i"))
+    assert(got(100L) === 100L && got(101L) === 100L)
+    assert(Seq(200L, 201L, 202L).forall(got(_) === 200L))
+    assert(got.size === 15) // only nodes that appear in edges
+  }
+
   test("dropNearDups removes the higher id of each near-dup pair, keeps the rest") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
