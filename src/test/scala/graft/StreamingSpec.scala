@@ -54,4 +54,30 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("user_id").collect().map(_.toSeq).toSeq
     assert(streamAnswer === batchAnswer)
   }
+
+  test("stream-static enrichment: dimension join inside the micro-batch pipeline") {
+    val root = Files.createTempDirectory("streamdim").toString
+    events(Seq(
+      (1L, "2024-01-05 10:00:00", 1L, 10.0),
+      (2L, "2024-01-06 10:00:00", 2L, 5.0),
+      (3L, "2024-01-07 10:00:00", 9L, 1.0) // no dim row → dropped by inner join
+    )).write.parquet(s"$root/in/f1")
+    val schema = spark.read.parquet(s"$root/in/f1").schema
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+
+    // static side broadcasts into every micro-batch — no stream-side
+    // state, the standard enrichment shape
+    val q = spark.readStream.schema(schema).parquet(s"$root/in/*")
+      .join(broadcast(dim), Seq("user_id"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/chk")
+      .format("parquet").option("path", s"$root/out")
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/out")
+      .select("event_id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((1L, "gold"), (2L, "basic")).sortBy(_._1))
+  }
 }
