@@ -288,6 +288,18 @@ object LlmQueries {
         sum(col("doc_id")).cast("long").as("id_sum"))
       .orderBy(col("source"))
 
+  /** Sliding-window document chunking (64-token chunks, stride 48) for a
+    * bounded doc subset; chunk text itself is hash-compared.
+    */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkTokens(
+        tPar(s, dir, "documents").where(col("doc_id") < 100)
+          .select(col("doc_id"), TextStats.tokens(col("text")).as("toks")),
+        "toks", size = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Concat-and-chunk packing plan at a 512-token budget. Global window
     * here (demo corpus); production passes `shardCol` to pack per shard.
     */
@@ -371,6 +383,7 @@ object LlmQueries {
     "weighted_mix_stats" -> (weightedMixStats _),
     "packing_plan" -> (packingPlan _),
     "curated_corpus_stats" -> (curatedCorpusStats _),
+    "doc_chunks" -> (docChunks _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -505,6 +518,18 @@ object LlmQueries {
          |       CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM mixed GROUP BY 1 ORDER BY source""".stripMargin
     },
+    "doc_chunks" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents WHERE doc_id < 100
+         |), c AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |         unnest(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS chunk_idx
+         |  FROM base WHERE len(toks) > 0
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |       CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "packing_plan" ->
       s"""WITH base AS (
          |  SELECT doc_id, $Toks AS toks FROM documents

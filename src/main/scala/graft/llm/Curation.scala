@@ -217,6 +217,33 @@ object Curation {
       .drop("__n")
   }
 
+  // ----- document chunking (sliding token windows) -----------------------
+
+  /** Split each document into `size`-token chunks starting every `stride`
+    * tokens (overlapping when stride < size) — the windowing step of RAG
+    * indexing and long-document pretraining. Map-only: the explode emits
+    * ⌈n/stride⌉ rows per doc and every chunk slices the SAME materialized
+    * token array; no shuffle, linear at corpus scale. Tail chunks shorter
+    * than `size` are kept (`n_chunk_tokens` carries the actual length).
+    *
+    * Expects the token-array column already materialized (tokenize-once).
+    * Output: input columns + (chunk_idx, n_chunk_tokens, chunk_text).
+    */
+  def chunkTokens(df: DataFrame, toksCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size=$size stride=$stride")
+    df.where(org.apache.spark.sql.functions.size(col(toksCol)) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          expr(s"(size($toksCol) - 1) div $stride").cast("int"))))
+      .withColumn("n_chunk_tokens",
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col(toksCol)) - col("chunk_idx") * stride)
+          .cast("long"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col(toksCol), col("chunk_idx") * stride + 1, lit(size))))
+  }
+
   // ----- sequence packing (concat-and-chunk plan) ------------------------
 
   /** Packing plan for fixed-length training sequences: documents

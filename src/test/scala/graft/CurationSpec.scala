@@ -157,6 +157,27 @@ class CurationSpec extends AnyFunSuite {
     assert(none === 0L)
   }
 
+  test("chunkTokens: stride windows tile the doc, tail chunk is short, empty docs drop") {
+    import graft.llm.TextStats
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+    val got = Curation.chunkTokens(df, "toks", size = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts 0,3,6,9 → windows of 4 with a 1-token tail
+    assert(got.toSeq === Seq(
+      (1L, 0, 4L, "t1 t2 t3 t4"),
+      (1L, 1, 4L, "t4 t5 t6 t7"),
+      (1L, 2, 4L, "t7 t8 t9 t10"),
+      (1L, 3, 1L, "t10"),
+      (2L, 0, 1L, "solo")))
+  }
+
   test("repetition ratios: diverse text low, looping text high") {
     val df = Seq(
       (1L, "one two three four five six seven eight"),
