@@ -356,6 +356,16 @@ object LlmQueries {
         Multimodal.mediaFromDocuments(tPar(s, dir, "documents")))
       .orderBy(col("media_id"))
 
+  /** Even-stride frame sampling plan (≤8 frames per clip) over the
+    * decoded metadata — which frames a downstream decoder should extract.
+    */
+  private def frameSamplePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamplePlan(
+        Multimodal.decodeFeatures(
+          Multimodal.mediaFromDocuments(tPar(s, dir, "documents"))),
+        maxFrames = 8)
+      .orderBy(col("media_id"), col("frame_idx"))
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -376,6 +386,7 @@ object LlmQueries {
     "knn_cosine_lsh" -> (knnCosineLsh _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
+    "frame_sample_plan" -> (frameSamplePlan _),
     "pii_scrub_stats" -> (piiScrubStats _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "stratified_sample_stats" -> (stratifiedSampleStats _),
@@ -895,5 +906,25 @@ object LlmQueries {
         |                            WHEN 'video' THEN 1 + n_bytes % 256
         |                            ELSE 1 + n_bytes % 4096 END AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
+    "frame_sample_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, media_type,
+        |         CAST(CASE media_type WHEN 'image' THEN 1
+        |                              WHEN 'video' THEN 1 + n_bytes % 256
+        |                              ELSE 1 + n_bytes % 4096 END AS INTEGER) AS n_frames
+        |  FROM m
+        |), s AS (
+        |  SELECT media_id, media_type, n_frames,
+        |         CAST(ceil(n_frames / 8.0) AS INTEGER) AS stride
+        |  FROM f WHERE n_frames > 1
+        |)
+        |SELECT media_id, media_type, n_frames,
+        |       CAST(unnest(range(0, n_frames, stride)) AS INTEGER) AS frame_idx
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -62,6 +62,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-sampling plan over decoded video/audio features: up to
+    * `maxFrames` evenly-strided frame indices per media item (stride
+    * `⌈n_frames/maxFrames⌉`, so short clips keep every frame and long
+    * ones thin out uniformly — the standard decode-budget shape). Pure
+    * explode on metadata, no payload touched: the plan rows tell a
+    * downstream decoder WHICH frames to extract, so at corpus scale the
+    * expensive decode only runs on the sampled set.
+    */
+  def frameSamplePlan(features: DataFrame, maxFrames: Int = 8): DataFrame = {
+    require(maxFrames > 0, s"maxFrames=$maxFrames")
+    features
+      .where(col("n_frames") > 1) // stills/empty media need no plan
+      .withColumn("__stride",
+        ceil(col("n_frames").cast("double") / maxFrames).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, col("__stride"))))
+      .select(col("media_id"), col("media_type"), col("n_frames"),
+        col("frame_idx"))
+  }
+
   /** Build a media frame from the documents table (text bytes standing in
     * for undecoded payloads — the plumbing fixture used by tests/bench).
     */

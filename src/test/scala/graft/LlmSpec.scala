@@ -226,6 +226,22 @@ class LlmSpec extends AnyFunSuite {
     df.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 2147483647L))
   }
 
+  test("frameSamplePlan: even stride, at most maxFrames, stills excluded") {
+    val feats = Seq(
+      (1L, "video", 10L, 320, 240, 20),  // stride 3 → 0,3,6,9,12,15,18 (7)
+      (2L, "video", 10L, 320, 240, 3),   // stride 1 → all 3 frames
+      (3L, "image", 10L, 64, 64, 1),     // still → excluded
+      (4L, "audio", 10L, 1, 1, 100)      // stride 13 → 8 samples
+    ).toDF("media_id", "media_type", "n_bytes", "width", "height", "n_frames")
+    val plan = graft.llm.Multimodal.frameSamplePlan(feats, maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    val byId = plan.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId(1L) === Seq(0, 3, 6, 9, 12, 15, 18))
+    assert(byId(2L) === Seq(0, 1, 2))
+    assert(!byId.contains(3L))
+    assert(byId(4L).length === 8 && byId(4L).head === 0 && byId(4L).forall(_ < 100))
+  }
+
   test("multimodal: stub decode runs per-partition with fixed schema") {
     val media = Seq(
       (1L, "image", "abcdef".getBytes("UTF-8")),
