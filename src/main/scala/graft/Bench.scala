@@ -72,7 +72,8 @@ object Bench {
       "repetition_stats", "weighted_mix_stats", "packing_plan",
       "curated_corpus_stats", "events_asof_orders_native",
       "lineitem_in_order_window", "near_dedup_survivors",
-      "near_dup_clusters", "doc_chunks", "frame_sample_plan")
+      "near_dup_clusters", "doc_chunks", "frame_sample_plan",
+      "profile_lineitem")
     val baselineSubsetTotal = best.filterNot(kv => addedSinceBaseline(kv._1)).values.sum
     val passTotals = allPasses.map(_.values.sum)
       .mkString("[", ",", "]")

@@ -385,6 +385,12 @@ object SparkEntry {
         sum(col("k") * col("l_linenumber")).cast("long").as("pair_sum"))
   }
 
+  /** Table profile: per-column null/distinct counts in ONE scan. */
+  private def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate", "l_quantity"))
+      .orderBy(col("column"))
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -427,6 +433,7 @@ object SparkEntry {
     "events_asof_orders" -> (eventsAsofOrders _),
     "events_asof_orders_native" -> (eventsAsofOrdersNative _),
     "lineitem_in_order_window" -> (lineitemInOrderWindow _),
+    "profile_lineitem" -> (profileLineitem _),
     "quantile_quantity" -> (quantileQuantity _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
@@ -615,6 +622,15 @@ object SparkEntry {
         |       CAST(sum(li.l_orderkey * li.l_linenumber) AS BIGINT) AS pair_sum
         |FROM lineitem li JOIN od ON li.l_orderkey = od.k
         |  AND li.l_shipdate >= od.win_start AND li.l_shipdate <= od.win_end""".stripMargin,
+    "profile_lineitem" -> {
+      val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate", "l_quantity")
+      cols.sorted.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "quantile_quantity" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,

@@ -40,4 +40,14 @@ class DqSpec extends AnyFunSuite {
     val rep = Dq.reconciliationReport(Seq(a, b)).collect()
     assert(rep.map(_.getString(0)).toSeq === Seq("a_check", "b_check"))
   }
+
+  test("profile: one-pass null/distinct counts per column") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("a"))
+    ).toDF("k", "v")
+    val p = graft.ops.Profile.profile(df, Seq("k", "v"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p.toSeq === Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+  }
 }
