@@ -117,16 +117,19 @@ object SparkEntry {
     * stitched with check_type.
     */
   private def rollupReconcile(s: SparkSession, dir: String): DataFrame = {
-    // One cached pass over each source feeds all three reconciliation
-    // branches (the reference's six rollup CTEs share one scan the same
-    // way — SURVEY.md §2.4 A2). Tiny here; at cluster scale this is the
-    // difference between 1 and 3 reads of the fact table.
+    // One materialized pass over each source feeds all three
+    // reconciliation branches (the reference's six rollup CTEs share one
+    // scan the same way — SURVEY.md §2.4 A2). localCheckpoint, not
+    // persist: blocks free when the result is unreferenced, so nothing
+    // leaks into the rest of the session (round-2 finding). At cluster
+    // scale this is the difference between 1 and 3 reads of the fact
+    // table.
     val orders = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val fineOrder = li.select(col("l_orderkey").as("k"), dec(col("l_extendedprice")).as("total"))
     val byOrder = Dq.reconcile(
       orders.select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("total")),

@@ -70,12 +70,14 @@ object MinHash {
   def dupPairs(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     // The signature table feeds the band explode, then both sides of the
-    // final signature-compare join — persist it once (k hex strings per
-    // doc: tiny next to the text it replaces) instead of recomputing the
-    // shingle+md5 pipeline per consumer. At cluster scale this is the
-    // table you'd write to storage between stages.
-    val sigs = signatures(df, idCol, textCol, n, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // final signature-compare join — materialize it once (k hex strings
+    // per doc: tiny next to the text it replaces) instead of recomputing
+    // the shingle+md5 pipeline per consumer. localCheckpoint, not
+    // persist: its blocks are reclaimed when the result is unreferenced,
+    // so a library caller can't leak cache across a long session (a
+    // round-2 finding against the persist form). At cluster scale this is
+    // the table you'd write to storage between stages.
+    val sigs = signatures(df, idCol, textCol, n, k).localCheckpoint(true)
     val withBands = sigs.select(col(idCol) +: (0 until k).map(p => col(s"sig_$p"))
       ++: bandCols(k, rowsPerBand): _*)
     val nBands = k / rowsPerBand
