@@ -356,6 +356,16 @@ object LlmQueries {
         Multimodal.mediaFromDocuments(tPar(s, dir, "documents")))
       .orderBy(col("media_id"))
 
+  /** Aspect-fit resize targets (into 224×224, integer math) for the image
+    * subset of the decoded metadata.
+    */
+  private def resizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+        Multimodal.decodeFeatures(
+          Multimodal.mediaFromDocuments(tPar(s, dir, "documents"))),
+        maxW = 224, maxH = 224)
+      .orderBy(col("media_id"))
+
   /** Even-stride frame sampling plan (≤8 frames per clip) over the
     * decoded metadata — which frames a downstream decoder should extract.
     */
@@ -387,6 +397,7 @@ object LlmQueries {
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "frame_sample_plan" -> (frameSamplePlan _),
+    "resize_plan" -> (resizePlan _),
     "pii_scrub_stats" -> (piiScrubStats _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "stratified_sample_stats" -> (stratifiedSampleStats _),
@@ -906,6 +917,27 @@ object LlmQueries {
         |                            WHEN 'video' THEN 1 + n_bytes % 256
         |                            ELSE 1 + n_bytes % 4096 END AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
+    "resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS h0
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id,
+        |         CAST(64 + n_bytes % 512 AS INTEGER) AS width,
+        |         CAST(64 + h0 * 4 AS INTEGER) AS height
+        |  FROM m WHERE media_type = 'image'
+        |)
+        |SELECT media_id, width, height,
+        |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+        |                 WHEN width * 224 <= height * 224 THEN greatest(1, (width * 224) // height)
+        |                 ELSE 224 END AS INTEGER) AS out_w,
+        |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+        |                 WHEN width * 224 <= height * 224 THEN 224
+        |                 ELSE greatest(1, (height * 224) // width) END AS INTEGER) AS out_h
+        |FROM f ORDER BY media_id""".stripMargin,
     "frame_sample_plan" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -82,6 +82,32 @@ object Multimodal {
         col("frame_idx"))
   }
 
+  /** Aspect-fit resize plan: target dimensions fitting each image inside
+    * `maxW`×`maxH` while preserving aspect ratio (never upscaling).
+    * Deliberately INTEGER arithmetic — `w*maxH <= h*maxW` picks the
+    * binding axis and the other side scales by integral `div` — so the
+    * plan is bit-identical on any engine (a float scale factor rounds
+    * differently across platforms). Like [[frameSamplePlan]], this is
+    * metadata-only: the rows tell the decode stage what to produce.
+    */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"maxW=$maxW maxH=$maxH")
+    val needs = col("width") > maxW || col("height") > maxH
+    val heightBinds = col("width") * maxH <= col("height") * maxW
+    features
+      .where(col("media_type") === "image" && col("width") > 0 && col("height") > 0)
+      .withColumn("out_h",
+        when(!needs, col("height"))
+          .when(heightBinds, lit(maxH))
+          .otherwise(greatest(lit(1), expr(s"(height * $maxW) div width").cast("int"))))
+      .withColumn("out_w",
+        when(!needs, col("width"))
+          .when(heightBinds, greatest(lit(1), expr(s"(width * $maxH) div height").cast("int")))
+          .otherwise(lit(maxW)))
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+  }
+
   /** Build a media frame from the documents table (text bytes standing in
     * for undecoded payloads — the plumbing fixture used by tests/bench).
     */

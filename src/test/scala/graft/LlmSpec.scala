@@ -242,6 +242,19 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L).length === 8 && byId(4L).head === 0 && byId(4L).forall(_ < 100))
   }
 
+  test("resizePlan: aspect-fit into the box, no upscaling, non-images excluded") {
+    val feats = Seq(
+      (1L, "image", 0L, 100, 50, 1),   // fits → unchanged
+      (2L, "image", 0L, 448, 224, 1),  // wide: width binds → 224×112
+      (3L, "image", 0L, 100, 1000, 1), // tall: height binds → 22×224
+      (4L, "video", 0L, 1920, 1080, 9) // not an image → excluded
+    ).toDF("media_id", "media_type", "n_bytes", "width", "height", "n_frames")
+    val got = graft.llm.Multimodal.resizePlan(feats, 224, 224)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq((1L, 100, 50), (2L, 224, 112), (3L, 22, 224)))
+  }
+
   test("multimodal: stub decode runs per-partition with fixed schema") {
     val media = Seq(
       (1L, "image", "abcdef".getBytes("UTF-8")),
