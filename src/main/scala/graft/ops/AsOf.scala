@@ -79,7 +79,7 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     // shared key/time names on the right get an internal prefix so the
     // joined output (left ++ right) stays name-unambiguous, then drop
-    val rPrepped = right.select(right.columns.map { c =>
+    val rPrepped = right.select(right.columns.toIndexedSeq.map { c =>
       if (keys.contains(c) || c == rightTs) col(c).as(s"__r_$c") else col(c)
     }: _*)
     val lPlan = left.queryExecution.analyzed

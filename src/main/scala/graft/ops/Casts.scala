@@ -39,7 +39,7 @@ object Casts {
 
   /** Apply [[normNull]] to every column of a frame (extract-time pass). */
   def normNullAll(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.select(df.columns.map(n => normNull(col(n)).as(n)): _*)
+    df.select(df.columns.toIndexedSeq.map(n => normNull(col(n)).as(n)): _*)
 
   /** P5 — lease-job tolerant int: null/blank → null, else cast("int").
     * Spark's non-ANSI string→int cast nulls anything non-integral

@@ -22,7 +22,7 @@ object Salt {
   def saltedSum(df: DataFrame, keys: Seq[String], measures: Seq[String],
                 factor: Int = 16): DataFrame = {
     val withSalt = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(factor)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(factor)))
     val pAggs: Seq[Column] = measures.map(m => sum(col(m)).as(m))
     val partial = withSalt
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -60,7 +60,7 @@ object Salt {
         s"'$joinType' would emit every unmatched right row $factor times " +
         s"(the right side is replicated across salt values)")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(factor)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(factor)).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

@@ -43,7 +43,7 @@ object Dsv {
     // StringType since inference is off), then bind by name below.
     val base = reader.csv(path)
     // S2: trim header whitespace; P10: normalize null tokens + trim values.
-    val trimmed = base.toDF(base.columns.map(_.trim): _*)
+    val trimmed = base.toDF(base.columns.toIndexedSeq.map(_.trim): _*)
     val bound =
       if (schemaCols.nonEmpty) {
         val present = trimmed.columns.toSet

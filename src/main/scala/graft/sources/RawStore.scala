@@ -21,7 +21,7 @@ object RawStore {
     * the reference's all-string JSONB documents.
     */
   def encode(df: DataFrame, yyyymmCol: String = "yyyymm"): DataFrame = {
-    val payload = struct(df.columns.filterNot(_ == yyyymmCol).map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.filterNot(_ == yyyymmCol).map(col): _*)
     df.select(
       col(yyyymmCol).cast("int").as("yyyymm"),
       to_json(payload).as("raw"),
@@ -42,7 +42,7 @@ object RawStore {
     */
   def decode(df: DataFrame, rawCol: String, fields: Seq[String]): DataFrame = {
     val keep = df.columns.filterNot(_ == rawCol).map(col)
-    df.select(keep :+ from_json(col(rawCol), stringSchema(fields)).as("j"): _*)
-      .select(keep :+ col("j.*"): _*)
+    df.select((keep :+ from_json(col(rawCol), stringSchema(fields)).as("j")).toIndexedSeq: _*)
+      .select((keep :+ col("j.*")).toIndexedSeq: _*)
   }
 }
