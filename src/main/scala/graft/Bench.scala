@@ -42,25 +42,38 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    def runPass(): Map[String, Double] =
+    // elapsed seconds, plus whether the query actually succeeded: a pass
+    // where a query fails fast (transient OOM, missing file) must NOT
+    // feed its small failure time into the min-over-passes below — that
+    // would silently deflate the headline total.
+    def runPass(): Map[String, (Double, Boolean)] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune projection-only plans).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         // Drop anything the query persisted: leaked cache blocks would
         // otherwise squeeze execution memory for every later query.
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
 
     val allPasses = (1 to math.max(1, passes)).map(_ => runPass())
+    // min over SUCCESSFUL passes only; a query that never succeeded keeps
+    // its max observed time (conservative) and is reported as failed.
     val best: Map[String, Double] = SparkEntry.queries.keys.map { name =>
-      name -> allPasses.map(_.getOrElse(name, Double.NaN)).min
+      val runs = allPasses.flatMap(_.get(name))
+      val good = runs.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
     }.toMap
+    val failedQueries = SparkEntry.queries.keys.filter { name =>
+      allPasses.flatMap(_.get(name)).forall(!_._2)
+    }.toSeq.sorted
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -75,10 +88,11 @@ object Bench {
       "near_dup_clusters", "doc_chunks", "frame_sample_plan",
       "profile_lineitem", "resize_plan")
     val baselineSubsetTotal = best.filterNot(kv => addedSinceBaseline(kv._1)).values.sum
-    val passTotals = allPasses.map(_.values.sum)
+    val passTotals = allPasses.map(_.values.map(_._1).sum)
       .mkString("[", ",", "]")
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"note":"value and per-query times are the min over ${allPasses.size} in-JVM passes; pass_totals holds each raw pass sum (spread = machine noise); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"failures":${failedQueries.size},"failed_queries":$failedJson,"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"note":"value and per-query times are the min over successful runs across ${allPasses.size} in-JVM passes (a failed run never deflates the min; all-failed keeps max time and is listed in failed_queries); pass_totals holds each raw pass sum (spread = machine noise); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")

@@ -466,7 +466,7 @@ object LlmQueries {
 
   private val StratifiedKeepSql: String = {
     val cases = SampleFractions.toSeq.sortBy(_._1).map { case (lang, f) =>
-      s"WHEN '$lang' THEN ((doc_id % 1000003) * 2654435761 + 12345) % 1000000 < ${(f * 1e6).toLong}"
+      s"WHEN '$lang' THEN ${Curation.sampleBucketSql("doc_id", 12345L)} < ${(f * 1e6).toLong}"
     }.mkString("\n         ")
     s"CASE lang $cases ELSE FALSE END"
   }
@@ -529,7 +529,7 @@ object LlmQueries {
           else None
         val fracPart =
           if (fracThreshold > 0)
-            Some(s"SELECT doc_id, source FROM documents WHERE source = '$src' AND ((doc_id % 1000003) * 2654435761 + ${12345L + 7919L}) % 1000000 < $fracThreshold")
+            Some(s"SELECT doc_id, source FROM documents WHERE source = '$src' AND ${Curation.sampleBucketSql("doc_id", 12345L + 7919L)} < $fracThreshold")
           else None
         fullPart.toSeq ++ fracPart.toSeq
       }
@@ -598,7 +598,7 @@ object LlmQueries {
          |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
          |), sampled AS (
          |  SELECT * FROM deduped
-         |  WHERE ((doc_id % 1000003) * 2654435761 + 12345) % 1000000 < 500000
+         |  WHERE ${Curation.sampleBucketSql("doc_id", 12345L)} < 500000
          |)
          |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -98,17 +98,43 @@ object Curation {
 
   // ----- deterministic stratified sampling -------------------------------
 
+  // Two-prime residue mix for [[sampleBucket]]. P1/P2 are distinct primes
+  // just under 2^31, so (id % P) * A stays under 2^62 and the two-term sum
+  // under 2^63 — no 64-bit overflow on any engine (DuckDB raises on BIGINT
+  // overflow rather than wrapping, so portability REQUIRES staying in
+  // range). Two ids share a bucket pattern only if congruent mod BOTH
+  // primes, i.e. mod P1*P2 ≈ 4.6e18 — effectively the whole 63-bit id
+  // space, unlike a single small-modulus pre-reduction whose period a
+  // sharded id scheme can alias with.
+  private val SampleP1 = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val SampleP2 = 2147483629L // largest prime below P1
+  private val SampleA = 1000000007L
+  private val SampleB = 998244353L
+
+  /** Deterministic hash bucket in [0, 1e6) for an integer id — the shared
+    * arithmetic behind [[sampleHash]]. Pure BIGINT ops, overflow-free for
+    * |id| < 2^62, so the SAME rows are kept on every engine and every run
+    * (`rand()` is neither reproducible nor oracle-checkable).
+    * [[sampleBucketSql]] is the ANSI-SQL twin; keep them in lockstep.
+    */
+  def sampleBucket(id: Column, seed: Long): Column =
+    pmod((id % lit(SampleP1)) * lit(SampleA) +
+      (id % lit(SampleP2)) * lit(SampleB) + lit(seed), lit(1000000L))
+
+  /** ANSI-SQL twin of [[sampleBucket]] for oracle queries (plain `%` —
+    * identical to pmod for the non-negative ids the tables carry).
+    */
+  def sampleBucketSql(idExpr: String, seed: Long): String =
+    s"((($idExpr % $SampleP1) * $SampleA + ($idExpr % $SampleP2) * $SampleB + $seed) % 1000000)"
+
   /** Keep-decision for a deterministic `fraction` sample keyed on an
-    * integer id: Knuth multiplicative hash, pure BIGINT arithmetic, so the
-    * SAME rows are kept on every engine and every run (`rand()` is neither
-    * reproducible nor oracle-checkable). The id is reduced mod a large
-    * prime first so the multiply cannot overflow 64 bits even for
-    * planet-scale id spaces.
+    * integer id: keep iff [[sampleBucket]] falls below `fraction * 1e6`.
+    * A smaller fraction's keep-set is a subset of a larger one (same
+    * seed), since the bucket does not depend on the fraction.
     */
   def sampleHash(id: Column, fraction: Double, seed: Long = 12345L): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
-    val bucket = pmod((id % lit(1000003L)) * lit(2654435761L) + lit(seed), lit(1000000L))
-    bucket < lit((fraction * 1e6).toLong)
+    sampleBucket(id, seed) < lit((fraction * 1e6).toLong)
   }
 
   /** Stratified sample: one deterministic fraction per stratum value

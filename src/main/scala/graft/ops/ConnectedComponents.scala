@@ -21,6 +21,10 @@ object ConnectedComponents {
 
   /** @param edges two-column frame of undirected edges (any orientation)
     * @return (id, component) — component = min node id reachable
+    * @throws IllegalStateException if `maxIter` rounds pass without
+    *         reaching the fixpoint — a silent return of half-propagated
+    *         labels would hand callers (near-dup clustering, min-survivor
+    *         dedup) split clusters with no signal anything went wrong
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 20): DataFrame = {
@@ -49,6 +53,11 @@ object ConnectedComponents {
       labels = updated.select(col("id"), col("component"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within maxIter=$maxIter " +
+          "rounds; labels would be split mid-propagation — raise maxIter " +
+          "(rounds needed grows with component diameter)")
     labels
   }
 }

@@ -126,11 +126,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val c = keyOrd.compare(rHeadKey, lKey)
           if (c < 0) {
             advanceRight() // right key exhausted before reaching lKey
-          } else if (c == 0 &&
-            (lTime != null && {
-              val rt = rTimeB.eval(rHead)
-              rt != null && timeOrd.asInstanceOf[Ordering[Any]].lteq(rt, lTime)
-            })) {
+          } else if (c == 0 && {
+            val rt = rTimeB.eval(rHead)
+            // a null right time sorts NULLS FIRST under the required
+            // ascending ordering, i.e. "infinitely early": it is ≤ every
+            // left time (and ≤ a null left time) — carry it, exactly as
+            // the composed form's last(ignoreNulls) window does. Stopping
+            // here instead would stall the cursor on the null-time row
+            // and silently drop all later matches for this key.
+            rt == null ||
+              (lTime != null && timeOrd.asInstanceOf[Ordering[Any]].lteq(rt, lTime))
+          }) {
             carried = rHead // newest right row ≤ lTime for this key
             carriedKey = rHeadKey
             advanceRight()

@@ -67,6 +67,40 @@ class AsOfSpec extends AnyFunSuite {
     assert(planStr.contains("Sort"), planStr.take(500))
   }
 
+  test("native as-of: null right timestamps carry like the composed form, never stall the cursor") {
+    // a null rts sorts NULLS FIRST (ascending), i.e. "infinitely early":
+    // the composed form's last(ignoreNulls) window carries its values into
+    // every later row of the key. Before the null-skip fix, the exec's
+    // merge loop stalled on the null-time row and silently dropped ALL
+    // later matches for the key (including valid rts <= lts ones).
+    val left = Seq(
+      (1L, 5L, "before-valid"),   // only the null-ts snapshot precedes it
+      (1L, 15L, "after-valid"),   // a valid rts=10 row precedes it
+      (2L, 50L, "no-null-key")    // control key without a null-ts row
+    ).toDF("k", "lt", "ev")
+      .select(col("k"), timestamp_micros(col("lt")).as("lts"), col("ev"))
+    val right = Seq(
+      (1L, None: Option[Long], 7),
+      (1L, Some(10L), 100),
+      (2L, Some(40L), 200)
+    ).toDF("k", "rt", "snap")
+      .select(col("k"),
+        timestamp_micros(col("rt")).as("rts"), col("snap"))
+
+    val composed = AsOf.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .select("k", "ev", "snap").orderBy("k", "ev")
+      .collect().map(_.toSeq).toSeq
+    val native = AsOf.asofJoinNative(left, right, Seq("k"), "lts", "rts")
+      .select("k", "ev", "snap").orderBy("k", "ev")
+      .collect().map(_.toSeq).toSeq
+    assert(native === composed)
+    // and the carried values are the ones the semantics demand
+    val byEv = native.map(r => r(1) -> r(2)).toMap
+    assert(byEv("before-valid") === 7)   // null-ts snapshot carried
+    assert(byEv("after-valid") === 100)  // later valid snapshot NOT lost
+    assert(byEv("no-null-key") === 200)
+  }
+
   test("native as-of: keys with no right rows yield nulls; empty right side works") {
     val left = Seq((9L, 100L, "x")).toDF("k", "lt", "ev")
       .select(col("k"), timestamp_micros(col("lt")).as("lts"), col("ev"))

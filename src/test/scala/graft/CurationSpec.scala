@@ -97,6 +97,38 @@ class CurationSpec extends AnyFunSuite {
     assert(s4 !== s1)
   }
 
+  test("sampleBucket: engine-portable (DuckDB parity), full-width id mixing, no overflow") {
+    import java.sql.DriverManager
+    // ids that stress the arithmetic: 0, small, pairs congruent mod the
+    // old 1000003 pre-reduction modulus (which forced identical keep
+    // decisions before the two-prime mix), and ids near the 2^62 bound
+    val ids = Seq(0L, 1L, 42L, 1000003L, 2000006L, 77L, 77L + 1000003L,
+      2147483646L, 2147483647L, 2147483648L,
+      (1L << 61) - 1, (1L << 62) - 3, (1L << 62) - 1)
+    val df = ids.toDF("id")
+    val got = df.select(col("id"), Curation.sampleBucket(col("id"), 12345L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // DuckDB evaluates the SQL twin to the same buckets (it would RAISE,
+    // not wrap, on 64-bit overflow — so parity also proves in-range math)
+    Class.forName("org.duckdb.DuckDBDriver")
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val sql = ids.map(i =>
+        s"SELECT CAST($i AS BIGINT) AS id, ${Curation.sampleBucketSql(s"CAST($i AS BIGINT)", 12345L)} AS b")
+        .mkString(" UNION ALL ")
+      val rs = conn.createStatement().executeQuery(sql)
+      while (rs.next()) assert(rs.getLong(2) === got(rs.getLong(1)),
+        s"duckdb bucket mismatch for id=${rs.getLong(1)}")
+    } finally conn.close()
+
+    // the old scheme's failure mode is gone: ids congruent mod 1000003
+    // now land in different buckets (full 64-bit id influences the hash)
+    assert(got(1000003L) !== got(2000006L))
+    assert(got(77L) !== got(77L + 1000003L))
+    assert(got.values.forall(b => b >= 0 && b < 1000000L))
+  }
+
   test("weightedMix: integer weights replicate exactly, fractions sample, unlisted drop") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val mixed = Curation.weightedMix(df, "id", "src",

@@ -52,6 +52,17 @@ class LlmSpec extends AnyFunSuite {
     assert(got.size === 15) // only nodes that appear in edges
   }
 
+  test("connected components: exhausting maxIter before the fixpoint throws") {
+    import graft.ops.ConnectedComponents
+    // a 10-node chain needs several min-label rounds; maxIter=1 cannot
+    // converge and must NOT silently return half-propagated labels
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("s", "d")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, "s", "d", maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+  }
+
   test("dropNearDups removes the higher id of each near-dup pair, keeps the rest") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
