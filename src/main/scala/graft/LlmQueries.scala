@@ -122,6 +122,16 @@ object LlmQueries {
         minEstJaccard = 0.5)
       .orderBy(col("cluster_id"), col("doc_id"))
 
+  /** Same clusters via the alternating large-star/small-star closure —
+    * rounds grow with log²(cluster size), not cluster diameter, so deep
+    * template chains can't turn the closure into a diameter-length
+    * shuffle series. Shares near_dup_clusters' recursive-CTE oracle.
+    */
+  private def nearDupClustersLogstar(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
+        minEstJaccard = 0.5, alternating = true)
+      .orderBy(col("cluster_id"), col("doc_id"))
+
   /** Survivors after the single-pass near-dup drop (est Jaccard ≥ 0.5),
     * summarized (count + id sum prove the exact survivor set).
     */
@@ -387,6 +397,7 @@ object LlmQueries {
     "minhash_dup_pairs" -> (minhashDupPairs _),
     "near_dedup_survivors" -> (nearDedupSurvivors _),
     "near_dup_clusters" -> (nearDupClusters _),
+    "near_dup_clusters_logstar" -> (nearDupClustersLogstar _),
     "simhash_fingerprints" -> (simhashFingerprints _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -483,6 +494,51 @@ object LlmQueries {
     s"""round(CASE WHEN len($c) > 0
        | THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct($c)) AS DOUBLE) / CAST(len($c) AS DOUBLE)
        | ELSE 0.0 END, 6)""".stripMargin
+
+  /** Shared by near_dup_clusters and near_dup_clusters_logstar: both
+    * Spark closures must reproduce the same recursive-CTE transitive
+    * closure over the LSH candidate graph.
+    */
+  private val NearDupClustersSql: String = {
+    val matchSum = (0 until 8).map(p =>
+      s"(CASE WHEN sa.sig_$p = sb.sig_$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, $Toks AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id, $Shingles AS shingles FROM base
+       |), sigs AS (
+       |  SELECT doc_id,
+       |       $SigExprs
+       |  FROM sh
+       |), bands AS (
+       |  SELECT doc_id, u.b AS band_idx,
+       |         CASE u.b WHEN 0 THEN sig_0 || '|' || sig_1
+       |                  WHEN 1 THEN sig_2 || '|' || sig_3
+       |                  WHEN 2 THEN sig_4 || '|' || sig_5
+       |                  ELSE sig_6 || '|' || sig_7 END AS band_val
+       |  FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
+       |              JOIN sigs sb ON c.id_b = sb.doc_id
+       |  WHERE ($matchSum) / 8.0 >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+       |)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY 1
+       |ORDER BY cluster_id, doc_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "pii_scrub_stats" ->
@@ -758,46 +814,9 @@ object LlmQueries {
          |FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM dropped)""".stripMargin
     },
-    "near_dup_clusters" -> {
-      val matchSum = (0 until 8).map(p =>
-        s"(CASE WHEN sa.sig_$p = sb.sig_$p THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH RECURSIVE base AS (
-         |  SELECT doc_id, $Toks AS toks FROM documents
-         |), sh AS (
-         |  SELECT doc_id, $Shingles AS shingles FROM base
-         |), sigs AS (
-         |  SELECT doc_id,
-         |       $SigExprs
-         |  FROM sh
-         |), bands AS (
-         |  SELECT doc_id, u.b AS band_idx,
-         |         CASE u.b WHEN 0 THEN sig_0 || '|' || sig_1
-         |                  WHEN 1 THEN sig_2 || '|' || sig_3
-         |                  WHEN 2 THEN sig_4 || '|' || sig_5
-         |                  ELSE sig_6 || '|' || sig_7 END AS band_val
-         |  FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id
-         |), pairs AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
-         |              JOIN sigs sb ON c.id_b = sb.doc_id
-         |  WHERE ($matchSum) / 8.0 >= 0.5
-         |), edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs
-         |), reach AS (
-         |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
-         |)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM reach GROUP BY 1
-         |ORDER BY cluster_id, doc_id""".stripMargin
-    },
+    "near_dup_clusters" -> NearDupClustersSql,
+    // identical semantics, different closure algorithm on the Spark side
+    "near_dup_clusters_logstar" -> NearDupClustersSql,
     "simhash_fingerprints" ->
       s"""WITH base AS (
          |  SELECT doc_id, list_transform($Toks, t -> md5(t)) AS hs FROM documents

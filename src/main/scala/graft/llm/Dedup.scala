@@ -56,14 +56,23 @@ object Dedup {
     * min-survivor dedup with no over-drop). Only documents appearing in
     * at least one candidate pair are returned (singletons are trivially
     * their own cluster).
+    *
+    * `alternating = true` switches the closure to
+    * [[graft.ops.ConnectedComponents.componentsAlternating]] (identical
+    * labels, O(log² n) rounds instead of cluster-diameter rounds) — the
+    * setting for corpora where template chains make clusters deep.
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
-                      minEstJaccard: Double = 0.5): DataFrame = {
+                      minEstJaccard: Double = 0.5,
+                      alternating: Boolean = false): DataFrame = {
     val edges = MinHash.dupPairs(df, idCol, textCol)
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"))
-    graft.ops.ConnectedComponents.components(edges, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val cc =
+      if (alternating)
+        graft.ops.ConnectedComponents.componentsAlternating(edges, "id_a", "id_b")
+      else graft.ops.ConnectedComponents.components(edges, "id_a", "id_b")
+    cc.select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates

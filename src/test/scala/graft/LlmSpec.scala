@@ -52,6 +52,38 @@ class LlmSpec extends AnyFunSuite {
     assert(got.size === 15) // only nodes that appear in edges
   }
 
+  test("alternating components: matches min-label propagation, converges on deep chains") {
+    import graft.ops.ConnectedComponents
+    // parity on a mixed graph: chain, isolated pair, triangle
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L), (201L, 202L), (200L, 202L))).toDF("s", "d")
+    val viaLabel = ConnectedComponents.components(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = ConnectedComponents.componentsAlternating(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaLabel)
+
+    // a 64-node chain: diameter 63 exceeds min-label's default budget,
+    // but the star alternation needs only ~log^2 rounds
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("s", "d")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, "s", "d", maxIter = 20).collect()
+    }
+    val got = ConnectedComponents.componentsAlternating(chain, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64 && got.values.forall(_ === 0L))
+
+    // parity on a deterministic pseudo-random multigraph (dup edges, any
+    // orientation, self-loops)
+    val rand = ((0 until 300).map(i => ((i * 7919L + 13) % 97, (i * 104729L + 7) % 97)) ++
+      Seq((5L, 5L))).toDF("s", "d")
+    val a = ConnectedComponents.components(rand, "s", "d", maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ConnectedComponents.componentsAlternating(rand, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === a)
+  }
+
   test("connected components: exhausting maxIter before the fixpoint throws") {
     import graft.ops.ConnectedComponents
     // a 10-node chain needs several min-label rounds; maxIter=1 cannot
