@@ -64,19 +64,20 @@ object Bench {
       }
 
     val allPasses = (1 to math.max(1, passes)).map(_ => runPass())
-    // min over SUCCESSFUL passes only; a query that never succeeded keeps
-    // its max observed time (conservative) and is reported as failed.
-    val best: Map[String, Double] = SparkEntry.queries.keys.map { name =>
-      val runs = allPasses.flatMap(_.get(name))
-      val good = runs.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
+    // min over SUCCESSFUL passes only. A query that never succeeded has NO
+    // real run time — a fail-fast error (missing file) would understate it
+    // and a timeout-ish failure overstate it — so it contributes null to
+    // `queries` and nothing to the headline `value`; `failures` /
+    // `failed_queries` carry the incompleteness signal.
+    val best: Map[String, Option[Double]] = SparkEntry.queries.keys.map { name =>
+      val good = allPasses.flatMap(_.get(name)).collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }.toMap
-    val failedQueries = SparkEntry.queries.keys.filter { name =>
-      allPasses.flatMap(_.get(name)).forall(!_._2)
-    }.toSeq.sorted
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.values.sum else 0.0
+    val failedQueries = best.collect { case (name, None) => name }.toSeq.sorted
+    val qs = best.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
+    val total = best.values.flatten.sum
     // The 49 s baseline (BASELINE.md) was recorded over the round-1/2
     // query set; queries added since are broken out so the baseline
     // comparison stays apples-to-apples as the surface grows.
@@ -87,12 +88,13 @@ object Bench {
       "lineitem_in_order_window", "near_dedup_survivors",
       "near_dup_clusters", "doc_chunks", "frame_sample_plan",
       "profile_lineitem", "resize_plan", "near_dup_clusters_logstar")
-    val baselineSubsetTotal = best.filterNot(kv => addedSinceBaseline(kv._1)).values.sum
+    val baselineSubsetTotal =
+      best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)
       .mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"failures":${failedQueries.size},"failed_queries":$failedJson,"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"note":"value and per-query times are the min over successful runs across ${allPasses.size} in-JVM passes (a failed run never deflates the min; all-failed keeps max time and is listed in failed_queries); pass_totals holds each raw pass sum (spread = machine noise); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"failures":${failedQueries.size},"failed_queries":$failedJson,"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"note":"value and per-query times are the min over successful runs across ${allPasses.size} in-JVM passes (a failed run never deflates the min; a query with no successful run is null in queries, excluded from value, and listed in failed_queries); pass_totals holds each raw pass sum (spread = machine noise); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")

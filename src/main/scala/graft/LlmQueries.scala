@@ -113,23 +113,26 @@ object LlmQueries {
     MinHash.dupPairs(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Exact near-dup clusters: connected components over the candidate
-    * graph (iterative min-label propagation), oracle-checked against a
-    * recursive-CTE transitive closure.
+  /** Exact near-dup clusters via the opt-in min-label propagation
+    * closure, oracle-checked against a recursive-CTE transitive closure.
+    * (The library DEFAULT is the alternating closure — exercised by
+    * near_dup_clusters_logstar below; this entry keeps the
+    * diameter-bound path oracle-covered.)
     */
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
-        minEstJaccard = 0.5)
+        minEstJaccard = 0.5, alternating = false)
       .orderBy(col("cluster_id"), col("doc_id"))
 
-  /** Same clusters via the alternating large-star/small-star closure —
-    * rounds grow with log²(cluster size), not cluster diameter, so deep
-    * template chains can't turn the closure into a diameter-length
-    * shuffle series. Shares near_dup_clusters' recursive-CTE oracle.
+  /** Same clusters via the DEFAULT alternating large-star/small-star
+    * closure — rounds grow with log²(cluster size), not cluster diameter,
+    * so deep template chains can't turn the closure into a
+    * diameter-length shuffle series. Shares near_dup_clusters'
+    * recursive-CTE oracle.
     */
   private def nearDupClustersLogstar(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
-        minEstJaccard = 0.5, alternating = true)
+        minEstJaccard = 0.5)
       .orderBy(col("cluster_id"), col("doc_id"))
 
   /** Survivors after the single-pass near-dup drop (est Jaccard ≥ 0.5),

@@ -121,11 +121,19 @@ object Curation {
     pmod((id % lit(SampleP1)) * lit(SampleA) +
       (id % lit(SampleP2)) * lit(SampleB) + lit(seed), lit(1000000L))
 
-  /** ANSI-SQL twin of [[sampleBucket]] for oracle queries (plain `%` —
-    * identical to pmod for the non-negative ids the tables carry).
+  /** ANSI-SQL twin of [[sampleBucket]]. The outer reduction uses the
+    * double-`%` pmod idiom `((x % m) + m) % m` because ANSI `%` follows
+    * the dividend's sign: a negative id would otherwise land below every
+    * keep-threshold on the SQL side while Spark's `pmod` kept it — a
+    * silent engine divergence. (The INNER `id % P` terms deliberately stay
+    * plain `%`: Spark's `%` is also sign-of-dividend there, so the two
+    * sides agree term by term for any id sign.)
     */
-  def sampleBucketSql(idExpr: String, seed: Long): String =
-    s"((($idExpr % $SampleP1) * $SampleA + ($idExpr % $SampleP2) * $SampleB + $seed) % 1000000)"
+  def sampleBucketSql(idExpr: String, seed: Long): String = {
+    val mixed =
+      s"(($idExpr % $SampleP1) * $SampleA + ($idExpr % $SampleP2) * $SampleB + $seed)"
+    s"((($mixed % 1000000) + 1000000) % 1000000)"
+  }
 
   /** Keep-decision for a deterministic `fraction` sample keyed on an
     * integer id: keep iff [[sampleBucket]] falls below `fraction * 1e6`.

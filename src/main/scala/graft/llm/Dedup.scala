@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default [[embeddingNearDups]] bucket cap. Finite BY DESIGN: the
+    * naive caller must get the skew-bounded path — an uncapped hot bucket
+    * is an O(n²) straggler task at corpus scale, and callers who can
+    * prove their buckets small can opt out with `Int.MaxValue`.
+    */
+  val DefaultMaxBucketSize: Int = 10000
+
   /** Exact-duplicate groups: normalized-text fingerprints with >1 doc. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fingerprint"))
@@ -57,14 +64,17 @@ object Dedup {
     * at least one candidate pair are returned (singletons are trivially
     * their own cluster).
     *
-    * `alternating = true` switches the closure to
-    * [[graft.ops.ConnectedComponents.componentsAlternating]] (identical
-    * labels, O(log² n) rounds instead of cluster-diameter rounds) — the
-    * setting for corpora where template chains make clusters deep.
+    * The closure defaults to
+    * [[graft.ops.ConnectedComponents.componentsAlternating]] (O(log² n)
+    * rounds regardless of cluster diameter) — the shape that survives
+    * corpora where template chains make clusters deep. `alternating =
+    * false` opts into plain min-label propagation (identical labels,
+    * rounds = cluster diameter): marginally fewer jobs per round when
+    * clusters are known shallow.
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       minEstJaccard: Double = 0.5,
-                      alternating: Boolean = false): DataFrame = {
+                      alternating: Boolean = true): DataFrame = {
     val edges = MinHash.dupPairs(df, idCol, textCol)
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"))
@@ -86,12 +96,14 @@ object Dedup {
     * task at ~cap² compares at a documented recall cost: cross-sub-bucket
     * pairs of the hot bucket are skipped (≈1-1/⌈n/cap⌉ of that bucket's
     * pairs). Results on buckets at-or-under the cap are unchanged. The
-    * default (no cap) keeps exact within-bucket semantics and adds no
-    * extra shuffle.
+    * default cap of 10,000 bounds any single task at ~10⁸ compares —
+    * minutes, not days, under one hot label; pass `Int.MaxValue` to opt
+    * into exact (uncapped) within-bucket semantics, which also skips the
+    * size-table join entirely.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         bucketCol: String, threshold: Double,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                        maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       col(bucketCol).as("__bucket"))
     val keyed =

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 /** Connected components over an edge list by iterative min-label
   * propagation: every node's label starts as its own id and each round
@@ -12,10 +13,13 @@ import org.apache.spark.sql.functions._
   * Spark-first iteration shape (what GraphFrames does under the hood):
   * each round is one join + one aggregation, both keyed on node id, and
   * `localCheckpoint` cuts the lineage so plans don't grow with the
-  * iteration count. Rounds needed = component diameter — for near-dup
-  * clusters (small, dense) that's 2-4; the `maxIter` bound is a safety
-  * rail, not the expected cost. Convergence = no label changed this
-  * round (probed with a `limit(1)` existence check, not a full count).
+  * iteration count; the previous round's checkpoint blocks are released
+  * as soon as the new round is materialized, so executor memory holds
+  * ONE generation of state, not one per iteration. Rounds needed =
+  * component diameter — for near-dup clusters (small, dense) that's 2-4;
+  * the `maxIter` bound is a safety rail, not the expected cost.
+  * Convergence = no label changed this round (probed with a `limit(1)`
+  * existence check, not a full count).
   */
 object ConnectedComponents {
 
@@ -32,9 +36,10 @@ object ConnectedComponents {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
+    var ckpt = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    var labels = ckpt
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -50,6 +55,8 @@ object ConnectedComponents {
         .localCheckpoint(true)
       converged = updated
         .where(col("component") =!= col("__old")).limit(1).count() == 0
+      CheckpointBridge.release(ckpt) // superseded generation — free now
+      ckpt = updated
       labels = updated.select(col("id"), col("component"))
       iter += 1
     }
@@ -58,6 +65,9 @@ object ConnectedComponents {
         s"connected components did not converge within maxIter=$maxIter " +
           "rounds; labels would be split mid-propagation — raise maxIter " +
           "(rounds needed grows with component diameter)")
+    // the result reads only the final checkpoint; the symmetrized edge
+    // set served its last join in the loop above
+    CheckpointBridge.release(sym)
     labels
   }
 
@@ -77,6 +87,21 @@ object ConnectedComponents {
     * Edges stay canonical (u, v) with u > v; at the fixpoint the edge set
     * is a star forest (child → component-minimum root), read off as the
     * labeling directly.
+    *
+    * Fixpoint probe: one aggregate per edge set — `(count,
+    * sum(xxhash64(u, v)))` as an order-independent set signature —
+    * and the previous round's signature is REUSED, so convergence costs
+    * one job per alternation (the earlier `count + count + except` probe
+    * cost three, one of them a distinct-aggregate over both sets; at
+    * 100 TB the probe rivaled the star steps it guarded). Both sides are
+    * distinct canonical sets, so equal signatures certify set equality up
+    * to a 64-bit-per-row hash-sum collision (the sum accumulates in
+    * DECIMAL(38,0): exact, order-independent, overflow-free, and immune
+    * to ANSI-mode overflow throws under a user's session).
+    *
+    * The previous round's checkpoint blocks are released once the new
+    * edge set is materialized — one generation of state in executor
+    * memory, matching [[components]].
     *
     * Output contract matches [[components]]: (id, component) for every
     * node appearing in `edges`, component = min reachable node id.
@@ -98,6 +123,7 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    var eSig = edgeSignature(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -125,11 +151,11 @@ object ConnectedComponents {
           least(col("n"), col("m")).as("v"))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint = edge set unchanged (both sides are distinct canonical
-      // sets, so equal counts + empty one-way difference ⇒ equality)
-      converged = ss.count() == e.count() &&
-        ss.except(e).limit(1).count() == 0
+      val ssSig = edgeSignature(ss)
+      converged = ssSig == eSig
+      CheckpointBridge.release(e) // superseded generation — free now
       e = ss
+      eSig = ssSig
       iter += 1
     }
     if (!converged)
@@ -141,5 +167,19 @@ object ConnectedComponents {
     // that only appeared in self-loops) label themselves
     nodes.join(e, nodes("id") === e("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
+  /** Order-independent set signature of a canonical edge set: one
+    * aggregate job producing (row count, exact decimal sum of per-row
+    * 64-bit hashes). Equal signatures on two DISTINCT sets certify
+    * equality up to hash-sum collision.
+    */
+  private def edgeSignature(e: DataFrame): (Long, java.math.BigDecimal) = {
+    val row = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("h"))
+      .head()
+    (row.getLong(0), row.getDecimal(1).stripTrailingZeros())
   }
 }

@@ -84,6 +84,75 @@ class LlmSpec extends AnyFunSuite {
     assert(b === a)
   }
 
+  test("components: superseded checkpoint generations are released each round") {
+    import graft.ops.ConnectedComponents
+    val sc = spark.sparkContext
+    // deep chain + triangle: several rounds for BOTH closures, so an
+    // unreleased generation per round would show up as unbounded growth
+    val edges = ((0L until 20L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (200L, 202L))).toDF("s", "d")
+
+    def persistedGrowth(run: => Unit): Int = {
+      val before = sc.getPersistentRDDs.keySet
+      run
+      (sc.getPersistentRDDs.keySet -- before).size
+    }
+
+    // min-label: survivors = the returned labels' final checkpoint only
+    // (the symmetrized edge set is released after its last join)
+    val gLabel = persistedGrowth {
+      ConnectedComponents.components(edges, "s", "d", maxIter = 30).count()
+    }
+    assert(gLabel <= 2, s"min-label left $gLabel checkpoint RDDs pinned " +
+      "(superseded label generations must be unpersisted)")
+
+    // alternating: survivors = the node set + the final star forest the
+    // result reads; every superseded edge generation must be gone
+    val gStar = persistedGrowth {
+      ConnectedComponents.componentsAlternating(edges, "s", "d").count()
+    }
+    assert(gStar <= 3, s"alternating left $gStar checkpoint RDDs pinned " +
+      "(superseded edge generations must be unpersisted)")
+  }
+
+  test("alternating components: fixpoint probe costs one query action per round") {
+    import graft.ops.ConnectedComponents
+    // Count query ACTIONS (not Spark jobs — AQE splits one query into a
+    // job per shuffle stage, so job counts say nothing about probe cost).
+    // 64-node chain: diameter 63, alternating closure converges in ~6
+    // rounds. Per round = 1 eager checkpoint + 1 signature head; setup =
+    // 2 checkpoints + 1 signature; result evaluation = 1 ⇒ 4 + 2R ≈ 16.
+    // The superseded triple probe (count + count + except·count) cost 2
+    // extra actions per round (4 + 4R ≈ 28) — the bound fails if it
+    // comes back.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("s", "d")
+    spark.listenerManager.register(ql)
+    val n =
+      try {
+        ConnectedComponents.componentsAlternating(chain, "s", "d").count()
+        // the listener bus is async: poll until the counter stops moving
+        var last = -1
+        var spins = 0
+        while (actions.get() != last && spins < 50) {
+          last = actions.get(); Thread.sleep(100); spins += 1
+        }
+        actions.get()
+      } finally spark.listenerManager.unregister(ql)
+    assert(n > 0 && n <= 20,
+      s"componentsAlternating ran $n query actions on a 64-chain; the " +
+        "one-aggregate signature probe should keep this at 2 per " +
+        "alternation plus setup")
+  }
+
   test("connected components: exhausting maxIter before the fixpoint throws") {
     import graft.ops.ConnectedComponents
     // a 10-node chain needs several min-label rounds; maxIter=1 cannot
@@ -187,6 +256,14 @@ class LlmSpec extends AnyFunSuite {
         maxBucketSize = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bigCap === exact)
+    // the DEFAULT is the skew-bounded path (finite cap), and an explicit
+    // uncapped call agrees with it on buckets under the cap
+    assert(Dedup.DefaultMaxBucketSize > 0 &&
+      Dedup.DefaultMaxBucketSize < Int.MaxValue)
+    val uncapped = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.9,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === exact)
   }
 
   test("text stats: counts and ratios on a known sentence") {
