@@ -87,7 +87,8 @@ object Bench {
       "curated_corpus_stats", "events_asof_orders_native",
       "lineitem_in_order_window", "near_dedup_survivors",
       "near_dup_clusters", "doc_chunks", "frame_sample_plan",
-      "profile_lineitem", "resize_plan", "near_dup_clusters_logstar")
+      "profile_lineitem", "resize_plan", "near_dup_clusters_logstar",
+      "lineitem_in_order_window_native")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

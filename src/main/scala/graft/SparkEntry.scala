@@ -388,6 +388,25 @@ object SparkEntry {
         sum(col("k") * col("l_linenumber")).cast("long").as("pair_sum"))
   }
 
+  /** The SAME interval join executed by the native interval-sweep merge
+    * ([[graft.plans.IntervalJoinExec]]): co-partitioned on the key, both
+    * sides sorted once, no bucket explode, no `BETWEEN` re-filter. Shares
+    * lineitem_in_order_window's oracle — the two-engine proof pattern
+    * that caught the as-of null-time bug.
+    */
+  private def lineitemInOrderWindowNative(s: SparkSession, dir: String): DataFrame = {
+    val li = tPar(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_shipdate"), col("l_linenumber"))
+    val od = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderdate").cast("timestamp").as("win_start"),
+      (col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("timestamp").as("win_end"))
+    graft.ops.RangeJoin.intervalJoinNative(li, od, Seq("k"),
+        "l_shipdate", "win_start", "win_end")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("k") * col("l_linenumber")).cast("long").as("pair_sum"))
+  }
+
   /** Table profile: per-column null/distinct counts in ONE scan. */
   private def profileLineitem(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profile.profile(t(s, dir, "lineitem"),
@@ -436,6 +455,7 @@ object SparkEntry {
     "events_asof_orders" -> (eventsAsofOrders _),
     "events_asof_orders_native" -> (eventsAsofOrdersNative _),
     "lineitem_in_order_window" -> (lineitemInOrderWindow _),
+    "lineitem_in_order_window_native" -> (lineitemInOrderWindowNative _),
     "profile_lineitem" -> (profileLineitem _),
     "quantile_quantity" -> (quantileQuantity _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
@@ -616,6 +636,16 @@ object SparkEntry {
         |  ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
         |ORDER BY event_id""".stripMargin,
     "lineitem_in_order_window" ->
+      """WITH od AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS win_start,
+        |         o_orderdate + INTERVAL 60 DAY AS win_end
+        |  FROM orders
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(li.l_orderkey * li.l_linenumber) AS BIGINT) AS pair_sum
+        |FROM lineitem li JOIN od ON li.l_orderkey = od.k
+        |  AND li.l_shipdate >= od.win_start AND li.l_shipdate <= od.win_end""".stripMargin,
+    "lineitem_in_order_window_native" ->
       """WITH od AS (
         |  SELECT o_orderkey AS k, o_orderdate AS win_start,
         |         o_orderdate + INTERVAL 60 DAY AS win_end

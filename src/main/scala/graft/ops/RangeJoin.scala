@@ -50,4 +50,56 @@ object RangeJoin {
       .where(col("__lm") >= col("__rs") && col("__lm") <= col("__re"))
       .drop("__lm", "__rs", "__re", "__bucket")
   }
+
+  /** The same interval-join semantics as a FIRST-CLASS operator:
+    * [[graft.plans.IntervalJoinPlan]] → [[graft.plans.IntervalJoinStrategy]]
+    * → [[graft.plans.IntervalJoinExec]] interval-sweep merge (custom-
+    * operator ladder rung (c), the same two-engine proof pattern as
+    * [[graft.ops.AsOf.asofJoinNative]]). Registers the strategy on the
+    * session idempotently.
+    *
+    * Result rows are identical to [[intervalJoin]] (any `bucketWidth`):
+    * inner join on equal keys with `rightStart <= leftTs <= rightEnd`,
+    * null keys/times/bounds matching nothing. Output = all left columns,
+    * then all right columns; non-key names must be disjoint. No explode
+    * fan-out and no bucket re-filter, but the shuffle clusters on the key
+    * ALONE — prefer [[intervalJoin]] under heavy key skew (its
+    * (key, bucket) shuffle spreads a hot key over its time range).
+    */
+  def intervalJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTs: String, rightStart: String,
+                         rightEnd: String): DataFrame = {
+    import graft.plans.{IntervalJoinPlan, IntervalJoinStrategy}
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val overlap = left.columns.intersect(right.columns).filterNot(keys.contains)
+    require(overlap.isEmpty, s"overlapping non-key columns: ${overlap.mkString(",")}")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ IntervalJoinStrategy
+    // equi-join null semantics (null keys match nothing) must be imposed
+    // BEFORE the ordering-based merge, which would group null keys; the
+    // internal __lt/__rs/__re columns give both sides one comparable
+    // timestamp type without touching user columns
+    val notNull = (df: DataFrame) =>
+      keys.foldLeft(df)((d, k) => d.where(col(k).isNotNull))
+    val l = notNull(left).withColumn("__lt", micros(col(leftTs)))
+    // shared key names on the right get an internal prefix so the joined
+    // output (left ++ right) stays name-unambiguous, then drop
+    val rPrepped = notNull(right).select(right.columns.toIndexedSeq.map { c =>
+      if (keys.contains(c)) col(c).as(s"__r_$c") else col(c)
+    }: _*)
+      .withColumn("__rs", micros(col(rightStart)))
+      .withColumn("__re", micros(col(rightEnd)))
+    val lPlan = l.queryExecution.analyzed
+    val rPlan = rPrepped.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name'"))
+    val joined = PlanBridge.ofRows(spark, IntervalJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
+      attr(lPlan, "__lt"), attr(rPlan, "__rs"), attr(rPlan, "__re")))
+    joined.drop((keys.map(k => s"__r_$k") ++ Seq("__lt", "__rs", "__re")): _*)
+  }
 }
