@@ -110,7 +110,18 @@ object ConnectedComponents {
     *         the edge set reaching its star-forest fixpoint
     */
   def componentsAlternating(edges: DataFrame, srcCol: String, dstCol: String,
-                            maxIter: Int = 25): DataFrame = {
+                            maxIter: Int = 25): DataFrame =
+    componentsAlternatingCounted(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[componentsAlternating]] plus the number of alternations the
+    * closure actually ran (known driver-side once the loop converges —
+    * the labeling itself stays lazy). The count is what scale tests
+    * assert against the O(log² n) bound: wall-clock on a contended
+    * machine lies, the round count cannot.
+    */
+  def componentsAlternatingCounted(edges: DataFrame, srcCol: String,
+                                   dstCol: String,
+                                   maxIter: Int = 25): (DataFrame, Int) = {
     val nodes = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
@@ -165,8 +176,9 @@ object ConnectedComponents {
           "(worst case O(log^2 n) rounds)")
     // star forest: every non-root points at its root; roots (and nodes
     // that only appeared in self-loops) label themselves
-    nodes.join(e, nodes("id") === e("u"), "left")
+    val labeled = nodes.join(e, nodes("id") === e("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+    (labeled, iter)
   }
 
   /** Order-independent set signature of a canonical edge set: one
