@@ -15,8 +15,27 @@ import org.apache.spark.sql.DataFrame
   * JDBC calls. (File/lakehouse deployments use [[Idempotent]]/[[Upsert]]
   * instead — same semantics, no out-of-band step.)
   *
-  * Untested in this environment (no database available); exercised
-  * surface is the statement text, which mirrors the reference SQL 1:1.
+  * Dialect envelope (what the tests actually prove): `JdbcSpec` EXECUTES
+  * every helper against an embedded DuckDB, which shares the Postgres
+  * syntax this module emits — `DELETE ... WHERE`, subquery `dbtable`
+  * scans, and `INSERT ... ON CONFLICT (pk) DO UPDATE SET c =
+  * EXCLUDED.c / DO NOTHING`. The reference's actual target is
+  * Postgres 15 (model_curated.py:72-101; transform_operator.py:41-52),
+  * and two behaviors sit OUTSIDE the tested envelope because no Postgres
+  * server exists in this environment:
+  *
+  *  - multi-row `EXCLUDED.*` resolution when one statement carries
+  *    several rows for the same key (Postgres raises
+  *    `cardinality_violation`; DuckDB's semantics differ) — the
+  *    load-table pattern used here avoids it only if the load table is
+  *    unique per pk, which [[graft.ops.DedupeAgg]] upstream guarantees;
+  *  - transaction/locking behavior under CONCURRENT writers (Postgres
+  *    takes per-key locks inside `ON CONFLICT`; DuckDB is
+  *    single-writer).
+  *
+  * Deployments pointing at real Postgres should gate on a smoke run of
+  * these helpers; the statement text itself mirrors the reference SQL
+  * 1:1.
   */
 object Jdbc {
 

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executes every README "Library quickstart" snippet verbatim (same
+  * calls, same argument shapes) so the documented facade can never rot:
+  * if a signature changes, this spec stops compiling before the README
+  * lies to a user.
+  */
+class QuickstartSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and keeps on running today"),
+    (2L, "the quick brown fox jumps over the lazy dog and keeps on running now"),
+    (3L, "the quick brown fox jumps over the lazy dog and keeps on running today"),
+    (4L, "completely different text about distributed query engines at scale")
+  ).toDF("doc_id", "text")
+
+  test("quickstart: reference pipeline facade") {
+    import graft.pdq.Pipeline
+    val root = Files.createTempDirectory("quickstart-pdq").toString
+    def write(path: String, lines: String*): String = {
+      val w = new java.io.PrintWriter(path)
+      lines.foreach(w.println); w.close(); path
+    }
+    val opDsv = write(s"$root/op.dsv",
+      "OPERATOR_NO}OPERATOR_NAME}CYCLE_YEAR}CYCLE_MONTH}CYCLE_YEAR_MONTH}OPER_OIL_PROD_VOL}OPER_GAS_PROD_VOL}OPER_COND_PROD_VOL}OPER_CSGD_PROD_VOL",
+      "123456}ACME OPERATING CO}2024}01}202401}1500.25}32000}0}12.5")
+    val leaseDsv = write(s"$root/lease.dsv",
+      "OPERATOR_NO}DISTRICT_NO}FIELD_NO}LEASE_NO}LEASE_NAME}CYCLE_YEAR}CYCLE_MONTH}CYCLE_YEAR_MONTH}OIL_PROD_VOL}GAS_PROD_VOL}COND_PROD_VOL}CSGD_PROD_VOL}LEASE_OIL_PROD_VOL}LEASE_GAS_PROD_VOL}LEASE_COND_PROD_VOL}LEASE_CSGD_PROD_VOL",
+      "123456}08}54321}11111}SMITH UNIT}2024}01}202401}}}}}1500.25}32000}0}12.5")
+    // README: whole reference DAG for one month -> warehouse + DQ counts
+    val dq = Pipeline.runMonth(spark, opDsv, leaseDsv, s"$root/wh", 202401)
+    assert(dq.negativeOperator === 0 && dq.rollupMismatches === 0)
+  }
+
+  test("quickstart: dedup family") {
+    import graft.llm.Dedup
+    // README: exact dedup, deterministic survivor
+    val unique = Dedup.dropExactDups(docs, "doc_id", "text")
+    assert(unique.count() === 3) // doc 3 is an exact copy of doc 1
+    // README: near-dup clusters via the default alternating-star closure
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text")
+    assert(clusters.where(col("cluster_id") === 1L).count() >= 2)
+  }
+
+  test("quickstart: curation funnel") {
+    import graft.llm.Curation
+    // README: quality/lang/dedup/sample funnel
+    val corpus = Curation.curateCorpus(docs, "doc_id", "text", minQuality = 0.1)
+    assert(corpus.columns.contains("quality_score") &&
+      corpus.columns.contains("lang_pred"))
+    assert(corpus.count() >= 1)
+  }
+
+  test("quickstart: similarity search") {
+    import graft.llm.Similarity
+    val embeddings = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.9f, 0.1f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(0f, 0f, 1f), 1)
+    ).toDF("id", "embedding", "bucket")
+    val queries = embeddings.where(col("id") === 1L)
+      .select(col("id").as("qid"), col("embedding"), col("bucket"))
+    // README: bucketed ANN top-k (brute-force twin: Similarity.knnBrute)
+    val topk = Similarity.knnBucketed(queries, embeddings,
+      "qid", "id", "embedding", "bucket", k = 2)
+    assert(topk.orderBy("rank").select("neighbor_id").as[Long].collect()
+      .toSeq === Seq(2L, 3L))
+  }
+
+  test("quickstart: as-of and interval joins") {
+    import graft.ops.{AsOf, RangeJoin}
+    val events = Seq((7L, 100L, "e1"), (7L, 300L, "e2")).toDF("user_id", "t", "ev")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("ev"))
+    val dims = Seq((7L, 50L, "v1"), (7L, 200L, "v2")).toDF("user_id", "vf", "snap")
+      .select(col("user_id"), timestamp_micros(col("vf")).as("valid_from"), col("snap"))
+    // README: latest dim row at-or-before each event (native merge exec)
+    val snap = AsOf.asofJoinNative(events, dims, Seq("user_id"), "ts", "valid_from")
+    assert(snap.orderBy("ts").select("snap").as[String].collect()
+      .toSeq === Seq("v1", "v2"))
+
+    val points = Seq((1L, 10L, "p")).toDF("k", "t", "tag")
+      .select(col("k"), timestamp_micros(col("t")).as("ts"), col("tag"))
+    val windows = Seq((1L, 5L, 15L, "w")).toDF("k", "s", "e", "win")
+      .select(col("k"), timestamp_micros(col("s")).as("win_start"),
+        timestamp_micros(col("e")).as("win_end"), col("win"))
+    // README: rows inside [start, end] per key (native sweep exec)
+    val within = RangeJoin.intervalJoinNative(points, windows, Seq("k"),
+      "ts", "win_start", "win_end")
+    assert(within.count() === 1)
+  }
+
+  test("quickstart: idempotent month-slice sink") {
+    import graft.sinks.Idempotent
+    val root = Files.createTempDirectory("quickstart-sink").toString
+    val fact = Seq((1L, 202401, 10.0), (2L, 202402, 20.0))
+      .toDF("id", "yyyymm", "value")
+    // README: overwrite exactly the months present in the frame
+    Idempotent.writeMonthSlice(fact, s"$root/fact_monthly")
+    Idempotent.writeMonthSlice(fact.where(col("yyyymm") === 202401),
+      s"$root/fact_monthly") // re-run one month: no double-count
+    assert(spark.read.parquet(s"$root/fact_monthly").count() === 2)
+  }
+
+  test("quickstart: streaming dedup") {
+    import graft.streaming.DedupStream
+    val root = Files.createTempDirectory("quickstart-stream").toString
+    Seq((1L, 100L, "same text"), (2L, 160L, "same  TEXT"), (3L, 200L, "other"))
+      .toDF("doc_id", "t", "text")
+      .select(col("doc_id"), timestamp_micros(col("t") * 1000000L).as("ts"),
+        col("text"))
+      .write.parquet(s"$root/in/f1")
+    val schema = spark.read.parquet(s"$root/in/f1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$root/in/*")
+    // README: fingerprint dedup with watermark-bounded state
+    val q = DedupStream.dropDupsStream(stream, "text", "ts", "10 minutes")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/chk")
+      .format("parquet").option("path", s"$root/out")
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$root/out").count() === 2) // dup dropped
+  }
+}
