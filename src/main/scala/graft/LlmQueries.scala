@@ -326,6 +326,23 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Globally contiguous packing offsets via the sharded two-stage form
+    * (per-shard windows + broadcast shard bases); the oracle computes ONE
+    * global window over the same (shard, doc_id) order — equal hashes
+    * prove the decomposition exact.
+    */
+  private def packingPlanGlobal(s: SparkSession, dir: String): DataFrame = {
+    val toks = tPar(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    Curation.concatChunkPlanGlobal(toks, "doc_id", "n_tokens",
+        budget = 512, shardCol = "shard")
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("chunk_id"), col("offset_in_chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The whole curation funnel (quality/repetition filter → exact dedup →
     * 50% deterministic sample) aggregated per predicted language. Only
     * order-independent aggregates (counts, id sums, min/max) so the
@@ -418,6 +435,7 @@ object LlmQueries {
     "repetition_stats" -> (repetitionStats _),
     "weighted_mix_stats" -> (weightedMixStats _),
     "packing_plan" -> (packingPlan _),
+    "packing_plan_global" -> (packingPlanGlobal _),
     "curated_corpus_stats" -> (curatedCorpusStats _),
     "doc_chunks" -> (docChunks _),
   )
@@ -622,6 +640,20 @@ object LlmQueries {
          |  FROM t
          |)
          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS start_offset,
+         |       CAST(s // 512 AS BIGINT) AS chunk_id, CAST(s % 512 AS BIGINT) AS offset_in_chunk
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "packing_plan_global" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, len(toks) AS n FROM base
+         |), c AS (
+         |  SELECT doc_id, shard, n,
+         |         sum(n) OVER (ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n AS BIGINT) AS n_tokens,
+         |       CAST(s AS BIGINT) AS start_offset,
          |       CAST(s // 512 AS BIGINT) AS chunk_id, CAST(s % 512 AS BIGINT) AS offset_in_chunk
          |FROM c ORDER BY doc_id""".stripMargin,
     "curated_corpus_stats" -> {

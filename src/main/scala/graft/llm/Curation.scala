@@ -305,6 +305,47 @@ object Curation {
       .withColumn("offset_in_chunk", pmod(col("start_offset"), lit(budget.toLong)))
   }
 
+  /** GLOBALLY contiguous packing plan at corpus scale — the form
+    * [[concatChunkPlan]]'s doc warns about: a single global ordered
+    * window is one task, so this decomposes the same arithmetic into
+    * shards. Concatenation order is (`shardCol`, `idCol`) lexicographic;
+    * offsets are identical to one global window over that order (proved
+    * by the spec differential and the oracle, which computes exactly that
+    * single window):
+    *
+    *   1. per-shard running totals — a parallel window partitioned on the
+    *      shard (each shard is one window partition; pick shards so one
+    *      shard's rows fit a task, e.g. `pmod(id, 1024)` over dense ids);
+    *   2. shard token totals → EXCLUSIVE prefix sum, a one-task window
+    *      over #shards ROWS (KBs, not the corpus);
+    *   3. broadcast the shard bases back — no second shuffle of the
+    *      corpus.
+    *
+    * Output matches [[concatChunkPlan]]: input columns +
+    * (start_offset, chunk_id, offset_in_chunk).
+    */
+  def concatChunkPlanGlobal(df: DataFrame, idCol: String, nTokensCol: String,
+                            budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.withColumn("__local_offset",
+      (sum(col(nTokensCol)).over(wLocal) - col(nTokensCol)).cast("long"))
+    val wShards = Window.orderBy(col(shardCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = df.groupBy(col(shardCol))
+      .agg(sum(col(nTokensCol)).cast("long").as("__shard_tokens"))
+      .withColumn("__shard_base",
+        coalesce(sum(col("__shard_tokens")).over(wShards), lit(0L)))
+      .select(col(shardCol), col("__shard_base"))
+    local.join(broadcast(bases), Seq(shardCol))
+      .withColumn("start_offset", col("__shard_base") + col("__local_offset"))
+      .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .withColumn("offset_in_chunk", pmod(col("start_offset"), lit(budget.toLong)))
+      .drop("__local_offset", "__shard_base")
+  }
+
   // ----- within-document repetition --------------------------------------
 
   /** Repetition ratio of any array column: fraction of elements that are

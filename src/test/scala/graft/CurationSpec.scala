@@ -164,6 +164,41 @@ class CurationSpec extends AnyFunSuite {
     assert(sharded.map(_.getAs[Long]("start_offset")).toSeq === Seq(0L, 300L, 600L, 0L))
   }
 
+  test("concatChunkPlanGlobal: two-stage sharded offsets equal one global window") {
+    // 60 docs, uneven token counts, 5 shards of very different weights
+    // (incl. a shard with a single doc) — contiguity must hold across
+    // every shard boundary
+    val df = (1L to 60L).map { i =>
+      (i, (i * 37) % 290 + 1, if (i == 7) 99L else i % 4)
+    }.toDF("id", "n", "shard")
+
+    val twoStage = Curation.concatChunkPlanGlobal(df, "id", "n",
+        budget = 512, shardCol = "shard")
+      .select("id", "start_offset", "chunk_id", "offset_in_chunk")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    // the semantics it must reproduce: ONE window over (shard, id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shard"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val oneWindow = df
+      .withColumn("start_offset", (sum(col("n")).over(w) - col("n")).cast("long"))
+      .withColumn("chunk_id", expr("start_offset div 512"))
+      .withColumn("offset_in_chunk", pmod(col("start_offset"), lit(512L)))
+      .select("id", "start_offset", "chunk_id", "offset_in_chunk")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(twoStage === oneWindow)
+
+    // offsets are globally contiguous: sorted by start_offset, each row
+    // begins exactly where the previous ended
+    val byOffset = Curation.concatChunkPlanGlobal(df, "id", "n", 512, "shard")
+      .select(col("start_offset"), col("n")).orderBy("start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    byOffset.sliding(2).foreach {
+      case Array((s1, n1), (s2, _)) => assert(s2 === s1 + n1)
+      case _ => ()
+    }
+  }
+
   test("curateCorpus funnel: filters, dedups to min id, samples deterministically") {
     // long-enough diverse text passes quality; "the/of/to..." give it
     // stopword mass
