@@ -217,6 +217,19 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multi-probe variant of [[knnCosineLsh]]: each query also probes the
+    * bucket reached by flipping its least-confident sign bit. The oracle
+    * replicates the probe selection with a CASE-chain argmin whose
+    * tiebreak (lowest index) matches the lexicographic struct sort.
+    */
+  private def knnCosineMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    Similarity.knnMultiProbe(
+        emb.where(col("vec_id") < 16), emb, "vec_id", "vec_id", "embedding",
+        k = 5, bits = 4, nProbes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Sampled slice (vec_id % 8 = 0) so the within-bucket pair count stays
     * bounded at bench scale; threshold low enough to emit real pairs on
     * random data.
@@ -425,6 +438,7 @@ object LlmQueries {
     "knn_cosine_brute" -> (knnCosineBrute _),
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
     "knn_cosine_lsh" -> (knnCosineLsh _),
+    "knn_cosine_multiprobe" -> (knnCosineMultiprobe _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "frame_sample_plan" -> (frameSamplePlan _),
@@ -938,6 +952,40 @@ object LlmQueries {
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim
          |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, cosine_sim
+         |FROM s
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "knn_cosine_multiprobe" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+         |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+         |       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM embeddings
+         |), q0 AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, bucket,
+         |         abs(embedding[1]) AS a0, abs(embedding[2]) AS a1,
+         |         abs(embedding[3]) AS a2, abs(embedding[4]) AS a3
+         |  FROM e WHERE vec_id < 16
+         |), qf AS (
+         |  SELECT query_id, qe, bucket,
+         |         CASE WHEN a0 <= a1 AND a0 <= a2 AND a0 <= a3 THEN 1
+         |              WHEN a1 <= a2 AND a1 <= a3 THEN 2
+         |              WHEN a2 <= a3 THEN 4
+         |              ELSE 8 END AS flip
+         |  FROM q0
+         |), q AS (
+         |  SELECT query_id, qe, bucket AS probe FROM qf
+         |  UNION ALL
+         |  SELECT query_id, qe, xor(bucket, flip) AS probe FROM qf
+         |), s AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim
+         |  FROM e JOIN q ON e.bucket = q.probe AND e.vec_id <> q.query_id
          |)
          |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, cosine_sim
          |FROM s

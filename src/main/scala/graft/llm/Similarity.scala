@@ -76,6 +76,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** Multi-probe sign-LSH top-k: like [[knnBucketed]] over [[signBucket]]
+    * partitions, but each query ALSO probes the buckets reached by
+    * flipping its least-confident sign bits (smallest |component| —
+    * the dimensions where a near neighbor most plausibly landed on the
+    * other side of the hyperplane). The standard LSH recall fix without
+    * more tables: candidate volume grows by ×nProbes, not ×2^bits, and
+    * the corpus still never shuffles (probes explode on the broadcast
+    * query side only).
+    *
+    * Deterministic probe order: bits rank by (|component|, index)
+    * ascending; probe j flips the j-th least-confident bit of the base
+    * bucket. Probes are distinct single-bit flips, so a corpus row is
+    * generated at most once per query — no candidate dedup pass.
+    */
+  def knnMultiProbe(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                    idCol: String, vecCol: String, k: Int = 10,
+                    bits: Int = 4, nProbes: Int = 2): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits=$bits")
+    require(nProbes >= 1 && nProbes <= bits + 1, s"nProbes=$nProbes bits=$bits")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), bits).as("__probe"))
+    // per-bit confidence ranking, materialized as an attribute before any
+    // further use (array_sort on the struct array is lexicographic:
+    // weight, then index — a deterministic tiebreak)
+    val ord = array_sort(array((0 until bits).map(i =>
+      struct(abs(element_at(col("__qv"), i + 1)).as("w"), lit(i).as("i"))): _*))
+    def pow2(idx: Column): Column =
+      (0 until bits).foldLeft(lit(0)) { case (acc, i) =>
+        when(idx === i, lit(1 << i)).otherwise(acc)
+      }
+    val q0 = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__base", signBucket(col("__qv"), bits))
+      .withColumn("__ord", ord)
+    val probes = col("__base") +: (1 until nProbes).map(j =>
+      col("__base").bitwiseXOR(pow2(col("__ord").getItem(j - 1).getField("i"))))
+    val q = q0.withColumn("__probe", explode(array(probes: _*)))
+      .select(col("query_id"), col("__qv"), col("__probe"))
+    val sims = c.join(broadcast(q), Seq("__probe"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
   /** IVF-style bucketed top-k: like [[knnBrute]] but candidates must
     * share `bucketCol` with the query — the join keys on the bucket.
     */

@@ -218,6 +218,48 @@ class LlmSpec extends AnyFunSuite {
     assert(bucketed.map(_.getLong(2)).toSeq === Seq(1L, 2L))
   }
 
+  test("multi-probe LSH: recall@k improves on single-probe, never invents neighbors") {
+    // deterministic pseudo-random 64-dim corpus (high-dim so the 4-bit
+    // sign bucket is only WEAKLY informative about cosine rank — in low
+    // dimensions bucket-mates are exactly the nearest neighbors and every
+    // probe strategy scores recall 1.0): 400 vectors, 20 queries
+    def vec(seed: Long): Array[Float] =
+      (0 until 64).map { d =>
+        val h = ((seed * 64 + d) * 2862933555777941757L + 1442695040888963407L)
+        ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }.toArray
+    val corpus = (0L until 400L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val queries = corpus.where($"id" % 20 === 0)
+      .select($"id".as("qid"), $"embedding")
+
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val k = 10
+    val brute = hits(Similarity.knnBrute(queries, corpus, "qid", "id", "embedding", k))
+    val emb = corpus.withColumn("bucket", Similarity.signBucket($"embedding", 4))
+    val single = hits(Similarity.knnBucketed(
+      emb.where($"id" % 20 === 0).select($"id".as("qid"), $"embedding", $"bucket"),
+      emb, "qid", "id", "embedding", "bucket", k))
+    val multi = hits(Similarity.knnMultiProbe(queries, corpus, "qid", "id",
+      "embedding", k, bits = 4, nProbes = 3))
+
+    // every LSH result is a real vector pair from a probed bucket — the
+    // approximation can only MISS neighbors, not invent similarities, so
+    // per-query result sets are subsets of the brute top-k only when the
+    // candidate pool covers them; what we can always assert is recall
+    val recallSingle = (single & brute).size.toDouble / brute.size
+    val recallMulti = (multi & brute).size.toDouble / brute.size
+    info(f"recall@$k single-probe=$recallSingle%.3f multi-probe(3)=$recallMulti%.3f")
+    assert(recallMulti >= recallSingle,
+      f"multi-probe recall $recallMulti%.3f fell below single-probe $recallSingle%.3f")
+    assert(recallMulti > recallSingle + 0.02,
+      "3 probes over 16 buckets should strictly beat 1 probe on this fixture")
+    // sanity floor so the fixture stays meaningful if regenerated
+    assert(recallSingle > 0.02 && recallMulti < 1.0)
+  }
+
   test("embedding near-dups: threshold keeps only the twin pair") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
