@@ -416,6 +416,20 @@ object SparkEntry {
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
+  /** Frequent items via the mergeable Misra-Gries sketch aggregate
+    * ([[graft.functions.HeavyHittersAgg]]): capacity 64 over 25 distinct
+    * brands, so the summary is provably EXACT and hash-matches a plain
+    * GROUP BY count oracle; partial aggregation merges summaries, not
+    * the item stream.
+    */
+  private def heavyHitterBrands(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("p_brand"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
+      .orderBy(col("est_count").desc, col("item"))
+      .limit(10)
+
   private def quantileQuantity(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -458,6 +472,7 @@ object SparkEntry {
     "lineitem_in_order_window_native" -> (lineitemInOrderWindowNative _),
     "profile_lineitem" -> (profileLineitem _),
     "quantile_quantity" -> (quantileQuantity _),
+    "heavy_hitter_brands" -> (heavyHitterBrands _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -670,6 +685,9 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |       round(quantile_cont(l_quantity, 0.75), 6) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "heavy_hitter_brands" ->
+      """SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
+        |FROM part GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""".stripMargin,
     "rollup_supplier_salted" ->
       """SELECT l_suppkey,
         |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty

@@ -89,8 +89,15 @@ object Curation {
           .where(col("__df") <= maxBenchDf)
         bench.join(df.select(col("__shingle")), Seq("__shingle"), "left_semi")
       }
+    // EXPLICIT broadcast: benchmark suites are small by definition, but
+    // the post-explode size ESTIMATE is fan-out-inflated and can push the
+    // planner past autoBroadcastJoinThreshold at corpus scale — which
+    // would shuffle the exploded corpus at shingle grain, the one shuffle
+    // this operator exists to avoid. With the hint, the corpus side never
+    // shuffles; the only exchange left is the (corpus_id, bench_id)
+    // match aggregate, which is bounded by true contamination volume.
     exploded(corpus, "corpus_id")
-      .join(benchKept, Seq("__shingle"))
+      .join(broadcast(benchKept), Seq("__shingle"))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .where(col("n_shared_shingles") >= minShared)

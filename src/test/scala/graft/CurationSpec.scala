@@ -55,6 +55,19 @@ class CurationSpec extends AnyFunSuite {
     assert(hits(1).getLong(2) === 2L)
   }
 
+  test("contamination joins the corpus against a BROADCAST benchmark side") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta")).toDF("id", "text")
+    val plan = Curation.contamination(corpus, bench, "id", "text")
+      .queryExecution.executedPlan.toString
+    // the shingle-grain join must never shuffle the exploded corpus —
+    // the benchmark side is hinted broadcast regardless of the planner's
+    // fan-out-inflated size estimate
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("contamination maxBenchDf drops stopword-like shingles shared across the benchmark") {
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     // "alpha beta gamma" appears in ALL three bench docs (df=3); the

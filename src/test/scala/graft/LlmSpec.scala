@@ -308,6 +308,41 @@ class LlmSpec extends AnyFunSuite {
     assert(uncapped === exact)
   }
 
+  test("heavy hitters: exact at full capacity, MG bounds under pressure, merges compose") {
+    import graft.functions.HeavyHittersAgg.heavyHitters
+    // skewed stream: a=500, b=200, c=100, 50 tail items ×10 (N=1300,
+    // 53 distinct); repartition(7) forces real partial-aggregate merges
+    val rows = Seq.fill(500)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c") ++
+      (0 until 50).flatMap(i => Seq.fill(10)(f"tail$i%02d"))
+    val df = rows.toDF("item").repartition(7)
+    val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    def summarize(capacity: Int): Seq[(String, Long)] =
+      df.agg(heavyHitters(col("item"), capacity).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est_count"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // capacity ≥ distinct: EXACT (no decrement can ever fire)
+    val exact = summarize(64).toMap
+    assert(exact === trueCounts)
+
+    // capacity 8 under pressure: every estimate obeys
+    // true - N/(cap+1) ≤ est ≤ true, and the dominant item is present
+    val n = rows.size.toLong
+    val cap = 8
+    val small = summarize(cap)
+    val maxErr = n / (cap + 1)
+    small.foreach { case (item, est) =>
+      val t = trueCounts(item)
+      assert(est <= t, s"$item overcounted: $est > $t")
+      assert(est >= t - maxErr, s"$item est $est below $t - $maxErr")
+    }
+    assert(small.head._1 === "a", s"dominant item missing from ${small.take(3)}")
+    // output order is the deterministic (est desc, item asc) total order
+    assert(small === small.sortBy { case (i, c) => (-c, i) })
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "The quick, brown fox! It is a fox.")).toDF("id", "text")
     val r = df.select(
