@@ -70,6 +70,21 @@ class QuickstartSpec extends AnyFunSuite {
       "qid", "id", "embedding", "bucket", k = 2)
     assert(topk.orderBy("rank").select("neighbor_id").as[Long].collect()
       .toSeq === Seq(2L, 3L))
+    // README: multi-probe sign-LSH variant
+    val topkMp = Similarity.knnMultiProbe(queries, embeddings,
+      "qid", "id", "embedding", k = 2, bits = 3, nProbes = 2)
+    assert(topkMp.count() === 2)
+  }
+
+  test("quickstart: heavy-hitters sketch aggregate") {
+    import graft.functions.HeavyHittersAgg
+    val langs = Seq("en", "en", "en", "de", "fr").toDF("lang")
+    // README: mergeable Misra-Gries frequent items
+    val hot = langs.agg(HeavyHittersAgg.heavyHitters(col("lang"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hot.head === ("en", 3L))
   }
 
   test("quickstart: as-of and interval joins") {
