@@ -230,6 +230,22 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN with a TRAINED coarse quantizer: deterministic Lloyd's
+    * k-means (init = first k by vec_id, 3 rounds), then probe the 2
+    * nearest centroids per query. No SQL oracle — the trainer is
+    * iterative — so the driver records the weaker rows-only check; exact
+    * semantics are pinned by the `LlmSpec` planted-cluster and recall
+    * assertions instead.
+    */
+  private def knnCosineIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    Similarity.knnIvf(emb.where(col("vec_id") < 16), emb,
+        "vec_id", "vec_id", "embedding", cents, k = 5, nProbes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Sampled slice (vec_id % 8 = 0) so the within-bucket pair count stays
     * bounded at bench scale; threshold low enough to emit real pairs on
     * random data.
@@ -439,6 +455,7 @@ object LlmQueries {
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
     "knn_cosine_lsh" -> (knnCosineLsh _),
     "knn_cosine_multiprobe" -> (knnCosineMultiprobe _),
+    "knn_cosine_ivf" -> (knnCosineIvf _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "frame_sample_plan" -> (frameSamplePlan _),

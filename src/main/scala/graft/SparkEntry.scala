@@ -478,6 +478,19 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
 
+  /** Queries that DELIBERATELY ship no SQL oracle (the driver records a
+    * weaker rows-only check for them). Membership is an explicit,
+    * justified decision — `ContractSpec` fails on any query that is
+    * neither oracled nor declared here, so an oracle can't be forgotten
+    * silently.
+    *
+    *  - knn_cosine_ivf: the k-means trainer is iterative (3 Lloyd's
+    *    rounds) and not expressible as standalone DuckDB SQL; exact
+    *    semantics are pinned by LlmSpec's planted-cluster purity and
+    *    recall assertions instead.
+    */
+  val rowsOnlyQueries: Set[String] = Set("knn_cosine_ivf")
+
   private def baseOracleSql: Map[String, String] = Map(
     "staging_events_monthly" ->
       """SELECT user_id,

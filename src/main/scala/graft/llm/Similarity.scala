@@ -76,6 +76,98 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** Deterministic Lloyd's k-means over an embedding column — the
+    * trainer that turns [[knnBucketed]] into a real IVF index (coarse
+    * quantizer = learned centroids instead of sign bits or labels).
+    *
+    * Execution shape at corpus scale:
+    *  - ASSIGN is map-only: the k centroids are literals baked into one
+    *    argmax-of-cosine expression (k native [[cosine]] calls per row —
+    *    keep k ≤ a few hundred for this expression path);
+    *  - RECOMPUTE is one shuffle at (bucket, dimension) grain:
+    *    `posexplode` + avg, then a k×dims collect to the driver (KBs) to
+    *    rebuild the literals for the next round — the corpus itself
+    *    never leaves the executors;
+    *  - init is the first k vectors by id — no RNG, so training is
+    *    reproducible for a fixed data layout (the one caveat is the
+    *    usual float-sum merge order inside avg).
+    *
+    * Empty clusters keep their previous centroid. Returns the learned
+    * centroids in bucket order (0 until k).
+    */
+  def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): Array[Array[Float]] = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
+    var centroids = corpus.orderBy(col(idCol)).select(col(vecCol)).limit(k)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(centroids.length == k,
+      s"corpus has only ${centroids.length} rows for k=$k centroids")
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.select(col(vecCol).as("__v"))
+        .withColumn("__bucket", nearestCentroid(col("__v"), centroids))
+      val sums = assigned
+        .select(col("__bucket"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__bucket"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id (argmax cosine; ties break to the LOWEST
+    * centroid index) as a map-only expression over literal centroids.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        cosine(vec, array(c.map(x => lit(x)): _*)).as("s"),
+        lit(-i).as("ni"))
+    }
+    // greatest on (similarity, -index): highest similarity wins, ties to
+    // the lowest index — a deterministic total order
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
+    (-best.getField("ni")).cast("int")
+  }
+
+  /** IVF top-k: train (or reuse) centroids, assign the corpus once, then
+    * probe the `nProbes` centroids nearest to each query — candidates =
+    * the union of those buckets, still an equi-join keyed on the bucket
+    * (the corpus never shuffles; probes explode on the broadcast query
+    * side, exactly like [[knnMultiProbe]]).
+    */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, qidCol: String,
+             idCol: String, vecCol: String, centroids: Array[Array[Float]],
+             k: Int = 10, nProbes: Int = 1): DataFrame = {
+    require(nProbes >= 1 && nProbes <= centroids.length,
+      s"nProbes=$nProbes for ${centroids.length} centroids")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      nearestCentroid(col(vecCol), centroids).as("__probe"))
+    // rank ALL centroids per query, keep the nProbes best: one struct
+    // array sort on the broadcast side, no per-centroid join
+    val ranked = array_sort(array(centroids.zipWithIndex.map { case (cen, i) =>
+      struct(
+        (-cosine(col("__qv"), array(cen.map(x => lit(x)): _*))).as("d"),
+        lit(i).as("i"))
+    }: _*))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe",
+        explode(slice(transform(ranked, e => e.getField("i")), 1, nProbes)))
+    val sims = c.join(broadcast(q), Seq("__probe"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
   /** Multi-probe sign-LSH top-k: like [[knnBucketed]] over [[signBucket]]
     * partitions, but each query ALSO probes the buckets reached by
     * flipping its least-confident sign bits (smallest |component| —

@@ -12,8 +12,16 @@ class ContractSpec extends AnyFunSuite {
   test("queries and oracleSql cover exactly the same names") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries missing an oracle: ${(q -- o).toSeq.sorted}")
+    // a query may opt OUT of the SQL oracle only by declaring itself
+    // rows-only — forgetting the oracle entry must still fail here
+    assert((q -- o -- SparkEntry.rowsOnlyQueries).isEmpty,
+      s"queries missing an oracle: ${(q -- o -- SparkEntry.rowsOnlyQueries).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    // the declaration list itself must not rot
+    assert((SparkEntry.rowsOnlyQueries -- q).isEmpty,
+      s"rows-only declarations without a query: ${(SparkEntry.rowsOnlyQueries -- q).toSeq.sorted}")
+    assert((SparkEntry.rowsOnlyQueries & o).isEmpty,
+      s"rows-only queries that DO have an oracle: ${(SparkEntry.rowsOnlyQueries & o).toSeq.sorted}")
   }
 
   test("query names are filesystem/JSON-safe identifiers") {

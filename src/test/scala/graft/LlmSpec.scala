@@ -260,6 +260,55 @@ class LlmSpec extends AnyFunSuite {
     assert(recallSingle > 0.02 && recallMulti < 1.0)
   }
 
+  test("IVF k-means: recovers planted clusters; probing more centroids lifts recall") {
+    // 3 planted clusters in 16 dims: cluster base vectors far apart,
+    // members jittered deterministically around them
+    def base(c: Int): Array[Float] =
+      (0 until 16).map(d => if (d % 3 == c) 1.0f else 0.05f).toArray
+    def member(c: Int, j: Int): Array[Float] =
+      base(c).zipWithIndex.map { case (x, d) =>
+        x + (((j * 31 + d * 7) % 11) - 5) * 0.02f
+      }
+    val rows = for (c <- 0 until 3; j <- 0 until 40)
+      yield ((c * 40 + j).toLong, c, member(c, j))
+    val corpus = rows.toDF("id", "true_cluster", "embedding")
+
+    val cents = Similarity.kMeansCentroids(corpus, "id", "embedding",
+      k = 3, iters = 5)
+    assert(cents.length === 3 && cents.forall(_.length === 16))
+
+    // cluster recovery: every member lands with its plant-mates (the
+    // learned bucket ids may permute, so check partition equality)
+    val assigned = corpus
+      .withColumn("bucket", Similarity.nearestCentroid(col("embedding"), cents))
+      .select("true_cluster", "bucket").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val purity = assigned.groupBy(_._1).values.map { grp =>
+      grp.groupBy(_._2).values.map(_.size).max.toDouble / grp.size
+    }.min
+    assert(purity === 1.0, s"k-means failed to separate planted clusters")
+
+    // IVF recall vs brute: single-probe finds within-cluster neighbors;
+    // more probes can only add candidates (monotone recall)
+    val queries = corpus.where($"id" % 17 === 0)
+      .select($"id".as("qid"), $"embedding")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.knnBrute(queries, corpus, "qid", "id", "embedding", 5))
+    val ivf1 = hits(Similarity.knnIvf(queries, corpus, "qid", "id", "embedding",
+      cents, k = 5, nProbes = 1))
+    val ivf3 = hits(Similarity.knnIvf(queries, corpus, "qid", "id", "embedding",
+      cents, k = 5, nProbes = 3))
+    val r1 = (ivf1 & brute).size.toDouble / brute.size
+    val r3 = (ivf3 & brute).size.toDouble / brute.size
+    info(f"IVF recall@5: nProbes=1 $r1%.3f, nProbes=3 $r3%.3f")
+    // tight clusters: top-5 neighbors share the query's cluster → bucket
+    assert(r1 > 0.9, f"single-probe IVF recall $r1%.3f")
+    assert(r3 >= r1)
+    assert(r3 === 1.0, "probing every centroid is exhaustive search")
+  }
+
   test("embedding near-dups: threshold keeps only the twin pair") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),
