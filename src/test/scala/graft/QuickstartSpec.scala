@@ -74,6 +74,11 @@ class QuickstartSpec extends AnyFunSuite {
     val topkMp = Similarity.knnMultiProbe(queries, embeddings,
       "qid", "id", "embedding", k = 2, bits = 3, nProbes = 2)
     assert(topkMp.count() === 2)
+    // README: IVF with a trained coarse quantizer
+    val cents = Similarity.kMeansCentroids(embeddings, "id", "embedding", k = 3)
+    val topkIvf = Similarity.knnIvf(queries, embeddings,
+      "qid", "id", "embedding", cents, k = 2, nProbes = 2)
+    assert(topkIvf.count() >= 1)
   }
 
   test("quickstart: heavy-hitters sketch aggregate") {
