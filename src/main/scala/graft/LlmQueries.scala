@@ -77,6 +77,14 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprints (MOSS) at k=3, w=4 — the local,
+    * position-aware dup sketch; see [[TextStats.winnowFingerprints]].
+    */
+  private def winnowFingerprintsQ(s: SparkSession, dir: String): DataFrame =
+    TextStats.winnowFingerprints(tPar(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4)
+      .orderBy(col("doc_id"), col("pos"), col("fp"))
+
   private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")
       .select(TextStats.fingerprint(col("text")).as("fp"))
@@ -469,6 +477,7 @@ object LlmQueries {
     "packing_plan_global" -> (packingPlanGlobal _),
     "curated_corpus_stats" -> (curatedCorpusStats _),
     "doc_chunks" -> (docChunks _),
+    "winnow_fingerprints" -> (winnowFingerprintsQ _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -593,6 +602,28 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // winnowing at k=3, w=4: packed selection key = hash40 * 2^20 + pos,
+    // hash40 = integer value of the first 10 md5 hex chars of the k-gram
+    "winnow_fingerprints" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents
+         |), grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+2], ' ') AS gram
+         |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 3
+         |), hashed AS (
+         |  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + pos AS combined
+         |  FROM grams
+         |), win AS (
+         |  SELECT doc_id, pos,
+         |         min(combined) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+         |         count(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM hashed
+         |)
+         |SELECT DISTINCT doc_id, CAST(sel % 1048576 AS BIGINT) AS pos,
+         |       CAST(sel // 1048576 AS BIGINT) AS fp
+         |FROM win WHERE pos <= ng - 3
+         |ORDER BY doc_id, pos, fp""".stripMargin,
     "pii_scrub_stats" ->
       s"""WITH s AS (
          |  SELECT doc_id, $ScrubbedSql AS scrubbed FROM documents

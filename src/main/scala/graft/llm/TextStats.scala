@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -148,12 +149,75 @@ object TextStats {
     * (Rabin-Karp-shaped: acc = acc*31 + h(token) mod 2^31-1, h from the
     * md5 hex prefix). Order-sensitive — unlike [[fingerprint]] it
     * distinguishes permuted documents; unlike a raw md5 it can be
-    * computed incrementally over appended chunks. No DuckDB oracle
-    * (hex→int conversion is not portable there); pinned by unit test.
+    * computed incrementally over appended chunks. Pinned by unit test;
+    * no DuckDB twin (the sequential mod-fold has no clean SQL form —
+    * hex→int itself IS portable, see [[winnowFingerprints]]'s oracle).
     */
   def rollingFingerprint(tokens: Column): Column =
     aggregate(
       transform(tokens, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
       lit(0L),
       (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
+
+  /** Positions fit in 20 bits of the packed (hash, position) selection
+    * key — up to ~1M k-grams per document. Larger documents should be
+    * chunked first ([[graft.llm.Curation.chunkTokens]]).
+    */
+  val WinnowPosCap: Long = 1L << 20
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS sketch). Every window of `w` consecutive
+    * k-gram hashes contributes its minimum, so any shared token span of
+    * at least `w + k - 1` tokens between two documents is GUARANTEED to
+    * share a selected fingerprint — the local, position-aware near-dup
+    * sketch that MinHash (global, order-blind) cannot provide.
+    *
+    * Spark-first shape: k-grams and their hashes are a per-row map stage
+    * (`transform` over the token array, no shuffle); the window minimum
+    * is one shuffle on the document id with a linear per-doc pass; the
+    * selection dedup collapses w-fold overlap before anything else moves.
+    * At corpus scale the output is ~2/(w+1) of the k-gram stream
+    * (the expected winnowing density) keyed for a fingerprint-grain
+    * equi-join — the same never-all-pairs discipline as the LSH path.
+    *
+    * Hashes are the integer value of the first 10 md5 hex chars of the
+    * k-gram (40 bits — bit-identical across engines, so the whole
+    * operator is exactly oracle-checkable). Selection ties break (hash,
+    * position)-lexicographic via a single packed long `h * 2^20 + pos`.
+    *
+    * Documents shorter than `w + k - 1` tokens have no full window and
+    * emit no fingerprints (the standard winnowing domain; guard-rail
+    * callers should pre-filter or chunk).
+    *
+    * @return one row per selected (document, position): `idCol`,
+    *         `pos` (1-based k-gram position, long), `fp` (40-bit hash)
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(w >= 1, s"w=$w")
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol), expr(
+        s"""explode(transform(sequence(1, size(__toks) - ${k - 1}),
+           |  i -> struct(cast(i as bigint) as pos,
+           |    cast(conv(substring(md5(array_join(slice(__toks, i, $k), ' ')), 1, 10), 16, 10) as bigint) as h)))"""
+          .stripMargin).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"),
+        (col("g.h") * lit(WinnowPosCap) + col("g.pos")).as("__combined"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val sel = min(col("__combined"))
+      .over(byDoc.rowsBetween(Window.currentRow, w - 1))
+    val nGrams = count(lit(1)).over(Window.partitionBy(col(idCol)))
+    grams
+      .select(col(idCol), col("pos"), sel.as("__sel"), nGrams.as("__ng"))
+      .where(col("pos") <= col("__ng") - (w - 1))
+      .select(col(idCol), col("__sel"))
+      .distinct()
+      .select(col(idCol),
+        (col("__sel") % lit(WinnowPosCap)).as("pos"),
+        expr(s"__sel div ${WinnowPosCap}").as("fp"))
+  }
 }

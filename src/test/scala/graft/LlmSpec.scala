@@ -472,6 +472,39 @@ class LlmSpec extends AnyFunSuite {
     df.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 2147483647L))
   }
 
+  test("winnowing: guarantee, window coverage, short-doc domain") {
+    val k = 3; val w = 4
+    // docs 1 and 2 share an 8-token span (>= w+k-1 = 6): the winnowing
+    // guarantee says they MUST share at least one selected fingerprint
+    val shared = "the quick brown fox jumps over lazy dogs"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "totally unrelated content with many distinct tokens here now"),
+      (4L, "too short"),            // < k tokens: no grams
+      (5L, "five tokens but not enough")  // grams < w: no full window
+    ).toDF("doc_id", "text")
+    val fps = TextStats.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)   // the MOSS guarantee
+    assert((byDoc(3L) intersect byDoc(1L)).isEmpty)
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L)) // outside the domain
+    // coverage: every full window of doc 3 contains a selected position
+    val sel3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    val nGrams3 = 10 - k + 1
+    (1 to nGrams3 - w + 1).foreach { p =>
+      assert((p until p + w).exists(j => sel3.contains(j.toLong)),
+        s"window at $p selected nothing")
+    }
+    // determinism: identical text yields identical fingerprint sets
+    val twin = Seq((7L, s"alpha beta $shared gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val fps7 = TextStats.winnowFingerprints(twin, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(fps7 === fps.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet)
+  }
+
   test("frameSamplePlan: even stride, at most maxFrames, stills excluded") {
     val feats = Seq(
       (1L, "video", 10L, 320, 240, 20),  // stride 3 → 0,3,6,9,12,15,18 (7)
