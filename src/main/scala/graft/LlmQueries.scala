@@ -77,6 +77,24 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-5 longest documents per language via the bounded-heap
+    * [[graft.functions.TopKAgg]]: the shuffle carries ≤ 5 entries per
+    * (lang × map partition), not the document stream — the scale-safe
+    * twin of the `row_number` window form the oracle uses.
+    */
+  private def topkDocsPerLang(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAgg.topK
+    tPar(s, dir, "documents")
+      .select(col("lang"), col("doc_id").cast("string").as("doc_key"),
+        TextStats.nTokens(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(topK(col("doc_key"), col("n_tokens"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("doc_key"), col("col.metric").as("n_tokens"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Winnowing fingerprints (MOSS) at k=3, w=4 — the local,
     * position-aware dup sketch; see [[TextStats.winnowFingerprints]].
     */
@@ -478,6 +496,7 @@ object LlmQueries {
     "curated_corpus_stats" -> (curatedCorpusStats _),
     "doc_chunks" -> (docChunks _),
     "winnow_fingerprints" -> (winnowFingerprintsQ _),
+    "topk_docs_per_lang" -> (topkDocsPerLang _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -602,6 +621,21 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the window form is the oracle; the Spark side runs the bounded-heap
+    // aggregate — equal output proves the exact-top-k contract
+    "topk_docs_per_lang" ->
+      s"""WITH stats AS (
+         |  SELECT lang, CAST(doc_id AS VARCHAR) AS doc_key,
+         |         CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT lang, doc_key, n_tokens,
+         |         row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_key ASC) AS rnk
+         |  FROM stats
+         |)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rank, doc_key, n_tokens
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY lang, rank""".stripMargin,
     // winnowing at k=3, w=4: packed selection key = hash40 * 2^20 + pos,
     // hash40 = integer value of the first 10 md5 hex chars of the k-gram
     "winnow_fingerprints" ->

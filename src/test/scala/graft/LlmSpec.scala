@@ -392,6 +392,41 @@ class LlmSpec extends AnyFunSuite {
     assert(small === small.sortBy { case (i, c) => (-c, i) })
   }
 
+  test("top-k agg: parity with the window form, ties, nulls, merges") {
+    import graft.functions.TopKAgg.topK
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups × 40 items with deliberate metric ties at the k boundary;
+    // repartition(7) forces real partial-heap merges through the shuffle
+    val rows = for (g <- Seq("x", "y", "z"); i <- 0 until 40)
+      yield (g, f"item$i%02d", ((i * 7) % 10).toLong)
+    val df = rows.toDF("g", "item", "m").repartition(7)
+    val agged = df.groupBy(col("g"))
+      .agg(topK(col("item"), col("m"), 5).as("top"))
+    // the scale contract: a map-side PARTIAL heap runs before the
+    // shuffle (ObjectHashAggregate partial_top_k), so the exchange
+    // carries <= k entries per group per map partition
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k"), s"no partial aggregation in:\n$plan")
+    val viaAgg = agged
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("col.item"), col("col.metric"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("m").desc, col("item").asc)
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getString(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWindow)
+    // null metric and null item rows are skipped, not ranked
+    val withNulls = Seq(("g", "a", Some(5L)), ("g", "b", None),
+      ("g", null.asInstanceOf[String], Some(9L)), ("g", "c", Some(1L)))
+      .toDF("g", "item", "m")
+    val top = withNulls.groupBy(col("g"))
+      .agg(topK(col("item"), col("m"), 3).as("top"))
+      .select(explode(col("top")).as("e"))
+      .collect().map(r => r.getStruct(0).getString(0))
+    assert(top.toSeq === Seq("a", "c"))
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "The quick, brown fox! It is a fox.")).toDF("id", "text")
     val r = df.select(
