@@ -35,7 +35,8 @@ object GraftFunctions {
     "minhash_sigs" -> { es => MinHashSigs(es.head, intLit(es(1), "k")) },
     "word_ngrams" -> { es => WordNgrams(es.head, intLit(es(1), "n")) },
     "cosine_sim" -> { es => CosineSim(es.head, es(1)) },
-    "regexp_count" -> { es => RegexpCount(es.head, strLit(es(1), "pattern")) })
+    "regexp_count" -> { es => RegexpCount(es.head, strLit(es(1), "pattern")) },
+    "zorder_key" -> { es => graft.functions.ZOrderKey(es.head, es(1)) })
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

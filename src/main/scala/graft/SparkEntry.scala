@@ -430,6 +430,20 @@ object SparkEntry {
       .orderBy(col("est_count").desc, col("item"))
       .limit(10)
 
+  /** Per-supplier range stats of the native Morton key
+    * ([[graft.functions.ZOrderKey]], codegen'd) over (l_partkey,
+    * l_suppkey) — exercises the interleave on every lineitem row; the
+    * layout use is [[graft.sinks.ZOrder.writeClustered]].
+    */
+  private def zorderLocality(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        graft.functions.ZOrderKey.zorderKey(col("l_partkey"), col("l_suppkey")).as("z"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"), min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"), sum(col("z")).as("z_sum"))
+      .orderBy(col("l_suppkey"))
+
   private def quantileQuantity(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -473,6 +487,7 @@ object SparkEntry {
     "profile_lineitem" -> (profileLineitem _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
+    "zorder_locality" -> (zorderLocality _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -701,6 +716,26 @@ object SparkEntry {
     "heavy_hitter_brands" ->
       """SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
         |FROM part GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""".stripMargin,
+    // Morton interleave mirrored as one CTE per dilation stage (masks
+    // from ZOrderKey.SpreadStages, so the constants cannot drift)
+    "zorder_locality" -> {
+      val stages = graft.functions.ZOrderKey.SpreadStages.zipWithIndex.map {
+        case ((sh, m), i) =>
+          val prev = if (i == 0) "zbase" else s"z$i"
+          s"z${i + 1} AS (SELECT l_suppkey, ((a | (a << $sh)) & $m) AS a, ((b | (b << $sh)) & $m) AS b FROM $prev)"
+      }.mkString(",\n")
+      s"""WITH zbase AS (
+         |  SELECT l_suppkey, (l_partkey & 2147483647) AS a,
+         |         (l_suppkey & 2147483647) AS b
+         |  FROM lineitem
+         |),
+         |$stages,
+         |zfin AS (SELECT l_suppkey, (a | (b << 1)) AS z FROM z5)
+         |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(z) AS z_min, max(z) AS z_max,
+         |       CAST(sum(z) AS BIGINT) AS z_sum
+         |FROM zfin GROUP BY 1 ORDER BY l_suppkey""".stripMargin
+    },
     "rollup_supplier_salted" ->
       """SELECT l_suppkey,
         |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sinks.{Bucketed, Compact, Idempotent}
+import graft.sinks.{Bucketed, Compact, Idempotent, ZOrder}
 
 /** Physical-layout levers for scale: bucketed co-located joins
   * (exchange-free) and small-file compaction.
@@ -48,5 +48,65 @@ class LayoutSpec extends AnyFunSuite {
     val after = spark.read.parquet(path).orderBy("yyyymm", "k", "v")
       .collect().map(_.toSeq).toSeq
     assert(after === before)
+  }
+
+  test("zorder key: interleave math, domain guard, codegen parity") {
+    import graft.functions.ZOrderKey
+    // bit-level ground truth: a on even bits, b on odd bits
+    assert(ZOrderKey.interleave(1L, 0L) === 1L)
+    assert(ZOrderKey.interleave(0L, 1L) === 2L)
+    assert(ZOrderKey.interleave(3L, 3L) === 15L)
+    assert(ZOrderKey.interleave(0x7FFFFFFFL, 0L) === 0x1555555555555555L)
+    assert(ZOrderKey.interleave(1L << 30, 1L << 30) === 3L << 60)
+    intercept[IllegalArgumentException](ZOrderKey.interleave(-1L, 0L))
+    intercept[IllegalArgumentException](ZOrderKey.interleave(0L, 1L << 31))
+    // expression path: codegen and interpreted agree with the function
+    val df = Seq((0L, 0L), (1L, 2L), (12345L, 678L), (0x7FFFFFFFL, 0x7FFFFFFFL))
+      .toDF("a", "b")
+    def run(): Seq[Long] = df
+      .select(ZOrderKey.zorderKey(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    val expected = Seq((0L, 0L), (1L, 2L), (12345L, 678L),
+      (0x7FFFFFFFL, 0x7FFFFFFFL)).map { case (a, b) => ZOrderKey.interleave(a, b) }
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      assert(run() === expected)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === expected)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // SQL surface
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder_key(3::BIGINT, 3::BIGINT)")
+      .collect()(0).getLong(0) === 15L)
+  }
+
+  test("zorder layout: per-file ranges tight on BOTH dims; 1-dim sort is not") {
+    // 64×64 grid, shuffled; 16 files of ~256 cells. Ideal z-clustering
+    // gives ~16×16 blocks (range ≈ 15 per dim per file); a layout sorted
+    // on x alone leaves y's per-file range at the full 0..63.
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = scala.util.Random.shuffle(grid).toDF("x", "y")
+    val zPath = Files.createTempDirectory("zorder").toString + "/t"
+    ZOrder.writeClustered(df, zPath, "x", "y", numFiles = 16)
+
+    def avgRanges(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+        .collect()
+      (perFile.map(_.getLong(1)).sum.toDouble / perFile.length,
+        perFile.map(_.getLong(2)).sum.toDouble / perFile.length)
+    }
+    val (zx, zy) = avgRanges(zPath)
+    assert(zx <= 24 && zy <= 24, s"z-layout ranges too wide: x=$zx y=$zy")
+    // contrast: x-sorted layout has tight x but useless y ranges
+    val xPath = Files.createTempDirectory("xsort").toString + "/t"
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(xPath)
+    val (_, xy) = avgRanges(xPath)
+    assert(xy >= 48, s"x-sorted layout unexpectedly tight on y: $xy")
+    // clustering rewrote, not resampled: same multiset back
+    assert(spark.read.parquet(zPath).orderBy("x", "y").collect().toSeq
+      === df.orderBy("x", "y").collect().toSeq)
   }
 }

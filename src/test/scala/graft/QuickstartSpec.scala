@@ -92,6 +92,26 @@ class QuickstartSpec extends AnyFunSuite {
     assert(hot.head === ("en", 3L))
   }
 
+  test("quickstart: top-k heap, winnowing, z-order layout") {
+    import graft.functions.TopKAgg
+    import graft.llm.TextStats
+    import graft.sinks.ZOrder
+    // README: exact top-k per group as a bounded heap
+    val docsWithLen = docs.withColumn("n_tokens", TextStats.nTokens(col("text")))
+      .withColumn("lang", lit("en"))
+    val longest = docsWithLen.groupBy(col("lang"))
+      .agg(TopKAgg.topK(col("doc_id").cast("string"), col("n_tokens"), 5).as("top"))
+    assert(longest.select(explode(col("top"))).count() === 4)
+    // README: winnowing fingerprints share a fp across shared spans
+    val fps = TextStats.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    assert(fps.where(col("doc_id") === 1L).count() > 0)
+    // README: z-order clustered write
+    val fact = Seq((1L, 10L, 5L), (2L, 20L, 6L)).toDF("v", "part_id", "supp_id")
+    val zroot = Files.createTempDirectory("quickstart-z").toString
+    ZOrder.writeClustered(fact, s"$zroot/fact_z", "part_id", "supp_id", numFiles = 2)
+    assert(spark.read.parquet(s"$zroot/fact_z").count() === 2)
+  }
+
   test("quickstart: as-of and interval joins") {
     import graft.ops.{AsOf, RangeJoin}
     val events = Seq((7L, 100L, "e1"), (7L, 300L, "e2")).toDF("user_id", "t", "ev")
