@@ -430,6 +430,27 @@ object SparkEntry {
       .orderBy(col("est_count").desc, col("item"))
       .limit(10)
 
+  /** Quarterly rollup computed by MERGING the monthly pre-aggregate
+    * (sum-of-sums, sum-of-counts via [[graft.ops.Reagg.coarsen]]), not
+    * by re-scanning orders. The oracle aggregates orders directly, so
+    * equality proves the mergeability contract incremental rollups rely
+    * on at 100 TB (facts scanned once per month, never per report).
+    */
+  private def rollupQuarterlyFromMonthly(s: SparkSession, dir: String): DataFrame = {
+    val monthly = tPar(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("tp"))
+    val quarterly = graft.ops.Reagg.coarsen(
+      monthly.withColumn("quarter",
+        expr("CAST(yyyymm div 100 * 10 + (yyyymm % 100 - 1) div 3 + 1 AS INT)")),
+      Seq(col("quarter"), col("o_orderpriority")),
+      sums = Seq("n_orders", "tp"))
+    quarterly.select(col("quarter"), col("o_orderpriority"),
+        col("n_orders"), dblOut2(col("tp")).as("total_price"))
+      .orderBy(col("quarter"), col("o_orderpriority"))
+  }
+
   /** Per-supplier range stats of the native Morton key
     * ([[graft.functions.ZOrderKey]], codegen'd) over (l_partkey,
     * l_suppkey) — exercises the interleave on every lineitem row; the
@@ -488,6 +509,7 @@ object SparkEntry {
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
+    "rollup_quarterly_from_monthly" -> (rollupQuarterlyFromMonthly _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -716,6 +738,14 @@ object SparkEntry {
     "heavy_hitter_brands" ->
       """SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
         |FROM part GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""".stripMargin,
+    // direct aggregation of the facts — the Spark side merges the
+    // monthly pre-aggregate; equality proves mergeability
+    "rollup_quarterly_from_monthly" ->
+      """SELECT CAST(year(o_orderdate)*10 + (month(o_orderdate)-1)//3 + 1 AS INTEGER) AS quarter,
+        |       o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1, 2 ORDER BY quarter, o_orderpriority""".stripMargin,
     // Morton interleave mirrored as one CTE per dilation stage (masks
     // from ZOrderKey.SpreadStages, so the constants cannot drift)
     "zorder_locality" -> {

@@ -115,4 +115,32 @@ class WindowsSaltSpec extends AnyFunSuite {
     assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
     assert(r.getSeq[String](3).length === 4)
   }
+
+  test("Reagg.coarsen: merged pre-aggregates equal direct aggregation; chains compose") {
+    import graft.ops.Reagg
+    val facts = (1 to 200).map { i =>
+      (2024 * 10000 + (i % 6 + 1) * 100 + i % 28 + 1, s"g${i % 3}", i.toLong, i * 1.5)
+    }.toDF("yyyymmdd", "g", "n", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grain", "g").collect().map(_.toSeq).toSeq
+    // day pre-agg -> month -> quarter, vs direct-from-facts at quarter
+    val daily = facts.groupBy(col("yyyymmdd"), col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"),
+        min(col("n")).as("mn"), max(col("n")).as("mx"))
+    val monthly = Reagg.coarsen(
+      daily.withColumn("yyyymm", expr("yyyymmdd div 100")),
+      Seq(col("yyyymm"), col("g")),
+      sums = Seq("n_rows", "sv"), mins = Seq("mn"), maxs = Seq("mx"))
+    val quarterly = Reagg.coarsen(
+      monthly.withColumn("grain", expr("yyyymm div 100 * 10 + (yyyymm % 100 - 1) div 3 + 1")),
+      Seq(col("grain"), col("g")),
+      sums = Seq("n_rows", "sv"), mins = Seq("mn"), maxs = Seq("mx"))
+    val direct = facts
+      .withColumn("grain",
+        expr("yyyymmdd div 10000 * 10 + (yyyymmdd div 100 % 100 - 1) div 3 + 1"))
+      .groupBy(col("grain"), col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sv"),
+        min(col("n")).as("mn"), max(col("n")).as("mx"))
+    assert(snap(quarterly) === snap(direct))
+  }
 }
