@@ -451,6 +451,26 @@ object SparkEntry {
       .orderBy(col("quarter"), col("o_orderpriority"))
   }
 
+  /** Mergeable distinct-count cube: monthly HLL sketches of the
+    * customer set per priority ([[graft.ops.Reagg.distinctSketch]]),
+    * merged to per-priority totals WITHOUT re-scanning orders — the
+    * sketch twin of [[rollupQuarterlyFromMonthly]]'s sum merge.
+    * Rows-only in the driver gate (Datasketches HLL has no DuckDB
+    * twin); the merge-equals-direct identity and the within-ε accuracy
+    * are pinned by `WindowsSaltSpec`.
+    */
+  private def distinctSketchCustomers(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Reagg
+    val monthly = tPar(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"),
+        col("o_orderpriority"))
+      .agg(Reagg.distinctSketch(col("o_custkey")).as("sk"))
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(Reagg.estimateDistinct(Reagg.mergeDistinctSketches(col("sk")))
+        .as("est_customers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Per-supplier range stats of the native Morton key
     * ([[graft.functions.ZOrderKey]], codegen'd) over (l_partkey,
     * l_suppkey) — exercises the interleave on every lineitem row; the
@@ -510,6 +530,7 @@ object SparkEntry {
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
     "rollup_quarterly_from_monthly" -> (rollupQuarterlyFromMonthly _),
+    "distinct_sketch_customers" -> (distinctSketchCustomers _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -526,7 +547,8 @@ object SparkEntry {
     *    semantics are pinned by LlmSpec's planted-cluster purity and
     *    recall assertions instead.
     */
-  val rowsOnlyQueries: Set[String] = Set("knn_cosine_ivf")
+  val rowsOnlyQueries: Set[String] = Set("knn_cosine_ivf",
+    "distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
     "staging_events_monthly" ->

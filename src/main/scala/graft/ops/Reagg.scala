@@ -29,4 +29,22 @@ object Reagg {
     require(aggs.nonEmpty, "no mergeable measures given")
     pre.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The mergeable form of COUNT(DISTINCT): a Datasketches HLL sketch
+    * column. Store one per pre-aggregate group; coarser grains merge
+    * sketches ([[mergeDistinctSketches]]) instead of re-scanning — the
+    * only way a 100 TB layout answers distinct-count questions at
+    * report time. HLL bucket state is order-insensitive (per-bucket
+    * max), so merging per-slice sketches estimates IDENTICALLY to one
+    * sketch over the union — proven in the spec, not just within-ε.
+    */
+  def distinctSketch(c: Column, lgK: Int = 12): Column =
+    hll_sketch_agg(c, lit(lgK))
+
+  /** Merge sketch-typed partials (e.g. monthly) to a coarser grain. */
+  def mergeDistinctSketches(c: Column): Column =
+    hll_union_agg(c, lit(false))
+
+  /** Read a distinct-count estimate off a sketch column. */
+  def estimateDistinct(c: Column): Column = hll_sketch_estimate(c)
 }

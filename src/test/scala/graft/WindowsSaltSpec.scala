@@ -143,4 +143,23 @@ class WindowsSaltSpec extends AnyFunSuite {
         min(col("n")).as("mn"), max(col("n")).as("mx"))
     assert(snap(quarterly) === snap(direct))
   }
+
+  test("Reagg distinct sketches: merged slices estimate identically to one sketch, within eps of exact") {
+    import graft.ops.Reagg
+    // 5000 distinct keys spread over 10 slices with heavy overlap
+    val rows = (0 until 20000).map(i => (i % 10, (i * 7919 % 5000).toLong))
+      .toDF("slice", "k")
+    val perSlice = rows.groupBy(col("slice"))
+      .agg(Reagg.distinctSketch(col("k")).as("sk"))
+    val merged = perSlice.agg(
+      Reagg.estimateDistinct(Reagg.mergeDistinctSketches(col("sk"))))
+      .collect()(0).getLong(0)
+    val single = rows.agg(Reagg.estimateDistinct(Reagg.distinctSketch(col("k"))))
+      .collect()(0).getLong(0)
+    // HLL bucket state is order-insensitive: merge-of-slices == one pass
+    assert(merged === single)
+    val exact = rows.select(col("k")).distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
 }
