@@ -103,6 +103,14 @@ object LlmQueries {
         "doc_id", "text", k = 3, w = 4)
       .orderBy(col("doc_id"), col("pos"), col("fp"))
 
+  /** Candidate pairs from shared winnow fingerprints — the local-overlap
+    * complement of [[MinHash.dupPairs]]; see [[Dedup.winnowDupPairs]].
+    */
+  private def winnowDupPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowDupPairs(tPar(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")
       .select(TextStats.fingerprint(col("text")).as("fp"))
@@ -496,6 +504,7 @@ object LlmQueries {
     "curated_corpus_stats" -> (curatedCorpusStats _),
     "doc_chunks" -> (docChunks _),
     "winnow_fingerprints" -> (winnowFingerprintsQ _),
+    "winnow_dup_pairs" -> (winnowDupPairsQ _),
     "topk_docs_per_lang" -> (topkDocsPerLang _),
   )
 
@@ -506,6 +515,31 @@ object LlmQueries {
     s"""list_filter(regexp_split_to_array(trim($c), '\\s+'), x -> x <> '')"""
   private val Fingerprint =
     """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
+  /** Winnowing (k=3, w=4) as shared CTEs ending in `wfp(doc_id, pos,
+    * fp)` — the DuckDB twin of [[TextStats.winnowFingerprints]], reused
+    * by the fingerprint and candidate-pair oracles.
+    */
+  private val WinnowCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $Toks AS t FROM documents
+       |), grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+2], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 3
+       |), hashed AS (
+       |  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + pos AS combined
+       |  FROM grams
+       |), win AS (
+       |  SELECT doc_id, pos,
+       |         min(combined) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+       |         count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM hashed
+       |), wfp AS (
+       |  SELECT DISTINCT doc_id, CAST(sel % 1048576 AS BIGINT) AS pos,
+       |         CAST(sel // 1048576 AS BIGINT) AS fp
+       |  FROM win WHERE pos <= ng - 3
+       |)""".stripMargin
   private val Shingles =
     """CASE WHEN len(toks) >= 3
       | THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
@@ -639,25 +673,24 @@ object LlmQueries {
     // winnowing at k=3, w=4: packed selection key = hash40 * 2^20 + pos,
     // hash40 = integer value of the first 10 md5 hex chars of the k-gram
     "winnow_fingerprints" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $Toks AS t FROM documents
-         |), grams AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+2], ' ') AS gram
-         |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
-         |  WHERE len(t) >= 3
-         |), hashed AS (
-         |  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + pos AS combined
-         |  FROM grams
-         |), win AS (
-         |  SELECT doc_id, pos,
-         |         min(combined) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-         |         count(*) OVER (PARTITION BY doc_id) AS ng
-         |  FROM hashed
-         |)
-         |SELECT DISTINCT doc_id, CAST(sel % 1048576 AS BIGINT) AS pos,
-         |       CAST(sel // 1048576 AS BIGINT) AS fp
-         |FROM win WHERE pos <= ng - 3
+      s"""WITH $WinnowCtes
+         |SELECT DISTINCT doc_id, pos, fp FROM wfp
          |ORDER BY doc_id, pos, fp""".stripMargin,
+    // fingerprint-grain self-join (the Spark side is Dedup.winnowDupPairs
+    // with the same minShared/maxDocsPerFp)
+    "winnow_dup_pairs" ->
+      s"""WITH $WinnowCtes,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |keepfp AS (
+         |  SELECT fp FROM dfp GROUP BY fp
+         |  HAVING count(*) > 1 AND count(*) <= 100
+         |),
+         |filtered AS (SELECT d.doc_id, d.fp FROM dfp d JOIN keepfp USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared_fps
+         |FROM filtered a JOIN filtered b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "pii_scrub_stats" ->
       s"""WITH s AS (
          |  SELECT doc_id, $ScrubbedSql AS scrubbed FROM documents

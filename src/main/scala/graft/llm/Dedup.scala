@@ -85,6 +85,40 @@ object Dedup {
     cc.select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Near-dup candidate pairs from winnowing fingerprints
+    * ([[TextStats.winnowFingerprints]]): documents sharing at least
+    * `minShared` selected fingerprints. Winnowing guarantees any shared
+    * token span of ≥ w+k-1 tokens shares a fingerprint, so this catches
+    * LOCAL overlap (quoted paragraphs, templated sections) that global
+    * sketches like MinHash dilute away on long documents.
+    *
+    * Scale shape mirrors the LSH path: the self-join is at FINGERPRINT
+    * grain — never all-pairs — and `maxDocsPerFp` drops boilerplate
+    * fingerprints (site chrome, licenses) whose doc lists would
+    * otherwise explode quadratically; fingerprints in a single document
+    * are skipped outright (they cannot pair). Like
+    * [[DefaultMaxBucketSize]], the cap is finite by default.
+    */
+  def winnowDupPairs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, w: Int = 4, minShared: Int = 2,
+                     maxDocsPerFp: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared")
+    require(maxDocsPerFp >= 2, s"maxDocsPerFp=$maxDocsPerFp")
+    val fps = TextStats.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") > 1 && col("__nd") <= maxDocsPerFp)
+      .select(col("fp"))
+    val filtered = fps.join(keep, Seq("fp"))
+    val a = filtered.select(col("fp"), col("__id").as("id_a"))
+    val b = filtered.select(col("fp"), col("__id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .where(col("n_shared_fps") >= minShared)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * bucketed by `bucketCol` (cluster id / [[Similarity.signBucket]]).
     *

@@ -392,6 +392,35 @@ class LlmSpec extends AnyFunSuite {
     assert(small === small.sortBy { case (i, c) => (-c, i) })
   }
 
+  test("winnowDupPairs: local-overlap pairs; boilerplate fingerprint cap") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa" // 16 shared tokens
+    val boiler = "standard license header applies to this work in all forms always"
+    val docs = (Seq(
+      (1L, s"unique one intro $span unique one outro closing words here"),
+      (2L, s"different two start $span different two ending text here"),
+      (3L, "completely unrelated document about query engines and shuffles")) ++
+      // 5 docs sharing ONLY the boilerplate span, distinct filler
+      (10L to 14L).map(i => (i, s"filler${i}a filler${i}b filler${i}c $boiler " +
+        s"tail${i}x tail${i}y tail${i}z"))).toDF("doc_id", "text")
+    def pairs(cap: Int) =
+      Dedup.winnowDupPairs(docs, "doc_id", "text", k = 3, w = 4,
+          minShared = 2, maxDocsPerFp = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val open = pairs(100)
+    assert(open.contains((1L, 2L)))   // the shared span pairs them
+    assert(!open.exists(p => p._1 == 3L || p._2 == 3L))
+    // all C(5,2) boilerplate pairs present when the cap is open...
+    val boilerPairs = (for (a <- 10L to 14L; b <- 10L to 14L if a < b)
+      yield (a, b)).toSet
+    assert(boilerPairs.subsetOf(open))
+    // ...and gone when the cap drops below the 5-doc fingerprint lists
+    // (every fp shared among these docs comes from the span itself)
+    val capped = pairs(3)
+    assert(capped.intersect(boilerPairs).isEmpty)
+    assert(capped.contains((1L, 2L))) // 2-doc fingerprints unaffected
+  }
+
   test("top-k agg: parity with the window form, ties, nulls, merges") {
     import graft.functions.TopKAgg.topK
     import org.apache.spark.sql.expressions.Window
