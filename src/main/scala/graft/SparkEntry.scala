@@ -451,6 +451,25 @@ object SparkEntry {
       .orderBy(col("quarter"), col("o_orderpriority"))
   }
 
+  /** Probe-side bloom reduction before the join shuffle
+    * ([[graft.ops.BloomPrune.bloomPrunedJoin]]): lineitem rows that
+    * cannot match a high-value order never enter the exchange. The
+    * oracle is the PLAIN join — equality proves false positives die in
+    * the join and false negatives cannot occur.
+    */
+  private def bloomPrunedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val build = tPar(s, dir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val probe = tPar(s, dir, "lineitem").select(col("l_orderkey"),
+      (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+    graft.ops.BloomPrune.bloomPrunedJoin(probe, build,
+        "l_orderkey", "o_orderkey", expectedItems = 100000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(dblOut4(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Mergeable distinct-count cube: monthly HLL sketches of the
     * customer set per priority ([[graft.ops.Reagg.distinctSketch]]),
     * merged to per-priority totals WITHOUT re-scanning orders — the
@@ -531,6 +550,7 @@ object SparkEntry {
     "zorder_locality" -> (zorderLocality _),
     "rollup_quarterly_from_monthly" -> (rollupQuarterlyFromMonthly _),
     "distinct_sketch_customers" -> (distinctSketchCustomers _),
+    "bloom_pruned_revenue" -> (bloomPrunedRevenue _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -760,6 +780,15 @@ object SparkEntry {
     "heavy_hitter_brands" ->
       """SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
         |FROM part GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""".stripMargin,
+    // the PLAIN join — the Spark side bloom-prunes the probe first;
+    // equality proves the reduction is semantics-preserving
+    "bloom_pruned_revenue" ->
+      """SELECT o.o_orderpriority,
+        |       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // direct aggregation of the facts — the Spark side merges the
     // monthly pre-aggregate; equality proves mergeability
     "rollup_quarterly_from_monthly" ->

@@ -162,4 +162,24 @@ class WindowsSaltSpec extends AnyFunSuite {
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
       s"estimate $merged vs exact $exact")
   }
+
+  test("BloomPrune: pruned join equals plain join; filter actually prunes; outer rejected") {
+    import graft.ops.BloomPrune
+    val probe = (1 to 10000).map(i => (i.toLong, i * 2.0)).toDF("pk", "v")
+    val build = (1 to 10000 by 100).map(i => (i.toLong, s"b$i")).toDF("bk", "tag")
+    val pruned = BloomPrune.bloomPrunedJoin(probe, build, "pk", "bk",
+        expectedItems = 200L, fpp = 0.01)
+      .orderBy("pk").collect().map(_.toSeq).toSeq
+    val plain = probe.join(build, col("pk") === col("bk"))
+      .orderBy("pk").collect().map(_.toSeq).toSeq
+    assert(pruned === plain)
+    assert(plain.size === 100)
+    // the predicate alone keeps matches and drops ~99% of non-matches
+    val bloom = BloomPrune.bloomBytes(build, "bk", 200L, 0.01)
+    val kept = probe.where(BloomPrune.mightContain(bloom, col("pk"))).count()
+    assert(kept >= 100 && kept < 1000, s"kept=$kept of 10000")
+    intercept[IllegalArgumentException] {
+      BloomPrune.bloomPrunedJoin(probe, build, "pk", "bk", joinType = "left")
+    }
+  }
 }
