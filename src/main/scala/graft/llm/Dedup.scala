@@ -104,8 +104,13 @@ object Dedup {
                      maxDocsPerFp: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared")
     require(maxDocsPerFp >= 2, s"maxDocsPerFp=$maxDocsPerFp")
+    // the (doc, fp) table feeds the frequency gate AND both self-join
+    // sides — materialize once (longs, tiny next to the text) instead of
+    // re-running tokenize+hash+windows per consumer; localCheckpoint so
+    // the blocks free on GC (same rationale as MinHash.dupPairs)
     val fps = TextStats.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp")).distinct()
+      .localCheckpoint(true)
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
       .where(col("__nd") > 1 && col("__nd") <= maxDocsPerFp)
       .select(col("fp"))

@@ -112,6 +112,32 @@ class QuickstartSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$zroot/fact_z").count() === 2)
   }
 
+  test("quickstart: re-aggregation, bloom pruning, stream join") {
+    import graft.ops.{BloomPrune, Reagg}
+    import graft.streaming.StreamJoin
+    // README: coarsen a pre-aggregate
+    val monthly = Seq((20241, "g1", 5L, 9L), (20241, "g1", 7L, 11L))
+      .toDF("quarter", "g", "n_orders", "total")
+      .withColumn("latest", col("total"))
+    val quarterly = Reagg.coarsen(monthly, Seq(col("quarter"), col("g")),
+      sums = Seq("n_orders", "total"), maxs = Seq("latest"))
+    assert(quarterly.collect()(0).getLong(2) === 12L)
+    // README: bloom-pruned join
+    val lineitems = Seq((1L, 10.0), (2L, 20.0)).toDF("l_orderkey", "price")
+    val bigOrders = Seq((1L, "HIGH")).toDF("o_orderkey", "prio")
+    val hot = BloomPrune.bloomPrunedJoin(lineitems, bigOrders,
+      "l_orderkey", "o_orderkey")
+    assert(hot.count() === 1)
+    // README: stream-join signature works in its batch-twin form
+    val clicks = Seq((7L, "2024-01-01 10:00:00", "c1")).toDF("user_id", "t", "click")
+      .select(col("user_id"), to_timestamp(col("t")).as("click_ts"), col("click"))
+    val imps = Seq((7L, "2024-01-01 10:05:00", "i1")).toDF("user_id", "t", "imp")
+      .select(col("user_id"), to_timestamp(col("t")).as("imp_ts"), col("imp"))
+    val attributed = StreamJoin.joinWithinTime(clicks, imps, Seq("user_id"),
+      "click_ts", "imp_ts", watermarkDelay = "1 hour", bound = "10 minutes")
+    assert(attributed.count() === 1)
+  }
+
   test("quickstart: as-of and interval joins") {
     import graft.ops.{AsOf, RangeJoin}
     val events = Seq((7L, 100L, "e1"), (7L, 300L, "e2")).toDF("user_id", "t", "ev")
