@@ -43,4 +43,37 @@ class SinksSpec extends AnyFunSuite {
       .orderBy("k").as[(Int, String, Double)].collect().toSeq
     assert(twice === doUpdate)
   }
+
+  test("Merge.upsertPartitions: CoW upsert touches only the batch's partitions") {
+    import graft.sinks.Merge
+    val path = java.nio.file.Files.createTempDirectory("merge").toString + "/t"
+    def read() = spark.read.parquet(path)
+      .select("k", "yyyymm", "v", "ver")
+      .as[(Long, Int, String, Long)].collect().toSet
+
+    // first write: no sink yet → plain partitioned write
+    val b1 = Seq((1L, 202401, "a", 1L), (2L, 202401, "b", 1L),
+      (3L, 202402, "c", 1L)).toDF("k", "yyyymm", "v", "ver")
+    Merge.upsertPartitions(spark, b1, path, "yyyymm", Seq("k"), "ver")
+    assert(read() === Set((1L, 202401, "a", 1L), (2L, 202401, "b", 1L),
+      (3L, 202402, "c", 1L)))
+
+    // CDC batch: update k=1, insert k=4 (both 202401); in-batch dup for
+    // k=4 — highest ver wins; 202402 is untouched
+    val feb = new java.io.File(s"$path/yyyymm=202402")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).toSeq
+    val b2 = Seq((1L, 202401, "a2", 2L), (4L, 202401, "d0", 2L),
+      (4L, 202401, "d1", 3L)).toDF("k", "yyyymm", "v", "ver")
+    Merge.upsertPartitions(spark, b2, path, "yyyymm", Seq("k"), "ver")
+    assert(read() === Set((1L, 202401, "a2", 2L), (2L, 202401, "b", 1L),
+      (3L, 202402, "c", 1L), (4L, 202401, "d1", 3L)))
+    val febAfter = new java.io.File(s"$path/yyyymm=202402")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).toSeq
+    assert(febAfter === feb, "untouched partition was rewritten")
+
+    // re-running the same batch is a no-op on content
+    Merge.upsertPartitions(spark, b2, path, "yyyymm", Seq("k"), "ver")
+    assert(read() === Set((1L, 202401, "a2", 2L), (2L, 202401, "b", 1L),
+      (3L, 202402, "c", 1L), (4L, 202401, "d1", 3L)))
+  }
 }
