@@ -95,6 +95,17 @@ object LlmQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Per-document token entropy (repetition signal) — tokenize once,
+    * compute map-only; see [[TextStats.tokenEntropyOf]].
+    */
+  private def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextStats.nTokensOf(col("toks")).as("n_tokens"),
+        TextStats.tokenEntropyOf(col("toks")).as("entropy"))
+      .orderBy(col("doc_id"))
+
   /** Winnowing fingerprints (MOSS) at k=3, w=4 — the local,
     * position-aware dup sketch; see [[TextStats.winnowFingerprints]].
     */
@@ -506,6 +517,7 @@ object LlmQueries {
     "winnow_fingerprints" -> (winnowFingerprintsQ _),
     "winnow_dup_pairs" -> (winnowDupPairsQ _),
     "topk_docs_per_lang" -> (topkDocsPerLang _),
+    "token_entropy" -> (tokenEntropy _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -655,6 +667,17 @@ object LlmQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // entropy = ln(n) - (sum c*ln c)/n over distinct-token counts;
+    // round(6) absorbs libm/fold-order ulps on both engines
+    "token_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents
+         |)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |       CASE WHEN len(t) > 0
+         |            THEN round(ln(CAST(len(t) AS DOUBLE)) - list_sum(list_transform(list_distinct(t), x -> CAST(len(list_filter(t, y -> y = x)) AS DOUBLE) * ln(CAST(len(list_filter(t, y -> y = x)) AS DOUBLE)))) / CAST(len(t) AS DOUBLE), 6)
+         |            ELSE 0.0 END AS entropy
+         |FROM toks ORDER BY doc_id""".stripMargin,
     // the window form is the oracle; the Spark side runs the bounded-heap
     // aggregate — equal output proves the exact-top-k contract
     "topk_docs_per_lang" ->

@@ -159,6 +159,28 @@ object TextStats {
       lit(0L),
       (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
 
+  /** Shannon entropy (nats) of the token distribution, over a
+    * pre-materialized token-array ATTRIBUTE (the tokenize-once rule —
+    * see [[avgTokenLenOf]]). Low entropy flags repetitive/templated
+    * text that length and punctuation ratios miss (a 10k-token page of
+    * one repeated word scores ~0); the standard cheap repetition signal
+    * next to [[graft.llm.Curation.dupRatioOf]]'s shingle ratios.
+    *
+    * Map-only by construction: computed per row from the array via
+    * `entropy = ln(n) - (Σ c·ln c)/n` over distinct-token counts — no
+    * explode, no (doc, token) shuffle. Rounded to 6 decimals so the
+    * DuckDB oracle's libm/fold-order ulps cannot surface.
+    */
+  def tokenEntropyOf(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val sumClnC = aggregate(
+      transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)).cast("double")),
+      lit(0.0),
+      (acc, c) => acc + c * log(c))
+    when(size(toks) > 0, round(log(n) - sumClnC / n, 6)).otherwise(lit(0.0))
+  }
+
   /** Positions fit in 20 bits of the packed (hash, position) selection
     * key — up to ~1M k-grams per document. Larger documents should be
     * chunked first ([[graft.llm.Curation.chunkTokens]]).

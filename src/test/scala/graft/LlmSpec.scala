@@ -456,6 +456,25 @@ class LlmSpec extends AnyFunSuite {
     assert(top.toSeq === Seq("a", "c"))
   }
 
+  test("token entropy: uniform, constant, mixed, empty") {
+    val df = Seq(
+      (1L, "a b c d"),  // uniform over 4 → ln 4
+      (2L, "a a a a"),  // constant → 0
+      (3L, "   "),      // no tokens → 0
+      (4L, "a a b b"),  // ln 2
+      (5L, "a a a b")   // ln 4 - (3 ln 3)/4
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextStats.tokenEntropyOf(col("toks")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(approx(df(1L), math.log(4)))
+    assert(df(2L) === 0.0)
+    assert(df(3L) === 0.0)
+    assert(approx(df(4L), math.log(2)))
+    assert(approx(df(5L), math.log(4) - 3 * math.log(3) / 4))
+  }
+
   test("text stats: counts and ratios on a known sentence") {
     val df = Seq((1L, "The quick, brown fox! It is a fox.")).toDF("id", "text")
     val r = df.select(
