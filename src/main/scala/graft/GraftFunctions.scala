@@ -36,7 +36,13 @@ object GraftFunctions {
     "word_ngrams" -> { es => WordNgrams(es.head, intLit(es(1), "n")) },
     "cosine_sim" -> { es => CosineSim(es.head, es(1)) },
     "regexp_count" -> { es => RegexpCount(es.head, strLit(es(1), "pattern")) },
-    "zorder_key" -> { es => graft.functions.ZOrderKey(es.head, es(1)) })
+    "zorder_key" -> { es => graft.functions.ZOrderKey(es.head, es(1)) },
+    // aggregates: the analyzer wraps a bare AggregateFunction builder
+    // result in an AggregateExpression during function resolution
+    "top_k" -> { es =>
+      graft.functions.TopKAgg(es.head, es(1), intLit(es(2), "k")) },
+    "heavy_hitters" -> { es =>
+      graft.functions.HeavyHittersAgg(es.head, intLit(es(1), "capacity")) })
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

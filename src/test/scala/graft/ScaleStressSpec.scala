@@ -94,4 +94,29 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(t10 <= t1 * 12 + 5.0,
       f"10× edges took $t10%.1f s vs $t1%.1f s — superlinear blowup")
   }
+
+  test("winnow pairs at 10x docs: boilerplate cap kills the quadratic hot fingerprint") {
+    // 5000 docs (10× the unit corpus): every doc carries the SAME
+    // 12-token boilerplate (a fingerprint shared by all 5000 — uncapped,
+    // that alone is C(5000,2) ≈ 12.5M candidate pairs), plus one 16-token
+    // span shared by exactly its partner doc. The cap must yield exactly
+    // the 2500 genuine pairs.
+    val boiler = (1 to 12).map(j => s"boil$j").mkString(" ")
+    def span(i: Int) = (1 to 16).map(j => s"sp${i}t$j").mkString(" ")
+    val docs = (0 until 2500).flatMap { i =>
+      Seq((2L * i, s"pre${i}a pre${i}b ${span(i)} $boiler post${i}a"),
+        (2L * i + 1, s"alt${i}x ${span(i)} $boiler tail${i}y tail${i}z"))
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = graft.llm.Dedup.winnowDupPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5000-doc winnow pairs: ${pairs.size} pairs in $secs%.1f s")
+    val expected = (0 until 2500).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(pairs === expected)
+    // sanity ceiling only — the real assertion is the exact pair set
+    // (no quadratic boilerplate blowup reached the aggregation)
+    assert(secs < 120.0, f"winnow pairs took $secs%.1f s on 5000 docs")
+  }
 }

@@ -182,4 +182,19 @@ class WindowsSaltSpec extends AnyFunSuite {
       BloomPrune.bloomPrunedJoin(probe, build, "pk", "bk", joinType = "left")
     }
   }
+
+  test("aggregate SQL surface: top_k and heavy_hitters resolve and agree with the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("x", "a", 3L), ("x", "b", 9L), ("x", "c", 5L), ("y", "d", 1L))
+      .toDF("g", "item", "m").createOrReplaceTempView("tk")
+    val viaSql = spark.sql(
+      "SELECT g, top_k(item, m, 2) AS top FROM tk GROUP BY g ORDER BY g")
+      .select(col("g"), expr("transform(top, e -> e.item)").as("items"))
+      .as[(String, Seq[String])].collect().toSeq
+    assert(viaSql === Seq(("x", Seq("b", "c")), ("y", Seq("d"))))
+    val hh = spark.sql(
+      "SELECT heavy_hitters(item, 8) AS hh FROM tk")
+      .select(expr("size(hh)")).collect()(0).getInt(0)
+    assert(hh === 4)
+  }
 }
