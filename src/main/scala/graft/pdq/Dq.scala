@@ -1,6 +1,6 @@
 package graft.pdq
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates + rollup reconciliation
@@ -23,6 +23,30 @@ object Dq {
     */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).count().where(col("count") > 1)
+
+  /** Single-pass DQ metrics piggybacked on the frame's OWN action via
+    * `Dataset.observe`: row count, per-key null counts, per-measure
+    * negative counts materialize with the write/collect that consumes
+    * the frame — no second scan. The reference runs each gate as its own
+    * Postgres query after loading (dags/pdq_etl_dag.py:383-429); at
+    * 100 TB a separate gate pass re-reads the table, this one is free.
+    *
+    * The returned [[Observation]] yields its metric map after the first
+    * action on the returned frame (`obs.get` blocks until then). Gates
+    * that must SELECT the violating rows ([[negativeMeasures]],
+    * [[duplicateKeys]]) still exist for diagnosis; this is the
+    * counts-only fast path for the pass/fail decision.
+    */
+  def observedMetrics(df: DataFrame, keyCols: Seq[String],
+                      measureCols: Seq[String]): (DataFrame, Observation) = {
+    val obs = Observation()
+    val aggs = count(lit(1)).as("n_rows") +:
+      (keyCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")) ++
+        measureCols.map(c =>
+          sum(when(col(c) < 0, 1L).otherwise(0L)).as(s"neg_$c")))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
 
   /** A2 + J1-J4 + U1 + O2 — rollup reconciliation
     * (dags/pdq_etl_dag.py:254-380): totals at a coarse grain vs the same

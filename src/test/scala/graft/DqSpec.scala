@@ -50,4 +50,20 @@ class DqSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(p.toSeq === Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
   }
+
+  test("observedMetrics: DQ counts arrive with the frame's own action, no second scan") {
+    val path = java.nio.file.Files.createTempDirectory("obs").toString + "/t"
+    val df = Seq(
+      (Some(1L), 10.0), (Some(2L), -3.0), (None, 5.0), (Some(4L), -0.5)
+    ).toDF("k", "v")
+    val (observed, obs) = graft.pdq.Dq.observedMetrics(df, Seq("k"), Seq("v"))
+    // the WRITE is the only action — metrics must ride along with it
+    observed.write.parquet(path)
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("null_k") === 1L)
+    assert(m("neg_v") === 2L)
+    // and the written data is untouched by the observation
+    assert(spark.read.parquet(path).count() === 4)
+  }
 }
