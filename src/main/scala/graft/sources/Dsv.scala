@@ -55,4 +55,31 @@ object Dsv {
       } else trimmed
     Casts.normNullAll(bound)
   }
+
+  /** Shape-reject audit: raw lines whose `}`-token count differs from the
+    * header's. PERMISSIVE CSV silently pads short rows with nulls and
+    * truncates long ones — correct for tolerant ingest ([[read]]), but an
+    * export whose row shapes drift deserves a visible signal, and neither
+    * mode surfaces it (`_corrupt_record` only marks unparseable rows,
+    * which an all-string schema never has).
+    *
+    * A deliberate SECOND pass over the raw file (pure column expressions,
+    * one `split` per line): run it as an audit next to the ingest when
+    * shape drift matters, not unconditionally at 100 TB.
+    *
+    * @return (line, n_tokens) for each non-header line with a token
+    *         count ≠ the header's
+    */
+  def shapeRejects(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    val header = lines.head().getString(0)
+    val nCols = header.split("\\}", -1).length
+    lines
+      .where(col("value") =!= lit(header))
+      .select(col("value").as("line"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("value"), "\\}", -1))
+          .as("n_tokens"))
+      .where(col("n_tokens") =!= lit(nCols))
+  }
 }

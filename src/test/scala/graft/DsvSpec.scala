@@ -60,4 +60,20 @@ class DsvSpec extends AnyFunSuite {
     assert(r.getString(2) === "sea")
     assert(r.isNullAt(3))
   }
+
+  test("shapeRejects flags rows whose token count drifts from the header") {
+    val path = java.nio.file.Files.createTempDirectory("dsvrej").toString + "/f.dsv"
+    val w = new java.io.PrintWriter(path)
+    w.println("A}B}C")
+    w.println("1}x}y")      // ok
+    w.println("2}x")        // short → PERMISSIVE pads, audit must flag
+    w.println("3}x}y}z")    // long → PERMISSIVE truncates, audit must flag
+    w.println("4}}")        // empty tokens but right shape → ok
+    w.close()
+    val rejects = graft.sources.Dsv.shapeRejects(spark, path)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rejects === Set(("2}x", 2), ("3}x}y}z", 4)))
+    // and the tolerant reader still reads all 4 data rows
+    assert(graft.sources.Dsv.read(spark, path).count() === 4)
+  }
 }
