@@ -111,4 +111,70 @@ class PropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("TopKAgg equals the sort-take model for arbitrary groups, metrics, and k") {
+    import graft.functions.TopKAgg.topK
+    val row = for {
+      g <- Gen.oneOf("p", "q", "r")
+      item <- Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+      m <- Gen.chooseNum(-50L, 50L) // ties are likely by construction
+    } yield (g, item, m)
+    check(Prop.forAll(Gen.listOfN(60, row), Gen.chooseNum(1, 7)) { (rows, k) =>
+      val got = rows.toDF("g", "item", "m").repartition(5)
+        .groupBy(col("g")).agg(topK(col("item"), col("m"), k).as("top"))
+        .select(col("g"), explode(col("top")).as("e"))
+        .select(col("g"), col("e.item"), col("e.metric"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      // every row counts (duplicates included): rank by (m desc, item
+      // asc) and take k — the heap must agree element-for-element
+      val model = rows.groupBy(_._1).view.mapValues {
+        _.map(t => (t._2, t._3)).sortBy { case (i, m) => (-m, i) }.take(k)
+      }.toMap
+      model.forall { case (g, want) => got.getOrElse(g, Nil) == want }
+    })
+  }
+
+  test("Reagg.coarsen equals direct aggregation for arbitrary two-level groupings") {
+    import graft.ops.Reagg
+    val row = for {
+      fine <- Gen.chooseNum(0, 11)
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(-1000L, 1000L)
+    } yield (fine, g, v)
+    check(Prop.forAll(Gen.listOfN(50, row)) { rows =>
+      val df = rows.toDF("fine", "g", "v")
+      val pre = df.groupBy(col("fine"), col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val coarse = Reagg.coarsen(pre.withColumn("bucket", col("fine") % 3),
+        Seq(col("bucket"), col("g")),
+        sums = Seq("n", "sv"), mins = Seq("mn"), maxs = Seq("mx"))
+        .collect().map(r => ((r.getInt(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val direct = df.withColumn("bucket", col("fine") % 3)
+        .groupBy(col("bucket"), col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect().map(r => ((r.getInt(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      coarse == direct
+    })
+  }
+
+  test("zorder key is monotone under the interleave model on arbitrary pairs") {
+    import graft.functions.ZOrderKey
+    val coord = Gen.chooseNum(0L, 0x7FFFFFFFL)
+    check(Prop.forAll(Gen.listOfN(25, Gen.zip(coord, coord))) { pts =>
+      val got = pts.toDF("a", "b")
+        .select(ZOrderKey.zorderKey(col("a"), col("b")).as("z"))
+        .collect().map(_.getLong(0)).toSeq
+      val model = pts.map { case (a, b) =>
+        (0 until 31).map(i =>
+          (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+          .reduce(_ | _)
+      }
+      got == model
+    })
+  }
 }
