@@ -54,4 +54,26 @@ object Merge {
     // materialize before overwriting the files the plan reads
     Idempotent.writeMonthSlice(merged.localCheckpoint(true), path, partitionCol)
   }
+
+  /** Streaming CDC: apply each micro-batch as one [[upsertPartitions]]
+    * merge — `readStream` on the change feed, `foreachBatch` here, and
+    * the parquet layout stays an upserted table. Checkpointing makes a
+    * replayed batch re-merge the same rows, and [[upsertPartitions]] is
+    * idempotent for them (same keys, same versions → same survivors) —
+    * the exactly-once-effective pattern for file-layout CDC.
+    */
+  def upsertStream(changes: DataFrame, path: String, partitionCol: String,
+                   keyCols: Seq[String], versionCol: String,
+                   checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertPartitions(batch.sparkSession, batch, path,
+          partitionCol, keyCols, versionCol)
+      }
+      .start()
 }

@@ -76,4 +76,29 @@ class SinksSpec extends AnyFunSuite {
     assert(read() === Set((1L, 202401, "a2", 2L), (2L, 202401, "b", 1L),
       (3L, 202402, "c", 1L), (4L, 202401, "d1", 3L)))
   }
+
+  test("Merge.upsertStream: streaming CDC feed upserts the layout per micro-batch") {
+    import graft.sinks.Merge
+    val root = java.nio.file.Files.createTempDirectory("mergestream").toString
+    val (in, table, chk) = (s"$root/in", s"$root/table", s"$root/chk")
+    def feed(name: String, rows: (Long, Int, String, Long)*): Unit =
+      rows.toSeq.toDF("k", "yyyymm", "v", "ver").write.parquet(s"$in/$name")
+    feed("b1", (1L, 202401, "a", 1L), (2L, 202402, "b", 1L))
+    val schema = spark.read.parquet(s"$in/b1").schema
+    def drain(): Unit = {
+      val q = Merge.upsertStream(
+        spark.readStream.schema(schema).parquet(s"$in/*"),
+        table, "yyyymm", Seq("k"), "ver", chk)
+      q.awaitTermination()
+    }
+    drain()
+    def read() = spark.read.parquet(table).select("k", "yyyymm", "v", "ver")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(read() === Set((1L, 202401, "a", 1L), (2L, 202402, "b", 1L)))
+    // second CDC batch arrives: update k=1, insert k=3
+    feed("b2", (1L, 202401, "a2", 2L), (3L, 202401, "c", 2L))
+    drain()
+    assert(read() === Set((1L, 202401, "a2", 2L), (2L, 202402, "b", 1L),
+      (3L, 202401, "c", 2L)))
+  }
 }
