@@ -92,7 +92,8 @@ object Bench {
       "knn_cosine_multiprobe", "heavy_hitter_brands", "knn_cosine_ivf",
       "winnow_fingerprints", "topk_docs_per_lang", "zorder_locality",
       "rollup_quarterly_from_monthly", "distinct_sketch_customers",
-      "winnow_dup_pairs", "bloom_pruned_revenue", "token_entropy")
+      "winnow_dup_pairs", "bloom_pruned_revenue", "token_entropy",
+      "quantile_sketch_quantity")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -451,6 +451,27 @@ object SparkEntry {
       .orderBy(col("quarter"), col("o_orderpriority"))
   }
 
+  /** Quantile cube: monthly GK sketches of l_quantity merged to
+    * per-returnflag percentiles ([[graft.functions.QuantileSketch]]) —
+    * the quantile leg of the mergeable pre-aggregate family next to
+    * [[rollupQuarterlyFromMonthly]] (sums) and
+    * [[distinctSketchCustomers]] (HLL). Rows-only (GK internals have no
+    * DuckDB twin); rank-error bounds pinned by `QuantileSketchSpec`.
+    */
+  private def quantileSketchQuantity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch._
+    val monthly = tPar(s, dir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("yyyymm"),
+        col("l_returnflag"))
+      .agg(quantileSketch(col("l_quantity")).as("sk"))
+    monthly.groupBy(col("l_returnflag"))
+      .agg(mergeQuantileSketches(col("sk")).as("sk"))
+      .select(col("l_returnflag"),
+        sketchQuantile(col("sk"), 0.5).as("p50"),
+        sketchQuantile(col("sk"), 0.9).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Probe-side bloom reduction before the join shuffle
     * ([[graft.ops.BloomPrune.bloomPrunedJoin]]): lineitem rows that
     * cannot match a high-value order never enter the exchange. The
@@ -551,6 +572,7 @@ object SparkEntry {
     "rollup_quarterly_from_monthly" -> (rollupQuarterlyFromMonthly _),
     "distinct_sketch_customers" -> (distinctSketchCustomers _),
     "bloom_pruned_revenue" -> (bloomPrunedRevenue _),
+    "quantile_sketch_quantity" -> (quantileSketchQuantity _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -568,7 +590,7 @@ object SparkEntry {
     *    recall assertions instead.
     */
   val rowsOnlyQueries: Set[String] = Set("knn_cosine_ivf",
-    "distinct_sketch_customers")
+    "distinct_sketch_customers", "quantile_sketch_quantity")
 
   private def baseOracleSql: Map[String, String] = Map(
     "staging_events_monthly" ->
