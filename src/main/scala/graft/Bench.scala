@@ -93,7 +93,7 @@ object Bench {
       "winnow_fingerprints", "topk_docs_per_lang", "zorder_locality",
       "rollup_quarterly_from_monthly", "distinct_sketch_customers",
       "winnow_dup_pairs", "bloom_pruned_revenue", "token_entropy",
-      "quantile_sketch_quantity")
+      "quantile_sketch_quantity", "snowflake_region_revenue")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -451,6 +451,31 @@ object SparkEntry {
       .orderBy(col("quarter"), col("o_orderpriority"))
   }
 
+  /** Snowflake rollup through the two-level dimension chain: nation ⋈
+    * region collapses FIRST (25×5 rows — broadcast), the collapsed dim
+    * broadcasts onto customer, and only then does the fact join — the
+    * snowflake-collapse order that keeps every dim hop off the fact's
+    * shuffle. Customer⋈orders is left unhinted: at sf it broadcasts via
+    * AQE, at 100 TB it becomes the one shuffle join this query needs.
+    */
+  private def snowflakeRegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+    val natReg = nation.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val custReg = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("r_name"))
+    tPar(s, dir, "orders")
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("tp"))
+      .join(custReg, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"), dblOut2(sum(col("tp"))).as("total_price"))
+      .orderBy(col("r_name"))
+  }
+
   /** Quantile cube: monthly GK sketches of l_quantity merged to
     * per-returnflag percentiles ([[graft.functions.QuantileSketch]]) —
     * the quantile leg of the mergeable pre-aggregate family next to
@@ -573,6 +598,7 @@ object SparkEntry {
     "distinct_sketch_customers" -> (distinctSketchCustomers _),
     "bloom_pruned_revenue" -> (bloomPrunedRevenue _),
     "quantile_sketch_quantity" -> (quantileSketchQuantity _),
+    "snowflake_region_revenue" -> (snowflakeRegionRevenue _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -802,6 +828,14 @@ object SparkEntry {
     "heavy_hitter_brands" ->
       """SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
         |FROM part GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""".stripMargin,
+    "snowflake_region_revenue" ->
+      """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
     // the PLAIN join — the Spark side bloom-prunes the probe first;
     // equality proves the reduction is semantics-preserving
     "bloom_pruned_revenue" ->
