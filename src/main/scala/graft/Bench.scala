@@ -93,7 +93,9 @@ object Bench {
       "winnow_fingerprints", "topk_docs_per_lang", "zorder_locality",
       "rollup_quarterly_from_monthly", "distinct_sketch_customers",
       "winnow_dup_pairs", "bloom_pruned_revenue", "token_entropy",
-      "quantile_sketch_quantity", "snowflake_region_revenue")
+      "quantile_sketch_quantity", "snowflake_region_revenue",
+      "pivot_returnflag_qty", "unpivot_order_metrics",
+      "rollup_flag_status", "ntile_customers")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -451,6 +451,57 @@ object SparkEntry {
       .orderBy(col("quarter"), col("o_orderpriority"))
   }
 
+  /** PIVOT with an explicit value list — explicit because at scale an
+    * unlisted pivot runs a distinct-values job first AND can explode
+    * into unbounded columns; listing values keeps it one pass.
+    */
+  private def pivotReturnflagQty(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "lineitem")
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("yyyymm"),
+        col("l_returnflag"), dec(col("l_quantity")).as("qty"))
+      .groupBy(col("yyyymm"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("qty")))
+      .select(col("yyyymm"), dblOut2(col("A")).as("qty_a"),
+        dblOut2(col("N")).as("qty_n"), dblOut2(col("R")).as("qty_r"))
+      .orderBy(col("yyyymm"))
+
+  /** UNPIVOT (melt) of a wide aggregate into (key, metric, value) — the
+    * long form metric stores ingest.
+    */
+  private def unpivotOrderMetrics(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        dblOut2(sum(dec(col("o_totalprice")))).as("total_price"))
+      .unpivot(Array(col("yyyymm")), Array(col("n_orders"), col("total_price")),
+        "metric", "value")
+      .orderBy(col("yyyymm"), col("metric"))
+
+  /** ROLLUP subtotals: flag × status, per-flag, and grand total in one
+    * pass (partial-aggregate friendly — Spark expands grouping sets
+    * before the exchange, so subtotals don't re-scan).
+    */
+  private def rollupFlagStatus(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), dec(col("l_quantity")).as("qty"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dblOut2(sum(col("qty"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** NTILE quartiles by account balance — deterministic with the
+    * unique-key tiebreak in the window order.
+    */
+  private def ntileCustomers(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("c_custkey"), dblOut(col("c_acctbal")).as("acctbal"),
+        col("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Snowflake rollup through the two-level dimension chain: nation ⋈
     * region collapses FIRST (25×5 rows — broadcast), the collapsed dim
     * broadcasts onto customer, and only then does the fact join — the
@@ -599,6 +650,10 @@ object SparkEntry {
     "bloom_pruned_revenue" -> (bloomPrunedRevenue _),
     "quantile_sketch_quantity" -> (quantileSketchQuantity _),
     "snowflake_region_revenue" -> (snowflakeRegionRevenue _),
+    "pivot_returnflag_qty" -> (pivotReturnflagQty _),
+    "unpivot_order_metrics" -> (unpivotOrderMetrics _),
+    "rollup_flag_status" -> (rollupFlagStatus _),
+    "ntile_customers" -> (ntileCustomers _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -828,6 +883,32 @@ object SparkEntry {
     "heavy_hitter_brands" ->
       """SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
         |FROM part GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""".stripMargin,
+    "pivot_returnflag_qty" ->
+      """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS INTEGER) AS yyyymm,
+        |       CAST(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS qty_a,
+        |       CAST(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS qty_n,
+        |       CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY yyyymm""".stripMargin,
+    "unpivot_order_metrics" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        |         CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n_orders,
+        |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT yyyymm, 'n_orders' AS metric, n_orders AS value FROM m
+        |UNION ALL
+        |SELECT yyyymm, 'total_price' AS metric, total_price AS value FROM m
+        |ORDER BY yyyymm, metric""".stripMargin,
+    "rollup_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "ntile_customers" ->
+      """SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+        |       CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "snowflake_region_revenue" ->
       """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
