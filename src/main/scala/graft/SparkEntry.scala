@@ -451,6 +451,40 @@ object SparkEntry {
       .orderBy(col("quarter"), col("o_orderpriority"))
   }
 
+  /** RANGE-framed window over event time: per-customer trailing-90-day
+    * revenue — the frame is value-based (days), not row-based, so same-day
+    * peers aggregate together deterministically. Order key = days since
+    * epoch (Spark's `rangeBetween` needs a numeric order column).
+    */
+  private def trailingRevenue90d(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("day_no"))
+      .rangeBetween(-90, 0)
+    tPar(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("day_no"),
+        dec(col("o_totalprice")).as("tp"))
+      .withColumn("trailing_90d", dblOut2(sum(col("tp")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_no"), col("trailing_90d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** LAG analytics: days since the customer's previous order (null for
+    * the first) — unique (date, key) tiebreak keeps lag deterministic.
+    */
+  private def orderGapDays(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    tPar(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** PIVOT with an explicit value list — explicit because at scale an
     * unlisted pivot runs a distinct-values job first AND can explode
     * into unbounded columns; listing values keeps it one pass.
@@ -654,6 +688,8 @@ object SparkEntry {
     "unpivot_order_metrics" -> (unpivotOrderMetrics _),
     "rollup_flag_status" -> (rollupFlagStatus _),
     "ntile_customers" -> (ntileCustomers _),
+    "trailing_revenue_90d" -> (trailingRevenue90d _),
+    "order_gap_days" -> (orderGapDays _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
   )
 
@@ -883,6 +919,19 @@ object SparkEntry {
     "heavy_hitter_brands" ->
       """SELECT p_brand AS item, CAST(count(*) AS BIGINT) AS est_count
         |FROM part GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""".stripMargin,
+    "trailing_revenue_90d" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day_no,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        |         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE) AS trailing_90d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "order_gap_days" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(date_diff('day', lag(o_orderdate, 1) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) AS gap_days
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "pivot_returnflag_qty" ->
       """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS INTEGER) AS yyyymm,
         |       CAST(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS DOUBLE) AS qty_a,
