@@ -183,6 +183,23 @@ class WindowsSaltSpec extends AnyFunSuite {
     }
   }
 
+  test("Skew.report: one hot key surfaces with share and skew floor, one pass") {
+    import graft.ops.Skew
+    // 5000 rows on one key + 100 keys x 10 rows: hot share ~5/6
+    val rows = Seq.fill(5000)(42L) ++ (1L to 100L).flatMap(k => Seq.fill(10)(1000L + k))
+    val rep = Skew.report(rows.toDF("k").repartition(8), "k", topN = 3)
+      .collect()
+    val hot = rep.head
+    assert(hot.getString(0) === "42")
+    // MG undercounts, never inflates: est <= true, and with capacity
+    // 1024 >= 101 distinct the summary is exact
+    assert(hot.getLong(1) === 5000L)
+    assert(math.abs(hot.getDouble(2) - 5000.0 / 6000.0) < 1e-9)
+    assert(hot.getDouble(3) > 50.0, s"skew floor ${hot.getDouble(3)}")
+    // the tail keys are ~1x average
+    rep.tail.foreach(r => assert(r.getDouble(3) < 2.0))
+  }
+
   test("aggregate SQL surface: top_k and heavy_hitters resolve and agree with the Column API") {
     GraftFunctions.register(spark)
     Seq(("x", "a", 3L), ("x", "b", 9L), ("x", "c", 5L), ("y", "d", 1L))
