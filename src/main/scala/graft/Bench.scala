@@ -96,7 +96,8 @@ object Bench {
       "quantile_sketch_quantity", "snowflake_region_revenue",
       "pivot_returnflag_qty", "unpivot_order_metrics",
       "rollup_flag_status", "ntile_customers",
-      "trailing_revenue_90d", "order_gap_days")
+      "trailing_revenue_90d", "order_gap_days",
+      "near_dedup_survivors_exact")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -95,6 +95,14 @@ object LlmQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** One-survivor-per-cluster dedup summary; see
+    * [[Dedup.dropNearDupsExact]].
+    */
+  private def nearDedupSurvivorsExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDupsExact(tPar(s, dir, "documents"), "doc_id", "text")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"))
+
   /** Per-document token entropy (repetition signal) — tokenize once,
     * compute map-only; see [[TextStats.tokenEntropyOf]].
     */
@@ -518,6 +526,7 @@ object LlmQueries {
     "winnow_dup_pairs" -> (winnowDupPairsQ _),
     "topk_docs_per_lang" -> (topkDocsPerLang _),
     "token_entropy" -> (tokenEntropy _),
+    "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -621,14 +630,14 @@ object LlmQueries {
        | THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct($c)) AS DOUBLE) / CAST(len($c) AS DOUBLE)
        | ELSE 0.0 END, 6)""".stripMargin
 
-  /** Shared by near_dup_clusters and near_dup_clusters_logstar: both
-    * Spark closures must reproduce the same recursive-CTE transitive
-    * closure over the LSH candidate graph.
+  /** Shared by near_dup_clusters / near_dup_clusters_logstar /
+    * near_dedup_survivors_exact: the recursive-CTE transitive closure
+    * over the LSH candidate graph, ending at `reach(id, r)`.
     */
-  private val NearDupClustersSql: String = {
+  private val NearDupClosureCtes: String = {
     val matchSum = (0 until 8).map(p =>
       s"(CASE WHEN sa.sig_$p = sb.sig_$p THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH RECURSIVE base AS (
+    s"""base AS (
        |  SELECT doc_id, $Toks AS toks FROM documents
        |), sh AS (
        |  SELECT doc_id, $Shingles AS shingles FROM base
@@ -660,11 +669,25 @@ object LlmQueries {
        |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
        |  UNION
        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
-       |)
+       |)""".stripMargin
+  }
+
+  private val NearDupClustersSql: String =
+    s"""WITH RECURSIVE $NearDupClosureCtes
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY 1
        |ORDER BY cluster_id, doc_id""".stripMargin
-  }
+
+  /** Min-survivor dedup from the same closure: survivors = every doc
+    * except cluster members above their cluster minimum.
+    */
+  private val NearDupSurvivorsExactSql: String =
+    s"""WITH RECURSIVE $NearDupClosureCtes,
+       |cl AS (SELECT id, min(r) AS m FROM reach GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cl WHERE m <> id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // entropy = ln(n) - (sum c*ln c)/n over distinct-token counts;
@@ -1004,6 +1027,7 @@ object LlmQueries {
     "near_dup_clusters" -> NearDupClustersSql,
     // identical semantics, different closure algorithm on the Spark side
     "near_dup_clusters_logstar" -> NearDupClustersSql,
+    "near_dedup_survivors_exact" -> NearDupSurvivorsExactSql,
     "simhash_fingerprints" ->
       s"""WITH base AS (
          |  SELECT doc_id, list_transform($Toks, t -> md5(t)) AS hs FROM documents

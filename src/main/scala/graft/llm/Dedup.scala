@@ -85,6 +85,24 @@ object Dedup {
     cc.select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Drop near-duplicates EXACTLY one-survivor-per-cluster: the
+    * transitive closure picks each cluster's minimum id and everything
+    * else in the cluster drops. Unlike the single-pass [[dropNearDups]]
+    * (which keeps every node that is never the larger end of a pair —
+    * possibly SEVERAL per cluster, e.g. the edge set {(1,3),(2,3)}
+    * keeps 1 and 2), this is the canonical dedup: one deterministic
+    * survivor per connected component, no over-keep, no over-drop.
+    * Costs the closure's O(log² n) rounds on top of candidate
+    * generation — the price of exactness at corpus scale.
+    */
+  def dropNearDupsExact(df: DataFrame, idCol: String, textCol: String,
+                        minEstJaccard: Double = 0.5): DataFrame = {
+    val losers = nearDupClusters(df, idCol, textCol, minEstJaccard)
+      .where(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("__drop_id"))
+    df.join(losers, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Near-dup candidate pairs from winnowing fingerprints
     * ([[TextStats.winnowFingerprints]]): documents sharing at least
     * `minShared` selected fingerprints. Winnowing guarantees any shared

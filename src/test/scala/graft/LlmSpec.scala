@@ -392,6 +392,25 @@ class LlmSpec extends AnyFunSuite {
     assert(small === small.sortBy { case (i, c) => (-c, i) })
   }
 
+  test("dropNearDupsExact: one survivor per cluster, singletons untouched") {
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, near), (2L, near + " x"), (3L, near + " y"),   // one cluster
+      (7L, "completely different text about catalyst plans and shuffles"),
+      (9L, "another standalone document with its own unique content here")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.dropNearDupsExact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3} keeps its minimum; singletons stay
+    assert(survivors === Set(1L, 7L, 9L))
+    // consistency with the cluster labeling itself
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      -- clusters.filter { case (d, c) => d != c }.keySet)
+    assert(survivors === expected)
+  }
+
   test("winnowDupPairs: local-overlap pairs; boilerplate fingerprint cap") {
     val span = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliet kilo lima mike november oscar papa" // 16 shared tokens
