@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforced plan shapes: PLANS_r5.md documents the load-bearing
+  * physical-plan properties; this spec makes the critical ones FAIL the
+  * build when a refactor regresses them — pushdown reaching the scan,
+  * dims broadcasting, the brute-force cartesian staying contained, and
+  * fact scans pruning to the projected columns.
+  *
+  * Runs against the sf0.001 testdata (plan SHAPE is scale-invariant for
+  * these properties; AQE thresholds that aren't — e.g. shuffle-join
+  * choices — are asserted via hints or not at all).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("tfidf: the doc_id prune is pushed into the parquet scan, below the window") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+      s"doc_id prune not pushed:\n$p")
+  }
+
+  test("star join: the dimension reaches the fact via broadcast, fact shuffles once") {
+    val p = plan("star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("snowflake: both dimension hops broadcast") {
+    val p = plan("snowflake_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected two broadcast hops:\n$p")
+  }
+
+  test("bloom-pruned join: the build-side filter is pushed to its scan") {
+    val p = plan("bloom_pruned_revenue")
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"),
+      s"build filter not pushed:\n$p")
+    assert(p.contains("BloomFilterMightContain") || p.contains("might_contain"),
+      s"probe not bloom-filtered:\n$p")
+  }
+
+  test("zorder locality: the scan prunes to exactly the two key columns") {
+    val p = plan("zorder_locality")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"scan reads more than the key columns:\n$p")
+  }
+
+  test("top-k agg: partial heaps run before the exchange") {
+    val p = plan("topk_docs_per_lang")
+    assert(p.contains("partial_top_k"), s"no map-side partial:\n$p")
+  }
+
+  test("the only cartesian-shaped joins are the two documented ones") {
+    // brute-force kNN (exactness baseline) and tfidf's single-row IDF
+    // broadcast are intended; anything else is a regression
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val p = plan(name)
+      p.contains("CartesianProduct") ||
+        (p.contains("BroadcastNestedLoopJoin") &&
+          !Set("knn_cosine_brute", "tfidf_top_terms")(name))
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
+  }
+}
