@@ -97,7 +97,7 @@ object Bench {
       "pivot_returnflag_qty", "unpivot_order_metrics",
       "rollup_flag_status", "ntile_customers",
       "trailing_revenue_90d", "order_gap_days",
-      "near_dedup_survivors_exact")
+      "near_dedup_survivors_exact", "audio_window_plan")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -488,6 +488,16 @@ object LlmQueries {
         maxFrames = 8)
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** STFT-shaped audio windows (2048 wide, hop 1024) over the stub
+    * decoder's sample counts; see [[Multimodal.audioWindowPlan]].
+    */
+  private def audioWindowPlanQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioWindowPlan(
+        Multimodal.decodeFeatures(
+          Multimodal.mediaFromDocuments(tPar(s, dir, "documents"))),
+        winSamples = 2048, hopSamples = 1024)
+      .orderBy(col("media_id"), col("win_idx"))
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -527,6 +537,7 @@ object LlmQueries {
     "topk_docs_per_lang" -> (topkDocsPerLang _),
     "token_entropy" -> (tokenEntropy _),
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
+    "audio_window_plan" -> (audioWindowPlanQ _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -1162,6 +1173,24 @@ object LlmQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    // windows of 2048 every 1024 over the audio stub's sample counts;
+    // DuckDB range() exclusive end ≙ Spark sequence(0, n-1, hop)
+    "audio_window_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |), a AS (
+        |  SELECT media_id, CAST(1 + n_bytes % 4096 AS INTEGER) AS n_samples
+        |  FROM m WHERE media_type = 'audio'
+        |)
+        |SELECT media_id, CAST(i // 1024 AS INTEGER) AS win_idx,
+        |       CAST(i AS INTEGER) AS start_sample,
+        |       CAST(least(2048, n_samples - i) AS INTEGER) AS n_in_window,
+        |       n_samples
+        |FROM a, unnest(range(0, n_samples, 1024)) AS u(i)
+        |ORDER BY media_id, win_idx""".stripMargin,
     "multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

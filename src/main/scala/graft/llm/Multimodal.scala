@@ -108,6 +108,30 @@ object Multimodal {
         col("out_w"), col("out_h"))
   }
 
+  /** Overlapping analysis windows over audio sample streams (the STFT /
+    * feature-frame shape: window `winSamples` wide every `hopSamples`).
+    * Map-only explode like [[frameSamplePlan]] — plans flow downstream,
+    * payload slicing happens at the codec seam. The final window is
+    * truncated (`n_in_window < winSamples`), not padded; padding policy
+    * belongs to the consumer.
+    */
+  def audioWindowPlan(features: DataFrame, winSamples: Int,
+                      hopSamples: Int): DataFrame = {
+    require(winSamples > 0, s"winSamples=$winSamples")
+    require(hopSamples > 0, s"hopSamples=$hopSamples")
+    features
+      .where(col("media_type") === "audio" && col("n_frames") > 0)
+      .select(col("media_id"), col("n_frames").as("n_samples"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(hopSamples)))
+          .as("start_sample"))
+      .select(col("media_id"),
+        (col("start_sample") / hopSamples).cast("int").as("win_idx"),
+        col("start_sample"),
+        least(lit(winSamples), col("n_samples") - col("start_sample"))
+          .cast("int").as("n_in_window"),
+        col("n_samples"))
+  }
+
   /** Build a media frame from the documents table (text bytes standing in
     * for undecoded payloads — the plumbing fixture used by tests/bench).
     */

@@ -228,7 +228,13 @@ object TextStats {
            |    cast(conv(substring(md5(array_join(slice(__toks, i, $k), ' ')), 1, 10), 16, 10) as bigint) as h)))"""
           .stripMargin).as("g"))
       .select(col(idCol), col("g.pos").as("pos"),
-        (col("g.h") * lit(WinnowPosCap) + col("g.pos")).as("__combined"))
+        // a position past the cap would silently alias into another
+        // (hash, pos) key and corrupt selections — fail loudly instead
+        when(col("g.pos") >= lit(WinnowPosCap),
+          raise_error(concat(lit("winnowFingerprints: document exceeds "),
+            lit(WinnowPosCap), lit(" k-grams — chunk it first (Curation.chunkTokens)"))))
+          .otherwise(col("g.h") * lit(WinnowPosCap) + col("g.pos"))
+          .as("__combined"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val sel = min(col("__combined"))
       .over(byDoc.rowsBetween(Window.currentRow, w - 1))

@@ -605,6 +605,15 @@ class LlmSpec extends AnyFunSuite {
     val fps7 = TextStats.winnowFingerprints(twin, "doc_id", "text", k, w)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(fps7 === fps.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet)
+    // a document past the position cap fails LOUDLY (silent aliasing of
+    // packed (hash, pos) keys would corrupt selections)
+    val huge = Seq((8L, Seq.fill((TextStats.WinnowPosCap + 4).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextStats.winnowFingerprints(huge, "doc_id", "text", k, w).count()
+    }
+    assert(ex.getMessage.contains("chunk it first") ||
+      Option(ex.getCause).exists(_.getMessage.contains("chunk it first")))
   }
 
   test("frameSamplePlan: even stride, at most maxFrames, stills excluded") {
