@@ -222,12 +222,23 @@ object TextStats {
     val grams = df
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= k)
-      .select(col(idCol), expr(
-        s"""explode(transform(sequence(1, size(__toks) - ${k - 1}),
-           |  i -> struct(cast(i as bigint) as pos,
-           |    cast(conv(substring(md5(array_join(slice(__toks, i, $k), ' ')), 1, 10), 16, 10) as bigint) as h)))"""
-          .stripMargin).as("g"))
-      .select(col(idCol), col("g.pos").as("pos"),
+      // per-doc gram count is known BEFORE the explode (size − k + 1):
+      // carried as a column, it saves a count-window pass over the
+      // exploded corpus. It MUST materialize in its own projection
+      // below the explode — an expression sharing a select with a
+      // generator evaluates after generation, which would force the
+      // whole token array into every generated row (quadratic bytes;
+      // caught live on the 1M-token guard fixture).
+      .select(col(idCol),
+        (size(col("__toks")) - lit(k - 1)).cast("long").as("__ng"),
+        col("__toks"))
+      .select(col(idCol), col("__ng"),
+        expr(
+          s"""explode(transform(sequence(1, size(__toks) - ${k - 1}),
+             |  i -> struct(cast(i as bigint) as pos,
+             |    cast(conv(substring(md5(array_join(slice(__toks, i, $k), ' ')), 1, 10), 16, 10) as bigint) as h)))"""
+            .stripMargin).as("g"))
+      .select(col(idCol), col("__ng"), col("g.pos").as("pos"),
         // a position past the cap would silently alias into another
         // (hash, pos) key and corrupt selections — fail loudly instead
         when(col("g.pos") >= lit(WinnowPosCap),
@@ -238,9 +249,8 @@ object TextStats {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val sel = min(col("__combined"))
       .over(byDoc.rowsBetween(Window.currentRow, w - 1))
-    val nGrams = count(lit(1)).over(Window.partitionBy(col(idCol)))
     grams
-      .select(col(idCol), col("pos"), sel.as("__sel"), nGrams.as("__ng"))
+      .select(col(idCol), col("pos"), col("__ng"), sel.as("__sel"))
       .where(col("pos") <= col("__ng") - (w - 1))
       .select(col(idCol), col("__sel"))
       .distinct()
