@@ -97,7 +97,8 @@ object Bench {
       "pivot_returnflag_qty", "unpivot_order_metrics",
       "rollup_flag_status", "ntile_customers",
       "trailing_revenue_90d", "order_gap_days",
-      "near_dedup_survivors_exact", "audio_window_plan")
+      "near_dedup_survivors_exact", "audio_window_plan",
+      "curation_funnel_near")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

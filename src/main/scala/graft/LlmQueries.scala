@@ -95,6 +95,25 @@ object LlmQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** The whole curation stack composed end to end: quality/repetition
+    * filter → exact dedup → deterministic sample
+    * ([[Curation.curateCorpus]]) feeding the LSH closure's
+    * one-survivor-per-cluster near-dedup
+    * ([[Dedup.dropNearDupsExact]]). The oracle replays every stage in
+    * SQL (funnel CTEs + recursive closure over the survivors), so this
+    * single hash checks the COMPOSITION, not just the stages.
+    */
+  private def curationFunnelNear(s: SparkSession, dir: String): DataFrame = {
+    val curated = Curation.curateCorpus(
+      tPar(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text",
+      minQuality = 0.5, maxDupTokenRatio = 0.9, sampleFraction = 0.5)
+    Dedup.dropNearDupsExact(curated, "doc_id", "text")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_tokens")).cast("long").as("token_sum"))
+  }
+
   /** One-survivor-per-cluster dedup summary; see
     * [[Dedup.dropNearDupsExact]].
     */
@@ -538,6 +557,7 @@ object LlmQueries {
     "token_entropy" -> (tokenEntropy _),
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
     "audio_window_plan" -> (audioWindowPlanQ _),
+    "curation_funnel_near" -> (curationFunnelNear _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -642,49 +662,94 @@ object LlmQueries {
        | ELSE 0.0 END, 6)""".stripMargin
 
   /** Shared by near_dup_clusters / near_dup_clusters_logstar /
-    * near_dedup_survivors_exact: the recursive-CTE transitive closure
-    * over the LSH candidate graph, ending at `reach(id, r)`.
+    * near_dedup_survivors_exact / the funnel composite: the
+    * recursive-CTE transitive closure over the LSH candidate graph of
+    * `src` (a relation providing (doc_id, text)), ending at
+    * `reach(id, r)`. CTE names are `nb`-prefixed so the chain composes
+    * with other CTE blocks (e.g. the curation funnel).
     */
-  private val NearDupClosureCtes: String = {
+  private def nearDupClosureCtes(src: String): String = {
     val matchSum = (0 until 8).map(p =>
       s"(CASE WHEN sa.sig_$p = sb.sig_$p THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""base AS (
-       |  SELECT doc_id, $Toks AS toks FROM documents
-       |), sh AS (
-       |  SELECT doc_id, $Shingles AS shingles FROM base
-       |), sigs AS (
+    s"""nbase AS (
+       |  SELECT doc_id, $Toks AS toks FROM $src
+       |), nsh AS (
+       |  SELECT doc_id, $Shingles AS shingles FROM nbase
+       |), nsigs AS (
        |  SELECT doc_id,
        |       $SigExprs
-       |  FROM sh
-       |), bands AS (
+       |  FROM nsh
+       |), nbands AS (
        |  SELECT doc_id, u.b AS band_idx,
        |         CASE u.b WHEN 0 THEN sig_0 || '|' || sig_1
        |                  WHEN 1 THEN sig_2 || '|' || sig_3
        |                  WHEN 2 THEN sig_4 || '|' || sig_5
        |                  ELSE sig_6 || '|' || sig_7 END AS band_val
-       |  FROM sigs, (SELECT unnest([0,1,2,3]) AS b) u
-       |), cand AS (
+       |  FROM nsigs, (SELECT unnest([0,1,2,3]) AS b) u
+       |), ncand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM nbands a JOIN nbands b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.doc_id < b.doc_id
-       |), pairs AS (
+       |), npairs AS (
        |  SELECT c.id_a, c.id_b
-       |  FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
-       |              JOIN sigs sb ON c.id_b = sb.doc_id
+       |  FROM ncand c JOIN nsigs sa ON c.id_a = sa.doc_id
+       |               JOIN nsigs sb ON c.id_b = sb.doc_id
        |  WHERE ($matchSum) / 8.0 >= 0.5
-       |), edges AS (
-       |  SELECT id_a AS a, id_b AS b FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs
+       |), nedges AS (
+       |  SELECT id_a AS a, id_b AS b FROM npairs
+       |  UNION SELECT id_b, id_a FROM npairs
        |), reach AS (
-       |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges)
+       |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM nedges)
        |  UNION
-       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+       |  SELECT reach.id, e.b FROM reach JOIN nedges e ON reach.r = e.a
+       |)""".stripMargin
+  }
+
+  /** The curation funnel as shared CTEs ending at `sampled` (survivors
+    * with `n_tokens`, `quality_score`, `lang_pred`, `fingerprint`) —
+    * the DuckDB twin of [[Curation.curateCorpus]] at minQuality 0.5,
+    * maxDupTokenRatio 0.9, sampleFraction 0.5, seed 12345.
+    */
+  private val FunnelCtes: String = {
+    val hits = TextStats.LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, t -> list_contains($lst, lower(t)))) AS hits_$lang"
+    }.mkString(",\n         ")
+    val langs = TextStats.LangStopwords.keys.toSeq.sorted
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val langCases = langs.map(l =>
+      s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString(" ")
+    s"""fbase AS (
+       |  SELECT doc_id, text, $Toks AS toks FROM documents
+       |), fstats AS (
+       |  SELECT doc_id, text, toks,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+       |         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($EnSw, lower(t)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+       |         CASE WHEN len(toks) > 0 THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS dup_token_ratio,
+       |         $Fingerprint AS fingerprint,
+       |         $hits
+       |  FROM fbase
+       |), fscored AS (
+       |  SELECT *,
+       |         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+       |           + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25
+       |           + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END) * 0.25 AS quality_score,
+       |         CASE $langCases ELSE 'und' END AS lang_pred
+       |  FROM fstats
+       |), fdeduped AS (
+       |  SELECT * FROM fscored
+       |  WHERE quality_score >= 0.5 AND dup_token_ratio <= 0.9
+       |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+       |), sampled AS (
+       |  SELECT * FROM fdeduped
+       |  WHERE ${Curation.sampleBucketSql("doc_id", 12345L)} < 500000
        |)""".stripMargin
   }
 
   private val NearDupClustersSql: String =
-    s"""WITH RECURSIVE $NearDupClosureCtes
+    s"""WITH RECURSIVE ${nearDupClosureCtes("documents")}
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY 1
        |ORDER BY cluster_id, doc_id""".stripMargin
@@ -693,7 +758,7 @@ object LlmQueries {
     * except cluster members above their cluster minimum.
     */
   private val NearDupSurvivorsExactSql: String =
-    s"""WITH RECURSIVE $NearDupClosureCtes,
+    s"""WITH RECURSIVE ${nearDupClosureCtes("documents")},
        |cl AS (SELECT id, min(r) AS m FROM reach GROUP BY 1)
        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -842,47 +907,24 @@ object LlmQueries {
          |       CAST(s AS BIGINT) AS start_offset,
          |       CAST(s // 512 AS BIGINT) AS chunk_id, CAST(s % 512 AS BIGINT) AS offset_in_chunk
          |FROM c ORDER BY doc_id""".stripMargin,
-    "curated_corpus_stats" -> {
-      val hits = TextStats.LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(toks, t -> list_contains($lst, lower(t)))) AS hits_$lang"
-      }.mkString(",\n         ")
-      val langs = TextStats.LangStopwords.keys.toSeq.sorted
-      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-      val langCases = langs.map(l =>
-        s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString(" ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text, $Toks AS toks FROM documents
-         |), stats AS (
-         |  SELECT doc_id, text, toks,
-         |         CAST(len(toks) AS BIGINT) AS n_tokens,
-         |         CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-         |         CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($EnSw, lower(t)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
-         |         CASE WHEN len(toks) > 0 THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS dup_token_ratio,
-         |         $Fingerprint AS fingerprint,
-         |         $hits
-         |  FROM base
-         |), scored AS (
-         |  SELECT *,
-         |         least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
-         |           + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25
-         |           + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END) * 0.25 AS quality_score,
-         |         CASE $langCases ELSE 'und' END AS lang_pred
-         |  FROM stats
-         |), deduped AS (
-         |  SELECT * FROM scored
-         |  WHERE quality_score >= 0.5 AND dup_token_ratio <= 0.9
-         |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
-         |), sampled AS (
-         |  SELECT * FROM deduped
-         |  WHERE ${Curation.sampleBucketSql("doc_id", 12345L)} < 500000
-         |)
+    "curated_corpus_stats" ->
+      s"""WITH $FunnelCtes
          |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |       round(min(quality_score), 6) AS min_quality,
          |       round(max(quality_score), 6) AS max_quality
-         |FROM sampled GROUP BY 1 ORDER BY lang_pred""".stripMargin
-    },
+         |FROM sampled GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+    // the whole stack composed: funnel survivors feed the LSH closure;
+    // cluster members above their minimum drop
+    "curation_funnel_near" ->
+      s"""WITH RECURSIVE $FunnelCtes,
+         |${nearDupClosureCtes("sampled")},
+         |cl AS (SELECT id, min(r) AS m FROM reach GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_tokens) AS BIGINT) AS token_sum
+         |FROM sampled
+         |WHERE doc_id NOT IN (SELECT id FROM cl WHERE m <> id)""".stripMargin,
     "repetition_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, $Toks AS toks FROM documents
