@@ -27,11 +27,15 @@ import org.apache.spark.sql.graftbridge.CheckpointBridge
 object PageRank {
 
   /** @param edges directed (src, dst) frame; parallel edges count once
+    * @param maxIter L1 delta contracts at the DAMPING rate in the worst
+    *        case (a pure 2-cycle decays exactly by `d` per round), so the
+    *        budget must cover ln(tol)/ln(d) ≈ 113 rounds at the defaults
+    *        — well-mixed graphs stop far earlier via the delta check
     * @return (id, rank) for every node appearing in `edges`; ranks sum
     *         to 1 up to double rounding
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-            damping: Double = 0.85, maxIter: Int = 40,
+            damping: Double = 0.85, maxIter: Int = 150,
             tol: Double = 1e-8): DataFrame = {
     require(damping > 0 && damping < 1, s"damping=$damping")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

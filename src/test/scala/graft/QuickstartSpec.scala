@@ -138,6 +138,27 @@ class QuickstartSpec extends AnyFunSuite {
     assert(attributed.count() === 1)
   }
 
+  test("quickstart: quantile cube, skew report, pagerank") {
+    import graft.functions.QuantileSketch
+    import graft.ops.{PageRank, Skew}
+    // README: mergeable quantile cube
+    val fact = Seq((202401, 10L, 1.0), (202401, 10L, 9.0), (202402, 11L, 5.0))
+      .toDF("yyyymm", "part_id", "qty")
+    val slices = fact.groupBy(col("yyyymm"))
+      .agg(QuantileSketch.quantileSketch(col("qty")).as("sk"))
+    val p99 = slices.agg(QuantileSketch.mergeQuantileSketches(col("sk")).as("sk"))
+      .select(QuantileSketch.sketchQuantile(col("sk"), 0.99).as("p99"))
+      .collect()(0).getDouble(0)
+    assert(p99 >= 5.0 && p99 <= 9.0)
+    // README: one-pass skew report
+    val hotKeys = Skew.report(fact, "part_id", topN = 5)
+    assert(hotKeys.collect().head.getString(0) === "10")
+    // README: pagerank over a link graph
+    val links = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val ranks = PageRank.ranks(links, "src", "dst")
+    assert(ranks.count() === 3)
+  }
+
   test("quickstart: as-of and interval joins") {
     import graft.ops.{AsOf, RangeJoin}
     val events = Seq((7L, 100L, "e1"), (7L, 300L, "e2")).toDF("user_id", "t", "ev")
