@@ -149,6 +149,14 @@ object LlmQueries {
         k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Transitive clusters over the winnow candidate graph; see
+    * [[Dedup.winnowDupClusters]].
+    */
+  private def winnowDupClustersQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
+      .orderBy(col("cluster_id"), col("doc_id"))
+
   private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")
       .select(TextStats.fingerprint(col("text")).as("fp"))
@@ -553,6 +561,7 @@ object LlmQueries {
     "doc_chunks" -> (docChunks _),
     "winnow_fingerprints" -> (winnowFingerprintsQ _),
     "winnow_dup_pairs" -> (winnowDupPairsQ _),
+    "winnow_dup_clusters" -> (winnowDupClustersQ _),
     "topk_docs_per_lang" -> (topkDocsPerLang _),
     "token_entropy" -> (tokenEntropy _),
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
@@ -798,6 +807,33 @@ object LlmQueries {
       s"""WITH $WinnowCtes
          |SELECT DISTINCT doc_id, pos, fp FROM wfp
          |ORDER BY doc_id, pos, fp""".stripMargin,
+    // the winnow candidate graph closed transitively — proves the
+    // closure composes with a second candidate generator
+    "winnow_dup_clusters" ->
+      s"""WITH RECURSIVE $WinnowCtes,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |keepfp AS (
+         |  SELECT fp FROM dfp GROUP BY fp
+         |  HAVING count(*) > 1 AND count(*) <= 100
+         |),
+         |filtered AS (SELECT d.doc_id, d.fp FROM dfp d JOIN keepfp USING (fp)),
+         |wpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM filtered a JOIN filtered b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |wedges AS (
+         |  SELECT id_a AS a, id_b AS b FROM wpairs
+         |  UNION SELECT id_b, id_a FROM wpairs
+         |),
+         |wreach AS (
+         |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM wedges)
+         |  UNION
+         |  SELECT wreach.id, e.b FROM wreach JOIN wedges e ON wreach.r = e.a
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM wreach GROUP BY 1
+         |ORDER BY cluster_id, doc_id""".stripMargin,
     // fingerprint-grain self-join (the Spark side is Dedup.winnowDupPairs
     // with the same minShared/maxDocsPerFp)
     "winnow_dup_pairs" ->

@@ -142,6 +142,22 @@ object Dedup {
       .where(col("n_shared_fps") >= minShared)
   }
 
+  /** Near-dup CLUSTERS over the winnowing candidate graph — the same
+    * alternating-star closure as [[nearDupClusters]], fed by
+    * [[winnowDupPairs]] instead of MinHash LSH. The closure is
+    * candidate-generator-agnostic: any pair stream clusters the same
+    * way, so local-overlap (quoted spans) and global-similarity (LSH)
+    * dedup share one transitive-grouping code path.
+    */
+  def winnowDupClusters(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, w: Int = 4, minShared: Int = 2,
+                        maxDocsPerFp: Int = 1000): DataFrame = {
+    val edges = winnowDupPairs(df, idCol, textCol, k, w, minShared, maxDocsPerFp)
+      .select(col("id_a"), col("id_b"))
+    graft.ops.ConnectedComponents.componentsAlternating(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * bucketed by `bucketCol` (cluster id / [[Similarity.signBucket]]).
     *
