@@ -39,6 +39,12 @@ object Merge {
       .orderBy(col(versionCol).desc)
     val latest = incoming.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
+    // a null partition value would read back as isin(null) = never-match:
+    // existing rows of the null partition wouldn't be carried into the
+    // rewrite and the dynamic overwrite would drop them — refuse loudly
+    require(latest.where(col(partitionCol).isNull).isEmpty,
+      s"incoming batch has rows with null $partitionCol — route them to a " +
+        "sentinel partition value before merging")
     val merged =
       if (!Idempotent.pathExists(spark, path)) latest
       else {
