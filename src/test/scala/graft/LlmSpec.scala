@@ -440,6 +440,26 @@ class LlmSpec extends AnyFunSuite {
     assert(capped.contains((1L, 2L))) // 2-doc fingerprints unaffected
   }
 
+  test("winnowDupClusters: transitive grouping across DIFFERENT shared spans") {
+    val spanA = (1 to 16).map(j => s"aa$j").mkString(" ")
+    val spanB = (1 to 16).map(j => s"bb$j").mkString(" ")
+    // 1 and 2 share span A; 2 and 3 share span B; 1 and 3 share NOTHING —
+    // pairwise matching keeps them apart, the closure groups all three
+    val docs = Seq(
+      (1L, s"one intro $spanA one outro ending"),
+      (2L, s"two start $spanA middle words $spanB two finish"),
+      (3L, s"three lead $spanB three tail closing"),
+      (4L, "unrelated content about physical plans and exchanges")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)))
+    val clusters = Dedup.winnowDupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // one cluster
+  }
+
   test("top-k agg: parity with the window form, ties, nulls, merges") {
     import graft.functions.TopKAgg.topK
     import org.apache.spark.sql.expressions.Window
