@@ -60,6 +60,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_top_k"), s"no map-side partial:\n$p")
   }
 
+  test("the native queries actually run the custom execs") {
+    assert(plan("events_asof_orders_native").contains("AsOfJoin"),
+      "as-of native query lost its custom exec")
+    assert(plan("lineitem_in_order_window_native").contains("IntervalJoin"),
+      "interval native query lost its custom exec")
+  }
+
   test("the only cartesian-shaped joins are the two documented ones") {
     // brute-force kNN (exactness baseline) and tfidf's single-row IDF
     // broadcast are intended; anything else is a regression

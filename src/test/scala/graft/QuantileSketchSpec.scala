@@ -56,6 +56,21 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(inRankWindow(merged.getDouble(1), 0.9, 2 * err))
   }
 
+  test("a two-level merge tree (slices -> groups -> total) keeps the bound") {
+    val err = 0.01
+    val sliced = values.zipWithIndex.map { case (v, i) => (i % 100, v) }
+      .toDF("slice", "v")
+    val level1 = sliced.groupBy(col("slice"))
+      .agg(quantileSketch(col("v"), err).as("sk"))
+    val level2 = level1.groupBy((col("slice") % 10).as("grp"))
+      .agg(mergeQuantileSketches(col("sk"), err).as("sk"))
+    val total = level2.agg(mergeQuantileSketches(col("sk"), err).as("sk"))
+      .select(sketchQuantile(col("sk"), 0.5).as("p50")).collect()(0).getDouble(0)
+    // mergeable-summaries: bounds compose over the TREE depth, not the
+    // slice count — test at the two-merge-level bound
+    assert(inRankWindow(total, 0.5, 3 * err), s"p50 $total out of window")
+  }
+
   test("nulls are skipped; an empty sketch queries to null") {
     val withNulls = Seq(Some(1.0), None, Some(3.0), None).toDF("v")
     val p50 = withNulls.agg(quantileSketch(col("v")).as("sk"))
