@@ -27,7 +27,10 @@ object Bench {
     // would serialize the bench (round 1 ran 4 cores → 2.3× the baseline).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // 3 floor samples: the headline is min-over-passes, and on a
+    // contended machine two samples still let one noisy pass dominate a
+    // query's floor (pass_totals regularly show a 1.3-3× spread here)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
