@@ -37,6 +37,7 @@ object GraftFunctions {
     "cosine_sim" -> { es => CosineSim(es.head, es(1)) },
     "regexp_count" -> { es => RegexpCount(es.head, strLit(es(1), "pattern")) },
     "zorder_key" -> { es => graft.functions.ZOrderKey(es.head, es(1)) },
+    "zorder_key3" -> { es => graft.functions.ZOrderKey3(es.head, es(1), es(2)) },
     // aggregates: the analyzer wraps a bare AggregateFunction builder
     // result in an AggregateExpression during function resolution
     "top_k" -> { es =>

@@ -51,6 +51,38 @@ case class ZOrderKey(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Three-dimension Morton key: 21 bits per dimension interleaved into a
+  * 63-bit non-negative long (a at bit 0 mod 3, b at 1, c at 2). Same
+  * layout use as [[ZOrderKey]] for triple-key scan patterns, e.g.
+  * (date-bucket, part, supplier). Inputs in [0, 2^21) — coarser than the
+  * 2-D key's 2^31, the price of a third dimension in 64 bits; bucket
+  * wider domains first.
+  */
+case class ZOrderKey3(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder_key3 needs (bigint, bigint, bigint), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_key3"
+
+  protected override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    ZOrderKey.interleave3(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.ZOrderKey$$.MODULE$$.interleave3($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object ZOrderKey {
 
   /** Spread the low 31 bits of `x` to even bit positions (the classic
@@ -90,4 +122,33 @@ object ZOrderKey {
     (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
     (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
     (1, 0x5555555555555555L))
+
+  /** Spread the low 21 bits of `x` to every third bit position (the
+    * standard 3-D Morton dilation constants).
+    */
+  def spread3(x: Long): Long = {
+    var v = x & 0x1FFFFFL
+    v = (v | (v << 32)) & 0x1F00000000FFFFL
+    v = (v | (v << 16)) & 0x1F0000FF0000FFL
+    v = (v | (v << 8)) & 0x100F00F00F00F00FL
+    v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+    v = (v | (v << 2)) & 0x1249249249249249L
+    v
+  }
+
+  /** Morton interleave of three keys in [0, 2^21). */
+  def interleave3(a: Long, b: Long, c: Long): Long = {
+    if (a < 0 || b < 0 || c < 0 ||
+        a > 0x1FFFFFL || b > 0x1FFFFFL || c > 0x1FFFFFL)
+      throw new IllegalArgumentException(
+        s"zorder_key3 inputs must be in [0, 2^21), got ($a, $b, $c)")
+    spread3(a) | (spread3(b) << 1) | (spread3(c) << 2)
+  }
+
+  /** Column-API entry point for the 3-D key; inputs are cast to long. */
+  def zorderKey3(a: Column, b: Column, c: Column): Column =
+    ColumnBridge.column(ZOrderKey3(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long")),
+      ColumnBridge.expression(c.cast("long"))))
 }

@@ -3,7 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
-import graft.functions.ZOrderKey.zorderKey
+import graft.functions.ZOrderKey.{zorderKey, zorderKey3}
 
 /** Multi-dimensional file clustering — `OPTIMIZE ZORDER BY` from plain
   * Spark primitives: compute the Morton key
@@ -31,6 +31,19 @@ object ZOrder {
                      numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles=$numFiles")
     df.withColumn("__zkey", zorderKey(col(dimA), col(dimB)))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Three-dimension variant ([[graft.functions.ZOrderKey3]]): values in
+    * [0, 2^21) per dimension.
+    */
+  def writeClustered3(df: DataFrame, path: String, dimA: String, dimB: String,
+                      dimC: String, numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles=$numFiles")
+    df.withColumn("__zkey", zorderKey3(col(dimA), col(dimB), col(dimC)))
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")

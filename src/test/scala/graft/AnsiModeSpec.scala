@@ -70,6 +70,20 @@ class AnsiModeSpec extends AnyFunSuite {
     assert(labels.size === 32 && labels.values.forall(_ === 0L))
   }
 
+  test("quantile sketches and bloom pruning agree across modes") {
+    import graft.functions.QuantileSketch._
+    val vals = (1 to 500).map(i => (i % 7, i * 1.5)).toDF("g", "v")
+    bothModes(vals.groupBy(col("g"))
+      .agg(quantileSketch(col("v")).as("sk"))
+      .agg(mergeQuantileSketches(col("sk")).as("sk"))
+      .select(sketchQuantile(col("sk"), 0.5).as("p50")))
+    import graft.ops.BloomPrune
+    val probe = (1 to 200).map(i => (i.toLong, i.toString)).toDF("pk", "t")
+    val build = (1 to 200 by 20).map(i => (i.toLong, "x")).toDF("bk", "u")
+    bothModes(BloomPrune.bloomPrunedJoin(probe, build, "pk", "bk")
+      .orderBy("pk"))
+  }
+
   test("bounded-heap top-k and zorder agree across modes") {
     val rows = Seq(("g", "a", 3L), ("g", "b", 9L), ("g", "c", 9L)).toDF("g", "item", "m")
     bothModes(rows.groupBy(col("g"))

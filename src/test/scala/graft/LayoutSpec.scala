@@ -80,6 +80,48 @@ class LayoutSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 15L)
   }
 
+  test("zorder3: bit model, domain guard, codegen parity, tri-dim layout") {
+    import graft.functions.ZOrderKey
+    // per-bit ground truth over the 21-bit domain
+    val pts = Seq((0L, 0L, 0L), (1L, 2L, 4L), (12345L, 678L, 90L),
+      (0x1FFFFFL, 0L, 0x1FFFFFL))
+    def model(a: Long, b: Long, c: Long): Long =
+      (0 until 21).map(i =>
+        (((a >> i) & 1L) << (3 * i)) | (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))).reduce(_ | _)
+    pts.foreach { case (a, b, c) =>
+      assert(ZOrderKey.interleave3(a, b, c) === model(a, b, c))
+    }
+    intercept[IllegalArgumentException](ZOrderKey.interleave3(1L << 21, 0L, 0L))
+    intercept[IllegalArgumentException](ZOrderKey.interleave3(0L, -1L, 0L))
+    val df = pts.toDF("a", "b", "c")
+    def run(): Seq[Long] = df
+      .select(ZOrderKey.zorderKey3(col("a"), col("b"), col("c")))
+      .as[Long].collect().toSeq
+    val expected = pts.map((model _).tupled)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      assert(run() === expected)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === expected)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // 16x16x16 grid into 16 files: all three dims' ranges stay tight
+    val grid = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)
+    val path = Files.createTempDirectory("zorder3").toString + "/t"
+    ZOrder.writeClustered3(scala.util.Random.shuffle(grid).toDF("x", "y", "z"),
+      path, "x", "y", "z", numFiles = 16)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"),
+        (max("z") - min("z")).as("rz"))
+      .collect()
+    Seq(1, 2, 3).foreach { i =>
+      val avg = perFile.map(_.getLong(i)).sum.toDouble / perFile.length
+      assert(avg <= 10, s"dim $i avg range $avg of 15 — not clustered")
+    }
+  }
+
   test("zorder layout: per-file ranges tight on BOTH dims; 1-dim sort is not") {
     // 64×64 grid, shuffled; 16 files of ~256 cells. Ideal z-clustering
     // gives ~16×16 blocks (range ≈ 15 per dim per file); a layout sorted
