@@ -25,24 +25,45 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
   }
 
+  /** A clean arity error instead of the IndexOutOfBounds a direct
+    * `es(n)` access would throw at resolution time.
+    */
+  private def arity(es: Seq[Expression], n: Int, name: String): Seq[Expression] = {
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${es.length}")
+    es
+  }
+
   private def strLit(e: Expression, what: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
     case _ => throw new IllegalArgumentException(s"$what must be a string literal")
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash32" -> { es => SimHash32(es.head) },
-    "minhash_sigs" -> { es => MinHashSigs(es.head, intLit(es(1), "k")) },
-    "word_ngrams" -> { es => WordNgrams(es.head, intLit(es(1), "n")) },
-    "cosine_sim" -> { es => CosineSim(es.head, es(1)) },
-    "regexp_count" -> { es => RegexpCount(es.head, strLit(es(1), "pattern")) },
-    "zorder_key" -> { es => graft.functions.ZOrderKey(es.head, es(1)) },
-    "zorder_key3" -> { es => graft.functions.ZOrderKey3(es.head, es(1), es(2)) },
+    "simhash32" -> { es =>
+      SimHash32(arity(es, 1, "simhash32").head) },
+    "minhash_sigs" -> { es =>
+      arity(es, 2, "minhash_sigs"); MinHashSigs(es.head, intLit(es(1), "k")) },
+    "word_ngrams" -> { es =>
+      arity(es, 2, "word_ngrams"); WordNgrams(es.head, intLit(es(1), "n")) },
+    "cosine_sim" -> { es =>
+      arity(es, 2, "cosine_sim"); CosineSim(es.head, es(1)) },
+    "regexp_count" -> { es =>
+      arity(es, 2, "regexp_count")
+      RegexpCount(es.head, strLit(es(1), "pattern")) },
+    "zorder_key" -> { es =>
+      arity(es, 2, "zorder_key"); graft.functions.ZOrderKey(es.head, es(1)) },
+    "zorder_key3" -> { es =>
+      arity(es, 3, "zorder_key3")
+      graft.functions.ZOrderKey3(es.head, es(1), es(2)) },
     // aggregates: the analyzer wraps a bare AggregateFunction builder
     // result in an AggregateExpression during function resolution
     "top_k" -> { es =>
+      arity(es, 3, "top_k")
       graft.functions.TopKAgg(es.head, es(1), intLit(es(2), "k")) },
     "heavy_hitters" -> { es =>
+      arity(es, 2, "heavy_hitters")
       graft.functions.HeavyHittersAgg(es.head, intLit(es(1), "capacity")) })
 
   /** Imperative registration on an existing session. */

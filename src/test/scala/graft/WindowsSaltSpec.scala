@@ -213,5 +213,9 @@ class WindowsSaltSpec extends AnyFunSuite {
       "SELECT heavy_hitters(item, 8) AS hh FROM tk")
       .select(expr("size(hh)")).collect()(0).getInt(0)
     assert(hh === 4)
+    // wrong arity reports cleanly, not as an index error
+    val ex = intercept[Exception](spark.sql("SELECT top_k(item, m) FROM tk").collect())
+    assert(ex.getMessage.contains("expects 3 arguments") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expects 3 arguments")))
   }
 }
