@@ -310,17 +310,21 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF ANN with a TRAINED coarse quantizer: deterministic Lloyd's
-    * k-means (init = first k by vec_id, 3 rounds), then probe the 2
-    * nearest centroids per query. No SQL oracle — the trainer is
-    * iterative — so the driver records the weaker rows-only check; exact
-    * semantics are pinned by the `LlmSpec` planted-cluster and recall
-    * assertions instead.
+  /** IVF ANN with a TRAINED coarse quantizer: Lloyd's k-means (init =
+    * first k by vec_id, 3 rounds), then probe the 2 nearest centroids
+    * per query. The trainer runs through [[Similarity
+    * .kMeansCentroidsCached]] so [[ivfOracleEntry]] can emit the EXACT
+    * trained floats as literals into the DuckDB twin — the assignment
+    * argmax, probe ranking, and top-k are then replicated in SQL and the
+    * whole query exact-hash-checks (planted-cluster/recall semantics are
+    * additionally pinned in `LlmSpec`).
     */
+  private[graft] def ivfTag(dir: String) = s"$dir|ivf-k8-i3"
+
   private def knnCosineIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = tPar(s, dir, "embeddings")
-    val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
-      k = 8, iters = 3)
+    val cents = Similarity.kMeansCentroidsCached(ivfTag(dir), emb,
+      "vec_id", "embedding", k = 8, iters = 3)
     Similarity.knnIvf(emb.where(col("vec_id") < 16), emb,
         "vec_id", "vec_id", "embedding", cents, k = 5, nProbes = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -577,6 +581,48 @@ object LlmQueries {
   private val Fingerprint =
     """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
 
+  /** DuckDB twin of [[graft.llm.Multimodal.mediaFromDocuments]] →
+    * [[graft.llm.Multimodal.decodeFeatures]]: the fixture builder's
+    * dimension/size formulas computed directly (the Spark side builds
+    * real PNG/JPEG/GIF/WAV bytes from these formulas and then PARSES
+    * the headers back, so a hash match certifies the round trip).
+    * Ends in `feat` with the [[graft.llm.Multimodal.featureSchema]]
+    * columns. `strlen` is DuckDB's byte length ≙ Spark octet_length.
+    */
+  private val MediaFeatureCtes: String =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(doc_id % 4 AS INTEGER) AS kind,
+      |         CAST(doc_id AS BIGINT) AS d,
+      |         CAST(strlen(text) AS BIGINT) AS n
+      |  FROM documents
+      |), feat AS (
+      |  SELECT media_id,
+      |         CASE WHEN kind IN (0, 1) THEN 'image'
+      |              WHEN kind = 2 THEN 'video' ELSE 'audio' END AS media_type,
+      |         CAST(CASE kind WHEN 0 THEN 57 + (8 + n % 32)
+      |                        WHEN 1 THEN 59
+      |                        WHEN 2 THEN 14 + 17 * (1 + d % 12)
+      |                        ELSE 44 + (64 + n % 4096) * (1 + d % 2) * 2
+      |              END AS BIGINT) AS n_bytes,
+      |         CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |                   WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+      |         CAST(CASE kind WHEN 0 THEN 1 + d % 512
+      |                        WHEN 1 THEN 16 + d % 1000
+      |                        WHEN 2 THEN 1 + d % 256 END AS INTEGER) AS width,
+      |         CAST(CASE kind WHEN 0 THEN 1 + n % 512
+      |                        WHEN 1 THEN 16 + n % 1000
+      |                        WHEN 2 THEN 1 + n % 256 END AS INTEGER) AS height,
+      |         CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1
+      |                        WHEN 2 THEN 1 + d % 12
+      |                        ELSE 64 + n % 4096 END AS INTEGER) AS n_frames,
+      |         CAST(CASE WHEN kind = 3 THEN 1 + d % 2 END AS INTEGER) AS channels,
+      |         CAST(CASE WHEN kind = 3
+      |              THEN ([8000,16000,44100])[CAST(d % 3 AS INTEGER) + 1]
+      |              END AS INTEGER) AS sample_rate
+      |  FROM m
+      |)""".stripMargin
+
   /** Winnowing (k=3, w=4) as shared CTEs ending in `wfp(doc_id, pos,
     * fp)` — the DuckDB twin of [[TextStats.winnowFingerprints]], reused
     * by the fingerprint and candidate-pair oracles.
@@ -774,7 +820,70 @@ object LlmQueries {
        |FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM cl WHERE m <> id)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracleEntry
+
+  /** The IVF oracle is DATA-DERIVED: it embeds the trained quantizer's
+    * centroids as float literals (model parameters, like the multiprobe
+    * oracle embeds its bit-flip constants) and replicates the map-only
+    * assignment argmax, the per-query probe ranking, and the top-k
+    * window in SQL. Centroids come from [[graft.llm.Similarity
+    * .kMeansCentroidsCached]] — the SAME array instance the query
+    * trained — because distributed float averaging is only reproducible
+    * up to partial-sum merge order, so re-training for the oracle would
+    * not be a contract. The data dir comes from `graft.oracle.sfDir`
+    * (set by [[graft.Verify]] before dumping, and by ContractSpec); with
+    * no dir and no active session to train on demand, the entry is
+    * omitted and the driver records the weaker rows-only check.
+    */
+  private def ivfOracleEntry: Map[String, String] = {
+    val centsOpt = sys.props.get("graft.oracle.sfDir").flatMap { dir =>
+      Similarity.trainedCentroids(ivfTag(dir)).orElse {
+        org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+          Similarity.kMeansCentroidsCached(ivfTag(dir),
+            tPar(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 8, iters = 3)
+        }
+      }
+    }
+    centsOpt.map { cents =>
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        c.map(x => s"${x}::FLOAT").mkString(s"    ($i, list_value(", ", ", "))")
+      }.mkString(",\n")
+      "knn_cosine_ivf" ->
+        s"""WITH cents AS (
+           |  SELECT * FROM (VALUES
+           |$rows
+           |  ) AS t(ci, cv)
+           |), e AS (SELECT vec_id, embedding FROM embeddings),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.ci,
+           |         ${cosineSql("e.embedding", "c.cv")} AS s
+           |  FROM e CROSS JOIN cents c
+           |), assign AS (
+           |  SELECT vec_id, embedding, ci AS bucket FROM (
+           |    SELECT vec_id, embedding, ci,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+           |    FROM scored) WHERE rn = 1
+           |), qs AS (
+           |  SELECT vec_id AS query_id, embedding AS qe, ci,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+           |  FROM scored WHERE vec_id < 16
+           |), qprobe AS (SELECT query_id, qe, ci AS probe FROM qs WHERE rn <= 2),
+           |s AS (
+           |  SELECT qp.query_id, a.vec_id AS neighbor_id,
+           |         round(${cosineSql("qp.qe", "a.embedding")}, 6) AS cosine_sim
+           |  FROM assign a JOIN qprobe qp ON a.bucket = qp.probe
+           |  WHERE a.vec_id <> qp.query_id
+           |)
+           |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank, neighbor_id, cosine_sim
+           |FROM s
+           |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
+           |QUALIFY row_number() OVER w <= 5
+           |ORDER BY query_id, rank""".stripMargin
+    }.toMap
+  }
+
+  private val staticOracleSql: Map[String, String] = Map(
     // entropy = ln(n) - (sum c*ln c)/n over distinct-token counts;
     // round(6) absorbs libm/fold-order ulps on both engines
     "token_entropy" ->
@@ -1251,83 +1360,47 @@ object LlmQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
-    // windows of 2048 every 1024 over the audio stub's sample counts;
+    // windows of 2048 every 1024 over the parsed WAV sample-frame counts;
     // DuckDB range() exclusive end ≙ Spark sequence(0, n-1, hop)
     "audio_window_plan" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes
-        |  FROM documents
-        |), a AS (
-        |  SELECT media_id, CAST(1 + n_bytes % 4096 AS INTEGER) AS n_samples
-        |  FROM m WHERE media_type = 'audio'
-        |)
-        |SELECT media_id, CAST(i // 1024 AS INTEGER) AS win_idx,
-        |       CAST(i AS INTEGER) AS start_sample,
-        |       CAST(least(2048, n_samples - i) AS INTEGER) AS n_in_window,
-        |       n_samples
-        |FROM a, unnest(range(0, n_samples, 1024)) AS u(i)
-        |ORDER BY media_id, win_idx""".stripMargin,
+      s"""WITH $MediaFeatureCtes,
+         |a AS (
+         |  SELECT media_id, n_frames AS n_samples FROM feat WHERE format = 'wav'
+         |)
+         |SELECT media_id, CAST(i // 1024 AS INTEGER) AS win_idx,
+         |       CAST(i AS INTEGER) AS start_sample,
+         |       CAST(least(2048, n_samples - i) AS INTEGER) AS n_in_window,
+         |       n_samples
+         |FROM a, unnest(range(0, n_samples, 1024)) AS u(i)
+         |ORDER BY media_id, win_idx""".stripMargin,
     "multimodal_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |         CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS h0
-        |  FROM documents
-        |)
-        |SELECT media_id, media_type, n_bytes,
-        |       CAST(CASE media_type WHEN 'image' THEN 64 + n_bytes % 512
-        |                            WHEN 'video' THEN 320
-        |                            ELSE 1 END AS INTEGER) AS width,
-        |       CAST(CASE media_type WHEN 'image' THEN 64 + h0 * 4
-        |                            WHEN 'video' THEN 240
-        |                            ELSE 1 END AS INTEGER) AS height,
-        |       CAST(CASE media_type WHEN 'image' THEN 1
-        |                            WHEN 'video' THEN 1 + n_bytes % 256
-        |                            ELSE 1 + n_bytes % 4096 END AS INTEGER) AS n_frames
-        |FROM m ORDER BY media_id""".stripMargin,
+      s"""WITH $MediaFeatureCtes
+         |SELECT media_id, media_type, n_bytes, format, width, height,
+         |       n_frames, channels, sample_rate
+         |FROM feat ORDER BY media_id""".stripMargin,
     "resize_plan" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |         CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS h0
-        |  FROM documents
-        |), f AS (
-        |  SELECT media_id,
-        |         CAST(64 + n_bytes % 512 AS INTEGER) AS width,
-        |         CAST(64 + h0 * 4 AS INTEGER) AS height
-        |  FROM m WHERE media_type = 'image'
-        |)
-        |SELECT media_id, width, height,
-        |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
-        |                 WHEN width * 224 <= height * 224 THEN greatest(1, (width * 224) // height)
-        |                 ELSE 224 END AS INTEGER) AS out_w,
-        |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
-        |                 WHEN width * 224 <= height * 224 THEN 224
-        |                 ELSE greatest(1, (height * 224) // width) END AS INTEGER) AS out_h
-        |FROM f ORDER BY media_id""".stripMargin,
+      s"""WITH $MediaFeatureCtes,
+         |f AS (
+         |  SELECT media_id, width, height FROM feat
+         |  WHERE format IN ('png', 'jpeg', 'gif') AND width > 0 AND height > 0
+         |)
+         |SELECT media_id, width, height,
+         |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+         |                 WHEN width * 224 <= height * 224 THEN greatest(1, (width * 224) // height)
+         |                 ELSE 224 END AS INTEGER) AS out_w,
+         |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+         |                 WHEN width * 224 <= height * 224 THEN 224
+         |                 ELSE greatest(1, (height * 224) // width) END AS INTEGER) AS out_h
+         |FROM f ORDER BY media_id""".stripMargin,
     "frame_sample_plan" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         (['image','video','audio'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-        |         CAST(strlen(text) AS BIGINT) AS n_bytes
-        |  FROM documents
-        |), f AS (
-        |  SELECT media_id, media_type,
-        |         CAST(CASE media_type WHEN 'image' THEN 1
-        |                              WHEN 'video' THEN 1 + n_bytes % 256
-        |                              ELSE 1 + n_bytes % 4096 END AS INTEGER) AS n_frames
-        |  FROM m
-        |), s AS (
-        |  SELECT media_id, media_type, n_frames,
-        |         CAST(ceil(n_frames / 8.0) AS INTEGER) AS stride
-        |  FROM f WHERE n_frames > 1
-        |)
-        |SELECT media_id, media_type, n_frames,
-        |       CAST(unnest(range(0, n_frames, stride)) AS INTEGER) AS frame_idx
-        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+      s"""WITH $MediaFeatureCtes,
+         |s AS (
+         |  SELECT media_id, media_type, n_frames,
+         |         CAST(ceil(n_frames / 8.0) AS INTEGER) AS stride
+         |  FROM feat WHERE n_frames > 1
+         |)
+         |SELECT media_id, media_type, n_frames,
+         |       CAST(unnest(range(0, n_frames, stride)) AS INTEGER) AS frame_idx
+         |FROM s ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -701,12 +701,11 @@ object SparkEntry {
     * neither oracled nor declared here, so an oracle can't be forgotten
     * silently.
     *
-    *  - knn_cosine_ivf: the k-means trainer is iterative (3 Lloyd's
-    *    rounds) and not expressible as standalone DuckDB SQL; exact
-    *    semantics are pinned by LlmSpec's planted-cluster purity and
-    *    recall assertions instead.
+    * (knn_cosine_ivf left this list in round 6: its trained centroids
+    * are emitted into the DuckDB twin as literals — see
+    * [[LlmQueries.oracleSql]] — so it exact-hash-checks now.)
     */
-  val rowsOnlyQueries: Set[String] = Set("knn_cosine_ivf",
+  val rowsOnlyQueries: Set[String] = Set(
     "distinct_sketch_customers", "quantile_sketch_quantity")
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` payloads with
   * typed metadata, processed per-partition in batches.
   *
-  * The Spark-side shape is real — schema, partition-parallel batch
-  * iteration, deterministic output contract — while the actual codec
-  * work is STUBBED (this container has no image/audio libraries): the
-  * "decoder" derives metadata from the payload bytes deterministically.
-  * Swapping [[stubDecode]] for a real JNI/library call changes nothing
-  * about the plan shape.
+  * Feature extraction parses REAL container headers byte-by-byte
+  * ([[MediaHeaders]] — PNG IHDR, JPEG SOF scan, GIF block walk, WAV
+  * RIFF chunks); no codec library is needed for the metadata surface,
+  * and unrecognized/truncated payloads yield nulls, never fabricated
+  * dimensions. Pixel/sample DECODE (the part that does need libjpeg
+  * etc.) stays behind the same `mapPartitions` seam: swapping the
+  * header reader for a full decoder changes nothing about the plan.
   */
 object Multimodal {
 
@@ -22,42 +23,44 @@ object Multimodal {
     StructField("media_type", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = true)))
 
-  /** Decoded-feature schema emitted by [[decodeFeatures]]. */
+  /** Decoded-feature schema emitted by [[decodeFeatures]]. `format` and
+    * the dimension columns are null when the payload doesn't parse;
+    * `channels`/`sample_rate` are audio-only, `width`/`height`
+    * image-only, `n_frames` covers both (sample frames for audio).
+    */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
-
-  /** STUB decoder — deterministic fake standing in for e.g. libjpeg:
-    * dimensions derived from payload length/first bytes. Replace with a
-    * real codec without touching the surrounding plan.
-    */
-  def stubDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val n = if (payload == null) 0 else payload.length
-    val h0 = if (n > 0) java.lang.Byte.toUnsignedInt(payload(0)) else 0
-    mediaType match {
-      case "image" => (64 + (n % 512), 64 + (h0 * 4), 1)
-      case "video" => (320, 240, 1 + n % 256)
-      case "audio" => (1, 1, 1 + n % 4096) // frames ≙ samples
-      case _       => (0, 0, 0)
-    }
-  }
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true)))
 
   /** Batch feature extraction over media records: per-partition iterator
-    * (the `mapPartitions` seam where a real decoder would amortize
-    * per-batch setup), no shuffle, output schema fixed.
+    * (the `mapPartitions` seam where a full decoder would amortize
+    * per-batch setup), no shuffle, output schema fixed. Header parsing
+    * is [[MediaHeaders.sniff]] — real bytes in, real dimensions out.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    // positional access: rows arriving from an upstream mapPartitions
+    // carry no schema, so fieldIndex lookups would throw — the select
+    // above pins the ordinal layout instead
     media.select("media_id", "media_type", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, f) = stubDecode(r.getString(1), payload)
+        val payload = r.get(2).asInstanceOf[Array[Byte]]
         val n = if (payload == null) 0L else payload.length.toLong
-        Row(r.getLong(0), r.getString(1), n, w, h, f)
+        val meta = MediaHeaders.sniff(payload)
+        Row(r.getLong(0), r.getString(1), n,
+          meta.map(_.format).orNull,
+          meta.flatMap(_.width).map(Int.box).orNull,
+          meta.flatMap(_.height).map(Int.box).orNull,
+          meta.flatMap(_.frames).map(Int.box).orNull,
+          meta.flatMap(_.channels).map(Int.box).orNull,
+          meta.flatMap(_.sampleRate).map(Int.box).orNull)
       }
     }(enc)
   }
@@ -73,7 +76,7 @@ object Multimodal {
   def frameSamplePlan(features: DataFrame, maxFrames: Int = 8): DataFrame = {
     require(maxFrames > 0, s"maxFrames=$maxFrames")
     features
-      .where(col("n_frames") > 1) // stills/empty media need no plan
+      .where(col("n_frames") > 1) // stills/empty/unparsed media need no plan
       .withColumn("__stride",
         ceil(col("n_frames").cast("double") / maxFrames).cast("int"))
       .withColumn("frame_idx",
@@ -82,20 +85,23 @@ object Multimodal {
         col("frame_idx"))
   }
 
-  /** Aspect-fit resize plan: target dimensions fitting each image inside
-    * `maxW`×`maxH` while preserving aspect ratio (never upscaling).
-    * Deliberately INTEGER arithmetic — `w*maxH <= h*maxW` picks the
-    * binding axis and the other side scales by integral `div` — so the
-    * plan is bit-identical on any engine (a float scale factor rounds
-    * differently across platforms). Like [[frameSamplePlan]], this is
-    * metadata-only: the rows tell the decode stage what to produce.
+  /** Aspect-fit resize plan: target dimensions fitting each parsed image
+    * inside `maxW`×`maxH` while preserving aspect ratio (never
+    * upscaling). Deliberately INTEGER arithmetic — `w*maxH <= h*maxW`
+    * picks the binding axis and the other side scales by integral `div`
+    * — so the plan is bit-identical on any engine (a float scale factor
+    * rounds differently across platforms). Like [[frameSamplePlan]],
+    * this is metadata-only: the rows tell the decode stage what to
+    * produce. Filters on the PARSED format, not the claimed media_type:
+    * only payloads that actually carried image headers get a plan.
     */
   def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     require(maxW > 0 && maxH > 0, s"maxW=$maxW maxH=$maxH")
     val needs = col("width") > maxW || col("height") > maxH
     val heightBinds = col("width") * maxH <= col("height") * maxW
     features
-      .where(col("media_type") === "image" && col("width") > 0 && col("height") > 0)
+      .where(col("format").isin("png", "jpeg", "gif") &&
+        col("width") > 0 && col("height") > 0)
       .withColumn("out_h",
         when(!needs, col("height"))
           .when(heightBinds, lit(maxH))
@@ -113,14 +119,15 @@ object Multimodal {
     * Map-only explode like [[frameSamplePlan]] — plans flow downstream,
     * payload slicing happens at the codec seam. The final window is
     * truncated (`n_in_window < winSamples`), not padded; padding policy
-    * belongs to the consumer.
+    * belongs to the consumer. Keys off the PARSED `wav` format whose
+    * `n_frames` is the fmt/data-derived sample-frame count.
     */
   def audioWindowPlan(features: DataFrame, winSamples: Int,
                       hopSamples: Int): DataFrame = {
     require(winSamples > 0, s"winSamples=$winSamples")
     require(hopSamples > 0, s"hopSamples=$hopSamples")
     features
-      .where(col("media_type") === "audio" && col("n_frames") > 0)
+      .where(col("format") === "wav" && col("n_frames") > 0)
       .select(col("media_id"), col("n_frames").as("n_samples"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(hopSamples)))
           .as("start_sample"))
@@ -132,13 +139,42 @@ object Multimodal {
         col("n_samples"))
   }
 
-  /** Build a media frame from the documents table (text bytes standing in
-    * for undecoded payloads — the plumbing fixture used by tests/bench).
+  /** Build a media frame from the documents table: REAL container bytes
+    * ([[MediaFixtures]]) whose dimensions follow closed-form formulas of
+    * `(doc_id, octet_length(text))` — so an oracle can compute the
+    * expected parse output without parsing, and a hash match certifies
+    * the whole build→parse round trip. Payload construction is map-only.
+    *
+    * Formulas (mirrored in the DuckDB oracles; n = octet_length(text)):
+    *  - doc_id%4==0 → PNG   w=1+doc_id%512, h=1+n%512, idat=8+n%32
+    *  - doc_id%4==1 → JPEG  w=16+doc_id%1000, h=16+n%1000
+    *  - doc_id%4==2 → GIF   w=1+doc_id%256, h=1+n%256, frames=1+doc_id%12
+    *  - doc_id%4==3 → WAV   ch=1+doc_id%2, rate∈{8000,16000,44100} by
+    *                        doc_id%3, samples=64+n%4096
     */
-  def mediaFromDocuments(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("video"), lit("audio")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"))
+  def mediaFromDocuments(documents: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(octet_length(col("text")), lit(0)).cast("long").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val n = r.getLong(1)
+          val (mediaType, payload) = (d % 4) match {
+            case 0 => ("image", MediaFixtures.pngBytes(
+              (1 + d % 512).toInt, (1 + n % 512).toInt, (8 + n % 32).toInt))
+            case 1 => ("image", MediaFixtures.jpegBytes(
+              (16 + d % 1000).toInt, (16 + n % 1000).toInt))
+            case 2 => ("video", MediaFixtures.gifBytes(
+              (1 + d % 256).toInt, (1 + n % 256).toInt, (1 + d % 12).toInt))
+            case _ => ("audio", MediaFixtures.wavBytes(
+              (1 + d % 2).toInt,
+              Array(8000, 16000, 44100)((d % 3).toInt),
+              (64 + n % 4096).toInt))
+          }
+          Row(d, mediaType, payload)
+        }
+      }(enc)
+  }
 }

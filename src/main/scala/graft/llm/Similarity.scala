@@ -95,6 +95,29 @@ object Similarity {
     * Empty clusters keep their previous centroid. Returns the learned
     * centroids in bucket order (0 until k).
     */
+  /** Memo for trained centroids, keyed by a caller-chosen tag (usually
+    * the data dir + hyperparameters). Exists so an oracle emitter can
+    * reuse the EXACT floats a query trained — distributed float
+    * averaging is deterministic for a fixed layout only up to partial-
+    * sum merge order, so "train twice and hope" is not a contract.
+    */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  /** [[kMeansCentroids]] through the memo: at most one training per tag
+    * per JVM; later callers (including [[graft.LlmQueries]]'s oracle
+    * builder) get the same array instance.
+    */
+  def kMeansCentroidsCached(tag: String, corpus: => DataFrame, idCol: String,
+                            vecCol: String, k: Int, iters: Int)
+      : Array[Array[Float]] =
+    centroidMemo.computeIfAbsent(tag,
+      _ => kMeansCentroids(corpus, idCol, vecCol, k, iters))
+
+  /** The memoized centroids for `tag`, if that training already ran. */
+  def trainedCentroids(tag: String): Option[Array[Array[Float]]] =
+    Option(centroidMemo.get(tag))
+
   def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): Array[Array[Float]] = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters")

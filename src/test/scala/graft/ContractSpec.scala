@@ -9,6 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
+  // the IVF oracle embeds trained centroids, which need a data dir and a
+  // session (graft.Verify sets the property in the driver flow)
+  sys.props("graft.oracle.sfDir") = "/root/testdata/sf0.001"
+  SparkTestSession.spark
+
   test("queries and oracleSql cover exactly the same names") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -654,27 +654,39 @@ class LlmSpec extends AnyFunSuite {
 
   test("resizePlan: aspect-fit into the box, no upscaling, non-images excluded") {
     val feats = Seq(
-      (1L, "image", 0L, 100, 50, 1),   // fits → unchanged
-      (2L, "image", 0L, 448, 224, 1),  // wide: width binds → 224×112
-      (3L, "image", 0L, 100, 1000, 1), // tall: height binds → 22×224
-      (4L, "video", 0L, 1920, 1080, 9) // not an image → excluded
-    ).toDF("media_id", "media_type", "n_bytes", "width", "height", "n_frames")
+      (1L, "png", 100, 50, 1),    // fits → unchanged
+      (2L, "jpeg", 448, 224, 1),  // wide: width binds → 224×112
+      (3L, "gif", 100, 1000, 1),  // tall: height binds → 22×224
+      (4L, "wav", 1920, 1080, 9)  // not an image format → excluded
+    ).toDF("media_id", "format", "width", "height", "n_frames")
     val got = graft.llm.Multimodal.resizePlan(feats, 224, 224)
       .orderBy("media_id").collect()
       .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
     assert(got.toSeq === Seq((1L, 100, 50), (2L, 224, 112), (3L, 22, 224)))
   }
 
-  test("multimodal: stub decode runs per-partition with fixed schema") {
+  test("multimodal: real header parse per-partition, garbage yields nulls") {
+    import graft.llm.MediaFixtures
     val media = Seq(
-      (1L, "image", "abcdef".getBytes("UTF-8")),
-      (2L, "audio", "xy".getBytes("UTF-8")),
-      (3L, "video", Array.empty[Byte])
+      (1L, "image", MediaFixtures.pngBytes(17, 23, 10)),
+      (2L, "audio", MediaFixtures.wavBytes(2, 16000, 555)),
+      (3L, "video", MediaFixtures.gifBytes(40, 30, 5)),
+      (4L, "image", MediaFixtures.jpegBytes(640, 480)),
+      (5L, "image", "not media at all".getBytes("UTF-8")),
+      (6L, "video", Array.empty[Byte])
     ).toDF("media_id", "media_type", "payload")
     val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
-    assert(out.map(_.getLong(2)).toSeq === Seq(6L, 2L, 0L))
-    assert(out(0).getInt(3) === 64 + 6 && out(0).getInt(4) === 64 + 'a'.toInt * 4)
-    assert(out(1).getInt(5) === 3) // audio frames = 1 + 2 % 4096
-    assert(out(2).getInt(3) === 320 && out(2).getInt(5) === 1)
+    // cols: media_id, media_type, n_bytes, format, width, height,
+    //       n_frames, channels, sample_rate
+    assert(out(0).getString(3) === "png" && out(0).getInt(4) === 17 &&
+      out(0).getInt(5) === 23 && out(0).getInt(6) === 1)
+    assert(out(1).getString(3) === "wav" && out(1).getInt(6) === 555 &&
+      out(1).getInt(7) === 2 && out(1).getInt(8) === 16000)
+    assert(out(2).getString(3) === "gif" && out(2).getInt(4) === 40 &&
+      out(2).getInt(5) === 30 && out(2).getInt(6) === 5)
+    assert(out(3).getString(3) === "jpeg" && out(3).getInt(4) === 640 &&
+      out(3).getInt(5) === 480)
+    assert(out(4).isNullAt(3) && out(4).isNullAt(4) && out(4).isNullAt(6))
+    assert(out(5).isNullAt(3) && out(5).getLong(2) === 0L)
   }
 }
