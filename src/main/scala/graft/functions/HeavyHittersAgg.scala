@@ -42,6 +42,14 @@ case class HeavyHittersAgg(
 
   require(capacity > 0, s"capacity=$capacity")
 
+  // analysis-time validation: SQL callers (`heavy_hitters(bigint_col, …)`)
+  // must get a resolution error, not a mid-job ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters needs a string item column, got ${child.dataType.simpleString}")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("est_count", LongType, nullable = false))), containsNull = false)

@@ -45,6 +45,15 @@ case class TopKAgg(
 
   require(k > 0, s"k=$k")
 
+  // analysis-time validation: SQL callers (`top_k(int_col, …)`) must get
+  // a resolution error, not a mid-job ClassCastException from update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_k needs (string item, bigint metric), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("metric", LongType, nullable = false))), containsNull = false)

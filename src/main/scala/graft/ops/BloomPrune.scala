@@ -67,7 +67,17 @@ object BloomPrune {
     require(Set("inner", "left_semi", "leftsemi", "semi")(joinType.toLowerCase),
       s"bloom pruning drops probe rows early; '$joinType' would change results")
     val bloom = bloomBytes(build, buildKey, expectedItems, fpp)
-    probe.where(mightContain(bloom, col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey), joinType)
+    val pruned = probe.where(mightContain(bloom, col(probeKey)))
+    // alias the frames so probeKey == buildKey (the common case: joining
+    // on the same column name) resolves unambiguously instead of failing
+    // analysis — same __r_ discipline as Merge/RangeJoin
+    val pa = pruned.alias("__bp_l")
+    val ba = build.alias("__bp_r")
+    val joined = pa.join(ba,
+      col(s"__bp_l.$probeKey") === col(s"__bp_r.$buildKey"), joinType)
+    // left_semi keeps only probe columns, so no duplicate names survive;
+    // inner with identical key names keeps both sides' columns, exactly
+    // like the plain join it documents itself as
+    joined
   }
 }

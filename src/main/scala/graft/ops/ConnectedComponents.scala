@@ -182,16 +182,24 @@ object ConnectedComponents {
   }
 
   /** Order-independent set signature of a canonical edge set: one
-    * aggregate job producing (row count, exact decimal sum of per-row
-    * 64-bit hashes). Equal signatures on two DISTINCT sets certify
-    * equality up to hash-sum collision.
+    * aggregate job producing (row count, exact decimal sums of per-row
+    * 64-bit hashes under TWO independent seeds). Equal signatures on two
+    * DISTINCT sets certify equality up to a simultaneous collision of
+    * both hash sums — the convergence probe is correctness-critical, and
+    * the second seed squares the (already vanishing) collision odds for
+    * one extra sum inside the same aggregate (round-5 advice).
     */
-  private def edgeSignature(e: DataFrame): (Long, java.math.BigDecimal) = {
+  private def edgeSignature(e: DataFrame)
+      : (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
     val row = e.agg(
       count(lit(1)).as("n"),
       coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("h"))
+        zero).as("h"),
+      coalesce(sum(xxhash64(lit(0x9e3779b97f4a7c15L), col("u"), col("v"))
+        .cast("decimal(38,0)")), zero).as("h2"))
       .head()
-    (row.getLong(0), row.getDecimal(1).stripTrailingZeros())
+    (row.getLong(0), row.getDecimal(1).stripTrailingZeros(),
+      row.getDecimal(2).stripTrailingZeros())
   }
 }

@@ -26,13 +26,31 @@ object Merge {
     * same `keyCols`; untouched partitions survive byte-for-byte. First
     * write (no sink yet) degrades to a plain partitioned write.
     *
+    * PRECONDITION — partition-stable keys: `keyCols → partitionCol`
+    * must be a stable mapping across versions of a key. The partition
+    * pruning that makes this merge cheap is also its blind spot: if a
+    * key's partition value CHANGES between batches (row moves from P1
+    * to P2) and P1 is not in the incoming batch, the stale P1 copy is
+    * never read, never anti-joined, and survives — the layout then
+    * holds the key twice. Typical safe designs derive `partitionCol`
+    * from the key (hash bucket) or from an immutable attribute
+    * (creation month). If the mapping can drift, run with
+    * `validateStableKeys = true`, which scans the UNTOUCHED partitions
+    * for incoming keys and fails loudly — a full-layout key scan, so
+    * it is opt-in, not the default, at 100 TB.
+    *
     * @param versionCol monotonically increasing change version (CDC
     *        LSN, updated_at); the highest version per key wins within
     *        the incoming batch
+    * @param validateStableKeys scan partitions OUTSIDE the batch for
+    *        the batch's keys and throw if any key would be duplicated
+    *        by a partition move (cost: one semi-join over the rest of
+    *        the layout)
     */
   def upsertPartitions(spark: SparkSession, incoming: DataFrame, path: String,
                        partitionCol: String, keyCols: Seq[String],
-                       versionCol: String): Unit = {
+                       versionCol: String,
+                       validateStableKeys: Boolean = false): Unit = {
     require(keyCols.nonEmpty, "need at least one key column")
     // latest-per-key within the batch (CDC feeds repeat keys)
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -51,6 +69,17 @@ object Merge {
         // bounded driver-side list: partition VALUES of one batch
         val parts = latest.select(col(partitionCol)).distinct()
           .collect().map(_.get(0))
+        if (validateStableKeys) {
+          val moved = spark.read.parquet(path)
+            .where(!col(partitionCol).isin(parts: _*))
+            .join(latest.select(keyCols.map(col): _*), keyCols, "left_semi")
+            .select((col(partitionCol) +: keyCols.map(col)): _*)
+            .limit(5).collect()
+          require(moved.isEmpty,
+            s"incoming keys already live in partitions outside this batch " +
+              s"(partition moved; the stale copy would survive): " +
+              moved.map(_.toString).mkString(", "))
+        }
         val existing = spark.read.parquet(path)
           .where(col(partitionCol).isin(parts: _*))
         existing.join(latest.select(keyCols.map(col): _*),

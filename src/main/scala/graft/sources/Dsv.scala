@@ -67,15 +67,30 @@ object Dsv {
     * one `split` per line): run it as an audit next to the ingest when
     * shape drift matters, not unconditionally at 100 TB.
     *
-    * @return (line, n_tokens) for each non-header line with a token
-    *         count ≠ the header's
+    * `path` must be a SINGLE file: a directory/glob interleaves several
+    * files whose first rows are all headers, and "the header" is no
+    * longer well-defined (audit per file instead). The header is read
+    * through the filesystem — `Dataset.head()` on a multi-split read
+    * makes no first-line promise. No header-equality filter is needed:
+    * the header (and any data line byte-equal to it) carries exactly the
+    * header's token count, so the shape predicate can never emit it.
+    *
+    * @return (line, n_tokens) for each line with a token count ≠ the
+    *         header's
     */
   def shapeRejects(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
-    val header = lines.head().getString(0)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(p).isFile,
+      s"shapeRejects audits a single file; '$path' is not one — run it per file")
+    val header = {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      try Option(in.readLine()).getOrElse("") finally in.close()
+    }
     val nCols = header.split("\\}", -1).length
-    lines
-      .where(col("value") =!= lit(header))
+    spark.read.text(path)
       .select(col("value").as("line"),
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.split(col("value"), "\\}", -1))

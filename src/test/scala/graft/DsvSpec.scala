@@ -69,11 +69,19 @@ class DsvSpec extends AnyFunSuite {
     w.println("2}x")        // short → PERMISSIVE pads, audit must flag
     w.println("3}x}y}z")    // long → PERMISSIVE truncates, audit must flag
     w.println("4}}")        // empty tokens but right shape → ok
+    w.println("A}B}C")      // data line byte-equal to the header: shape-OK
     w.close()
     val rejects = graft.sources.Dsv.shapeRejects(spark, path)
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(rejects === Set(("2}x", 2), ("3}x}y}z", 4)))
-    // and the tolerant reader still reads all 4 data rows
-    assert(graft.sources.Dsv.read(spark, path).count() === 4)
+    // and the tolerant reader still reads all 5 data rows
+    assert(graft.sources.Dsv.read(spark, path).count() === 5)
+    // a directory is not a well-defined audit target (every file has its
+    // own header line) — the API refuses instead of guessing
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.Dsv.shapeRejects(spark,
+        new java.io.File(path).getParent)
+    }
+    assert(ex.getMessage.contains("single file"))
   }
 }

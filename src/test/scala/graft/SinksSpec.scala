@@ -75,6 +75,20 @@ class SinksSpec extends AnyFunSuite {
     Merge.upsertPartitions(spark, b2, path, "yyyymm", Seq("k"), "ver")
     assert(read() === Set((1L, 202401, "a2", 2L), (2L, 202401, "b", 1L),
       (3L, 202402, "c", 1L), (4L, 202401, "d1", 3L)))
+
+    // partition-moved key (k=3 jumps 202402→202403, 202402 not in batch):
+    // the opt-in validator refuses — without it the stale copy survives
+    val moved = Seq((3L, 202403, "c2", 2L)).toDF("k", "yyyymm", "v", "ver")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsertPartitions(spark, moved, path, "yyyymm", Seq("k"), "ver",
+        validateStableKeys = true)
+    }
+    assert(ex.getMessage.contains("partition moved"))
+    // a partition-stable batch passes the validator unchanged
+    Merge.upsertPartitions(spark, b2, path, "yyyymm", Seq("k"), "ver",
+      validateStableKeys = true)
+    assert(read() === Set((1L, 202401, "a2", 2L), (2L, 202401, "b", 1L),
+      (3L, 202402, "c", 1L), (4L, 202401, "d1", 3L)))
   }
 
   test("Merge.upsertStream: streaming CDC feed upserts the layout per micro-batch") {
