@@ -565,20 +565,58 @@ object SparkEntry {
     * per-returnflag percentiles ([[graft.functions.QuantileSketch]]) —
     * the quantile leg of the mergeable pre-aggregate family next to
     * [[rollupQuarterlyFromMonthly]] (sums) and
-    * [[distinctSketchCustomers]] (HLL). Rows-only (GK internals have no
-    * DuckDB twin); rank-error bounds pinned by `QuantileSketchSpec`.
+    * [[distinctSketchCustomers]] (HLL) — and since round 6 it
+    * exact-hash-checks: the query CERTIFIES the merged estimates
+    * against exact order statistics. Output = per-flag count, the
+    * exact values at the (p ± 2ε)·n rank-window edges (2ε = 0.02
+    * because one merge level doubles the GK bound —
+    * `QuantileSketchSpec`), and in-window verdict booleans. The oracle
+    * computes the same windows from the same rank arithmetic (explicit
+    * DOUBLE casts so both engines run identical IEEE ops) and asserts
+    * TRUE verdicts — a GK bound violation would flip the Spark side
+    * and fail the hash. The exact-rank leg is the certification
+    * harness; the sketch cube is what ships at 100 TB (slices carry KB
+    * sketches, reports merge without re-scanning facts).
     */
   private def quantileSketchQuantity(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.QuantileSketch._
-    val monthly = tPar(s, dir, "lineitem")
+    import org.apache.spark.sql.expressions.Window
+    val li = tPar(s, dir, "lineitem")
+    val monthly = li
       .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("yyyymm"),
         col("l_returnflag"))
       .agg(quantileSketch(col("l_quantity")).as("sk"))
-    monthly.groupBy(col("l_returnflag"))
+    val ests = monthly.groupBy(col("l_returnflag"))
       .agg(mergeQuantileSketches(col("sk")).as("sk"))
       .select(col("l_returnflag"),
-        sketchQuantile(col("sk"), 0.5).as("p50"),
-        sketchQuantile(col("sk"), 0.9).as("p90"))
+        sketchQuantile(col("sk"), 0.5).as("est50"),
+        sketchQuantile(col("sk"), 0.9).as("est90"))
+    val v = li.select(col("l_returnflag").as("f"),
+      col("l_quantity").cast("double").as("q"))
+    val ranked = v.select(col("f"), col("q"),
+      row_number().over(Window.partitionBy(col("f")).orderBy(col("q"))).as("rk"),
+      count(lit(1)).over(Window.partitionBy(col("f"))).as("n"))
+    // 1-indexed rank-window edges; (p ∓ 2ε)·n in DOUBLE, floored, with
+    // a +2 slack on the upper edge (the conservative envelope
+    // QuantileSketchSpec pins) — mirrored verbatim in the oracle
+    def rlo(p: Double) = greatest(lit(1L),
+      least(col("n"), floor((lit(p) - lit(0.02)) * col("n"))))
+    def rhi(p: Double) = greatest(lit(1L),
+      least(col("n"), floor((lit(p) + lit(0.02)) * col("n")) + 2))
+    val bounds = ranked.groupBy(col("f"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rk") === rlo(0.5), col("q"))).as("p50_lo"),
+        max(when(col("rk") === rhi(0.5), col("q"))).as("p50_hi"),
+        max(when(col("rk") === rlo(0.9), col("q"))).as("p90_lo"),
+        max(when(col("rk") === rhi(0.9), col("q"))).as("p90_hi"))
+    bounds.join(ests, col("f") === col("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        col("p50_lo"), col("p50_hi"),
+        (col("est50") >= col("p50_lo") && col("est50") <= col("p50_hi"))
+          .as("p50_in_window"),
+        col("p90_lo"), col("p90_hi"),
+        (col("est90") >= col("p90_lo") && col("est90") <= col("p90_hi"))
+          .as("p90_in_window"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -701,12 +739,12 @@ object SparkEntry {
     * neither oracled nor declared here, so an oracle can't be forgotten
     * silently.
     *
-    * (knn_cosine_ivf left this list in round 6: its trained centroids
-    * are emitted into the DuckDB twin as literals — see
-    * [[LlmQueries.oracleSql]] — so it exact-hash-checks now.)
+    * (knn_cosine_ivf and quantile_sketch_quantity left this list in
+    * round 6: the IVF twin embeds the trained centroids as literals,
+    * and the quantile query now certifies its estimates against exact
+    * rank windows both engines compute — so both exact-hash-check.)
     */
-  val rowsOnlyQueries: Set[String] = Set(
-    "distinct_sketch_customers", "quantile_sketch_quantity")
+  val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
     "staging_events_monthly" ->
@@ -974,6 +1012,27 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 400000
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // GK certification: both engines compute the exact (p ± 2ε)·n rank
+    // windows (identical IEEE double arithmetic — hence the explicit
+    // DOUBLE casts; bare 0.5/0.02 literals would be DECIMAL in DuckDB
+    // and shift a window edge); the oracle asserts TRUE verdicts, the
+    // Spark side computes them from the merged sketch estimates
+    "quantile_sketch_quantity" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS f, CAST(l_quantity AS DOUBLE) AS q FROM lineitem
+        |), r AS (
+        |  SELECT f, q, row_number() OVER (PARTITION BY f ORDER BY q) AS rk,
+        |         count(*) OVER (PARTITION BY f) AS n
+        |  FROM v
+        |)
+        |SELECT f AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |       max(CASE WHEN rk = greatest(1, least(n, CAST(floor((CAST(0.5 AS DOUBLE) - CAST(0.02 AS DOUBLE)) * n) AS BIGINT))) THEN q END) AS p50_lo,
+        |       max(CASE WHEN rk = greatest(1, least(n, CAST(floor((CAST(0.5 AS DOUBLE) + CAST(0.02 AS DOUBLE)) * n) AS BIGINT) + 2)) THEN q END) AS p50_hi,
+        |       TRUE AS p50_in_window,
+        |       max(CASE WHEN rk = greatest(1, least(n, CAST(floor((CAST(0.9 AS DOUBLE) - CAST(0.02 AS DOUBLE)) * n) AS BIGINT))) THEN q END) AS p90_lo,
+        |       max(CASE WHEN rk = greatest(1, least(n, CAST(floor((CAST(0.9 AS DOUBLE) + CAST(0.02 AS DOUBLE)) * n) AS BIGINT) + 2)) THEN q END) AS p90_hi,
+        |       TRUE AS p90_in_window
+        |FROM r GROUP BY f ORDER BY l_returnflag""".stripMargin,
     // direct aggregation of the facts — the Spark side merges the
     // monthly pre-aggregate; equality proves mergeability
     "rollup_quarterly_from_monthly" ->

@@ -119,16 +119,35 @@ object Dedup {
     */
   def winnowDupPairs(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, w: Int = 4, minShared: Int = 2,
-                     maxDocsPerFp: Int = 1000): DataFrame = {
-    require(minShared >= 1, s"minShared=$minShared")
-    require(maxDocsPerFp >= 2, s"maxDocsPerFp=$maxDocsPerFp")
-    // the (doc, fp) table feeds the frequency gate AND both self-join
-    // sides — materialize once (longs, tiny next to the text) instead of
-    // re-running tokenize+hash+windows per consumer; localCheckpoint so
-    // the blocks free on GC (same rationale as MinHash.dupPairs)
-    val fps = TextStats.winnowFingerprints(df, idCol, textCol, k, w)
+                     maxDocsPerFp: Int = 1000): DataFrame =
+    winnowDupPairsFromFps(
+      winnowFingerprintTable(df, idCol, textCol, k, w), minShared,
+      maxDocsPerFp)
+
+  /** The materialized `(__id, fp)` winnow table — tokenize → k-gram →
+    * window-min runs ONCE here (distinct, eagerly `localCheckpoint`ed so
+    * the blocks free on GC), and every consumer reads the checkpointed
+    * longs instead of re-running the text pipeline. A pairs + clusters +
+    * funnel composition over the same corpus should build THIS once and
+    * pass it to the `FromFps` variants: the text stage is the expensive
+    * part (regex split + hashing per token), and each consumer that
+    * rebuilds it pays it again.
+    */
+  def winnowFingerprintTable(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 3, w: Int = 4): DataFrame =
+    TextStats.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp")).distinct()
       .localCheckpoint(true)
+
+  /** [[winnowDupPairs]] over a pre-built [[winnowFingerprintTable]] —
+    * the consumer half of the shared-materialization seam. The (doc,
+    * fp) table feeds the frequency gate AND both self-join sides; the
+    * self-join stays at FINGERPRINT grain, never all-pairs.
+    */
+  def winnowDupPairsFromFps(fps: DataFrame, minShared: Int = 2,
+                            maxDocsPerFp: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared")
+    require(maxDocsPerFp >= 2, s"maxDocsPerFp=$maxDocsPerFp")
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
       .where(col("__nd") > 1 && col("__nd") <= maxDocsPerFp)
       .select(col("fp"))
@@ -151,8 +170,18 @@ object Dedup {
     */
   def winnowDupClusters(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, w: Int = 4, minShared: Int = 2,
-                        maxDocsPerFp: Int = 1000): DataFrame = {
-    val edges = winnowDupPairs(df, idCol, textCol, k, w, minShared, maxDocsPerFp)
+                        maxDocsPerFp: Int = 1000): DataFrame =
+    winnowDupClustersFromFps(
+      winnowFingerprintTable(df, idCol, textCol, k, w), minShared,
+      maxDocsPerFp)
+
+  /** [[winnowDupClusters]] over a pre-built [[winnowFingerprintTable]]:
+    * share one (doc, fp) materialization between the pairs report and
+    * the cluster labels instead of tokenizing the corpus twice.
+    */
+  def winnowDupClustersFromFps(fps: DataFrame, minShared: Int = 2,
+                               maxDocsPerFp: Int = 1000): DataFrame = {
+    val edges = winnowDupPairsFromFps(fps, minShared, maxDocsPerFp)
       .select(col("id_a"), col("id_b"))
     graft.ops.ConnectedComponents.componentsAlternating(edges, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))

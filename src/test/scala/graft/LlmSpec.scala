@@ -460,6 +460,39 @@ class LlmSpec extends AnyFunSuite {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // one cluster
   }
 
+  test("winnow shared materialization: one (doc,fp) build feeds pairs AND clusters") {
+    val spanA = (1 to 16).map(j => s"ca$j").mkString(" ")
+    val spanB = (1 to 16).map(j => s"cb$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"one intro $spanA one outro ending"),
+      (2L, s"two start $spanA middle words $spanB two finish"),
+      (3L, s"three lead $spanB three tail closing"),
+      (4L, "unrelated content about physical plans and exchanges")
+    ).toDF("doc_id", "text")
+    // the expensive tokenize→k-gram→window-min stage runs HERE, once
+    val fps = Dedup.winnowFingerprintTable(docs, "doc_id", "text", 3, 4)
+    val pairs = Dedup.winnowDupPairsFromFps(fps)
+    val clusters = Dedup.winnowDupClustersFromFps(fps)
+    // both consumers read the checkpointed longs: every leaf of their
+    // plans is the materialized RDD scan — the text source (and with it
+    // the tokenize/hash pipeline) appears in NEITHER plan
+    def leafClasses(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().map(_.getClass.getSimpleName)
+    assert(leafClasses(pairs).forall(_ == "LogicalRDD"),
+      s"pairs plan re-reads a non-checkpoint source: ${leafClasses(pairs)}")
+    assert(leafClasses(clusters).forall(_ == "LogicalRDD"),
+      s"clusters plan re-reads a non-checkpoint source: ${leafClasses(clusters)}")
+    // and the shared-build results are the same as the one-shot APIs
+    val directPairs = Dedup.winnowDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet === directPairs)
+    val directClusters = Dedup.winnowDupClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === directClusters)
+  }
+
   test("top-k agg: parity with the window form, ties, nulls, merges") {
     import graft.functions.TopKAgg.topK
     import org.apache.spark.sql.expressions.Window
