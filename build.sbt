@@ -33,3 +33,50 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Parallel forked test groups: suites are round-robined into N JVMs that
+// run concurrently, each with its OWN SparkSession (SparkTestSession is
+// per-JVM), so conf-mutating suites (ANSI mode, codegen factory mode,
+// state-store provider) can never race another suite's queries — full
+// process isolation, unlike in-JVM parallel suites. Every test still runs
+// on plain `sbt test`; this only cuts wall time (~220 s serial → the
+// slowest group). GRAFT_TEST_GROUPS=1 restores the serial single-JVM run.
+val nTestGroups = sys.env.get("GRAFT_TEST_GROUPS").flatMap(s =>
+  scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(6)
+// per-test durations in the report (balancing data for the groups below)
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// measured suite wall times (seconds, from a -oD run) drive the LPT bin
+// packing below; unlisted suites get a small default weight
+val suiteWeights: Map[String, Double] = Map(
+  "graft.LlmSpec" -> 46, "graft.QuickstartSpec" -> 34,
+  "graft.PlanShapeSpec" -> 26, "graft.ScaleStressSpec" -> 20,
+  "graft.AnsiModeSpec" -> 14, "graft.PropertySpec" -> 14,
+  "graft.CurationSpec" -> 14, "graft.DedupStreamSpec" -> 12,
+  "graft.PageRankSpec" -> 12, "graft.PipelineSpec" -> 11,
+  "graft.DqSpec" -> 11, "graft.AsOfSpec" -> 9, "graft.LayoutSpec" -> 9,
+  "graft.DsvSpec" -> 9, "graft.RocksDbStateSpec" -> 8,
+  "graft.SessionizeStreamSpec" -> 8, "graft.SinksSpec" -> 6,
+  "graft.CastsSpec" -> 6, "graft.ContractSpec" -> 5,
+  "graft.WindowsSaltSpec" -> 5, "graft.StreamJoinSpec" -> 4,
+  "graft.StreamingSpec" -> 3, "graft.RepetitionSpec" -> 3,
+)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  // LPT bin packing: heaviest suite first into the lightest bin
+  val bins = Array.fill(nTestGroups)(
+    (0.0, List.empty[sbt.TestDefinition]))
+  tests.sortBy(t => -suiteWeights.getOrElse(t.name, 5.0)).foreach { t =>
+    val i = bins.indices.minBy(j => bins(j)._1)
+    bins(i) = (bins(i)._1 + suiteWeights.getOrElse(t.name, 5.0), t :: bins(i)._2)
+  }
+  bins.toSeq.zipWithIndex.collect { case ((_, ts), i) if ts.nonEmpty =>
+    Tests.Group(s"g$i", ts.reverse, Tests.SubProcess(opts))
+  }
+}
+// sbt's DEFAULT restrictions pin ForkedTestGroup to 1 (serial groups);
+// replace the set wholesale so the groups genuinely run concurrently
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, nTestGroups),
+  Tags.exclusive(Tags.Clean),
+)

@@ -101,7 +101,7 @@ object Bench {
       "rollup_flag_status", "ntile_customers",
       "trailing_revenue_90d", "order_gap_days",
       "near_dedup_survivors_exact", "audio_window_plan",
-      "curation_funnel_near", "winnow_dup_clusters")
+      "curation_funnel_near", "winnow_dup_clusters", "ngram_repetition")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

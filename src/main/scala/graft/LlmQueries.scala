@@ -492,6 +492,15 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style n-gram repetition: character mass of the single most
+    * frequent 2-/3-gram and of all duplicated 5-grams, per document
+    * ([[Repetition.signals]] — one explode pass serves every n).
+    */
+  private def ngramRepetition(s: SparkSession, dir: String): DataFrame =
+    Repetition.signals(tPar(s, dir, "documents"), "doc_id", "text",
+        topNs = Seq(2, 3), dupNs = Seq(2, 5))
+      .orderBy(col("doc_id"))
+
   // ----- multimodal ------------------------------------------------------
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -558,6 +567,7 @@ object LlmQueries {
     "benchmark_contamination" -> (benchmarkContamination _),
     "stratified_sample_stats" -> (stratifiedSampleStats _),
     "repetition_stats" -> (repetitionStats _),
+    "ngram_repetition" -> (ngramRepetition _),
     "weighted_mix_stats" -> (weightedMixStats _),
     "packing_plan" -> (packingPlan _),
     "packing_plan_global" -> (packingPlanGlobal _),
@@ -1080,6 +1090,46 @@ object LlmQueries {
          |       ${dupRatioSql("toks")} AS dup_token_ratio,
          |       ${dupRatioSql("sh")} AS dup_shingle_ratio
          |FROM arrs ORDER BY doc_id""".stripMargin,
+    // mirrors Repetition.signals: strict n-grams (none when len < n),
+    // mass = cnt·length, top tie-break toward the longer gram (the window
+    // max replays the struct-max), single exact-integer division → the
+    // doubles are bit-identical
+    "ngram_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), grams AS (
+         |  SELECT doc_id, 2 AS n, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) ELSE CAST([] AS VARCHAR[]) END) AS gram FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3, unnest(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) ELSE CAST([] AS VARCHAR[]) END) FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 5, unnest(CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) ELSE CAST([] AS VARCHAR[]) END) FROM base
+         |), grain AS (
+         |  SELECT doc_id, n, gram, count(*) AS cnt, length(gram) AS glen
+         |  FROM grams GROUP BY 1, 2, 3
+         |), w AS (
+         |  SELECT doc_id, n, cnt, glen,
+         |         max(cnt) OVER (PARTITION BY doc_id, n) AS mc
+         |  FROM grain
+         |), pern AS (
+         |  SELECT doc_id, n, max(mc) AS top_cnt,
+         |         max(CASE WHEN cnt = mc THEN glen END) AS top_glen,
+         |         sum(cnt * glen) AS total_mass,
+         |         sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup_mass
+         |  FROM w GROUP BY 1, 2
+         |), sig AS (
+         |  SELECT doc_id,
+         |         round(max(CASE WHEN n = 2 THEN CAST(top_cnt * top_glen AS DOUBLE) / CAST(total_mass AS DOUBLE) END), 6) AS top_2gram_frac,
+         |         round(max(CASE WHEN n = 3 THEN CAST(top_cnt * top_glen AS DOUBLE) / CAST(total_mass AS DOUBLE) END), 6) AS top_3gram_frac,
+         |         round(max(CASE WHEN n = 2 THEN CAST(dup_mass AS DOUBLE) / CAST(total_mass AS DOUBLE) END), 6) AS dup_2gram_frac,
+         |         round(max(CASE WHEN n = 5 THEN CAST(dup_mass AS DOUBLE) / CAST(total_mass AS DOUBLE) END), 6) AS dup_5gram_frac
+         |  FROM pern GROUP BY 1
+         |)
+         |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+         |       coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+         |       coalesce(top_3gram_frac, 0.0) AS top_3gram_frac,
+         |       coalesce(dup_2gram_frac, 0.0) AS dup_2gram_frac,
+         |       coalesce(dup_5gram_frac, 0.0) AS dup_5gram_frac
+         |FROM base b LEFT JOIN sig USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $Toks AS toks FROM documents
