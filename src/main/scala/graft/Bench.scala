@@ -101,7 +101,9 @@ object Bench {
       "rollup_flag_status", "ntile_customers",
       "trailing_revenue_90d", "order_gap_days",
       "near_dedup_survivors_exact", "audio_window_plan",
-      "curation_funnel_near", "winnow_dup_clusters", "ngram_repetition")
+      "curation_funnel_near", "winnow_dup_clusters", "ngram_repetition",
+      "source_cap_stats", "edit_sim_pairs", "boilerplate_strip_stats",
+      "semantic_dedup_stats")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -538,6 +538,63 @@ object LlmQueries {
         winSamples = 2048, hopSamples = 1024)
       .orderBy(col("media_id"), col("win_idx"))
 
+  /** Domain-cap curation: at most 10 docs per source, kept in
+    * deterministic hash order via the bounded-heap top-k (the oracle is
+    * the `row_number` window form — equality proves the heap path).
+    */
+  private def sourceCapStats(s: SparkSession, dir: String): DataFrame =
+    Curation.sourceCap(t(s, dir, "documents"), "doc_id", "source", cap = 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+
+  /** LSH candidates verified by exact prefix edit distance — the
+    * confirmation stage sketches can't provide. The oracle reruns the
+    * same candidate generation and DuckDB's own `levenshtein`.
+    */
+  private def editSimPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val cands = MinHash.dupPairs(docs, "doc_id", "text")
+      .where(col("est_jaccard") >= 0.5)
+    Dedup.editDistancePairs(docs, "doc_id", "text", cands, prefixLen = 200)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Cross-document boilerplate stripping over deterministic 8-token
+    * "lines" (the corpus text is single-line, so the query materializes
+    * a line structure both engines can rebuild bit-identically): lines
+    * appearing in ≥ 2 distinct docs drop, texts reassemble in order.
+    */
+  private def boilerplateStripStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1)
+    val lined = docs.select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), floor((size(col("toks")) - 1) / 8).cast("int")),
+          i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")),
+        "\n").as("text"))
+    Boilerplate.stripBoilerplate(lined, "doc_id", "text", minDocs = 2)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup over the embeddings: k-means clusters (the SAME cached
+    * training as the IVF query — one Lloyd run serves both), within-
+    * cluster cosine pairs at ≥ 0.3, one min-id survivor per connected
+    * component. The oracle replays assignment + pairing + recursive
+    * closure over the trained centroids as literals.
+    */
+  private def semanticDedupStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    val cents = Similarity.kMeansCentroidsCached(ivfTag(dir),
+      tPar(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+    Dedup.semanticDedupSurvivors(emb, "vec_id", "embedding", cents,
+        threshold = 0.3)
+      .agg(count(lit(1)).as("n_docs"), sum(col("vec_id")).as("id_sum"))
+  }
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -581,6 +638,10 @@ object LlmQueries {
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
     "audio_window_plan" -> (audioWindowPlanQ _),
     "curation_funnel_near" -> (curationFunnelNear _),
+    "source_cap_stats" -> (sourceCapStats _),
+    "edit_sim_pairs" -> (editSimPairs _),
+    "boilerplate_strip_stats" -> (boilerplateStripStats _),
+    "semantic_dedup_stats" -> (semanticDedupStats _),
   )
 
   // DuckDB fragments shared by several oracles.
@@ -733,7 +794,12 @@ object LlmQueries {
     * `reach(id, r)`. CTE names are `nb`-prefixed so the chain composes
     * with other CTE blocks (e.g. the curation funnel).
     */
-  private def nearDupClosureCtes(src: String): String = {
+  /** MinHash LSH candidate pairs (est. Jaccard ≥ 0.5) of `src` as shared
+    * CTEs ending in `npairs(id_a, id_b)` — the DuckDB twin of
+    * [[MinHash.dupPairs]] + threshold, reused by the closure chain and
+    * the edit-distance verification oracle.
+    */
+  private def minhashPairCtes(src: String): String = {
     val matchSum = (0 until 8).map(p =>
       s"(CASE WHEN sa.sig_$p = sb.sig_$p THEN 1 ELSE 0 END)").mkString(" + ")
     s"""nbase AS (
@@ -761,7 +827,11 @@ object LlmQueries {
        |  FROM ncand c JOIN nsigs sa ON c.id_a = sa.doc_id
        |               JOIN nsigs sb ON c.id_b = sb.doc_id
        |  WHERE ($matchSum) / 8.0 >= 0.5
-       |), nedges AS (
+       |)""".stripMargin
+  }
+
+  private def nearDupClosureCtes(src: String): String = {
+    s"""${minhashPairCtes(src)}, nedges AS (
        |  SELECT id_a AS a, id_b AS b FROM npairs
        |  UNION SELECT id_b, id_a FROM npairs
        |), reach AS (
@@ -830,7 +900,7 @@ object LlmQueries {
        |FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM cl WHERE m <> id)""".stripMargin
 
-  def oracleSql: Map[String, String] = staticOracleSql ++ ivfOracleEntry
+  def oracleSql: Map[String, String] = staticOracleSql ++ trainedOracleEntries
 
   /** The IVF oracle is DATA-DERIVED: it embeds the trained quantizer's
     * centroids as float literals (model parameters, like the multiprobe
@@ -845,7 +915,7 @@ object LlmQueries {
     * no dir and no active session to train on demand, the entry is
     * omitted and the driver records the weaker rows-only check.
     */
-  private def ivfOracleEntry: Map[String, String] = {
+  private def trainedOracleEntries: Map[String, String] = {
     val centsOpt = sys.props.get("graft.oracle.sfDir").flatMap { dir =>
       Similarity.trainedCentroids(ivfTag(dir)).orElse {
         org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
@@ -855,11 +925,56 @@ object LlmQueries {
         }
       }
     }
-    centsOpt.map { cents =>
+    centsOpt.toSeq.flatMap { cents =>
       val rows = cents.zipWithIndex.map { case (c, i) =>
         c.map(x => s"${x}::FLOAT").mkString(s"    ($i, list_value(", ", ", "))")
       }.mkString(",\n")
-      "knn_cosine_ivf" ->
+      Seq(ivfEntry(rows), semanticDedupEntry(rows))
+    }.toMap
+  }
+
+  /** SemDeDup twin over the same trained centroids: assignment argmax,
+    * within-cluster pairs at rounded cosine ≥ 0.3, recursive-CTE
+    * closure, min-id survivors. (The Spark side's hot-cluster
+    * sub-salting only engages above 10k rows per cluster — far beyond
+    * the gated scales — so within-cluster pairing here is exact.)
+    */
+  private def semanticDedupEntry(rows: String): (String, String) =
+    "semantic_dedup_stats" ->
+      s"""WITH RECURSIVE cents AS (
+         |  SELECT * FROM (VALUES
+         |$rows
+         |  ) AS t(ci, cv)
+         |), e AS (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.ci,
+         |         ${cosineSql("e.embedding", "c.cv")} AS s
+         |  FROM e CROSS JOIN cents c
+         |), assign AS (
+         |  SELECT vec_id, embedding, ci AS bucket FROM (
+         |    SELECT vec_id, embedding, ci,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), sp AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM assign a JOIN assign b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
+         |), sedges AS (
+         |  SELECT ia AS a, ib AS b FROM sp
+         |  UNION SELECT ib, ia FROM sp
+         |), sreach AS (
+         |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM sedges)
+         |  UNION
+         |  SELECT sreach.id, e2.b FROM sreach JOIN sedges e2 ON sreach.r = e2.a
+         |), scl AS (SELECT id, min(r) AS m FROM sreach GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM scl WHERE m <> id)""".stripMargin
+
+  private def ivfEntry(rows: String): (String, String) =
+    "knn_cosine_ivf" ->
         s"""WITH cents AS (
            |  SELECT * FROM (VALUES
            |$rows
@@ -890,10 +1005,67 @@ object LlmQueries {
            |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
            |QUALIFY row_number() OVER w <= 5
            |ORDER BY query_id, rank""".stripMargin
-    }.toMap
-  }
 
   private val staticOracleSql: Map[String, String] = Map(
+    // the one-task-per-source window form checks the bounded-heap path
+    "source_cap_stats" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY ${Curation.sampleBucketSql("doc_id", 12345L)} ASC, doc_id ASC) AS rn
+         |  FROM documents
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM ranked WHERE rn <= 10
+         |GROUP BY source ORDER BY source""".stripMargin,
+    // same candidate generation as the near-dup chain, then DuckDB's own
+    // levenshtein over the same 200-char prefixes
+    "edit_sim_pairs" ->
+      s"""WITH ${minhashPairCtes("documents")},
+         |pref AS (SELECT doc_id, substr(text, 1, 200) AS p FROM documents),
+         |sc AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist,
+         |         greatest(length(a.p), length(b.p), 1) AS ml
+         |  FROM npairs c
+         |  JOIN pref a ON c.id_a = a.doc_id
+         |  JOIN pref b ON c.id_b = b.doc_id
+         |)
+         |SELECT id_a, id_b, edit_dist,
+         |       round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(ml AS DOUBLE), 6) AS norm_sim
+         |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    // 8-token lines rebuilt identically, commonality at md5(line) grain,
+    // reassembly order = line position
+    "boilerplate_strip_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents
+         |), lined AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, ((len(t) - 1) // 8) + 1),
+         |           i -> array_to_string(t[8 * i + 1 : 8 * i + 8], ' ')) AS lines
+         |  FROM toks WHERE len(t) >= 1
+         |), lx AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, lines[CAST(i + 1 AS INTEGER)] AS line
+         |  FROM lined, unnest(range(0, len(lines))) AS u(i)
+         |), common AS (
+         |  SELECT md5(trim(line)) AS lk FROM lx WHERE trim(line) <> ''
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |), kept AS (
+         |  SELECT doc_id, pos, line FROM lx
+         |  WHERE md5(trim(line)) NOT IN (SELECT lk FROM common)
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(line, chr(10) ORDER BY pos) AS kt
+         |  FROM kept GROUP BY doc_id
+         |), nl AS (
+         |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines FROM lined
+         |)
+         |SELECT nl.doc_id, nl.n_lines,
+         |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |       md5(coalesce(agg.kt, '')) AS kept_md5
+         |FROM nl LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // entropy = ln(n) - (sum c*ln c)/n over distinct-token counts;
     // round(6) absorbs libm/fold-order ulps on both engines
     "token_entropy" ->

@@ -381,4 +381,49 @@ object Curation {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
+
+  // ----- per-source document caps ----------------------------------------
+
+  /** The ids that survive a per-source cap: at most `cap` documents per
+    * `srcCol` value, chosen in deterministic hash order
+    * ([[sampleBucket]] of the id, id as tiebreak inside the packed
+    * metric) — the domain-cap curation step that stops one hot site from
+    * dominating a corpus mix. Hash order rather than id order so the
+    * kept subset is an unbiased sample of the source, not its earliest
+    * crawl ids; the same seed gives the same survivors on every engine
+    * and every run.
+    *
+    * Scale shape: selection rides the bounded-heap
+    * [[graft.functions.TopKAgg]], so the shuffle carries ≤ `cap` entries
+    * per (source × map partition) instead of the source's full document
+    * stream — a hot domain with 10⁸ docs costs its scan, not a sorted
+    * window partition on one task (the `row_number` window form the
+    * oracle uses IS that one-task-per-source shape). The packed metric
+    * `-(bucket·2⁴² + id)` makes top-k-by-metric-desc exactly "the `cap`
+    * smallest (bucket, id)" and is collision-free for non-negative ids
+    * below 2⁴² (~4.4e12 — beyond any corpus's doc count).
+    */
+  def sourceCapIds(df: DataFrame, idCol: String, srcCol: String, cap: Int,
+                   seed: Long = 12345L): DataFrame = {
+    require(cap >= 1, s"cap=$cap")
+    import graft.functions.TopKAgg.topK
+    val metric = -(sampleBucket(col(idCol), seed) * lit(1L << 42) +
+      col(idCol).cast("long"))
+    df.select(col(srcCol).as("source"), col(idCol).cast("long").as("__id"),
+        metric.as("__m"))
+      .groupBy(col("source"))
+      .agg(topK(col("__id").cast("string"), col("__m"), cap).as("__top"))
+      .select(col("source"), explode(col("__top")).as("e"))
+      .select(col("source"), col("e.item").cast("long").as(idCol))
+  }
+
+  /** Apply the per-source cap: keep only [[sourceCapIds]] survivors.
+    * One equi-join at id grain (left semi) — the kept-id table is
+    * `sources × cap` rows, which shuffles fine even when too large to
+    * broadcast.
+    */
+  def sourceCap(df: DataFrame, idCol: String, srcCol: String, cap: Int,
+                seed: Long = 12345L): DataFrame =
+    df.join(sourceCapIds(df, idCol, srcCol, cap, seed).select(col(idCol)),
+      Seq(idCol), "left_semi")
 }

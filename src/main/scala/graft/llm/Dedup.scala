@@ -231,4 +231,68 @@ object Dedup {
       .where(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
+
+  /** Edit-distance verification of candidate pairs: joins document text
+    * back onto an `(id_a, id_b)` candidate stream and scores Levenshtein
+    * distance over length-capped prefixes — the exact confirmation stage
+    * after sketch-based candidate generation (LSH / winnowing), which
+    * can only ESTIMATE similarity. Candidates are a vanishing fraction
+    * of all pairs, so the O(prefixLen²) DP per pair is affordable, and
+    * the prefix cap bounds it regardless of document length.
+    *
+    * Emits `edit_dist` (on the prefixes) and `norm_sim` =
+    * `1 - dist/max(len_a, len_b)` rounded to 6 dp; pairs below
+    * `minNormSim` are dropped. Shape: two id-grain equi-joins (text
+    * lands on the pair stream) — the corpus never self-joins, and
+    * nothing here is all-pairs.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        pairs: DataFrame, prefixLen: Int = 256,
+                        minNormSim: Double = 0.0): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen=$prefixLen")
+    require(minNormSim >= 0.0 && minNormSim <= 1.0, s"minNormSim=$minNormSim")
+    val pref = docs.select(col(idCol).as("__pid"),
+      substring(col(textCol), 1, prefixLen).as("__pref"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(pref.select(col("__pid"), col("__pref").as("__pa")),
+        col("id_a") === col("__pid")).drop("__pid")
+      .join(pref.select(col("__pid"), col("__pref").as("__pb")),
+        col("id_b") === col("__pid")).drop("__pid")
+      .withColumn("edit_dist", levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .withColumn("norm_sim",
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("__pa")), length(col("__pb")), lit(1)).cast("double"), 6))
+      .where(col("norm_sim") >= minNormSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("norm_sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are assigned to k-means clusters
+    * (map-only argmax over literal centroids — train them once with
+    * [[Similarity.kMeansCentroidsCached]]), near-duplicate pairs are
+    * generated WITHIN clusters only (cosine ≥ `threshold`, the
+    * skew-capped [[embeddingNearDups]] join), and exactly one survivor
+    * — the minimum id — is kept per connected component of the pair
+    * graph (the alternating-star closure, O(log² n) rounds).
+    *
+    * Scale shape: no stage is all-pairs — assignment is map-only,
+    * pairing keys on the cluster id with the hot-cluster sub-salting
+    * cap, and the closure is the same scale-safe component labeling the
+    * text-dedup paths use. Returns the surviving rows of `df`.
+    */
+  def semanticDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[Array[Float]], threshold: Double,
+                             maxBucketSize: Int = Dedup.DefaultMaxBucketSize)
+      : DataFrame = {
+    val bucketed = df.withColumn("__cluster",
+      Similarity.nearestCentroid(col(vecCol), centroids))
+    val pairs = embeddingNearDups(bucketed, idCol, vecCol, "__cluster",
+      threshold, maxBucketSize)
+    val losers = graft.ops.ConnectedComponents
+      .componentsAlternating(pairs.select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      .where(col("component") =!= col("id"))
+      .select(col("id").as("__drop_id"))
+    df.join(losers, col(idCol) === col("__drop_id"), "left_anti")
+  }
 }

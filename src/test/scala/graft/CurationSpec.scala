@@ -281,4 +281,23 @@ class CurationSpec extends AnyFunSuite {
     // empty doc: both ratios 0, no div-by-zero
     assert(df(3).getDouble(1) === 0.0 && df(3).getDouble(2) === 0.0)
   }
+
+  test("sourceCap: exactly cap survivors per source, hash order, repartition-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 40L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val kept = Curation.sourceCap(df, "doc_id", "source", cap = 3)
+    // the one-task window form is the executable twin of the heap path
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Curation.sampleBucket(col("doc_id"), 12345L), col("doc_id"))
+    val expect = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet === expect)
+    val perSource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perSource === Map("s0" -> 3L, "s1" -> 3L, "s2" -> 3L, "s3" -> 3L))
+    // survivors don't depend on the physical layout
+    val kept2 = Curation.sourceCap(df.repartition(7), "doc_id", "source", cap = 3)
+    assert(kept2.select("doc_id").as[Long].collect().toSet === expect)
+    // cap at or above the group size keeps everything
+    assert(Curation.sourceCap(df, "doc_id", "source", cap = 10).count() === 40L)
+  }
 }

@@ -722,4 +722,49 @@ class LlmSpec extends AnyFunSuite {
     assert(out(4).isNullAt(3) && out(4).isNullAt(4) && out(4).isNullAt(6))
     assert(out(5).isNullAt(3) && out(5).getLong(2) === 0L)
   }
+
+  test("editDistancePairs: exact distances on candidates, prefix cap, min-sim gate") {
+    val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // exact duplicate: zero distance, similarity 1
+    assert(out((0L, 3L)) === ((0L, 1.0)))
+    // docA vs docA2 differ only in the final word: lev(today, tomorrow) = 6
+    val lenA2 = docA2.length
+    assert(out((0L, 1L)) === ((6L, math.rint((1.0 - 6.0 / lenA2) * 1e6) / 1e6)))
+    // unrelated pair scores low but is still reported at minNormSim = 0
+    assert(out((0L, 2L))._1 > 30L)
+    // the gate drops it
+    val gated = Dedup.editDistancePairs(docs, "doc_id", "text", pairs,
+      minNormSim = 0.9).collect()
+    assert(gated.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 3L), (0L, 1L)))
+    // prefix cap: distances computed on the capped prefixes only
+    val short = Dedup.editDistancePairs(docs, "doc_id", "text", pairs, prefixLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(short((0L, 1L)) === 0L) // identical first 10 chars
+  }
+
+  test("semanticDedupSurvivors: min-id survivor per within-cluster component") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.05f, 0.0f, 0.0f)),  // near-dup of 0
+      (2L, Array(0.98f, -0.05f, 0.0f, 0.0f)), // near-dup of 0 and 1 (chain)
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.02f, 0.99f, 0.0f, 0.0f)),  // near-dup of 3
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))     // singleton cluster
+    ).toDF("vec_id", "embedding")
+    val cents = Array(
+      Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val surv = Dedup.semanticDedupSurvivors(vecs, "vec_id", "embedding",
+        cents, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv === Set(0L, 3L, 5L))
+    // a threshold no pair reaches keeps the whole corpus (empty pair graph)
+    val all = Dedup.semanticDedupSurvivors(vecs, "vec_id", "embedding",
+        cents, threshold = 0.999999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all === Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
 }
