@@ -57,6 +57,41 @@ class QuickstartSpec extends AnyFunSuite {
     assert(corpus.count() >= 1)
   }
 
+  test("quickstart: source caps, boilerplate, incremental + semantic dedup, edit verify") {
+    import graft.llm.{Boilerplate, Curation, Dedup, IncrementalDedup}
+    val sourced = docs.withColumn("source", lit("src-a"))
+    // README: per-source cap (bounded-heap selection)
+    val capped = Curation.sourceCap(sourced, "doc_id", "source", cap = 2)
+    assert(capped.count() === 2)
+    // README: boilerplate-line stripping
+    val multiline = Seq((1L, "chrome line\nbody one"), (2L, "chrome line\nbody two"))
+      .toDF("doc_id", "text")
+    val clean = Boilerplate.stripBoilerplate(multiline, "doc_id", "text", minDocs = 2)
+    assert(clean.select("text").as[String].collect().toSet ===
+      Set("body one", "body two"))
+    // README: incremental dedup against the fingerprint index
+    val idx = Files.createTempDirectory("quickstart-inc").toString + "/fp_index"
+    val batch = docs
+    val fresh = IncrementalDedup.ingestBatch(spark, batch, "doc_id", "text",
+      idx, batchId = 42L)
+    assert(fresh.count() === 3) // doc 3 is an exact copy of doc 1
+    // README: SemDeDup survivors over trained centroids
+    val embeddings = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f))
+    ).toDF("id", "embedding")
+    import graft.llm.Similarity
+    val cents = Similarity.kMeansCentroids(embeddings, "id", "embedding", k = 2)
+    val semantic = Dedup.semanticDedupSurvivors(embeddings, "id", "embedding",
+      cents, threshold = 0.95)
+    assert(semantic.count() <= 3)
+    // README: edit-distance confirmation of candidate pairs
+    val candidatePairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val verified = Dedup.editDistancePairs(docs, "doc_id", "text",
+      candidatePairs, prefixLen = 256, minNormSim = 0.8)
+    assert(verified.count() === 1) // docs 1 and 3 are identical
+  }
+
   test("quickstart: similarity search") {
     import graft.llm.Similarity
     val embeddings = Seq(
