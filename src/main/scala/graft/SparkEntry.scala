@@ -682,6 +682,34 @@ object SparkEntry {
         round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Type-2 dimension history built by FOLDING four quarterly snapshots
+    * of per-customer 1996 order counts through
+    * [[graft.sinks.Scd2.mergeSnapshot]] — each merge's change detection
+    * closes and reopens versions. The oracle derives the same history
+    * declaratively: change points = quarters where the count
+    * IS DISTINCT FROM the previous present quarter, `valid_to` = the
+    * next change point (window lead), `is_current` = no next change.
+    * Equality proves the iterative merge ≡ the declarative derivation.
+    */
+  private def scd2CustomerHistory(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Scd2
+    val counts = t(s, dir, "orders")
+      .where(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_custkey").as("custkey"),
+        (year(col("o_orderdate")) * 10 + quarter(col("o_orderdate"))).as("q"))
+      .agg(count(lit(1)).as("n_orders"))
+      .persist() // four snapshot slices read one materialization
+    def snap(q: Int) = counts.where(col("q") === q)
+      .select(col("custkey"), col("n_orders"))
+    val hist = (19962 to 19964).foldLeft(Scd2.init(snap(19961), lit(19961))) {
+      case (h, q) =>
+        Scd2.mergeSnapshot(h, snap(q), Seq("custkey"), Seq("n_orders"), lit(q))
+    }
+    hist.select(col("custkey"), col("n_orders"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -729,6 +757,7 @@ object SparkEntry {
     "trailing_revenue_90d" -> (trailingRevenue90d _),
     "order_gap_days" -> (orderGapDays _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
+    "scd2_customer_history" -> (scd2CustomerHistory _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -747,6 +776,29 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    // the declarative window derivation of the iteratively-merged
+    // type-2 history: change points + lead() closing
+    "scd2_customer_history" ->
+      """WITH snaps AS (
+        |  SELECT o_custkey AS custkey,
+        |         year(o_orderdate) * 10 + quarter(o_orderdate) AS q,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE year(o_orderdate) = 1996
+        |  GROUP BY 1, 2
+        |), changes AS (
+        |  SELECT custkey, q, n_orders FROM (
+        |    SELECT custkey, q, n_orders,
+        |           lag(n_orders) OVER (PARTITION BY custkey ORDER BY q) AS prev
+        |    FROM snaps)
+        |  WHERE n_orders IS DISTINCT FROM prev
+        |), hist AS (
+        |  SELECT custkey, n_orders, CAST(q AS INTEGER) AS valid_from,
+        |         CAST(lead(q) OVER (PARTITION BY custkey ORDER BY q) AS INTEGER) AS valid_to,
+        |         lead(q) OVER (PARTITION BY custkey ORDER BY q) IS NULL AS is_current
+        |  FROM changes
+        |)
+        |SELECT custkey, n_orders, valid_from, valid_to, is_current
+        |FROM hist ORDER BY custkey, valid_from""".stripMargin,
     "staging_events_monthly" ->
       """SELECT user_id,
         |       CAST(year(ts)*100 + month(ts) AS INTEGER) AS yyyymm,

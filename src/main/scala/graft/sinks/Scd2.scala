@@ -1,0 +1,86 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension history — the versioned sibling of
+  * the reference's SCD-1 `ON CONFLICT DO UPDATE` merge
+  * (model_curated.py:72-101, [[Upsert.merge]]): instead of overwriting a
+  * dimension row in place, every attribute change CLOSES the current
+  * version (`valid_to` = the change's effective point) and opens a new
+  * one, so facts can join the dimension AS OF any past time.
+  *
+  * History schema = snapshot columns + `valid_from`, `valid_to` (null =
+  * still open), `is_current`. The effective point is any orderable
+  * column type (int period key, date, timestamp) — it is only stored and
+  * compared, never arithmetic'd.
+  *
+  * Merge semantics per key in the incoming snapshot:
+  *  - new key → one open row `[effectiveAt, null)`;
+  *  - attrs changed vs the CURRENT row (null-safe) → close current at
+  *    `effectiveAt`, open a new row;
+  *  - attrs unchanged → untouched.
+  * Keys ABSENT from the snapshot are untouched (snapshots may be
+  * partial); emit explicit deletion rows upstream if absence means
+  * deletion.
+  *
+  * Scale shape: one key-grain full-outer join between the current slice
+  * and the snapshot per merge, plus unions — closed history never
+  * re-shuffles. Re-merging the same snapshot at the same point is a
+  * no-op (unchanged rows), so replays are idempotent.
+  */
+object Scd2 {
+
+  /** The history table for the FIRST snapshot: every row open. */
+  def init(snapshot: DataFrame, effectiveAt: Column): DataFrame =
+    snapshot
+      .withColumn("valid_from", effectiveAt)
+      // a typed NULL of effectiveAt's type (when() with no otherwise)
+      .withColumn("valid_to", when(lit(false), effectiveAt))
+      .withColumn("is_current", lit(true))
+
+  /** Merge `snapshot` (keys + attrs, effective at `effectiveAt`) into
+    * `history` (a frame shaped like [[init]]'s output).
+    */
+  def mergeSnapshot(history: DataFrame, snapshot: DataFrame,
+                    keys: Seq[String], attrs: Seq[String],
+                    effectiveAt: Column): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty, "keys and attrs required")
+    val past = history.where(!col("is_current"))
+    val cur = history.where(col("is_current"))
+      .select(keys.map(col) ++
+        attrs.map(c => col(c).as(s"__cur_$c")) :+
+        col("valid_from").as("__cur_vf") :+ lit(true).as("__in_cur"): _*)
+    val inc = snapshot
+      .select(keys.map(col) ++ attrs.map(col) :+ lit(true).as("__in_inc"): _*)
+    val j = cur.join(inc, keys, "full_outer")
+    val unchanged = attrs.map(c => col(s"__cur_$c") <=> col(c)).reduce(_ && _)
+    val inCur = coalesce(col("__in_cur"), lit(false))
+    val inInc = coalesce(col("__in_inc"), lit(false))
+    def shaped(attrOf: String => Column, vf: Column, vt: Column,
+               open: Boolean)(rows: DataFrame): DataFrame =
+      rows.select(keys.map(col) ++ attrs.map(c => attrOf(c).as(c)) :+
+        vf.as("valid_from") :+ vt.as("valid_to") :+
+        lit(open).as("is_current"): _*)
+    val nullAt = when(lit(false), effectiveAt)
+    // current rows that survive untouched: key absent from the snapshot,
+    // or present with identical attributes
+    val keep = shaped(c => col(s"__cur_$c"), col("__cur_vf"), nullAt,
+      open = true)(j.where(inCur && (!inInc || unchanged)))
+    // current rows closed by a change
+    val closed = shaped(c => col(s"__cur_$c"), col("__cur_vf"), effectiveAt,
+      open = false)(j.where(inCur && inInc && !unchanged))
+    // newly opened versions: brand-new keys and changed keys
+    val opened = shaped(c => col(c), effectiveAt, nullAt,
+      open = true)(j.where(inInc && (!inCur || !unchanged)))
+    past.select((keys ++ attrs).map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+      .unionByName(keep).unionByName(closed).unionByName(opened)
+  }
+
+  /** Time-travel read: the version of each key valid at `at`. */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.where(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
+      .drop("valid_to", "is_current")
+}
