@@ -103,7 +103,9 @@ object Bench {
       "near_dedup_survivors_exact", "audio_window_plan",
       "curation_funnel_near", "winnow_dup_clusters", "ngram_repetition",
       "source_cap_stats", "edit_sim_pairs", "boilerplate_strip_stats",
-      "semantic_dedup_stats", "scd2_customer_history")
+      "semantic_dedup_stats", "scd2_customer_history",
+      "snapshot_diff_customers", "order_interval_stats",
+      "part_triangle_counts", "order_price_outliers", "pps_sample_orders")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -710,6 +710,124 @@ object SparkEntry {
       .orderBy(col("custkey"), col("valid_from"))
   }
 
+  /** Exact cents (long) from the decimal money column — the integer
+    * grain the round-6 robust-stats/sampling queries share so every
+    * cross-engine comparison is integer-or-half-integer exact.
+    */
+  private def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  /** CDC diff ([[graft.ops.SnapshotDiff]]) between two overlapping
+    * half-year views of per-customer 1996 order activity: customers
+    * active only in Q1–Q2 read as deletes, only in Q2–Q3 as inserts,
+    * and customers whose count/total changed between the windows as
+    * updates. One key-grain full-outer join; unchanged keys never leave
+    * the join.
+    */
+  private def snapshotDiffCustomers(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SnapshotDiff
+    val orders = t(s, dir, "orders")
+    def snap(lo: String, hi: String): DataFrame = orders
+      .where(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_cents"))
+    SnapshotDiff.diff(snap("1996-01-01", "1996-07-01"),
+        snap("1996-04-01", "1996-10-01"),
+        Seq("custkey"), Seq("n_orders", "total_cents"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Interval analytics ([[graft.ops.Intervals]]) over synthetic order
+    * fulfillment spans (epoch-day start, deterministic 1–7 day length):
+    * per-quarter peak concurrency (sweep-line) and union-covered days
+    * (gaps-and-islands). Both are one windowed pass per group — the
+    * whole quarter sweeps inside its own partition.
+    */
+  private def orderIntervalStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Intervals
+    val iv = t(s, dir, "orders")
+      .where(year(col("o_orderdate")) === 1996)
+      .select(quarter(col("o_orderdate")).as("q"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("s"),
+        col("o_orderkey"))
+      .withColumn("e", col("s") + pmod(col("o_orderkey"), lit(7)) + 1)
+    val n = iv.groupBy("q").agg(count(lit(1)).as("n_intervals"))
+    val peak = Intervals.peakConcurrency(iv, Seq("q"), col("s"), col("e"))
+    val uni = Intervals.unionLength(iv, Seq("q"), col("s"), col("e"))
+      .withColumnRenamed("union_len", "union_days")
+    n.join(peak, "q").join(uni, "q").orderBy(col("q"))
+  }
+
+  /** Degree-oriented triangle counting ([[graft.ops.Triangles]]) on the
+    * part co-occurrence graph (parts sharing an order). Top 50 by
+    * participation with a unique tiebreak; the oracle replays the
+    * orientation and wedge-closure joins verbatim, so the exact
+    * per-node counts certify the whole node-iterator.
+    */
+  private def partTriangleCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Triangles
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // pairs are generated MAP-SIDE from per-order part sets (baskets are
+    // tiny — collect_set stays KB-sized), so the edge build costs one
+    // orderkey-grain exchange instead of a doubled scan + self-join; the
+    // support threshold (≥ 2 distinct orders, the standard co-occurrence
+    // denoising) then keeps the graph at the repeated-signal grain
+    // instead of the near-clique basket noise (~300× fewer edges at
+    // sf0.1)
+    val edges = li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    Triangles.triangleCounts(edges, "src", "dst")
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(50)
+  }
+
+  /** Median/MAD robust outliers ([[graft.ops.Anomaly]]) on order totals
+    * per priority, in exact integer cents: group medians interpolate two
+    * longs (exact in a double), so every outlier verdict hash-matches
+    * the DuckDB `quantile_cont` twin bit-for-bit.
+    */
+  private def orderPriceOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Anomaly
+    val v = t(s, dir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("cents_v"))
+    Anomaly.flagOutliers(v, Seq("o_orderpriority"), col("cents_v"), 3.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med_cents"),
+        first(col("mad")).as("mad_cents"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        max(when(col("is_outlier"), col("cents_v"))).as("max_outlier_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Deterministic systematic PPS sample ([[graft.ops.Sampling]]):
+    * order totals as integer-cent weights laid along a per-priority
+    * line in orderkey order, one selection per 50k-dollar stride. All
+    * integer arithmetic — the window twin in DuckDB matches exactly.
+    */
+  private def ppsSampleOrders(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val v = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("w"))
+    Sampling.ppsSystematic(v, Seq("o_orderpriority"), col("o_orderkey"),
+        col("w"), 5000000L)
+      .where(col("selected"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("w")).as("sel_cents"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -758,6 +876,11 @@ object SparkEntry {
     "order_gap_days" -> (orderGapDays _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
     "scd2_customer_history" -> (scd2CustomerHistory _),
+    "snapshot_diff_customers" -> (snapshotDiffCustomers _),
+    "order_interval_stats" -> (orderIntervalStats _),
+    "part_triangle_counts" -> (partTriangleCounts _),
+    "order_price_outliers" -> (orderPriceOutliers _),
+    "pps_sample_orders" -> (ppsSampleOrders _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -776,6 +899,139 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    "snapshot_diff_customers" ->
+      """WITH olds AS (
+        |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY 1
+        |), news AS (
+        |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-04-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT COALESCE(o.custkey, n.custkey) AS custkey,
+        |         CASE WHEN o.custkey IS NULL THEN 'insert'
+        |              WHEN n.custkey IS NULL THEN 'delete'
+        |              WHEN (o.n_orders IS DISTINCT FROM n.n_orders)
+        |                OR (o.total_cents IS DISTINCT FROM n.total_cents) THEN 'update'
+        |         END AS change_type,
+        |         o.n_orders AS old_n_orders, o.total_cents AS old_total_cents,
+        |         n.n_orders AS new_n_orders, n.total_cents AS new_total_cents
+        |  FROM olds o FULL OUTER JOIN news n ON o.custkey = n.custkey
+        |)
+        |SELECT custkey, old_n_orders, old_total_cents, new_n_orders,
+        |       new_total_cents, change_type
+        |FROM d WHERE change_type IS NOT NULL ORDER BY custkey""".stripMargin,
+    "order_interval_stats" ->
+      """WITH iv AS (
+        |  SELECT quarter(o_orderdate) AS q,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |              + (o_orderkey % 7) + 1 AS BIGINT) AS e
+        |  FROM orders WHERE year(o_orderdate) = 1996
+        |), deltas AS (
+        |  SELECT q, s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT q, e AS t, -1 AS d FROM iv
+        |), depth AS (
+        |  SELECT q, sum(d) OVER (PARTITION BY q ORDER BY t, d) AS depth FROM deltas
+        |), peak AS (
+        |  SELECT q, CAST(max(depth) AS BIGINT) AS peak_concurrent FROM depth GROUP BY 1
+        |), isl0 AS (
+        |  SELECT q, s, e,
+        |         max(e) OVER (PARTITION BY q ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv
+        |), isl1 AS (
+        |  SELECT q, s, e,
+        |         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY q ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl0
+        |), isl AS (
+        |  SELECT q, island, max(e) - min(s) AS len FROM isl1 GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT q, CAST(sum(len) AS BIGINT) AS union_days FROM isl GROUP BY 1
+        |), cnt AS (
+        |  SELECT q, CAST(count(*) AS BIGINT) AS n_intervals FROM iv GROUP BY 1
+        |)
+        |SELECT cnt.q AS q, n_intervals, peak_concurrent, union_days
+        |FROM cnt JOIN peak ON cnt.q = peak.q JOIN uni ON cnt.q = uni.q
+        |ORDER BY q""".stripMargin,
+    "part_triangle_counts" ->
+      """WITH pairs AS (
+        |  SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v FROM (
+        |    SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+        |  GROUP BY 1
+        |), rk AS (
+        |  SELECT node, deg * 1099511627776 + node AS rnk FROM deg
+        |), o AS (
+        |  SELECT CASE WHEN ru.rnk < rv.rnk THEN u ELSE v END AS lo,
+        |         CASE WHEN ru.rnk < rv.rnk THEN v ELSE u END AS hi,
+        |         CASE WHEN ru.rnk < rv.rnk THEN rv.rnk ELSE ru.rnk END AS rhi
+        |  FROM pairs JOIN rk ru ON ru.node = pairs.u JOIN rk rv ON rv.node = pairs.v
+        |), w AS (
+        |  SELECT l.lo AS c, l.hi AS b, r.hi AS e
+        |  FROM o l JOIN o r ON l.lo = r.lo AND l.rhi < r.rhi
+        |), tri AS (
+        |  SELECT c, b, e FROM w JOIN o ON o.lo = w.b AND o.hi = w.e
+        |), nodes AS (
+        |  SELECT c AS node FROM tri
+        |  UNION ALL SELECT b AS node FROM tri
+        |  UNION ALL SELECT e AS node FROM tri
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1
+        |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin,
+    "order_price_outliers" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents_v
+        |  FROM orders
+        |), m AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |         quantile_cont(CAST(cents_v AS DOUBLE), 0.5) AS med
+        |  FROM v GROUP BY 1
+        |), s AS (
+        |  SELECT v.o_orderpriority, any_value(m.n) AS n, any_value(m.med) AS med,
+        |         quantile_cont(abs(CAST(v.cents_v AS DOUBLE) - m.med), 0.5) AS mad
+        |  FROM v JOIN m ON v.o_orderpriority = m.o_orderpriority
+        |  GROUP BY 1
+        |)
+        |SELECT v.o_orderpriority, any_value(s.n) AS n,
+        |       any_value(s.med) AS med_cents, any_value(s.mad) AS mad_cents,
+        |       CAST(sum(CASE WHEN abs(CAST(v.cents_v AS DOUBLE) - s.med) > 3 * s.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       max(CASE WHEN abs(CAST(v.cents_v AS DOUBLE) - s.med) > 3 * s.mad
+        |                THEN v.cents_v END) AS max_outlier_cents
+        |FROM v JOIN s ON v.o_orderpriority = s.o_orderpriority
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pps_sample_orders" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_orderpriority, o_orderkey, w,
+        |         sum(w) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+        |  FROM v
+        |), sel AS (
+        |  SELECT * FROM c WHERE cum_w // 5000000 > (cum_w - w) // 5000000
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_selected,
+        |       CAST(sum(w) AS BIGINT) AS sel_cents,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     // the declarative window derivation of the iteratively-merged
     // type-2 history: change points + lead() closing
     "scd2_customer_history" ->

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic systematic probability-proportional-to-size (PPS)
+  * sampling: lay every row's integer weight end-to-end along a line (in
+  * a fixed key order), then select the row owning each multiple of
+  * `stride`. Selection probability is proportional to weight, heavy
+  * rows (weight ≥ stride) are always taken, and the expected sample
+  * size is `total_weight / stride` — the classic survey-statistics
+  * systematic PPS design, here with a deterministic order instead of a
+  * random start so reruns and engines agree bit-for-bit.
+  *
+  * Complements the hash-based fixed-RATE samplers
+  * ([[graft.llm.Curation.sampleHash]], `stratifiedSample`): those give
+  * every row the same chance; this one sizes each row's chance by its
+  * weight (bytes, revenue, token count), which is what corpus builders
+  * weighting by document length actually want.
+  *
+  * Scale shape: one window pass per group in `orderKey` order — the
+  * same shuffle any per-group cumulative metric needs. All arithmetic
+  * is integer (long), so the DuckDB twin matches exactly.
+  */
+object Sampling {
+
+  /** Input rows + `cum_w` (inclusive cumulative weight) + `selected`:
+    * true when the row's span `(cum_w - w, cum_w]` covers a multiple of
+    * `stride` (multiples are 1-based: spans covering `stride`,
+    * `2*stride`, … — a zero-weight row never selects). Weights must be
+    * non-negative; `orderKey` must be unique per group for the
+    * cumulative order to be deterministic.
+    */
+  def ppsSystematic(df: DataFrame, groupCols: Seq[String], orderKey: Column,
+                    weight: Column, stride: Long): DataFrame = {
+    require(stride > 0, s"stride=$stride must be positive")
+    val g = groupCols.map(col)
+    val w = weight.cast("long")
+    val byKey = Window.partitionBy(g: _*).orderBy(orderKey)
+    val checked = df.where(
+      when(w < 0, raise_error(lit("ppsSystematic: negative weight")))
+        .otherwise(lit(true)))
+    checked
+      .withColumn("__w", w)
+      .withColumn("cum_w",
+        sum(col("__w")).over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("selected",
+        expr(s"cum_w div ${stride}L > (cum_w - __w) div ${stride}L"))
+      .drop("__w")
+  }
+}

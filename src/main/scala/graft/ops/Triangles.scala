@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting via the degree-oriented node-iterator — the
+  * standard distributed formulation (cf. Suri & Vassilvitskii, "Counting
+  * Triangles and the Curse of the Last Reducer", WWW'11): orient every
+  * undirected edge from its lower-degree endpoint to its higher-degree
+  * endpoint, enumerate wedges only at the LOW-degree center, and close
+  * them against the oriented edge set. A hub of degree d generates
+  * O(d²) wedges under the naive iterator but only O(edges^{1/2})-bounded
+  * work when oriented — that bound is precisely why the pattern survives
+  * power-law graphs at scale. (Graph-analytics sibling of
+  * [[ConnectedComponents]] / [[PageRank]]; extension surface — the
+  * reference has no graph operators.)
+  *
+  * Everything is equi-join + aggregate: degree computation is one
+  * node-grain shuffle, wedge building is a self-join on the wedge
+  * center, closure is a join on the (endpoint, endpoint) pair. No
+  * driver-side adjacency, no cartesian.
+  */
+object Triangles {
+
+  /** Node ids must fit below this bound so the (degree, node) orientation
+    * key packs into one long: `degree * 2^40 + node`.
+    */
+  val NodeIdCap: Long = 1L << 40
+
+  /** Canonical undirected edge set: self-loops dropped, duplicates and
+    * direction collapsed to `u < v`.
+    */
+  def canonicalEdges(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges
+      .where(col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).cast("long").as("u"),
+        greatest(col(src), col(dst)).cast("long").as("v"))
+      .distinct()
+
+  /** Per-node triangle participation counts (`node`, `n_triangles`),
+    * nodes in no triangle omitted. Input edges are canonicalized first,
+    * so directed / duplicated / self-looped inputs are fine.
+    */
+  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val canon = canonicalEdges(edges, src, dst)
+    val degrees = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .select(col("node"),
+        when(col("node") >= NodeIdCap,
+          raise_error(lit("Triangles: node id exceeds 2^40 — repack ids first")))
+          .otherwise(col("deg") * NodeIdCap + col("node")).as("rank"))
+    // orient each edge low-rank -> high-rank ((degree, node) lexicographic,
+    // packed into one long so the comparison is a single codegen'd op)
+    val oriented = canon
+      .join(degrees.withColumnRenamed("node", "u")
+        .withColumnRenamed("rank", "__ru"), "u")
+      .join(degrees.withColumnRenamed("node", "v")
+        .withColumnRenamed("rank", "__rv"), "v")
+      .select(
+        when(col("__ru") < col("__rv"), col("u")).otherwise(col("v")).as("lo"),
+        when(col("__ru") < col("__rv"), col("v")).otherwise(col("u")).as("hi"),
+        when(col("__ru") < col("__rv"), col("__ru")).otherwise(col("__rv")).as("rlo"),
+        when(col("__ru") < col("__rv"), col("__rv")).otherwise(col("__ru")).as("rhi"))
+    // wedges at the low-rank center: unordered endpoint pair, kept once
+    val left = oriented.select(col("lo").as("c"),
+      col("hi").as("b"), col("rhi").as("rb"))
+    val right = oriented.select(col("lo").as("c"),
+      col("hi").as("e"), col("rhi").as("re"))
+    val wedges = left.join(right, "c")
+      .where(col("rb") < col("re"))
+      .select(col("c"), col("b"), col("e"))
+    // close the wedge: the (b, e) edge is oriented rank-ascending too,
+    // so it appears in `oriented` exactly as (lo=b, hi=e)
+    val triangles = wedges.join(
+      oriented.select(col("lo").as("b"), col("hi").as("e")),
+      Seq("b", "e"))
+    triangles
+      .select(explode(array(col("c"), col("b"), col("e"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Anomaly, Intervals, Sampling, SnapshotDiff, Triangles}
+
+/** Round-6 analytic operators: CDC snapshot diff, interval sweep-line /
+  * gaps-and-islands, degree-oriented triangle counting, median/MAD
+  * outliers, and systematic PPS sampling — all against hand-computed
+  * fixtures.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ diff
+
+  test("snapshot diff classifies insert/delete/update and drops unchanged") {
+    val old = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+      (4L, 40L, null.asInstanceOf[String])).toDF("k", "n", "s")
+    val neu = Seq((2L, 20L, "b"), (3L, 31L, "c"), (4L, 40L, "now"),
+      (5L, 50L, "e")).toDF("k", "n", "s")
+    val d = SnapshotDiff.diff(old, neu, Seq("k"), Seq("n", "s"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "delete", 3L -> "update", 4L -> "update",
+      5L -> "insert")) // 2 unchanged → absent
+  }
+
+  test("snapshot diff carries old/new values with nulls on the absent side") {
+    val old = Seq((1L, 10L)).toDF("k", "n")
+    val neu = Seq((2L, 20L)).toDF("k", "n")
+    val rows = SnapshotDiff.diff(old, neu, Seq("k"), Seq("n"))
+      .orderBy("k")
+      .select("k", "old_n", "new_n", "change_type")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getString(3)))
+    assert(rows.toSeq === Seq((1L, 10L, null, "delete"),
+      (2L, null, 20L, "insert")))
+  }
+
+  // ------------------------------------------------------- intervals
+
+  private def iv(rows: (String, Long, Long)*) =
+    rows.toDF("g", "s", "e")
+
+  test("peak concurrency: touching spans don't overlap (end-exclusive)") {
+    val peak = Intervals.peakConcurrency(
+        iv(("a", 1, 3), ("a", 3, 5), ("a", 5, 7)), Seq("g"), col("s"), col("e"))
+      .as[(String, Long)].collect().toMap
+    assert(peak === Map("a" -> 1L))
+  }
+
+  test("peak concurrency: nesting and ties, per group") {
+    val df = iv(
+      ("a", 1, 10), ("a", 2, 4), ("a", 3, 4), ("a", 4, 6), // depth 3 at t=3
+      ("b", 1, 2), ("b", 5, 6))
+    val peak = Intervals.peakConcurrency(df, Seq("g"), col("s"), col("e"))
+      .as[(String, Long)].collect().toMap
+    assert(peak === Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("union length merges overlaps and keeps gaps") {
+    // [1,5)∪[3,7) = 6, gap, [10,11) = 1 → 7; b: duplicates count once
+    val df = iv(("a", 1, 5), ("a", 3, 7), ("a", 10, 11),
+      ("b", 2, 4), ("b", 2, 4))
+    val u = Intervals.unionLength(df, Seq("g"), col("s"), col("e"))
+      .as[(String, Long)].collect().toMap
+    assert(u === Map("a" -> 7L, "b" -> 2L))
+  }
+
+  test("inverted or empty spans are rejected") {
+    val e = intercept[Exception] {
+      Intervals.peakConcurrency(iv(("a", 5, 5)), Seq("g"), col("s"), col("e"))
+        .collect()
+    }
+    assert(e.getMessage.contains("end must be strictly after start"))
+  }
+
+  // ------------------------------------------------------- triangles
+
+  test("triangle counts on K4: every node sits in C(3,2)=3 triangles") {
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val counts = Triangles.triangleCounts(k4.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts ignore direction, duplicates, self-loops; " +
+    "non-triangle nodes omitted") {
+    // triangle 1-2-3 (edges given in mixed directions, one duplicated,
+    // plus a self-loop and a pendant node 4)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (3L, 3L),
+      (3L, 4L)).toDF("x", "y")
+    val counts = Triangles.triangleCounts(edges, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4 absent
+  }
+
+  test("two triangles sharing an edge count both endpoints twice") {
+    val bowtieish = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("x", "y")
+    val counts = Triangles.triangleCounts(bowtieish, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  // --------------------------------------------------------- anomaly
+
+  test("MAD outliers: a wild value flags without dragging the median") {
+    val df = Seq(("g", 10L), ("g", 10L), ("g", 12L), ("g", 14L),
+      ("g", 1000L)).toDF("grp", "v")
+    val flagged = Anomaly.flagOutliers(df, Seq("grp"), col("v"), 3.0)
+    val out = flagged.where(col("is_outlier")).select("v")
+      .as[Long].collect().toSeq
+    assert(out === Seq(1000L))
+    val stats = Anomaly.madStats(df, Seq("grp"), col("v"))
+      .select("n", "med", "mad").as[(Long, Double, Double)].head()
+    assert(stats === ((5L, 12.0, 2.0))) // med 12; |dev| = 2,2,0,2,988 → mad 2
+  }
+
+  test("MAD outliers: even-count groups interpolate; all-equal flags none") {
+    val df = Seq(("e", 1L), ("e", 2L), ("e", 3L), ("e", 4L),
+      ("c", 7L), ("c", 7L), ("c", 7L)).toDF("grp", "v")
+    val stats = Anomaly.madStats(df, Seq("grp"), col("v"))
+      .select("grp", "med", "mad").as[(String, Double, Double)]
+      .collect().map { case (g, m, d) => g -> ((m, d)) }.toMap
+    assert(stats("e") === ((2.5, 1.0))) // devs 1.5,0.5,0.5,1.5 → mad 1.0
+    assert(stats("c") === ((7.0, 0.0)))
+    val n = Anomaly.flagOutliers(df.where(col("grp") === "c"), Seq("grp"),
+      col("v"), 3.0).where(col("is_outlier")).count()
+    assert(n === 0L)
+  }
+
+  // -------------------------------------------------------- sampling
+
+  test("systematic PPS selects the stride-boundary owners in key order") {
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 4L),
+      ("g", 4L, 4L), ("g", 5L, 4L)).toDF("grp", "k", "w")
+    // cum 4,8,12,16,20 with stride 10 → rows owning 10 and 20: k=3, k=5
+    val sel = Sampling.ppsSystematic(df, Seq("grp"), col("k"), col("w"), 10L)
+      .where(col("selected")).select("k").as[Long].collect().toSeq.sorted
+    assert(sel === Seq(3L, 5L))
+  }
+
+  test("systematic PPS: heavy rows always selected, zero-weight never") {
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 25L), ("g", 3L, 0L), ("g", 4L, 3L))
+      .toDF("grp", "k", "w")
+    // cum 0,25,25,28; stride 10 → k=2 spans (0,25] covering 10 and 20
+    val sel = Sampling.ppsSystematic(df, Seq("grp"), col("k"), col("w"), 10L)
+      .where(col("selected")).select("k").as[Long].collect().toSeq
+    assert(sel === Seq(2L))
+  }
+
+  test("systematic PPS rejects negative weights") {
+    val df = Seq(("g", 1L, -1L)).toDF("grp", "k", "w")
+    val e = intercept[Exception] {
+      Sampling.ppsSystematic(df, Seq("grp"), col("k"), col("w"), 10L).collect()
+    }
+    assert(e.getMessage.contains("negative weight"))
+  }
+}
