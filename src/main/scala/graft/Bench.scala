@@ -105,7 +105,9 @@ object Bench {
       "source_cap_stats", "edit_sim_pairs", "boilerplate_strip_stats",
       "semantic_dedup_stats", "scd2_customer_history",
       "snapshot_diff_customers", "order_interval_stats",
-      "part_triangle_counts", "order_price_outliers", "pps_sample_orders")
+      "part_triangle_counts", "order_price_outliers", "pps_sample_orders",
+      "funnel_view_click_purchase", "cohort_retention_daily",
+      "densified_customer_months", "price_drift_psi")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

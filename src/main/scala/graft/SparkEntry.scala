@@ -828,6 +828,51 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Ordered conversion funnel ([[graft.ops.Funnel]]): users reaching
+    * view → click → purchase with strictly-later timestamps at each
+    * step. Entity-grain joins only; the raw stream is filtered to the
+    * funnel's types before anything shuffles.
+    */
+  private def funnelViewClickPurchase(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.summary(t(s, dir, "events"), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+
+  /** Day-grain cohort retention ([[graft.ops.Cohorts]]): users grouped
+    * by first-seen date, distinct-active counts at each day offset.
+    */
+  private def cohortRetentionDaily(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cohorts.retentionDaily(t(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("cohort_day"), col("offset_days"))
+
+  /** Calendar densification ([[graft.ops.GapFill]]): every month in
+    * each customer's 1996 span materialized, order counts zero-filled,
+    * the month's revenue carried forward (LOCF) across gap months.
+    */
+  private def densifiedCustomerMonths(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.GapFill
+    val monthly = t(s, dir, "orders")
+      .where(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_custkey").as("custkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("last_cents"))
+    GapFill.densifyMonths(monthly, Seq("custkey"), "yyyymm",
+        zeroFill = Seq("n_orders"), locf = Seq("last_cents"))
+      .orderBy(col("custkey"), col("yyyymm"))
+  }
+
+  /** Population Stability Index ([[graft.ops.Drift]]) between 1995 and
+    * 1996 order totals on a fixed 50k-dollar grid — the
+    * batch-over-batch distribution health check, exact integer counts
+    * under a 6-decimal-rounded smoothed-mass sum.
+    */
+  private def priceDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Drift
+    val orders = t(s, dir, "orders")
+    def yr(y: Int) = orders.where(year(col("o_orderdate")) === y)
+    Drift.psi(yr(1995), yr(1996), cents(col("o_totalprice")), 5000000L)
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -881,6 +926,10 @@ object SparkEntry {
     "part_triangle_counts" -> (partTriangleCounts _),
     "order_price_outliers" -> (orderPriceOutliers _),
     "pps_sample_orders" -> (ppsSampleOrders _),
+    "funnel_view_click_purchase" -> (funnelViewClickPurchase _),
+    "cohort_retention_daily" -> (cohortRetentionDaily _),
+    "densified_customer_months" -> (densifiedCustomerMonths _),
+    "price_drift_psi" -> (priceDriftPsi _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -899,6 +948,85 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    "funnel_view_click_purchase" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT 1 AS step, 'view' AS step_type, CAST(count(*) AS BIGINT) AS n_entities FROM t1
+        |UNION ALL
+        |SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM t2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3
+        |ORDER BY step""".stripMargin,
+    "cohort_retention_daily" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT f.cohort_day,
+        |       CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INTEGER) AS offset_days,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "densified_customer_months" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS lc
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT custkey, min((yyyymm // 100) * 12 + yyyymm % 100 - 1) AS lo,
+        |         max((yyyymm // 100) * 12 + yyyymm % 100 - 1) AS hi
+        |  FROM m GROUP BY 1
+        |), cal AS (
+        |  SELECT custkey, unnest(generate_series(lo, hi)) AS i FROM spans
+        |), c2 AS (
+        |  SELECT custkey, CAST((i // 12) * 100 + i % 12 + 1 AS INTEGER) AS yyyymm FROM cal
+        |), j AS (
+        |  SELECT c2.custkey, c2.yyyymm,
+        |         COALESCE(m.n_orders, 0) AS n_orders, m.lc AS lc
+        |  FROM c2 LEFT JOIN m ON c2.custkey = m.custkey AND c2.yyyymm = m.yyyymm
+        |)
+        |SELECT custkey, yyyymm, n_orders,
+        |       last_value(lc IGNORE NULLS) OVER (
+        |         PARTITION BY custkey ORDER BY yyyymm
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_cents
+        |FROM j ORDER BY custkey, yyyymm""".stripMargin,
+    "price_drift_psi" ->
+      """WITH a AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket
+        |  FROM orders WHERE year(o_orderdate) = 1995
+        |), b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket
+        |  FROM orders WHERE year(o_orderdate) = 1996
+        |), ca AS (SELECT bucket, count(*) AS c FROM a GROUP BY 1
+        |), cb AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1
+        |), g AS (
+        |  SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |         CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM g
+        |)
+        |SELECT n_buckets, n_a, n_b, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM (
+        |  SELECT t.n_buckets, t.n_a, t.n_b,
+        |         (g.ca + 0.5) / (t.n_a + t.n_buckets / 2.0) AS p,
+        |         (g.cb + 0.5) / (t.n_b + t.n_buckets / 2.0) AS q
+        |  FROM g CROSS JOIN t)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "snapshot_diff_customers" ->
       """WITH olds AS (
         |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution drift between two datasets via the Population Stability
+  * Index: bucket both sides on the same fixed-width grid, smooth the
+  * bucket masses, and sum `(p - q) · ln(p / q)`. The distributional
+  * escalation of the reference's scalar DQ gates
+  * (sql/dq_rollup_check.sql) and the batch-over-batch health check a
+  * training-data pipeline runs before accepting a new ingest: PSI < 0.1
+  * is conventionally stable, > 0.25 a shifted population.
+  *
+  * Determinism: bucket counts are exact integers; masses use add-half
+  * Laplace smoothing `(c + 0.5) / (n + B/2)` over the union bucket set
+  * B (so empty-on-one-side buckets contribute finitely); the final sum
+  * is rounded to 6 decimals, absorbing sub-ulp libm differences between
+  * engines (same discipline as the token-entropy oracle).
+  *
+  * Scale shape: one bucket-grain aggregate per side (map-side partial),
+  * a full-outer join on the bucket id (tiny — the grid), totals as a
+  * 1-row broadcast; nothing driver-side.
+  */
+object Drift {
+
+  /** Per-bucket exact counts of `value div bucketWidth`. */
+  def bucketCounts(df: DataFrame, value: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    df.select(floor(value.cast("long") / lit(bucketWidth)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** One row: `n_buckets` (union grid size), `n_a`, `n_b` (row counts),
+    * `psi` (rounded to 6 decimals).
+    */
+  def psi(a: DataFrame, b: DataFrame, value: Column,
+          bucketWidth: Long): DataFrame = {
+    val ca = bucketCounts(a, value, bucketWidth).withColumnRenamed("c", "ca")
+    val cb = bucketCounts(b, value, bucketWidth).withColumnRenamed("c", "cb")
+    val grid = ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = grid.agg(count(lit(1)).as("n_buckets"),
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val withTotals = grid.crossJoin(broadcast(totals))
+    val p = (col("ca").cast("double") + 0.5) /
+      (col("n_a").cast("double") + col("n_buckets").cast("double") / 2.0)
+    val q = (col("cb").cast("double") + 0.5) /
+      (col("n_b").cast("double") + col("n_buckets").cast("double") / 2.0)
+    withTotals
+      .select(col("n_buckets"), col("n_a"), col("n_b"),
+        ((p - q) * log(p / q)).as("__contrib"))
+      .groupBy(col("n_buckets"), col("n_a"), col("n_b"))
+      .agg(round(sum(col("__contrib")), 6).as("psi"))
+  }
+}

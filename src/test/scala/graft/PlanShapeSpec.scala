@@ -67,14 +67,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "interval native query lost its custom exec")
   }
 
-  test("the only cartesian-shaped joins are the two documented ones") {
-    // brute-force kNN (exactness baseline) and tfidf's single-row IDF
-    // broadcast are intended; anything else is a regression
+  test("the only cartesian-shaped joins are the three documented ones") {
+    // brute-force kNN (exactness baseline) and the single-row broadcast
+    // totals of tfidf (corpus doc count) and PSI drift (grid totals)
+    // are intended; anything else is a regression
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") ||
         (p.contains("BroadcastNestedLoopJoin") &&
-          !Set("knn_cosine_brute", "tfidf_top_terms")(name))
+          !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Cohorts, Drift, Funnel, GapFill}
+
+/** Round-6 longitudinal operators: ordered funnels, cohort retention,
+  * calendar densification with LOCF, and PSI distribution drift.
+  */
+class SequenceOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, e) => (u, ts(t), e) }.toDF("user_id", "t", "typ")
+
+  // ---------------------------------------------------------------- funnel
+
+  private val funnelEvents = ev(
+    (1L, "2024-01-01 00:00:01", "view"),
+    (1L, "2024-01-01 00:00:02", "click"),
+    (1L, "2024-01-01 00:00:03", "purchase"),
+    // purchase BEFORE the click → step 3 never reached
+    (2L, "2024-01-01 00:00:05", "view"),
+    (2L, "2024-01-01 00:00:06", "purchase"),
+    (2L, "2024-01-01 00:00:07", "click"),
+    // click BEFORE the first view → stuck at step 1
+    (3L, "2024-01-01 00:00:01", "click"),
+    (3L, "2024-01-01 00:00:02", "view"),
+    // click SIMULTANEOUS with view → strictly-after excludes it
+    (4L, "2024-01-01 00:00:10", "view"),
+    (4L, "2024-01-01 00:00:10", "click"))
+
+  test("funnel: steps must be strictly ordered per entity") {
+    val sum = Funnel.summary(funnelEvents, "user_id", "t", "typ",
+        Seq("view", "click", "purchase"))
+      .select("step", "n_entities").as[(Int, Long)].collect().toMap
+    assert(sum === Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel: step times are the earliest valid reach times") {
+    val t1 = Funnel.stepTimes(funnelEvents, "user_id", "t", "typ",
+        Seq("view", "click", "purchase"))
+      .where(col("user_id") === 1L)
+      .select("t_1", "t_2", "t_3").as[(Timestamp, Timestamp, Timestamp)].head()
+    assert(t1 === ((ts("2024-01-01 00:00:01"), ts("2024-01-01 00:00:02"),
+      ts("2024-01-01 00:00:03"))))
+  }
+
+  test("funnel: revisiting an earlier step never rewinds progress") {
+    val looped = ev(
+      (9L, "2024-01-01 00:00:01", "view"),
+      (9L, "2024-01-01 00:00:02", "click"),
+      (9L, "2024-01-01 00:00:03", "view"), // re-view after click
+      (9L, "2024-01-01 00:00:04", "purchase"))
+    val sum = Funnel.summary(looped, "user_id", "t", "typ",
+        Seq("view", "click", "purchase"))
+      .select("step", "n_entities").as[(Int, Long)].collect().toMap
+    assert(sum === Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  // --------------------------------------------------------------- cohorts
+
+  test("cohort retention: first-seen day buckets, distinct actives per offset") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "x"),
+      (1L, "2024-01-01 23:00:00", "x"), // same user+day → once at offset 0
+      (1L, "2024-01-03 09:00:00", "x"),
+      (2L, "2024-01-01 01:00:00", "x"),
+      (2L, "2024-01-03 01:00:00", "x"),
+      (3L, "2024-01-02 12:00:00", "x"))
+    val r = Cohorts.retentionDaily(events, "user_id", "t")
+      .collect().map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2)))
+      .toSet
+    assert(r === Set(("2024-01-01", 0, 2L), ("2024-01-01", 2, 2L),
+      ("2024-01-02", 0, 1L)))
+  }
+
+  // --------------------------------------------------------------- gapfill
+
+  test("month index arithmetic roundtrips across year boundaries") {
+    val df = Seq(199511, 199512, 199601, 199612, 200001).toDF("m")
+    val rt = df.select(GapFill.indexToYyyymm(GapFill.monthIndex(col("m"))).as("r"))
+      .as[Int].collect().toSeq
+    assert(rt === Seq(199511, 199512, 199601, 199612, 200001))
+    val idx = df.select(GapFill.monthIndex(col("m")).as("i")).as[Long].collect()
+    assert(idx(1) - idx(0) === 1L) // dec follows nov
+    assert(idx(2) - idx(1) === 1L) // jan 96 follows dec 95
+  }
+
+  test("densify fills gap months with zeros and carries measures forward") {
+    val monthly = Seq(
+      ("a", 199511, 2L, 100L), ("a", 199602, 1L, 50L), // gap: 12, 01
+      ("b", 199601, 3L, 70L)) // single month → no fill
+      .toDF("k", "yyyymm", "n", "v")
+    val dense = GapFill.densifyMonths(monthly, Seq("k"), "yyyymm",
+        zeroFill = Seq("n"), locf = Seq("v"))
+      .orderBy("k", "yyyymm")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(dense.toSeq === Seq(
+      ("a", 199511, 2L, 100L),
+      ("a", 199512, 0L, 100L), // generated, zero count, carried value
+      ("a", 199601, 0L, 100L),
+      ("a", 199602, 1L, 50L),
+      ("b", 199601, 3L, 70L)))
+  }
+
+  // ----------------------------------------------------------------- drift
+
+  test("PSI is zero for identical distributions") {
+    val a = Seq(10L, 10L, 25L, 40L).toDF("v")
+    val r = Drift.psi(a, a, col("v"), 10L)
+      .select("n_buckets", "n_a", "n_b", "psi")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r === ((3L, 4L, 4L, 0.0)))
+  }
+
+  test("PSI on disjoint distributions matches the hand-computed sum") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")   // all bucket 0
+    val b = Seq(11L, 12L, 13L, 14L).toDF("v") // all bucket 1
+    val r = Drift.psi(a, b, col("v"), 10L).select("psi").as[Double].head()
+    // B=2: p=(4.5/5, 0.5/5), q=(0.5/5, 4.5/5) → 2 · 0.8 · ln 9
+    assert(r === BigDecimal(1.6 * math.log(9.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}
