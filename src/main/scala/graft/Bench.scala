@@ -107,7 +107,8 @@ object Bench {
       "snapshot_diff_customers", "order_interval_stats",
       "part_triangle_counts", "order_price_outliers", "pps_sample_orders",
       "funnel_view_click_purchase", "cohort_retention_daily",
-      "densified_customer_months", "price_drift_psi")
+      "densified_customer_months", "price_drift_psi",
+      "event_transitions", "winsorized_order_totals")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -873,6 +873,36 @@ object SparkEntry {
     Drift.psi(yr(1995), yr(1996), cents(col("o_totalprice")), 5000000L)
   }
 
+  /** First-order event-transition matrix ([[graft.ops.Transitions]]):
+    * consecutive event-type pairs per user in time order, with
+    * per-source-state probabilities. One per-entity window pass, then
+    * alphabet-grain aggregation.
+    */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Transitions.transitionCounts(t(s, dir, "events"),
+        "user_id", "ts", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Winsorized totals ([[graft.ops.Anomaly.winsorize]]): order cents
+    * clipped into each priority's exact [p1, p99] band; the clipped
+    * sums land on whole/mean cents under integer rounding, so the
+    * double arithmetic cannot surface cross-engine ulps.
+    */
+  private def winsorizedOrderTotals(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Anomaly
+    val v = t(s, dir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("cents_v"))
+    Anomaly.winsorize(v, Seq("o_orderpriority"), col("cents_v"), 0.01, 0.99)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("p_lo")), 6).as("p_lo"),
+        round(first(col("p_hi")), 6).as("p_hi"),
+        sum(col("cents_v")).as("raw_cents"),
+        round(sum(col("winsorized")), 0).cast("long").as("wins_cents"),
+        round(avg(col("winsorized")), 2).as("wins_avg"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -930,6 +960,8 @@ object SparkEntry {
     "cohort_retention_daily" -> (cohortRetentionDaily _),
     "densified_customer_months" -> (densifiedCustomerMonths _),
     "price_drift_psi" -> (priceDriftPsi _),
+    "event_transitions" -> (eventTransitions _),
+    "winsorized_order_totals" -> (winsorizedOrderTotals _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -948,6 +980,40 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_type) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |       round(CAST(n_transitions AS DOUBLE) /
+        |             CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE),
+        |             6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "winsorized_order_totals" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents_v
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderpriority,
+        |         quantile_cont(CAST(cents_v AS DOUBLE), 0.01) AS p_lo,
+        |         quantile_cont(CAST(cents_v AS DOUBLE), 0.99) AS p_hi
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT v.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       round(any_value(b.p_lo), 6) AS p_lo,
+        |       round(any_value(b.p_hi), 6) AS p_hi,
+        |       CAST(sum(v.cents_v) AS BIGINT) AS raw_cents,
+        |       CAST(round(sum(greatest(least(CAST(v.cents_v AS DOUBLE), b.p_hi), b.p_lo)), 0) AS BIGINT) AS wins_cents,
+        |       round(avg(greatest(least(CAST(v.cents_v AS DOUBLE), b.p_hi), b.p_lo)), 2) AS wins_avg
+        |FROM v JOIN b ON v.o_orderpriority = b.o_orderpriority
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "funnel_view_click_purchase" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -52,4 +52,23 @@ object Anomaly {
       .withColumn("is_outlier",
         abs(value.cast("double") - col("med")) > lit(k) * col("mad"))
   }
+
+  /** Input rows + `p_lo`, `p_hi`, `winsorized`: the value clipped into
+    * its group's exact [pLo, pHi] percentile band — the tail-taming
+    * complement of [[flagOutliers]] (flagging asks "which rows are
+    * wild"; winsorizing asks "what would the aggregate be if the tails
+    * couldn't drag it"). Same exactness contract as [[madStats]]:
+    * integer-grain values, exact interpolated `percentile` on both
+    * engines.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], value: Column,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0 <= $pLo < $pHi <= 1")
+    val bands = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(value.cast("double"), lit(pLo)).as("p_lo"),
+        percentile(value.cast("double"), lit(pHi)).as("p_hi"))
+    df.join(bands, groupCols)
+      .withColumn("winsorized",
+        greatest(least(value.cast("double"), col("p_hi")), col("p_lo")))
+  }
 }

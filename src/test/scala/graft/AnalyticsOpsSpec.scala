@@ -132,6 +132,15 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(n === 0L)
   }
 
+  test("winsorize clips into the exact interpolated percentile band") {
+    val df = (1L to 10L).map(("g", _)).toDF("grp", "v")
+    val w = Anomaly.winsorize(df, Seq("grp"), col("v"), 0.1, 0.9)
+    val band = w.select("p_lo", "p_hi").as[(Double, Double)].head()
+    assert(band === ((1.9, 9.1))) // h = 0.9 and 8.1 over sorted 1..10
+    val clipped = w.agg(sum(col("winsorized"))).as[Double].head()
+    assert(clipped === (2L to 9L).sum + 1.9 + 9.1) // only the tails move
+  }
+
   // -------------------------------------------------------- sampling
 
   test("systematic PPS selects the stride-boundary owners in key order") {

@@ -228,6 +228,73 @@ class QuickstartSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/fact_monthly").count() === 2)
   }
 
+  test("quickstart: SCD2 history, snapshot diff, intervals, outliers, PPS") {
+    import graft.sinks.Scd2
+    import graft.ops.{Anomaly, Intervals, Sampling, SnapshotDiff}
+    val day1 = Seq((1L, "bronze"), (2L, "silver")).toDF("k", "tier")
+    val day2 = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    // README: type-2 history + as-of time travel
+    val hist = Scd2.mergeSnapshot(Scd2.init(day1, lit(1)), day2,
+      Seq("k"), Seq("tier"), lit(2))
+    val asOfDay1 = Scd2.asOf(hist, lit(1))
+    assert(asOfDay1.where(col("k") === 1L).select("tier")
+      .as[String].head() === "bronze")
+    // README: CDC diff in one join
+    val yesterday = Seq((1L, 10L), (2L, 20L)).toDF("k", "n")
+    val today = Seq((1L, 11L), (3L, 30L)).toDF("k", "n")
+    val changes = SnapshotDiff.diff(yesterday, today, Seq("k"), Seq("n"))
+    assert(changes.count() === 3) // update, delete, insert
+    // README: sweep-line peak concurrency
+    val spans = Seq(("g", 1L, 5L), ("g", 3L, 7L)).toDF("g", "s", "e")
+    val peak = Intervals.peakConcurrency(spans, Seq("g"), col("s"), col("e"))
+    assert(peak.select("peak_concurrent").as[Long].head() === 2L)
+    // README: median/MAD outliers + systematic PPS sample
+    val orders = Seq(("a", 1L, 100L), ("a", 2L, 110L), ("a", 3L, 90L),
+      ("a", 4L, 9000L)).toDF("prio", "id", "cents")
+    val flagged = Anomaly.flagOutliers(orders, Seq("prio"), col("cents"), k = 3.0)
+    assert(flagged.where(col("is_outlier")).select("cents")
+      .as[Long].collect().toSeq === Seq(9000L))
+    // README: winsorized band
+    val calm = Anomaly.winsorize(orders, Seq("prio"), col("cents"), 0.01, 0.99)
+    assert(calm.columns.contains("winsorized"))
+    val sampled = Sampling.ppsSystematic(orders, Seq("prio"), col("id"),
+      col("cents"), stride = 5000000L)
+    assert(sampled.columns.contains("selected"))
+  }
+
+  test("quickstart: funnel, retention, gap-fill, drift, triangles") {
+    import graft.ops.{Cohorts, Drift, Funnel, GapFill, Transitions, Triangles}
+    val events = Seq(
+      (1L, "2024-01-01 00:00:01", "view"), (1L, "2024-01-01 00:00:02", "click"),
+      (1L, "2024-01-03 00:00:03", "purchase"), (2L, "2024-01-02 00:00:01", "view"))
+      .toDF("user_id", "t", "typ")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"), col("typ"))
+    // README: ordered funnel + retention triangle
+    val funnel = Funnel.summary(events, "user_id", "ts", "typ",
+      Seq("view", "click", "purchase"))
+    assert(funnel.select("n_entities").as[Long].collect().toSeq === Seq(2L, 1L, 1L))
+    val retention = Cohorts.retentionDaily(events, "user_id", "ts")
+    assert(retention.where(col("offset_days") === 0).count() === 2)
+    // README: transition matrix
+    val matrix = Transitions.transitionCounts(events, "user_id", "ts", "typ")
+    assert(matrix.where(col("from_type") === "view").count() >= 1)
+    // README: calendar densification with LOCF
+    val monthly = Seq(("k1", 199601, 1L, 10L), ("k1", 199603, 2L, 20L))
+      .toDF("k", "yyyymm", "n", "v")
+    val dense = GapFill.densifyMonths(monthly, Seq("k"), "yyyymm",
+      zeroFill = Seq("n"), locf = Seq("v"))
+    assert(dense.count() === 3) // 199602 generated
+    // README: PSI drift gate
+    val lastBatch = Seq(100L, 200L).toDF("cents")
+    val thisBatch = Seq(100L, 210L).toDF("cents")
+    val drift = Drift.psi(lastBatch, thisBatch, col("cents"), bucketWidth = 5000000L)
+    assert(drift.select("psi").as[Double].head() === 0.0) // same bucket grid
+    // README: triangle counts
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val tris = Triangles.triangleCounts(edges, "src", "dst")
+    assert(tris.count() === 3)
+  }
+
   test("quickstart: streaming dedup") {
     import graft.streaming.DedupStream
     val root = Files.createTempDirectory("quickstart-stream").toString

@@ -107,6 +107,33 @@ class SequenceOpsSpec extends AnyFunSuite {
       ("b", 199601, 3L, 70L)))
   }
 
+  // ----------------------------------------------------------- transitions
+
+  test("transition counts pair consecutive events per entity in time order") {
+    import graft.ops.Transitions
+    val events = ev(
+      (1L, "2024-01-01 00:00:01", "a"), (1L, "2024-01-01 00:00:02", "b"),
+      (1L, "2024-01-01 00:00:03", "c"),
+      (2L, "2024-01-01 00:00:01", "a"), (2L, "2024-01-01 00:00:02", "c"))
+    val r = Transitions.transitionCounts(events, "user_id", "t", "typ")
+      .select("from_type", "to_type", "n_transitions", "p")
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, to, n, p) => (f, to) -> ((n, p)) }.toMap
+    // from 'a': a→b once, a→c once → p = 0.5 each; b→c certain
+    assert(r === Map(("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "c") -> ((1L, 1.0))))
+  }
+
+  test("transitions: simultaneous events pair in type order; last event emits none") {
+    import graft.ops.Transitions
+    val events = ev(
+      (1L, "2024-01-01 00:00:01", "b"), // same ts as the 'a' below
+      (1L, "2024-01-01 00:00:01", "a"))
+    val r = Transitions.transitionCounts(events, "user_id", "t", "typ")
+      .select("from_type", "to_type").as[(String, String)].collect().toSeq
+    assert(r === Seq(("a", "b"))) // type order breaks the tie; 1 pair only
+  }
+
   // ----------------------------------------------------------------- drift
 
   test("PSI is zero for identical distributions") {
