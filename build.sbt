@@ -58,6 +58,8 @@ val suiteWeights: Map[String, Double] = Map(
   "graft.CastsSpec" -> 6, "graft.ContractSpec" -> 5,
   "graft.WindowsSaltSpec" -> 5, "graft.StreamJoinSpec" -> 4,
   "graft.StreamingSpec" -> 3, "graft.RepetitionSpec" -> 3,
+  "graft.AnalyticsOpsSpec" -> 14, "graft.FunnelStreamSpec" -> 12,
+  "graft.SequenceOpsSpec" -> 5,
 )
 Test / testGrouping := {
   val tests = (Test / definedTests).value

@@ -108,7 +108,8 @@ object Bench {
       "part_triangle_counts", "order_price_outliers", "pps_sample_orders",
       "funnel_view_click_purchase", "cohort_retention_daily",
       "densified_customer_months", "price_drift_psi",
-      "event_transitions", "winsorized_order_totals")
+      "event_transitions", "winsorized_order_totals",
+      "supplier_revenue_trend")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

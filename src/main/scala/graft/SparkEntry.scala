@@ -903,6 +903,25 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Per-supplier revenue trend ([[graft.ops.Trend]]): least-squares
+    * slope of monthly shipped-price cents against a rebased month
+    * index, from EXACT integer moments — one double division per
+    * group, bit-reproducible across engines.
+    */
+  private def supplierRevenueTrend(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Trend
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .as("x"))
+      .agg(sum(cents(col("l_extendedprice"))).as("y"))
+    Trend.linearTrend(monthly, Seq("l_suppkey"), col("x"), col("y"))
+      .select(col("l_suppkey"), col("n"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+      .orderBy(col("l_suppkey"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -962,6 +981,7 @@ object SparkEntry {
     "price_drift_psi" -> (priceDriftPsi _),
     "event_transitions" -> (eventTransitions _),
     "winsorized_order_totals" -> (winsorizedOrderTotals _),
+    "supplier_revenue_trend" -> (supplierRevenueTrend _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -980,6 +1000,28 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    "supplier_revenue_trend" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey,
+        |         (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS x,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |), m AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM monthly GROUP BY 1
+        |)
+        |SELECT l_suppkey, n,
+        |       round(CASE WHEN n * sxx - sx * sx <> 0
+        |                  THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |             END, 6) AS slope,
+        |       round(CASE WHEN n * sxx - sx * sx <> 0
+        |                  THEN (CAST(sy AS DOUBLE) -
+        |                        (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |             END, 6) AS intercept
+        |FROM m ORDER BY l_suppkey""".stripMargin,
     "event_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type AS from_type,

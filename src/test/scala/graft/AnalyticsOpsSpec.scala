@@ -141,6 +141,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(clipped === (2L to 9L).sum + 1.9 + 9.1) // only the tails move
   }
 
+  // ----------------------------------------------------------- trend
+
+  test("linear trend from integer moments: slope, intercept, degenerate groups") {
+    import graft.ops.Trend
+    val df = Seq(
+      ("up", 0L, 10L), ("up", 1L, 12L), ("up", 2L, 14L), // slope 2, icpt 10
+      ("flat", 5L, 7L), ("flat", 6L, 7L),                // slope 0, icpt 7
+      ("one", 3L, 9L))                                   // single x → nulls
+      .toDF("g", "x", "y")
+    val r = Trend.linearTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(row => row.getString(0) ->
+        ((row.getLong(1), Option(row.get(2)), Option(row.get(3))))).toMap
+    assert(r("up") === ((3L, Some(2.0), Some(10.0))))
+    assert(r("flat") === ((2L, Some(0.0), Some(7.0))))
+    assert(r("one") === ((1L, None, None)))
+  }
+
   // -------------------------------------------------------- sampling
 
   test("systematic PPS selects the stride-boundary owners in key order") {

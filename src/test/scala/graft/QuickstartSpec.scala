@@ -293,6 +293,40 @@ class QuickstartSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     val tris = Triangles.triangleCounts(edges, "src", "dst")
     assert(tris.count() === 3)
+    // README: integer-exact trend slopes
+    import graft.ops.Trend
+    val slopes = Trend.linearTrend(monthly, Seq("k"), col("yyyymm"), col("v"))
+    assert(slopes.columns.contains("slope"))
+  }
+
+  test("quickstart: streaming funnel") {
+    import graft.streaming.FunnelStream
+    val root = Files.createTempDirectory("quickstart-funnel").toString
+    Seq((1L, "2024-01-01 10:00:00", "view"), (1L, "2024-01-01 10:00:30", "click"),
+      (99L, "2024-01-01 12:00:00", "view"))
+      .toDF("user_id", "ts_s", "typ")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("typ"))
+      .write.parquet(s"$root/in/f1")
+    val schema = spark.read.parquet(s"$root/in/f1").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$root/in/*")
+      // README: watermark-settled live funnel (batch-exact step reaches)
+      val reaches = FunnelStream.stepReaches(stream, "user_id", "ts", "typ",
+        Seq("view", "click", "purchase"), watermarkDelay = "10 minutes")
+      val q = reaches.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/chk")
+        .format("parquet").option("path", s"$root/out")
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    Seq((99L, "2024-01-01 13:00:00", "view")).toDF("user_id", "ts_s", "typ")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("typ"))
+      .write.parquet(s"$root/in/f2")
+    runOnce() // sentinel watermark settles user 1's events on timeout
+    assert(spark.read.parquet(s"$root/out")
+      .where(col("entity") === 1L).count() === 2)
   }
 
   test("quickstart: streaming dedup") {
