@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** Per-bucket exact counts of `value div bucketWidth`. */
+  /** Per-bucket exact counts of `value div bucketWidth` (integer `div`,
+    * not double division — values past 2⁵³ would silently land in the
+    * wrong bucket under a double round-trip).
+    */
   def bucketCounts(df: DataFrame, value: Column, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
-    df.select(floor(value.cast("long") / lit(bucketWidth)).as("bucket"))
+    df.select(value.cast("long").as("__v"))
+      .select(expr(s"__v div ${bucketWidth}L").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
   }
 

@@ -44,16 +44,23 @@ object Funnel {
   }
 
   /** Funnel summary: `(step, step_type, n_entities)` — entities whose
-    * `t_step` is non-null, one row per step in order.
+    * `t_step` is non-null, one row per step in order. ONE aggregate
+    * over the step-times frame (all k counts in a single pass, then an
+    * explode of the k-element result row) — a per-step union of
+    * aggregates would re-execute the whole join chain k times.
     */
   def summary(events: DataFrame, entityCol: String, tsCol: String,
               typeCol: String, steps: Seq[String]): DataFrame = {
     val times = stepTimes(events, entityCol, tsCol, typeCol, steps)
-    val perStep = steps.zipWithIndex.map { case (step, i) =>
-      times.agg(count(col(s"t_${i + 1}")).as("n_entities"))
-        .select(lit(i + 1).as("step"), lit(step).as("step_type"),
-          col("n_entities"))
+    val counts = steps.indices
+      .map(i => count(col(s"t_${i + 1}")).as(s"__c_${i + 1}"))
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step"), lit(step).as("step_type"),
+        col(s"__c_${i + 1}").as("n_entities"))
     }
-    perStep.reduce(_.unionByName(_)).orderBy(col("step"))
+    times.agg(counts.head, counts.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step"), col("r.step_type"), col("r.n_entities"))
+      .orderBy(col("step"))
   }
 }

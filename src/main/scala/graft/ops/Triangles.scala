@@ -47,8 +47,11 @@ object Triangles {
       .unionByName(canon.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .select(col("node"),
-        when(col("node") >= NodeIdCap,
-          raise_error(lit("Triangles: node id exceeds 2^40 — repack ids first")))
+        // the packed rank is injective only for node ∈ [0, 2^40) — an
+        // id outside the window could collide with a different
+        // (degree, node) pair and silently corrupt the orientation
+        when(col("node") >= NodeIdCap || col("node") < 0,
+          raise_error(lit("Triangles: node id outside [0, 2^40) — repack ids first")))
           .otherwise(col("deg") * NodeIdCap + col("node")).as("rank"))
     // orient each edge low-rank -> high-rank ((degree, node) lexicographic,
     // packed into one long so the comparison is a single codegen'd op)

@@ -25,8 +25,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *  - state per entity = funnel progress (two longs) + ONLY the not-yet
   *    -settled events of the funnel's own types — bounded by the
   *    watermark delay × per-entity funnel-event rate, not history;
-  *  - completed entities drop their state entirely (further events are
-  *    groupByKey-routed but immediately discarded);
+  *  - completed entities KEEP a two-long completion marker (pending
+  *    always empty) so later events can never restart the funnel and
+  *    duplicate reaches — the marker is the price of exactly-once
+  *    reach semantics over an unbounded stream;
   *  - an event-time timeout processes pending events when the
   *    watermark advances without new data for the key.
   */
@@ -60,7 +62,13 @@ object FunnelStream {
     val stepIdx = steps.zipWithIndex.toMap
     val src = events
       .where(col(typeCol).isin(steps: _*)) // only funnel types reach state
-      .select(col(entityCol).cast("long").as("entity"),
+      .select(
+        // a silently-null cast would merge every entity into one null
+        // group — fail loudly instead (batch Funnel takes any id type;
+        // the streaming state key is long)
+        when(col(entityCol).isNotNull && col(entityCol).cast("long").isNull,
+          raise_error(lit("FunnelStream: entity id is not long-castable")))
+          .otherwise(col(entityCol).cast("long")).as("entity"),
         col(tsCol).cast("timestamp").as("ts"), col(typeCol).as("typ"))
       .withWatermark("ts", watermarkDelay)
       .as[(Long, Timestamp, String)]
@@ -92,7 +100,10 @@ object FunnelStream {
             }
           }
           if (reached == steps.size) {
-            if (state.exists) state.remove() // complete: drop everything
+            // completion marker: pending dropped, progress kept so a
+            // later event can never restart the funnel (exactly-once
+            // reaches; the batch twin likewise never re-reaches)
+            state.update(FunnelState(reached, reachedAt, Nil))
           } else if (still.isEmpty && reached == 0) {
             if (state.exists) state.remove() // nothing to remember
           } else {

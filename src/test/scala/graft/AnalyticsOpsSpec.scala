@@ -97,6 +97,14 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(counts === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4 absent
   }
 
+  test("triangle counts reject node ids outside the packable window") {
+    val e = intercept[Exception] {
+      Triangles.triangleCounts(
+        Seq((-1L, 2L), (2L, 3L), (-1L, 3L)).toDF("x", "y"), "x", "y").collect()
+    }
+    assert(e.getMessage.contains("outside [0, 2^40)"))
+  }
+
   test("two triangles sharing an edge count both endpoints twice") {
     val bowtieish = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
       .toDF("x", "y")

@@ -68,6 +68,16 @@ class FunnelStreamSpec extends AnyFunSuite {
       (2L, 1, "view", "2024-01-01 10:00:10"),
       (2L, 2, "click", "2024-01-01 10:00:20")))
 
+    // a post-completion event must NOT restart user 1's funnel: the
+    // completion marker survives in state
+    events(Seq((1L, "2024-01-01 10:30:00", "view"))).write.parquet(s"$in/f4")
+    runOnce()
+    events(Seq((99L, "2024-01-01 13:00:00", "view"))).write.parquet(s"$in/f5")
+    runOnce() // settles the post-completion view
+    val afterReplay = spark.read.parquet(out).where(col("entity") === 1L)
+      .count()
+    assert(afterReplay === 3L) // still exactly one reach per step
+
     // batch-twin parity: same reach times from ops.Funnel.stepTimes
     val batchTimes = graft.ops.Funnel.stepTimes(events(batch1),
         "user_id", "ts", "typ", steps)

@@ -144,6 +144,14 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(r === ((3L, 4L, 4L, 0.0)))
   }
 
+  test("PSI bucketing is integer-exact past the double mantissa") {
+    import graft.ops.Drift
+    // 2^53 and 2^53+1 collapse to one double but must bucket apart
+    val big = Seq(9007199254740992L, 9007199254740993L).toDF("v")
+    val n = Drift.bucketCounts(big, col("v"), 1L).count()
+    assert(n === 2L)
+  }
+
   test("PSI on disjoint distributions matches the hand-computed sum") {
     val a = Seq(1L, 2L, 3L, 4L).toDF("v")   // all bucket 0
     val b = Seq(11L, 12L, 13L, 14L).toDF("v") // all bucket 1
