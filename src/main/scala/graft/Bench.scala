@@ -109,7 +109,8 @@ object Bench {
       "funnel_view_click_purchase", "cohort_retention_daily",
       "densified_customer_months", "price_drift_psi",
       "event_transitions", "winsorized_order_totals",
-      "supplier_revenue_trend")
+      "supplier_revenue_trend", "attribution_last_touch",
+      "attribution_linear")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

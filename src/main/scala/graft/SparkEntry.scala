@@ -922,6 +922,45 @@ object SparkEntry {
       .orderBy(col("l_suppkey"))
   }
 
+  /** Last-touch attribution ([[graft.ops.Attribution]]): every purchase
+    * credits its latest view/click/signup within a 3-day lookback — ONE
+    * per-user window pass, no join; unattributed purchases keep a
+    * `(none)` channel.
+    */
+  private def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Attribution
+    Attribution.lastTouch(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "value", Seq("view", "click", "signup"), "purchase",
+        lookbackSec = 259200L)
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(cents(col("value"))).as("conv_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Linear multi-touch attribution ([[graft.ops.Attribution]]): each
+    * purchase's cents split equally across its in-window touches; the
+    * pairs ride the bucketed interval join (day-grain buckets over the
+    * 3-day window).
+    */
+  private def attributionLinear(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Attribution
+    val ev = t(s, dir, "events")
+      .withColumn("value_cents", cents(col("value")))
+    Attribution.linearCredit(ev.select(col("user_id"), col("ts"),
+        col("event_type"), col("value_cents")),
+        "user_id", "ts", "event_type", "value_cents",
+        Seq("view", "click", "signup"), "purchase",
+        lookbackSec = 259200L, bucketWidthSec = 86400L)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touch_credits"),
+        // whole-cent rounding: the per-credit division is inexact
+        // (thirds), so a 6-decimal grain would expose summation-order
+        // ulps; the accumulated error is << half a cent
+        round(sum(col("credit")), 0).cast("long").as("credited_cents"))
+      .orderBy(col("channel"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -982,6 +1021,8 @@ object SparkEntry {
     "event_transitions" -> (eventTransitions _),
     "winsorized_order_totals" -> (winsorizedOrderTotals _),
     "supplier_revenue_trend" -> (supplierRevenueTrend _),
+    "attribution_last_touch" -> (attributionLastTouch _),
+    "attribution_linear" -> (attributionLinear _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1000,6 +1041,45 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    "attribution_last_touch" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts AS conv_ts,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT user_id, ts AS touch_ts, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+        |), credited AS (
+        |  SELECT c.user_id, c.conv_ts, c.v, b.channel
+        |  FROM conv c LEFT JOIN LATERAL (
+        |    SELECT t.channel FROM tch t
+        |    WHERE t.user_id = c.user_id AND t.touch_ts <= c.conv_ts
+        |      AND t.touch_ts >= c.conv_ts - INTERVAL 259200 SECONDS
+        |    ORDER BY t.touch_ts DESC, t.channel DESC LIMIT 1
+        |  ) b ON TRUE
+        |)
+        |SELECT COALESCE(channel, '(none)') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(v) AS BIGINT) AS conv_cents
+        |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
+    "attribution_linear" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts AS conv_ts,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT user_id, ts AS touch_ts, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_ts, c.v, t.channel,
+        |         count(*) OVER (PARTITION BY c.user_id, c.conv_ts) AS n_in_win
+        |  FROM conv c JOIN tch t
+        |    ON t.user_id = c.user_id AND t.touch_ts <= c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - INTERVAL 259200 SECONDS
+        |)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_credits,
+        |       CAST(round(sum(CAST(v AS DOUBLE) / n_in_win), 0) AS BIGINT) AS credited_cents
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "supplier_revenue_trend" ->
       """WITH monthly AS (
         |  SELECT l_suppkey,

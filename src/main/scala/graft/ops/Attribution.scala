@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Marketing-style touch attribution: which earlier touch events (view,
+  * click, …) get credit for a conversion event (purchase)? Two standard
+  * models:
+  *  - LAST TOUCH: the whole conversion credits its most recent touch
+  *    within the lookback window — computed in ONE per-entity window
+  *    pass (the carried last-touch column), no join at all;
+  *  - LINEAR: the conversion's value splits equally across every touch
+  *    in the window — the candidate pairs come from the bucketed
+  *    interval join ([[RangeJoin.intervalJoin]]), the same hot-key-safe
+  *    machinery the range-join family uses, never a raw inequality
+  *    join.
+  * (Sequence-analytics sibling of [[Funnel]]/[[Transitions]]; the
+  * reference has no event operators.)
+  *
+  * Simultaneity contract: a touch at exactly the conversion's timestamp
+  * counts; among same-timestamp touches the lexicographically LAST type
+  * wins last-touch credit (deterministic, engine-stable).
+  */
+object Attribution {
+
+  /** One row per conversion: entity, conversion ts/value, `channel` =
+    * the credited touch type (null when no touch inside `lookbackSec`).
+    */
+  def lastTouch(events: DataFrame, entityCol: String, tsCol: String,
+                typeCol: String, valueCol: String, touchTypes: Seq[String],
+                convType: String, lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes required")
+    require(!touchTypes.contains(convType), "conversion cannot be a touch")
+    require(lookbackSec > 0, s"lookbackSec=$lookbackSec")
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val relevant = events
+      .where(isTouch || col(typeCol) === convType)
+      .select(col(entityCol), col(tsCol).cast("timestamp").as("__ts"),
+        col(typeCol), col(valueCol))
+    // touches sort before the conversion at the same instant (0 < 1),
+    // so the running last-touch already includes same-ts touches when
+    // the conversion row reads it
+    val byTime = Window.partitionBy(col(entityCol))
+      .orderBy(col("__ts"), when(isTouch, 0).otherwise(1), col(typeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    relevant
+      .withColumn("__lt_type", last(when(isTouch, col(typeCol)),
+        ignoreNulls = true).over(byTime))
+      .withColumn("__lt_ts", last(when(isTouch, col("__ts")),
+        ignoreNulls = true).over(byTime))
+      .where(col(typeCol) === convType)
+      .select(col(entityCol), col("__ts").as("conv_ts"), col(valueCol),
+        when(col("__lt_ts") >= col("__ts") - expr(s"INTERVAL $lookbackSec SECONDS"),
+          col("__lt_type")).as("channel"))
+  }
+
+  /** One row per (conversion, touch-in-window) pair with `credit` =
+    * conversion value / touches-in-window — linear multi-touch. Pairs
+    * ride the bucketed interval join; conversions with no touch in the
+    * window are absent (their value is unattributed).
+    */
+  def linearCredit(events: DataFrame, entityCol: String, tsCol: String,
+                   typeCol: String, valueCol: String, touchTypes: Seq[String],
+                   convType: String, lookbackSec: Long,
+                   bucketWidthSec: Long = 3600L): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes required")
+    require(!touchTypes.contains(convType), "conversion cannot be a touch")
+    require(lookbackSec > 0, s"lookbackSec=$lookbackSec")
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol), col(tsCol).cast("timestamp").as("touch_ts"),
+        col(typeCol).as("channel"))
+    val windows = events.where(col(typeCol) === convType)
+      .select(col(entityCol), col(tsCol).cast("timestamp").as("conv_ts"),
+        col(valueCol).as("conv_value"))
+      .withColumn("win_start",
+        col("conv_ts") - expr(s"INTERVAL $lookbackSec SECONDS"))
+    val pairs = RangeJoin.intervalJoin(touches, windows, Seq(entityCol),
+      "touch_ts", "win_start", "conv_ts", bucketWidth = bucketWidthSec)
+    val perConv = Window.partitionBy(col(entityCol), col("conv_ts"))
+    pairs.withColumn("credit",
+      col("conv_value").cast("double") / count(lit(1)).over(perConv))
+  }
+}

@@ -278,6 +278,15 @@ class QuickstartSpec extends AnyFunSuite {
     // README: transition matrix
     val matrix = Transitions.transitionCounts(events, "user_id", "ts", "typ")
     assert(matrix.where(col("from_type") === "view").count() >= 1)
+    // README: touch attribution (last-touch + linear split)
+    import graft.ops.Attribution
+    val evv = events.withColumn("value", lit(100L))
+    val credited = Attribution.lastTouch(evv, "user_id", "ts", "typ",
+      "value", Seq("view", "click"), "purchase", lookbackSec = 259200L)
+    assert(credited.where(col("channel") === "click").count() === 1)
+    val split = Attribution.linearCredit(evv, "user_id", "ts", "typ",
+      "value", Seq("view", "click"), "purchase", lookbackSec = 259200L)
+    assert(split.agg(sum(col("credit"))).as[Double].head() === 100.0)
     // README: calendar densification with LOCF
     val monthly = Seq(("k1", 199601, 1L, 10L), ("k1", 199603, 2L, 20L))
       .toDF("k", "yyyymm", "n", "v")

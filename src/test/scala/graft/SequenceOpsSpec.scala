@@ -107,6 +107,53 @@ class SequenceOpsSpec extends AnyFunSuite {
       ("b", 199601, 3L, 70L)))
   }
 
+  // ----------------------------------------------------------- attribution
+
+  private def evv(rows: (Long, String, String, java.lang.Long)*) =
+    rows.toDF("user_id", "t", "typ", "v")
+      .select(col("user_id"), to_timestamp(col("t")).as("t"), col("typ"), col("v"))
+
+  test("last-touch: latest in-window touch wins; same-instant counts; stale is (none)") {
+    import graft.ops.Attribution
+    val events = evv(
+      // u1: click then view before the purchase → view (later) credited
+      (1L, "2024-01-01 10:00:00", "click", null),
+      (1L, "2024-01-01 10:30:00", "view", null),
+      (1L, "2024-01-01 11:00:00", "purchase", 100L),
+      // u2: only touch is OUTSIDE the 1h lookback → unattributed
+      (2L, "2024-01-01 08:00:00", "view", null),
+      (2L, "2024-01-01 11:00:00", "purchase", 50L),
+      // u3: touch at exactly the conversion instant counts; among
+      // same-ts touches the lexicographically last type wins
+      (3L, "2024-01-01 11:00:00", "click", null),
+      (3L, "2024-01-01 11:00:00", "view", null),
+      (3L, "2024-01-01 11:00:00", "purchase", 10L),
+      // u4: the only touch is AFTER the conversion → unattributed
+      (4L, "2024-01-01 11:30:00", "view", null),
+      (4L, "2024-01-01 11:00:00", "purchase", 20L))
+    val r = Attribution.lastTouch(events, "user_id", "t", "typ", "v",
+        Seq("view", "click"), "purchase", lookbackSec = 3600L)
+      .select(col("user_id"), col("channel"))
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(r === Map(1L -> Some("view"), 2L -> None, 3L -> Some("view"),
+      4L -> None))
+  }
+
+  test("linear credit splits the conversion across in-window touches") {
+    import graft.ops.Attribution
+    val events = evv(
+      (1L, "2024-01-01 10:00:00", "click", null),
+      (1L, "2024-01-01 10:30:00", "view", null),
+      (1L, "2024-01-01 09:00:00", "view", null), // outside 1h lookback
+      (1L, "2024-01-01 11:00:00", "purchase", 90L))
+    val r = Attribution.linearCredit(events, "user_id", "t", "typ", "v",
+        Seq("view", "click"), "purchase", lookbackSec = 3600L,
+        bucketWidthSec = 600L)
+      .select(col("channel"), col("credit")).as[(String, Double)]
+      .collect().toSet
+    assert(r === Set(("click", 45.0), ("view", 45.0))) // 2 touches in window
+  }
+
   // ----------------------------------------------------------- transitions
 
   test("transition counts pair consecutive events per entity in time order") {
