@@ -119,4 +119,43 @@ class ScaleStressSpec extends AnyFunSuite {
     // (no quadratic boilerplate blowup reached the aggregation)
     assert(secs < 120.0, f"winnow pairs took $secs%.1f s on 5000 docs")
   }
+
+  test("triangle counting: degree orientation collapses the hub's quadratic wedges") {
+    import graft.ops.Triangles
+    // hub-and-ring: node 0 touches 1..2000 (a hot key), nodes 1..50 also
+    // chain — every (i, i+1) ring edge closes a triangle through the hub.
+    // A naive node-iterator enumerates C(2000,2) ≈ 2M wedges AT THE HUB;
+    // oriented, the hub is every edge's high endpoint, so its wedge
+    // count is ZERO and all work lands on the degree-≤3 leaves.
+    val star = (1L to 2000L).map(i => (0L, i))
+    val ring = (1L to 49L).map(i => (i, i + 1))
+    val edges = (star ++ ring).toDF("s", "d")
+
+    val counts = Triangles.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(0L) === 49L) // hub sits in every ring triangle
+    assert(counts(1L) === 1L && counts(50L) === 1L)
+    assert((2L to 49L).forall(counts(_) === 2L))
+    assert(counts.size === 51) // leaves 51..2000 are in no triangle
+
+    // replicate the op's orientation and measure the wedge volume the
+    // closure join actually sees: the structural scale assertion (wall
+    // clock lies on a contended machine, the wedge count cannot)
+    val canon = Triangles.canonicalEdges(edges, "s", "d")
+    val deg = canon.select(col("u").as("n"))
+      .unionByName(canon.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ranked = canon
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(when(col("du") * Triangles.NodeIdCap + col("u") <
+          col("dv") * Triangles.NodeIdCap + col("v"), col("u"))
+        .otherwise(col("v")).as("lo"))
+    val wedges = ranked.groupBy("lo").agg(count(lit(1)).as("out"))
+      .agg(sum((col("out") * (col("out") - 1) / 2).cast("long")))
+      .as[Long].head()
+    info(s"oriented wedge volume: $wedges (naive hub alone: ~2,000,000)")
+    assert(wedges < 200L,
+      s"orientation should bound wedges to the low-degree side, got $wedges")
+  }
 }
