@@ -113,6 +113,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(counts === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  // ----------------------------------------------------------- k-core
+
+  test("k-core peels tails and keeps the dense kernel") {
+    import graft.ops.KCore
+    // K4 on 1..4, a tail 4-5-6, and a separate triangle 7-8-9
+    val edges = (for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)) ++
+      Seq((4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+    val df = edges.toDF("x", "y")
+    val core3 = KCore.kCoreNodes(df, "x", "y", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)) // K4 only
+    val core2 = KCore.kCoreNodes(df, "x", "y", k = 2)
+      .select("node").as[Long].collect().toSet
+    assert(core2 === Set(1L, 2L, 3L, 4L, 7L, 8L, 9L)) // tail peeled
+  }
+
+  test("k-core matches a brute-force peel on a hashed graph") {
+    import graft.ops.KCore
+    val edges = (0L until 60L).map(i => (i % 30L, (i * 7 + 3) % 30L))
+      .filter { case (a, b) => a != b }
+    // brute-force reference peel on the canonical edge set
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val low = deg.filter(_._2 < 3).keySet
+      val next = es.filter { case (a, b) => !low(a) && !low(b) }
+      changed = next != es
+      es = next
+    }
+    val got = KCore.kCoreEdges(edges.toDF("x", "y"), "x", "y", k = 3)
+      .as[(Long, Long)].collect().map { case (u, v) => (u, v) }.toSet
+    assert(got === es)
+  }
+
+  test("k-core throws rather than returning an unconverged peel") {
+    import graft.ops.KCore
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("x", "y")
+    val e = intercept[IllegalStateException] {
+      KCore.kCoreEdges(chain, "x", "y", k = 2, maxIter = 1)
+    }
+    assert(e.getMessage.contains("no convergence"))
+  }
+
   // --------------------------------------------------------- anomaly
 
   test("MAD outliers: a wild value flags without dragging the median") {

@@ -302,6 +302,9 @@ class QuickstartSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     val tris = Triangles.triangleCounts(edges, "src", "dst")
     assert(tris.count() === 3)
+    // README: k-core kernel (the triangle is its own 2-core)
+    val kernel = graft.ops.KCore.kCoreNodes(edges, "src", "dst", k = 2)
+    assert(kernel.count() === 3)
     // README: integer-exact trend slopes
     import graft.ops.Trend
     val slopes = Trend.linearTrend(monthly, Seq("k"), col("yyyymm"), col("v"))
