@@ -110,7 +110,7 @@ object Bench {
       "densified_customer_months", "price_drift_psi",
       "event_transitions", "winsorized_order_totals",
       "supplier_revenue_trend", "attribution_last_touch",
-      "attribution_linear")
+      "attribution_linear", "qty_price_correlation", "chi2_priority_status")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

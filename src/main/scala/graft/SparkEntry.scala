@@ -961,6 +961,34 @@ object SparkEntry {
       .orderBy(col("channel"))
   }
 
+  /** Pearson correlation ([[graft.ops.Stats]]) of monthly quantity vs
+    * monthly revenue per return flag, from exact integer moments at
+    * month grain — the aggregation keeps every moment product inside
+    * long range (the documented overflow envelope), and revenue is
+    * floored to thousands of dollars by integer division, exact on both
+    * engines.
+    */
+  private def qtyPriceCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stats
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("yyyymm"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).as("cents_m"))
+      .withColumn("kdollars", expr("cents_m div 100000L"))
+    Stats.pearson(monthly, Seq("l_returnflag"), col("qty"), col("kdollars"))
+      .select(col("l_returnflag"), col("n"), round(col("corr"), 6).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Chi-square independence test ([[graft.ops.Stats]]) of order
+    * priority × status: exact long contingency counts, closed-form
+    * double terms, 6-decimal rounding.
+    */
+  private def chi2PriorityStatus(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquare(t(s, dir, "orders"),
+      col("o_orderpriority"), col("o_orderstatus"))
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1023,6 +1051,8 @@ object SparkEntry {
     "supplier_revenue_trend" -> (supplierRevenueTrend _),
     "attribution_last_touch" -> (attributionLastTouch _),
     "attribution_linear" -> (attributionLinear _),
+    "qty_price_correlation" -> (qtyPriceCorrelation _),
+    "chi2_priority_status" -> (chi2PriorityStatus _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1041,6 +1071,47 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    "qty_price_correlation" ->
+      """WITH monthly AS (
+        |  SELECT l_returnflag,
+        |         year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 100000 AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |), m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM monthly GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |                  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                            CAST(n * syy - sy * sy AS DOUBLE))
+        |             END, 6) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "chi2_priority_status" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |         CAST(count(*) AS BIGINT) AS obs
+        |  FROM orders GROUP BY 1, 2
+        |), rt AS (SELECT a, CAST(sum(obs) AS BIGINT) AS row_t FROM cells GROUP BY 1
+        |), ct AS (SELECT b, CAST(sum(obs) AS BIGINT) AS col_t FROM cells GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |         CAST(count(DISTINCT b) AS BIGINT) AS c
+        |  FROM cells
+        |)
+        |SELECT t.n, (t.r - 1) * (t.c - 1) AS dof,
+        |       round(sum((CAST(obs AS DOUBLE) - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |                 * (CAST(obs AS DOUBLE) - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |                 / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) AS chi2
+        |FROM cells JOIN rt ON cells.a = rt.a JOIN ct ON cells.b = ct.b
+        |CROSS JOIN t GROUP BY 1, 2""".stripMargin,
     "attribution_last_touch" ->
       """WITH conv AS (
         |  SELECT user_id, ts AS conv_ts,

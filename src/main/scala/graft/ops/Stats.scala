@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inferential statistics over exact integer inputs — the DQ
+  * escalation beyond thresholds ([[Anomaly]]) and drift scores
+  * ([[Drift]]): is this association real?
+  *
+  * Determinism discipline (same as [[Trend]]): every aggregate is an
+  * exact long moment; doubles appear only in the final closed-form
+  * arithmetic, whose operation order is fixed in the plan — so results
+  * are bit-reproducible across engines and partitionings, and a
+  * 6-decimal rounding makes them hash-comparable.
+  */
+object Stats {
+
+  /** `groupCols + n + corr`: Pearson correlation of `x` and `y` per
+    * group from the six exact integer moments; null when either
+    * variance is zero (the SQL convention). Same overflow envelope as
+    * [[Trend.linearTrend]] — rebase large x/y to the group origin.
+    */
+  def pearson(df: DataFrame, groupCols: Seq[String], x: Column,
+              y: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val moments = df
+      .select(g :+ x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val cov = (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val vx = (col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val vy = (col("n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    moments
+      .withColumn("corr",
+        when(vx > 0 && vy > 0, cov / sqrt(vx * vy)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /** One row `(n, dof, chi2)`: Pearson's chi-square statistic for
+    * independence of two categorical columns. Observed and marginal
+    * counts are exact longs; each cell's `(obs − exp)² / exp` term is
+    * closed-form double arithmetic; zero-marginal cells cannot occur
+    * (cells come from observed pairs). `dof = (r−1)(c−1)`.
+    */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("obs")).as("row_t"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("obs")).as("col_t"))
+    val totals = cells.agg(sum(col("obs")).as("n"),
+      count_distinct(col("__a")).as("r"), count_distinct(col("__b")).as("c"))
+    val exp = col("row_t").cast("double") * col("col_t").cast("double") /
+      col("n").cast("double")
+    cells
+      .join(rowT, "__a").join(colT, "__b")
+      .crossJoin(broadcast(totals))
+      .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        ((col("obs").cast("double") - exp) * (col("obs").cast("double") - exp)
+          / exp).as("__term"))
+      .groupBy(col("n"), col("dof"))
+      .agg(round(sum(col("__term")), 6).as("chi2"))
+  }
+}

@@ -212,6 +212,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r("one") === ((1L, None, None)))
   }
 
+  // ------------------------------------------------------ statistics
+
+  test("pearson: perfect, zero, and undefined correlations from integer moments") {
+    import graft.ops.Stats
+    val df = Seq(
+      ("pos", 0L, 0L), ("pos", 1L, 2L), ("pos", 2L, 4L),
+      ("neg", 0L, 4L), ("neg", 1L, 2L), ("neg", 2L, 0L),
+      ("zero", 0L, 0L), ("zero", 1L, 1L), ("zero", 2L, 0L),
+      ("flat", 1L, 7L), ("flat", 2L, 7L)) // zero y-variance → null
+      .toDF("g", "x", "y")
+    val r = Stats.pearson(df, Seq("g"), col("x"), col("y"))
+      .collect().map(row => row.getString(0) ->
+        (if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
+    assert(r("pos") === Some(1.0) && r("neg") === Some(-1.0))
+    assert(r("zero") === Some(0.0) && r("flat") === None)
+  }
+
+  test("chi-square: independence gives 0; the textbook 2x2 gives 20") {
+    import graft.ops.Stats
+    val indep = (for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+                      _ <- 1 to 25) yield (a, b)).toDF("a", "b")
+    val r0 = Stats.chiSquare(indep, col("a"), col("b"))
+      .select("n", "dof", "chi2").as[(Long, Long, Double)].head()
+    assert(r0 === ((100L, 1L, 0.0)))
+    val dep = (Seq.fill(30)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))).toDF("a", "b")
+    val r1 = Stats.chiSquare(dep, col("a"), col("b"))
+      .select("n", "dof", "chi2").as[(Long, Long, Double)].head()
+    assert(r1 === ((80L, 1L, 20.0))) // every cell deviates 10 from exp 20
+  }
+
   // -------------------------------------------------------- sampling
 
   test("systematic PPS selects the stride-boundary owners in key order") {

@@ -67,15 +67,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "interval native query lost its custom exec")
   }
 
-  test("the only cartesian-shaped joins are the three documented ones") {
+  test("the only cartesian-shaped joins are the four documented ones") {
     // brute-force kNN (exactness baseline) and the single-row broadcast
-    // totals of tfidf (corpus doc count) and PSI drift (grid totals)
-    // are intended; anything else is a regression
+    // totals of tfidf (corpus doc count), PSI drift (grid totals), and
+    // the chi-square test (marginals) are intended; anything else is a
+    // regression
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") ||
         (p.contains("BroadcastNestedLoopJoin") &&
-          !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi")(name))
+          !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi",
+            "chi2_priority_status")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }

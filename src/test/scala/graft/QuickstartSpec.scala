@@ -306,9 +306,14 @@ class QuickstartSpec extends AnyFunSuite {
     val kernel = graft.ops.KCore.kCoreNodes(edges, "src", "dst", k = 2)
     assert(kernel.count() === 3)
     // README: integer-exact trend slopes
-    import graft.ops.Trend
+    import graft.ops.{Stats, Trend}
     val slopes = Trend.linearTrend(monthly, Seq("k"), col("yyyymm"), col("v"))
     assert(slopes.columns.contains("slope"))
+    // README: moment-exact inference
+    val assoc = Stats.pearson(monthly, Seq("k"), col("yyyymm"), col("v"))
+    assert(assoc.columns.contains("corr"))
+    val indep = Stats.chiSquare(events, col("typ"), col("user_id") % 2)
+    assert(indep.columns.contains("chi2"))
   }
 
   test("quickstart: streaming funnel") {
