@@ -1136,8 +1136,8 @@ object SparkEntry {
     "attribution_linear" ->
       """WITH conv AS (
         |  SELECT user_id, ts AS conv_ts,
-        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        |  FROM events WHERE event_type = 'purchase'
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         |), tch AS (
         |  SELECT user_id, ts AS touch_ts, event_type AS channel
         |  FROM events WHERE event_type IN ('view', 'click', 'signup')

@@ -58,7 +58,11 @@ object Attribution {
   /** One row per (conversion, touch-in-window) pair with `credit` =
     * conversion value / touches-in-window — linear multi-touch. Pairs
     * ride the bucketed interval join; conversions with no touch in the
-    * window are absent (their value is unattributed).
+    * window are absent (their value is unattributed). Conversions are
+    * pre-aggregated per (entity, instant) — simultaneous conversions
+    * merge into one combined-value conversion, so the per-instant
+    * split can never under-credit (a per-row split over shared
+    * (entity, ts) would divide by the combined pair count).
     */
   def linearCredit(events: DataFrame, entityCol: String, tsCol: String,
                    typeCol: String, valueCol: String, touchTypes: Seq[String],
@@ -71,8 +75,8 @@ object Attribution {
       .select(col(entityCol), col(tsCol).cast("timestamp").as("touch_ts"),
         col(typeCol).as("channel"))
     val windows = events.where(col(typeCol) === convType)
-      .select(col(entityCol), col(tsCol).cast("timestamp").as("conv_ts"),
-        col(valueCol).as("conv_value"))
+      .groupBy(col(entityCol), col(tsCol).cast("timestamp").as("conv_ts"))
+      .agg(sum(col(valueCol)).as("conv_value"))
       .withColumn("win_start",
         col("conv_ts") - expr(s"INTERVAL $lookbackSec SECONDS"))
     val pairs = RangeJoin.intervalJoin(touches, windows, Seq(entityCol),

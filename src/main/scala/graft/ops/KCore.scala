@@ -32,35 +32,40 @@ object KCore {
     var e = Triangles.canonicalEdges(edges, src, dst).localCheckpoint()
     var prev: Option[DataFrame] = None
     var iter = 0
-    while (iter < maxIter) {
-      val deg = e.select(col("u").as("node"))
-        .unionByName(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val low = deg.where(col("deg") < k).select("node")
+    while (true) {
+      // low is materialized once (localCheckpoint is eager) and feeds
+      // BOTH the convergence probe and the two anti-joins — without
+      // it each consumer would recompute the degree aggregate
+      val low = Triangles.degrees(e)
+        .where(col("deg") < k).select("node").localCheckpoint()
       if (low.isEmpty) {
+        low.unpersist()
         prev.foreach(_.unpersist())
         return e
+      }
+      // convergence is checked BEFORE the budget: a peel that settles
+      // on exactly the maxIter-th round must return, not throw
+      if (iter >= maxIter) {
+        throw new IllegalStateException(
+          s"kCoreEdges: no convergence in $maxIter rounds — raise maxIter")
       }
       val next = e
         .join(low.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
         .join(low.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
         .select(col("u"), col("v"))
         .localCheckpoint()
+      low.unpersist()
       prev.foreach(_.unpersist()) // release the pre-previous generation
       prev = Some(e)
       e = next
       iter += 1
     }
-    throw new IllegalStateException(
-      s"kCoreEdges: no convergence in $maxIter rounds — raise maxIter")
+    throw new IllegalStateException("unreachable")
   }
 
   /** Nodes of the k-core with their within-core degree. */
   def kCoreNodes(edges: DataFrame, src: String, dst: String, k: Int,
-                 maxIter: Int = 50): DataFrame = {
-    val core = kCoreEdges(edges, src, dst, k, maxIter)
-    core.select(col("u").as("node"))
-      .unionByName(core.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("core_deg"))
-  }
+                 maxIter: Int = 50): DataFrame =
+    Triangles.degrees(kCoreEdges(edges, src, dst, k, maxIter))
+      .withColumnRenamed("deg", "core_deg")
 }

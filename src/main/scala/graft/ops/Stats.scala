@@ -17,20 +17,14 @@ object Stats {
 
   /** `groupCols + n + corr`: Pearson correlation of `x` and `y` per
     * group from the six exact integer moments; null when either
-    * variance is zero (the SQL convention). Same overflow envelope as
-    * [[Trend.linearTrend]] — rebase large x/y to the group origin.
+    * variance is zero (the SQL convention). Incomplete pairs (null x
+    * or y) are excluded — the same pairwise deletion Spark's `corr`
+    * applies. Same overflow envelope as [[Trend.linearTrend]] — rebase
+    * large x/y to the group origin.
     */
   def pearson(df: DataFrame, groupCols: Seq[String], x: Column,
               y: Column): DataFrame = {
-    val g = groupCols.map(col)
-    val moments = df
-      .select(g :+ x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
-      .groupBy(g: _*)
-      .agg(count(lit(1)).as("n"),
-        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-        sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"),
-        sum(col("__y") * col("__y")).as("__syy"))
+    val moments = Moments.of(df, groupCols, x, y, withYY = true)
     val cov = (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
     val vx = (col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
     val vy = (col("n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
@@ -41,13 +35,19 @@ object Stats {
   }
 
   /** One row `(n, dof, chi2)`: Pearson's chi-square statistic for
-    * independence of two categorical columns. Observed and marginal
-    * counts are exact longs; each cell's `(obs − exp)² / exp` term is
-    * closed-form double arithmetic; zero-marginal cells cannot occur
-    * (cells come from observed pairs). `dof = (r−1)(c−1)`.
+    * independence of two categorical columns. Rows with a null category
+    * on either side are EXCLUDED up front (they would silently drop
+    * from the marginal joins while inflating `n`). Observed and
+    * marginal counts are exact longs; each cell's `(obs − exp)² / exp`
+    * term is closed-form double arithmetic; zero-marginal cells cannot
+    * occur (cells come from observed pairs). `dof = (r−1)(c−1)`. The
+    * final cell-sum is a double accumulation over the (tiny) grid, so
+    * the 6-decimal rounding is what makes it hash-comparable — same
+    * residual as [[Drift.psi]], not bit-order-invariance.
     */
   def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.select(a.as("__a"), b.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("obs"))
     val rowT = cells.groupBy(col("__a")).agg(sum(col("obs")).as("row_t"))
     val colT = cells.groupBy(col("__b")).agg(sum(col("obs")).as("col_t"))

@@ -36,14 +36,8 @@ object Trend {
     */
   def linearTrend(df: DataFrame, groupCols: Seq[String], x: Column,
                   y: Column): DataFrame = {
-    val g = groupCols.map(col)
-    val moments = df
-      .select(g :+ x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
-      .groupBy(g: _*)
-      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-        sum(col("__y")).as("__sy"),
-        sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"))
+    // shared moment scaffolding (pairwise deletion of null x/y)
+    val moments = Moments.of(df, groupCols, x, y, withYY = false)
     val den = col("n") * col("__sxx") - col("__sx") * col("__sx")
     val slope = when(den =!= 0L,
       (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")

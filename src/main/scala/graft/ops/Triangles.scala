@@ -37,15 +37,22 @@ object Triangles {
         greatest(col(src), col(dst)).cast("long").as("v"))
       .distinct()
 
+  /** `(node, deg)` over a canonical edge set — the endpoint-union
+    * degree aggregate the graph family shares ([[KCore]] peels on it,
+    * the orientation below ranks on it).
+    */
+  def degrees(canonEdges: DataFrame): DataFrame =
+    canonEdges.select(col("u").as("node"))
+      .unionByName(canonEdges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
   /** Per-node triangle participation counts (`node`, `n_triangles`),
     * nodes in no triangle omitted. Input edges are canonicalized first,
     * so directed / duplicated / self-looped inputs are fine.
     */
   def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
     val canon = canonicalEdges(edges, src, dst)
-    val degrees = canon.select(col("u").as("node"))
-      .unionByName(canon.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ranks = degrees(canon)
       .select(col("node"),
         // the packed rank is injective only for node ∈ [0, 2^40) — an
         // id outside the window could collide with a different
@@ -56,9 +63,9 @@ object Triangles {
     // orient each edge low-rank -> high-rank ((degree, node) lexicographic,
     // packed into one long so the comparison is a single codegen'd op)
     val oriented = canon
-      .join(degrees.withColumnRenamed("node", "u")
+      .join(ranks.withColumnRenamed("node", "u")
         .withColumnRenamed("rank", "__ru"), "u")
-      .join(degrees.withColumnRenamed("node", "v")
+      .join(ranks.withColumnRenamed("node", "v")
         .withColumnRenamed("rank", "__rv"), "v")
       .select(
         when(col("__ru") < col("__rv"), col("u")).otherwise(col("v")).as("lo"),

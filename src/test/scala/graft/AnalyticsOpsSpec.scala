@@ -159,6 +159,15 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no convergence"))
   }
 
+  test("k-core converging on exactly the last allowed round returns, not throws") {
+    import graft.ops.KCore
+    // triangle + one pendant: a single peel round settles it
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("x", "y")
+    val nodes = KCore.kCoreNodes(df, "x", "y", k = 2, maxIter = 1)
+      .select("node").as[Long].collect().toSet
+    assert(nodes === Set(1L, 2L, 3L))
+  }
+
   // --------------------------------------------------------- anomaly
 
   test("MAD outliers: a wild value flags without dragging the median") {
@@ -227,6 +236,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         (if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
     assert(r("pos") === Some(1.0) && r("neg") === Some(-1.0))
     assert(r("zero") === Some(0.0) && r("flat") === None)
+  }
+
+  test("pearson and chi-square drop incomplete rows instead of corrupting stats") {
+    import graft.ops.Stats
+    // a null y must not count into n while missing from the sums
+    val df = Seq(("g", Some(1L), Some(1L)), ("g", Some(2L), Some(2L)),
+      ("g", Some(3L), None: Option[Long])).toDF("g", "x", "y")
+    val r = Stats.pearson(df, Seq("g"), col("x"), col("y"))
+      .select("n", "corr").as[(Long, Double)].head()
+    assert(r === ((2L, 1.0))) // the two complete pairs correlate perfectly
+    // a null category must not inflate n while vanishing from the cells
+    val cat = Seq(("a1", Some("b1")), ("a1", Some("b2")),
+      ("a2", Some("b1")), ("a2", Some("b2")),
+      ("a1", None: Option[String])).toDF("a", "b")
+    val c = Stats.chiSquare(cat, col("a"), col("b"))
+      .select("n", "chi2").as[(Long, Double)].head()
+    assert(c === ((4L, 0.0))) // 4 complete rows, uniform → independent
   }
 
   test("chi-square: independence gives 0; the textbook 2x2 gives 20") {

@@ -139,6 +139,22 @@ class SequenceOpsSpec extends AnyFunSuite {
       4L -> None))
   }
 
+  test("simultaneous conversions merge before the linear split — no lost credit") {
+    import graft.ops.Attribution
+    val events = evv(
+      (1L, "2024-01-01 10:30:00", "view", null),
+      (1L, "2024-01-01 10:40:00", "click", null),
+      // two purchases at the SAME instant: combined 120 splits over the
+      // 2 touches (60 each); a per-row split would credit only 60 total
+      (1L, "2024-01-01 11:00:00", "purchase", 90L),
+      (1L, "2024-01-01 11:00:00", "purchase", 30L))
+    val total = Attribution.linearCredit(events, "user_id", "t", "typ", "v",
+        Seq("view", "click"), "purchase", lookbackSec = 3600L,
+        bucketWidthSec = 600L)
+      .agg(sum(col("credit"))).as[Double].head()
+    assert(total === 120.0)
+  }
+
   test("linear credit splits the conversion across in-window touches") {
     import graft.ops.Attribution
     val events = evv(
