@@ -110,7 +110,8 @@ object Bench {
       "densified_customer_months", "price_drift_psi",
       "event_transitions", "winsorized_order_totals",
       "supplier_revenue_trend", "attribution_last_touch",
-      "attribution_linear", "qty_price_correlation", "chi2_priority_status")
+      "attribution_linear", "qty_price_correlation", "chi2_priority_status",
+      "unicode_fingerprint_stats")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

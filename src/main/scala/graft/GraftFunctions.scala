@@ -64,7 +64,10 @@ object GraftFunctions {
       graft.functions.TopKAgg(es.head, es(1), intLit(es(2), "k")) },
     "heavy_hitters" -> { es =>
       arity(es, 2, "heavy_hitters")
-      graft.functions.HeavyHittersAgg(es.head, intLit(es(1), "capacity")) })
+      graft.functions.HeavyHittersAgg(es.head, intLit(es(1), "capacity")) },
+    "normalize_unicode" -> { es =>
+      arity(es, 2, "normalize_unicode")
+      graft.functions.NormalizeUnicode(es.head, strLit(es(1), "form")) })
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -989,6 +989,22 @@ object SparkEntry {
     graft.ops.Stats.chiSquare(t(s, dir, "orders"),
       col("o_orderpriority"), col("o_orderstatus"))
 
+  /** Unicode canonicalization audit ([[graft.functions
+    * .NormalizeUnicode]], native codegen'd expression): how many
+    * documents change under NFC, and whether the exact-dup fingerprint
+    * space shrinks once composed/decomposed encodings collapse. DuckDB
+    * twin uses its built-in `nfc_normalize`.
+    */
+  private def unicodeFingerprintStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NormalizeUnicode.normalizeUnicode
+    t(s, dir, "documents")
+      .select(col("text"), normalizeUnicode(col("text"), "NFC").as("nfc"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        count_distinct(md5(col("text"))).as("fp_raw"),
+        count_distinct(md5(col("nfc"))).as("fp_nfc"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1053,6 +1069,7 @@ object SparkEntry {
     "attribution_linear" -> (attributionLinear _),
     "qty_price_correlation" -> (qtyPriceCorrelation _),
     "chi2_priority_status" -> (chi2PriorityStatus _),
+    "unicode_fingerprint_stats" -> (unicodeFingerprintStats _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1071,6 +1088,12 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    "unicode_fingerprint_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS fp_raw,
+        |       CAST(count(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS fp_nfc
+        |FROM documents""".stripMargin,
     "qty_price_correlation" ->
       """WITH monthly AS (
         |  SELECT l_returnflag,
