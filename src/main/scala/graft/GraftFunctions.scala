@@ -67,7 +67,15 @@ object GraftFunctions {
       graft.functions.HeavyHittersAgg(es.head, intLit(es(1), "capacity")) },
     "normalize_unicode" -> { es =>
       arity(es, 2, "normalize_unicode")
-      graft.functions.NormalizeUnicode(es.head, strLit(es(1), "form")) })
+      graft.functions.NormalizeUnicode(es.head, strLit(es(1), "form")) },
+    "count_min" -> { es =>
+      arity(es, 3, "count_min")
+      graft.functions.CountMinAgg(es.head,
+        intLit(es(1), "width"), intLit(es(2), "depth")) },
+    "count_min_estimate" -> { es =>
+      arity(es, 4, "count_min_estimate")
+      graft.functions.CmsEstimate(es.head, es(1),
+        intLit(es(2), "width"), intLit(es(3), "depth")) })
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -157,6 +157,14 @@ object LlmQueries {
         k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
       .orderBy(col("cluster_id"), col("doc_id"))
 
+  /** Overlap-coefficient (containment) pairs — the partial-copy signal
+    * symmetric Jaccard misses; see [[Containment.overlapPairs]].
+    */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Containment.overlapPairs(tPar(s, dir, "documents"), "doc_id", "text",
+        n = 3, minOverlap = 0.5, maxDocsPerShingle = 100)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")
       .select(TextStats.fingerprint(col("text")).as("fp"))
@@ -633,6 +641,7 @@ object LlmQueries {
     "winnow_fingerprints" -> (winnowFingerprintsQ _),
     "winnow_dup_pairs" -> (winnowDupPairsQ _),
     "winnow_dup_clusters" -> (winnowDupClustersQ _),
+    "containment_pairs" -> (containmentPairs _),
     "topk_docs_per_lang" -> (topkDocsPerLang _),
     "token_entropy" -> (tokenEntropy _),
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
@@ -1469,6 +1478,37 @@ object LlmQueries {
          |            ELSE 0.0 END AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin,
+    // shared-shingle self-join (the Spark side is Containment
+    // .overlapPairs with the same frequency cap): n_shared counts
+    // cap-surviving shared distinct shingles, sizes are true set sizes,
+    // overlap is one int/int IEEE division — bit-identical both engines
+    "containment_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $Shingles AS shingles FROM base
+         |), e AS (
+         |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh
+         |), sz AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+         |), keep AS (
+         |  SELECT shingle FROM e GROUP BY shingle
+         |  HAVING count(*) > 1 AND count(*) <= 100
+         |), f AS (
+         |  SELECT e.doc_id, e.shingle FROM e JOIN keep USING (shingle)
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+         |       CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = pairs.id_a
+         |JOIN sz sb ON sb.doc_id = pairs.id_b
+         |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "tfidf_top_terms" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($Toks) AS term FROM documents

@@ -989,6 +989,32 @@ object SparkEntry {
     graft.ops.Stats.chiSquare(t(s, dir, "orders"),
       col("o_orderpriority"), col("o_orderstatus"))
 
+  /** Count-min point-frequency certification ([[graft.functions
+    * .CountMinAgg]], the third mergeable sketch family): build one
+    * 4×1024 grid over part brands, then certify every distinct brand's
+    * estimate against its exact count — never an undercount, and inside
+    * the ε·N overcount envelope (ε = e/width). The DuckDB twin computes
+    * the exact counts and literal TRUE flags, so a hash match proves
+    * both bounds held; the grid broadcasts as one row onto the
+    * brand-grain frame (the lookup side never shuffles).
+    */
+  private def cmsBrandCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinAgg.countMinSketch
+    import graft.functions.CmsEstimate.cmsEstimate
+    val (w, d) = (1024, 4)
+    val parts = t(s, dir, "part")
+    val sk = parts.agg(countMinSketch(col("p_brand"), w, d).as("sk"),
+      count(lit(1)).as("n_total"))
+    val epsBound = ceil(lit(math.E / w) * col("n_total")).cast("long")
+    parts.groupBy(col("p_brand")).agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(sk))
+      .withColumn("est", cmsEstimate(col("sk"), col("p_brand"), w, d))
+      .select(col("p_brand"), col("n_exact"),
+        (col("est") >= col("n_exact") &&
+          col("est") <= col("n_exact") + epsBound).as("within_bound"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Unicode canonicalization audit ([[graft.functions
     * .NormalizeUnicode]], native codegen'd expression): how many
     * documents change under NFC, and whether the exact-dup fingerprint
@@ -1070,6 +1096,7 @@ object SparkEntry {
     "qty_price_correlation" -> (qtyPriceCorrelation _),
     "chi2_priority_status" -> (chi2PriorityStatus _),
     "unicode_fingerprint_stats" -> (unicodeFingerprintStats _),
+    "cms_brand_counts" -> (cmsBrandCounts _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1088,6 +1115,13 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    // exact counts + literal TRUE bound flags — the hash match certifies
+    // the Spark-side sketch estimates landed in [exact, exact + ε·N]
+    // (same discipline as quantile_sketch_quantity's rank windows)
+    "cms_brand_counts" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_exact,
+        |       TRUE AS within_bound
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "unicode_fingerprint_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
