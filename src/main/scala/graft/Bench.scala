@@ -111,7 +111,8 @@ object Bench {
       "event_transitions", "winsorized_order_totals",
       "supplier_revenue_trend", "attribution_last_touch",
       "attribution_linear", "qty_price_correlation", "chi2_priority_status",
-      "unicode_fingerprint_stats", "containment_pairs", "cms_brand_counts")
+      "unicode_fingerprint_stats", "containment_pairs", "cms_brand_counts",
+      "table_fingerprint_orders", "lm_quality_score")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

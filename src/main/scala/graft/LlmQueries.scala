@@ -165,6 +165,18 @@ object LlmQueries {
         n = 3, minOverlap = 0.5, maxDocsPerShingle = 100)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Char-bigram LM quality score: train on the corpus, score every
+    * document by mean log-likelihood; see [[LangModel]]. The model
+    * table is broadcast (≤ |alphabet|² rows) and per-doc sums are
+    * integer-exact nano-units, so the score is partitioning-invariant.
+    */
+  private def lmQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    LangModel.scoreDocs(docs, "doc_id", "text",
+        LangModel.trainBigramModel(docs, "text"))
+      .orderBy(col("doc_id"))
+  }
+
   private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
     tPar(s, dir, "documents")
       .select(TextStats.fingerprint(col("text")).as("fp"))
@@ -642,6 +654,7 @@ object LlmQueries {
     "winnow_dup_pairs" -> (winnowDupPairsQ _),
     "winnow_dup_clusters" -> (winnowDupClustersQ _),
     "containment_pairs" -> (containmentPairs _),
+    "lm_quality_score" -> (lmQualityScore _),
     "topk_docs_per_lang" -> (topkDocsPerLang _),
     "token_entropy" -> (tokenEntropy _),
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
@@ -1478,6 +1491,30 @@ object LlmQueries {
          |            ELSE 0.0 END AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin,
+    // same normalization, same add-one-smoothed bigram model, the same
+    // ONE rounding of each bigram's ln to integer nano-units (model
+    // grain, ~1k ln calls) — per-doc sums are then BIGINT-exact in both
+    // engines regardless of accumulation order (the Trend discipline)
+    "lm_quality_score" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(s)), i -> s[i:i+1])) AS bigram
+        |  FROM norm WHERE length(s) >= 2
+        |), model AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v FROM model
+        |), lp AS (
+        |  SELECT bigram,
+        |         CAST(round(ln((CAST(cnt AS DOUBLE) + 1.0) / (total + v)) * 1000000000.0) AS BIGINT) AS lp_nano
+        |  FROM model CROSS JOIN tot
+        |)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(lp_nano) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0, 6) AS score
+        |FROM bg JOIN lp USING (bigram)
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
     // shared-shingle self-join (the Spark side is Containment
     // .overlapPairs with the same frequency cap): n_shared counts
     // cap-surviving shared distinct shingles, sizes are true set sizes,

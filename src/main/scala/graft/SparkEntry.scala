@@ -989,6 +989,26 @@ object SparkEntry {
     graft.ops.Stats.chiSquare(t(s, dir, "orders"),
       col("o_orderpriority"), col("o_orderstatus"))
 
+  /** Monthly replica fingerprints of the orders table ([[graft.ops
+    * .Fingerprint]]): one map-only pass, commutative 60-bit-hash sums
+    * per month slice — the copy-validation a 100 TB migration runs
+    * instead of sorting both replicas. Every column is explicitly
+    * rendered (decimal grain for the double price, strftime for the
+    * timestamp) so the canonical text — and therefore the md5 — is
+    * engine-independent; the DuckDB twin rebuilds the identical
+    * rendering and parses the same 60 md5 bits via a hex cast.
+    */
+  private def tableFingerprintOrders(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Fingerprint.sliceFingerprints(t(s, dir, "orders"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int"),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          col("o_orderpriority")))
+      .withColumnRenamed("slice", "yyyymm")
+      .orderBy(col("yyyymm"))
+
   /** Count-min point-frequency certification ([[graft.functions
     * .CountMinAgg]], the third mergeable sketch family): build one
     * 4×1024 grid over part brands, then certify every distinct brand's
@@ -1097,6 +1117,7 @@ object SparkEntry {
     "chi2_priority_status" -> (chi2PriorityStatus _),
     "unicode_fingerprint_stats" -> (unicodeFingerprintStats _),
     "cms_brand_counts" -> (cmsBrandCounts _),
+    "table_fingerprint_orders" -> (tableFingerprintOrders _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1115,6 +1136,25 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    // identical canonical rendering (chr(1) separator, chr(0)-tagged
+    // null marker, decimal/strftime casts), same 60 md5 bits parsed via
+    // DuckDB's hex cast — the Spark side is Fingerprint.sliceFingerprints
+    "table_fingerprint_orders" ->
+      """WITH h AS (
+        |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        |         ('0x' || substr(md5(concat_ws(chr(1),
+        |            coalesce(CAST(o_orderkey AS VARCHAR), chr(0)||'null'),
+        |            coalesce(CAST(o_custkey AS VARCHAR), chr(0)||'null'),
+        |            coalesce(o_orderstatus, chr(0)||'null'),
+        |            coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), chr(0)||'null'),
+        |            coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), chr(0)||'null'),
+        |            coalesce(o_orderpriority, chr(0)||'null'))), 1, 15))::BIGINT AS h
+        |  FROM orders
+        |)
+        |SELECT yyyymm, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(h) AS DECIMAL(38,0)) AS hash_sum,
+        |       min(h) AS hash_min, max(h) AS hash_max
+        |FROM h GROUP BY 1 ORDER BY yyyymm""".stripMargin,
     // exact counts + literal TRUE bound flags — the hash match certifies
     // the Spark-side sketch estimates landed in [exact, exact + ε·N]
     // (same discipline as quantile_sketch_quantity's rank windows)
