@@ -165,6 +165,65 @@ object LlmQueries {
         n = 3, minOverlap = 0.5, maxDocsPerShingle = 100)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Cross-source shingle-overlap certification ([[graft.ops.Reagg
+    * .pairwiseOverlap]]): HLL inclusion-exclusion estimates of pairwise
+    * source overlap, certified against the exact shingle-grain join —
+    * per-source estimates within 5%, intersections within
+    * max(10% of the union, 8). At 100 TB only the sketch path runs (KB
+    * sketches, group-grain pair join); the exact path here is the
+    * certification oracle, same discipline as `cms_brand_counts`.
+    */
+  private def sourceOverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Reagg
+    val e = tPar(s, dir, "documents")
+      .select(col("source"),
+        explode(MinHash.shingles(TextStats.tokens(col("text")), 3))
+          .as("shingle"))
+      .distinct()
+      .localCheckpoint(true) // feeds sizes, the exact join, and sketches
+    val sz = e.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ex = e.select(col("shingle"), col("source").as("source_a"))
+      .join(e.select(col("shingle"), col("source").as("source_b")),
+        Seq("shingle"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val est = Reagg.pairwiseOverlap(
+      e.groupBy(col("source")).agg(Reagg.distinctSketch(col("shingle"), 14)
+        .as("sk")),
+      "source", "sk")
+    est
+      .join(sz.select(col("source").as("key_a"), col("n").as("n_a")),
+        Seq("key_a"))
+      .join(sz.select(col("source").as("key_b"), col("n").as("n_b")),
+        Seq("key_b"))
+      .join(ex, col("key_a") === col("source_a") &&
+        col("key_b") === col("source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("key_a").as("source_a"), col("key_b").as("source_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        (abs(col("est_a") - col("n_a")).cast("double") <=
+          lit(0.05) * col("n_a") &&
+          abs(col("est_b") - col("n_b")).cast("double") <=
+            lit(0.05) * col("n_b")).as("sizes_ok"),
+        (abs(col("est_inter") - col("n_inter")).cast("double") <=
+          greatest(lit(0.10) * (col("n_a") + col("n_b") - col("n_inter")),
+            lit(8.0))).as("inter_ok"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Deterministic A-ES weighted reservoir: 8 docs per language,
+    * inclusion probability ∝ `n_chars`; see
+    * [[graft.ops.Sampling.weightedReservoir]].
+    */
+  private def weightedReservoirDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedReservoir(
+        tPar(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        Seq("lang"), "doc_id", col("n_chars"), k = 8, seed = 7)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   /** Char-bigram LM quality score: train on the corpus, score every
     * document by mean log-likelihood; see [[LangModel]]. The model
     * table is broadcast (≤ |alphabet|² rows) and per-doc sums are
@@ -655,6 +714,8 @@ object LlmQueries {
     "winnow_dup_clusters" -> (winnowDupClustersQ _),
     "containment_pairs" -> (containmentPairs _),
     "lm_quality_score" -> (lmQualityScore _),
+    "source_overlap_sketch" -> (sourceOverlapSketch _),
+    "weighted_reservoir_docs" -> (weightedReservoirDocs _),
     "topk_docs_per_lang" -> (topkDocsPerLang _),
     "token_entropy" -> (tokenEntropy _),
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
@@ -1491,6 +1552,48 @@ object LlmQueries {
          |            ELSE 0.0 END AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin,
+    // exact shingle-set sizes and pairwise intersections + literal TRUE
+    // flags — a hash match certifies the Spark-side HLL
+    // inclusion-exclusion estimates landed inside the stated envelopes
+    "source_overlap_sketch" ->
+      s"""WITH base AS (
+         |  SELECT source, $Toks AS toks FROM documents
+         |), sh AS (
+         |  SELECT source, $Shingles AS shingles FROM base
+         |), e AS (
+         |  SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh
+         |), sz AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+         |), px AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT sa.source AS source_a, sb.source AS source_b,
+         |       sa.n AS n_a, sb.n AS n_b,
+         |       CAST(coalesce(px.n_inter, 0) AS BIGINT) AS n_inter,
+         |       TRUE AS sizes_ok, TRUE AS inter_ok
+         |FROM sz sa JOIN sz sb ON sa.source < sb.source
+         |LEFT JOIN px ON px.source_a = sa.source AND px.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+    // same 60 md5 bits → u ∈ (0,1], same -ln(u)/w key rounded once to
+    // integer nano-units — rank comparisons are integer in both engines
+    "weighted_reservoir_docs" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         CAST(round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+        |                        / 1152921504606846976.0)
+        |                    / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT) AS key_nano
+        |  FROM documents WHERE n_chars > 0
+        |), ranked AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY key_nano, doc_id) AS INTEGER) AS sample_rank
+        |  FROM keyed
+        |)
+        |SELECT lang, sample_rank, doc_id, n_chars
+        |FROM ranked WHERE sample_rank <= 8
+        |ORDER BY lang, sample_rank""".stripMargin,
     // same normalization, same add-one-smoothed bigram model, the same
     // ONE rounding of each bigram's ln to integer nano-units (model
     // grain, ~1k ln calls) — per-doc sums are then BIGINT-exact in both

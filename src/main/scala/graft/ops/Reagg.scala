@@ -47,4 +47,36 @@ object Reagg {
 
   /** Read a distinct-count estimate off a sketch column. */
   def estimateDistinct(c: Column): Column = hll_sketch_estimate(c)
+
+  /** Pairwise distinct-set OVERLAP estimates between the groups of a
+    * `(key, sketch)` frame, by inclusion-exclusion over HLL unions:
+    * `|A∩B| ≈ |A| + |B| − |A∪B|` (clamped at 0 — small true overlaps
+    * can go negative under sketch noise). This is how cross-corpus /
+    * cross-source duplication ("how much of source A is also in B?")
+    * is estimated at 100 TB: per-group sketches are KBs, the pair join
+    * is |groups|² over a FRAME OF GROUPS, and the raw values never
+    * shuffle — versus the exact path's value-grain self-join. HLL
+    * supports union only, so intersection must come from
+    * inclusion-exclusion; its error scales with the UNION size
+    * (≈1.04/√2^lgK relative), which is the envelope the certification
+    * query asserts.
+    *
+    * Output per pair (key_a < key_b): both keys, `est_a`, `est_b`,
+    * `est_union`, `est_inter`.
+    */
+  def pairwiseOverlap(sketches: DataFrame, keyCol: String,
+                      sketchCol: String): DataFrame = {
+    val a = sketches.select(col(keyCol).as("key_a"),
+      col(sketchCol).as("__sk_a"))
+    val b = sketches.select(col(keyCol).as("key_b"),
+      col(sketchCol).as("__sk_b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        hll_sketch_estimate(col("__sk_a")).as("est_a"),
+        hll_sketch_estimate(col("__sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("__sk_a"), col("__sk_b")))
+          .as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
 }

@@ -50,4 +50,43 @@ object Sampling {
         expr(s"cum_w div ${stride}L > (cum_w - __w) div ${stride}L"))
       .drop("__w")
   }
+
+  /** Efraimidis–Spirakis (A-ES) reservoir key in nano-units: each row
+    * draws `u ∈ (0,1]` DETERMINISTICALLY from 60 md5 bits of
+    * `(id, seed)` and keys as `-ln(u)/w` — the k SMALLEST keys per
+    * group are a weighted random sample WITHOUT replacement, inclusion
+    * probability proportional to weight (the exponential-race argument:
+    * key_i ~ Exp(w_i), and the minimum of independent exponentials
+    * lands on i with probability w_i/Σw). Seeded hashing instead of an
+    * RNG keeps reruns and engines bit-agreed; nano fixed-point absorbs
+    * the last-ulp `ln` wiggle so rank comparisons are integer.
+    */
+  def reservoirKeyNano(id: Column, weight: Column, seed: Long): Column = {
+    val ub = conv(substring(md5(concat(id.cast("string"), lit(":" + seed))),
+      1, 15), 16, 10).cast("long")
+    val u = (ub.cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
+    round(-log(u) / weight.cast("double") * lit(1e9)).cast("long")
+  }
+
+  /** k-row weighted sample per group: rows ranked by
+    * ([[reservoirKeyNano]], id) — one window pass per group, the same
+    * shape as any per-group top-k. Zero/negative-weight rows are never
+    * sampled (their key would be ∞). For a MERGEABLE variant whose
+    * shuffle carries ≤ k entries per map partition, feed
+    * `-reservoirKeyNano` as the metric of
+    * [[graft.functions.TopKAgg.topK]].
+    */
+  def weightedReservoir(df: DataFrame, groupCols: Seq[String],
+                        idCol: String, weight: Column, k: Int,
+                        seed: Long): DataFrame = {
+    require(k > 0, s"k=$k")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__key_nano"), col(idCol))
+    df.where(weight > 0)
+      .withColumn("__key_nano",
+        reservoirKeyNano(col(idCol), weight, seed))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .drop("__key_nano")
+  }
 }

@@ -296,4 +296,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("negative weight"))
   }
+
+  test("weighted reservoir: k per group, deterministic, zero-weight excluded") {
+    val df = (1L to 50L).map(i => ("g" + (i % 2), i, if (i == 7) 0L else i))
+      .toDF("grp", "id", "w")
+    val s1 = Sampling.weightedReservoir(df, Seq("grp"), "id", col("w"), 5, 42L)
+      .select("grp", "id", "sample_rank").collect().toSeq.sortBy(_.toString)
+    val s2 = Sampling.weightedReservoir(df.repartition(8), Seq("grp"), "id",
+        col("w"), 5, 42L)
+      .select("grp", "id", "sample_rank").collect().toSeq.sortBy(_.toString)
+    assert(s1 === s2)
+    assert(s1.groupBy(_.getString(0)).forall(_._2.length === 5))
+    assert(!s1.exists(_.getLong(1) === 7L)) // zero weight never sampled
+  }
+
+  test("weighted reservoir: inclusion frequency tracks weight across seeds") {
+    // two items, weights 9:1 — item 1 should win ~90% of seeds
+    val df = Seq(("g", 1L, 9L), ("g", 2L, 1L)).toDF("grp", "id", "w")
+    val wins = (0L until 100L).count { seed =>
+      Sampling.weightedReservoir(df, Seq("grp"), "id", col("w"), 1, seed)
+        .select("id").as[Long].head() === 1L
+    }
+    assert(wins >= 75 && wins <= 99, s"heavy item won $wins/100")
+  }
+
+  test("HLL pairwise overlap: inclusion-exclusion near-exact on sparse sets, clamped when disjoint") {
+    import graft.ops.Reagg
+    val vals = ((1 to 100).map(("A", _)) ++ (51 to 150).map(("B", _)) ++
+      (200 to 250).map(("C", _))).toDF("k", "v")
+    val sk = vals.groupBy(col("k")).agg(Reagg.distinctSketch(col("v"), 14)
+      .as("sk"))
+    val est = Reagg.pairwiseOverlap(sk, "k", "sk")
+      .select("key_a", "key_b", "est_inter").as[(String, String, Long)]
+      .collect().map { case (a, b, i) => (a, b) -> i }.toMap
+    assert(math.abs(est(("A", "B")) - 50L) <= 2L) // sparse mode ≈ exact
+    assert(est(("A", "C")) >= 0L && est(("A", "C")) <= 2L)
+    assert(est(("B", "C")) >= 0L && est(("B", "C")) <= 2L)
+  }
 }
