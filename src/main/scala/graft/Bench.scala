@@ -113,7 +113,8 @@ object Bench {
       "attribution_linear", "qty_price_correlation", "chi2_priority_status",
       "unicode_fingerprint_stats", "containment_pairs", "cms_brand_counts",
       "table_fingerprint_orders", "lm_quality_score",
-      "source_overlap_sketch", "weighted_reservoir_docs")
+      "source_overlap_sketch", "weighted_reservoir_docs",
+      "price_histogram")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

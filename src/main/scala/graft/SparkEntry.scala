@@ -989,6 +989,20 @@ object SparkEntry {
     graft.ops.Stats.chiSquare(t(s, dir, "orders"),
       col("o_orderpriority"), col("o_orderstatus"))
 
+  /** Equi-width price histogram per priority ([[graft.ops.Profile
+    * .histogram]]): 20 three-thousand-dollar buckets over order totals
+    * in integer cents (the 2-dp money × 100 rule keeps the long cast
+    * integral, so bucket edges are engine-exact), explicit
+    * underflow/overflow buckets, map-only assignment + one
+    * (group, bucket)-grain aggregate.
+    */
+  private def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.histogram(t(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)") * 100,
+        lo = 0L, hi = 60000000L, nBuckets = 20)
+      .orderBy(col("o_orderpriority"), col("bucket"))
+
   /** Monthly replica fingerprints of the orders table ([[graft.ops
     * .Fingerprint]]): one map-only pass, commutative 60-bit-hash sums
     * per month slice — the copy-validation a 100 TB migration runs
@@ -1118,6 +1132,7 @@ object SparkEntry {
     "unicode_fingerprint_stats" -> (unicodeFingerprintStats _),
     "cms_brand_counts" -> (cmsBrandCounts _),
     "table_fingerprint_orders" -> (tableFingerprintOrders _),
+    "price_histogram" -> (priceHistogram _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1136,6 +1151,24 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    // same integer-cents scaling, same floor-divide bucket edges
+    // (width 3,000,000 = ceil((hi-lo)/nBuckets) from the Spark side)
+    "price_histogram" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN v < 0 THEN -1
+        |              WHEN v >= 60000000 THEN 20
+        |              ELSE CAST(v // 3000000 AS INTEGER) END AS bucket,
+        |         v
+        |  FROM v
+        |)
+        |SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS n,
+        |       min(v) AS v_min, max(v) AS v_max
+        |FROM b GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin,
     // identical canonical rendering (chr(1) separator, chr(0)-tagged
     // null marker, decimal/strftime casts), same 60 md5 bits parsed via
     // DuckDB's hex cast — the Spark side is Fingerprint.sliceFingerprints

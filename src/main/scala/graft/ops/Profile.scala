@@ -34,4 +34,35 @@ object Profile {
     df.sparkSession.createDataFrame(out)
       .toDF("column", "n_rows", "n_nulls", "n_distinct")
   }
+
+  /** Equi-width histogram of `value` over `[lo, hi)` in `nBuckets`
+    * buckets, per group — the distribution view the single-number
+    * profile metrics can't give. Bucket `b` covers
+    * `[lo + b·width, lo + (b+1)·width)`; values below `lo` land in
+    * bucket 0's underflow twin `-1`, values at or above `hi` in bucket
+    * `nBuckets` — explicit overflow buckets instead of silent clipping,
+    * so the histogram always sums to the group count. Bucket index
+    * arithmetic is integer over SCALED values (the caller picks the
+    * grain, e.g. cents), making bucket edges engine-exact — no
+    * double-width rounding at the boundaries.
+    *
+    * Scale shape: map-only bucket assignment, one (group, bucket)-grain
+    * aggregate — the same cost as any rollup; empty buckets are absent
+    * (the consumer densifies if it needs zeros, cf. [[GapFill]]).
+    */
+  def histogram(df: DataFrame, groupCols: Seq[String],
+                value: org.apache.spark.sql.Column,
+                lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets")
+    require(hi > lo, s"empty range [$lo, $hi)")
+    val width = (hi - lo + nBuckets - 1) / nBuckets // ceil: covers [lo, hi)
+    df.withColumn("__v", value.cast("long"))
+      .withColumn("bucket",
+        when(col("__v") < lo, lit(-1))
+          .when(col("__v") >= hi, lit(nBuckets))
+          .otherwise(expr(s"CAST((__v - ${lo}L) div ${width}L AS INT)")))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("v_min"), max(col("__v")).as("v_max"))
+  }
 }

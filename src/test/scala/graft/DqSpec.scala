@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pdq.Dq
 
@@ -65,5 +66,29 @@ class DqSpec extends AnyFunSuite {
     assert(m("neg_v") === 2L)
     // and the written data is untouched by the observation
     assert(spark.read.parquet(path).count() === 4)
+  }
+
+  test("equi-width histogram: integer edges, explicit under/overflow, counts sum to group size") {
+    import graft.ops.Profile
+    // [0, 100) in 10 buckets of width 10
+    val df = Seq(("g", -5L), ("g", 0L), ("g", 9L), ("g", 10L), ("g", 55L),
+      ("g", 99L), ("g", 100L), ("g", 250L)).toDF("grp", "v")
+    val h = Profile.histogram(df, Seq("grp"), col("v"), 0L, 100L, 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      (-1, 1L, -5L, -5L),   // underflow
+      (0, 2L, 0L, 9L),      // 0 inclusive, 9 in bucket 0
+      (1, 1L, 10L, 10L),    // edge value starts bucket 1
+      (5, 1L, 55L, 55L),
+      (9, 1L, 99L, 99L),    // hi-1 is the last in-range bucket
+      (10, 2L, 100L, 250L)  // hi and beyond → overflow
+    ))
+    assert(h.map(_._2).sum === 8L)
+    // non-divisible range: ceil width covers the whole of [0, hi)
+    val h2 = Profile.histogram(Seq(("g", 94L)).toDF("grp", "v"),
+        Seq("grp"), col("v"), 0L, 95L, 10) // width ceil(95/10)=10
+      .select("bucket").collect().map(_.getInt(0)).toSeq
+    assert(h2 === Seq(9))
   }
 }

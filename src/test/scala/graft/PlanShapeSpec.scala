@@ -67,17 +67,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "interval native query lost its custom exec")
   }
 
-  test("the only cartesian-shaped joins are the four documented ones") {
-    // brute-force kNN (exactness baseline) and the single-row broadcast
-    // totals of tfidf (corpus doc count), PSI drift (grid totals), and
-    // the chi-square test (marginals) are intended; anything else is a
-    // regression
+  test("the only cartesian-shaped joins are the documented ones") {
+    // brute-force kNN (exactness baseline); single-row broadcast totals
+    // in tfidf (corpus doc count), PSI drift (grid totals), chi-square
+    // (marginals), cms (the 1-row sketch+N frame), and the LM model's
+    // corpus totals; and the sketch-overlap pair join (non-equi over the
+    // |sources|-row SKETCH frame, never data grain). Anything else is a
+    // regression.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val p = plan(name)
       p.contains("CartesianProduct") ||
         (p.contains("BroadcastNestedLoopJoin") &&
           !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi",
-            "chi2_priority_status")(name))
+            "chi2_priority_status", "cms_brand_counts", "lm_quality_score",
+            "source_overlap_sketch")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
