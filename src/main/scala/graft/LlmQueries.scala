@@ -175,12 +175,12 @@ object LlmQueries {
     */
   private def sourceOverlapSketch(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Reagg
-    val e = tPar(s, dir, "documents")
-      .select(col("source"),
-        explode(MinHash.shingles(TextStats.tokens(col("text")), 3))
-          .as("shingle"))
-      .distinct()
-      .localCheckpoint(true) // feeds sizes, the exact join, and sketches
+    // the same distinct (key, shingle) build containment_pairs uses,
+    // keyed by source instead of doc id (checkpointed once; feeds
+    // sizes, the exact join, and the sketches)
+    val e = Containment.shingleTable(tPar(s, dir, "documents"),
+        "source", "text")
+      .withColumnRenamed("__id", "source")
     val sz = e.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val ex = e.select(col("shingle"), col("source").as("source_a"))
       .join(e.select(col("shingle"), col("source").as("source_b")),
@@ -230,9 +230,12 @@ object LlmQueries {
     * integer-exact nano-units, so the score is partitioning-invariant.
     */
   private def lmQualityScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = tPar(s, dir, "documents")
-    LangModel.scoreDocs(docs, "doc_id", "text",
-        LangModel.trainBigramModel(docs, "text"))
+    // train-then-score over the same corpus: build the exploded bigram
+    // stream ONCE (checkpointed), feed both stages
+    val bg = LangModel.bigramTable(tPar(s, dir, "documents"), "doc_id",
+      "text")
+    LangModel.scoreFromBigrams(bg, LangModel.trainFromBigrams(bg))
+      .withColumnRenamed("__id", "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -727,13 +730,16 @@ object LlmQueries {
     "semantic_dedup_stats" -> (semanticDedupStats _),
   )
 
-  // DuckDB fragments shared by several oracles.
+  // DuckDB fragments shared by several oracles. The whitespace class is
+  // interpolated from TextStats.WsRegex — ONE definition across engines
+  // (Java \s and RE2 \s disagree on U+000B).
+  private val Ws = TextStats.WsRegex
   private val Toks =
-    """list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"""
+    s"""list_filter(regexp_split_to_array(trim(text), '$Ws'), x -> x <> '')"""
   private def toksOf(c: String) =
-    s"""list_filter(regexp_split_to_array(trim($c), '\\s+'), x -> x <> '')"""
+    s"""list_filter(regexp_split_to_array(trim($c), '$Ws'), x -> x <> '')"""
   private val Fingerprint =
-    """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+    s"""md5(trim(regexp_replace(lower(text), '$Ws', ' ', 'g')))"""
 
   /** DuckDB twin of [[graft.llm.Multimodal.mediaFromDocuments]] →
     * [[graft.llm.Multimodal.decodeFeatures]]: the fixture builder's
@@ -1599,8 +1605,8 @@ object LlmQueries {
     // grain, ~1k ln calls) — per-doc sums are then BIGINT-exact in both
     // engines regardless of accumulation order (the Trend discipline)
     "lm_quality_score" ->
-      """WITH norm AS (
-        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+      s"""WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '$Ws', ' ', 'g')) AS s
         |  FROM documents
         |), bg AS (
         |  SELECT doc_id, unnest(list_transform(range(1, length(s)), i -> s[i:i+1])) AS bigram

@@ -1036,7 +1036,9 @@ object SparkEntry {
     import graft.functions.CountMinAgg.countMinSketch
     import graft.functions.CmsEstimate.cmsEstimate
     val (w, d) = (1024, 4)
-    val parts = t(s, dir, "part")
+    // null brands: the sketch skips them and their estimate would be
+    // NULL — exclude on BOTH sides so the certification stays total
+    val parts = t(s, dir, "part").where(col("p_brand").isNotNull)
     val sk = parts.agg(countMinSketch(col("p_brand"), w, d).as("sk"),
       count(lit(1)).as("n_total"))
     val epsBound = ceil(lit(math.E / w) * col("n_total")).cast("long")
@@ -1194,7 +1196,8 @@ object SparkEntry {
     "cms_brand_counts" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_exact,
         |       TRUE AS within_bound
-        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+        |FROM part WHERE p_brand IS NOT NULL
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "unicode_fingerprint_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,

@@ -146,6 +146,14 @@ case class CmsEstimate(sketch: Expression, item: Expression,
 
   protected override def nullSafeEval(sk: Any, it: Any): Any = {
     val arr = sk.asInstanceOf[ArrayData]
+    // a grid built with different (width, depth) reads as a DIFFERENT
+    // layout — lookups could silently UNDERCOUNT, violating the one
+    // guarantee this sketch has; fail loudly instead
+    if (arr.numElements() != width * depth)
+      throw new IllegalArgumentException(
+        s"count_min_estimate(width=$width, depth=$depth) expects a " +
+          s"${width * depth}-cell sketch, got ${arr.numElements()} — " +
+          "width/depth must match the sketch's build parameters")
     val s = it.asInstanceOf[UTF8String]
     var min = Long.MaxValue
     var r = 0

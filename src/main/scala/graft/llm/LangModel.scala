@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  /** Case-folded, whitespace-collapsed text — the same canonical form
-    * [[TextStats.fingerprint]] hashes.
+  /** Case-folded, whitespace-collapsed text — THE canonical form
+    * ([[TextStats.normalizedText]], the one [[TextStats.fingerprint]]
+    * hashes); delegated so "normalized" can never mean two things.
     */
-  def normalized(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+  def normalized(text: Column): Column = TextStats.normalizedText(text)
 
   /** Character bigrams of the normalized text (repeats kept — every
     * occurrence scores); empty for texts shorter than 2 chars.
@@ -40,14 +40,31 @@ object LangModel {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The exploded `(id, bigram)` stream, eagerly `localCheckpoint`ed —
+    * the normalize+bigram text pipeline is the expensive stage, and a
+    * train-then-score run over the same corpus should pay it ONCE:
+    * build this, then [[trainBigramModel]] and [[scoreDocs]] both
+    * accept it (same seam as `Dedup.winnowFingerprintTable`).
+    */
+  def bigramTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(charBigrams(col(textCol))).as("bigram"))
+      .localCheckpoint(true)
+
   /** Train: `(bigram, cnt, lp_nano)` where `lp_nano` is the add-one
     * smoothed log-probability `ln((cnt+1)/(total+V))` in nano-units
     * (BIGINT). Smoothing keeps unseen bigrams finite when scoring text
     * the model was not trained on; [[unseenLpNano]] is that default.
     */
-  def trainBigramModel(df: DataFrame, textCol: String): DataFrame = {
-    val counts = df
-      .select(explode(charBigrams(col(textCol))).as("bigram"))
+  def trainBigramModel(df: DataFrame, textCol: String): DataFrame =
+    trainFromBigrams(
+      df.select(explode(charBigrams(col(textCol))).as("bigram")))
+
+  /** [[trainBigramModel]] over a pre-built [[bigramTable]] (any frame
+    * with a `bigram` column).
+    */
+  def trainFromBigrams(bg: DataFrame): DataFrame = {
+    val counts = bg
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).as("__total"),
       count(lit(1)).as("__v"))
@@ -65,7 +82,11 @@ object LangModel {
   def unseenLpNano(model: DataFrame): Long = {
     val r = model.agg(sum(col("cnt")).cast("double").as("t"),
       count(lit(1)).cast("double").as("v")).head()
-    math.round(math.log(1.0 / (r.getDouble(0) + r.getDouble(1))) * 1e9)
+    // HALF_UP, not math.round (half-toward-+∞): the model's lp_nano
+    // rounds away from zero (Spark/DuckDB round), and the unseen
+    // default must sit on the same grid
+    BigDecimal(math.log(1.0 / (r.getDouble(0) + r.getDouble(1))) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
   }
 
   /** Score: `(id, n_bigrams, score)` with `score` = mean bigram
@@ -74,18 +95,28 @@ object LangModel {
     * left-joins with that default for out-of-model bigrams.
     */
   def scoreDocs(df: DataFrame, idCol: String, textCol: String,
-                model: DataFrame, unseen: Option[Long] = None): DataFrame = {
-    val bg = df.select(col(idCol), explode(charBigrams(col(textCol)))
-      .as("bigram"))
+                model: DataFrame, unseen: Option[Long] = None): DataFrame =
+    scoreFromBigrams(
+      df.select(col(idCol).as("__id"),
+        explode(charBigrams(col(textCol))).as("bigram")),
+      model, unseen)
+      .withColumnRenamed("__id", idCol)
+
+  /** [[scoreDocs]] over a pre-built [[bigramTable]] — pair with
+    * [[trainFromBigrams]] on the same table to run the text pipeline
+    * once for a train-then-score pass. Output id column is `__id`.
+    */
+  def scoreFromBigrams(bg: DataFrame, model: DataFrame,
+                       unseen: Option[Long] = None): DataFrame = {
     val m = broadcast(model.select(col("bigram"), col("lp_nano")))
     val joined = unseen match {
       case None => bg.join(m, Seq("bigram"))
       case Some(lp) => bg.join(m, Seq("bigram"), "left")
         .withColumn("lp_nano", coalesce(col("lp_nano"), lit(lp)))
     }
-    joined.groupBy(col(idCol))
+    joined.groupBy(col("__id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_nano")).as("__lp"))
-      .select(col(idCol), col("n_bigrams"),
+      .select(col("__id"), col("n_bigrams"),
         round(col("__lp").cast("double") /
           col("n_bigrams").cast("double") / lit(1e9), 6).as("score"))
   }

@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** The whitespace class every tokenizer/normalizer shares, EXPLICIT
+    * instead of `\s` because the engines' regex dialects disagree on
+    * it: Java regex (Spark) includes vertical tab U+000B in `\s`, RE2
+    * (the DuckDB twins) does not. The literal is valid in both
+    * dialects, so the SQL oracles interpolate THIS string — one
+    * definition of "whitespace" repo-wide.
+    */
+  val WsRegex = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Whitespace tokens, empties dropped (split-then-filter keeps the
     * semantics identical across engines regardless of how each handles
     * leading/trailing separators).
     */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    filter(split(trim(text), WsRegex), t => t =!= "")
 
   /** Whitespace token count. */
   def nTokens(text: Column): Column = size(tokens(text)).cast("long")
@@ -140,7 +149,7 @@ object TextStats {
     * whitespace, strip leading/trailing space.
     */
   def normalizedText(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), WsRegex, " "))
 
   /** Content fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizedText(text))

@@ -28,6 +28,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Fingerprint {
 
+  /** First 60 md5 bits of a string column as a POSITIVE long — the
+    * cross-engine hash idiom: 15 hex chars parse as a positive BIGINT
+    * in any engine (the DuckDB side is
+    * `('0x' || substr(md5(x),1,15))::BIGINT`; 16 chars would overflow
+    * signed 64-bit). Shared by [[rowHash]] and
+    * [[graft.ops.Sampling.reservoirKeyNano]] — the 60-bit bound is
+    * load-bearing, keep it in one place.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** 60-bit row hash over the canonical rendering of `cols`. Each value
     * is cast to string with nulls replaced by an unambiguous 0x00-tagged
     * marker BEFORE `concat_ws` (which silently skips nulls — a raw null
@@ -36,8 +47,7 @@ object Fingerprint {
   def rowHash(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "rowHash needs at least one column")
     val rendered = cols.map(c => coalesce(c.cast("string"), lit("\u0000null")))
-    conv(substring(md5(concat_ws("\u0001", rendered: _*)), 1, 15), 16, 10)
-      .cast("long")
+    hash60(concat_ws("\u0001", rendered: _*))
   }
 
   /** One fingerprint row per `slice` value: `(slice, n_rows, hash_sum,

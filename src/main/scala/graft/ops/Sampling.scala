@@ -62,8 +62,7 @@ object Sampling {
     * the last-ulp `ln` wiggle so rank comparisons are integer.
     */
   def reservoirKeyNano(id: Column, weight: Column, seed: Long): Column = {
-    val ub = conv(substring(md5(concat(id.cast("string"), lit(":" + seed))),
-      1, 15), 16, 10).cast("long")
+    val ub = Fingerprint.hash60(concat(id.cast("string"), lit(":" + seed)))
     val u = (ub.cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
     round(-log(u) / weight.cast("double") * lit(1e9)).cast("long")
   }

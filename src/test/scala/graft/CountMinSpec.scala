@@ -58,6 +58,16 @@ class CountMinSpec extends AnyFunSuite {
     assert(eu <= 3L)        // at worst total mass; usually 0
   }
 
+  test("estimate with mismatched width/depth fails loudly, never undercounts silently") {
+    val sk = df.agg(countMinSketch(col("item"), 64, 3).as("sk"))
+    val e = intercept[Throwable] {
+      sk.select(cmsEstimate(col("sk"), lit("item_1"), 32, 3)).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("must match the sketch's build parameters"))
+  }
+
   test("SQL registration works; wrong item type fails analysis") {
     GraftFunctions.register(spark)
     df.createOrReplaceTempView("cms_items")
