@@ -114,7 +114,7 @@ object Bench {
       "unicode_fingerprint_stats", "containment_pairs", "cms_brand_counts",
       "table_fingerprint_orders", "lm_quality_score",
       "source_overlap_sketch", "weighted_reservoir_docs",
-      "price_histogram")
+      "price_histogram", "cms_join_size", "k_anonymity_customers")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -75,6 +75,10 @@ object GraftFunctions {
     "count_min_estimate" -> { es =>
       arity(es, 4, "count_min_estimate")
       graft.functions.CmsEstimate(es.head, es(1),
+        intLit(es(2), "width"), intLit(es(3), "depth")) },
+    "count_min_join_size" -> { es =>
+      arity(es, 4, "count_min_join_size")
+      graft.functions.CmsJoinSize(es.head, es(1),
         intLit(es(2), "width"), intLit(es(3), "depth")) })
 
   /** Imperative registration on an existing session. */

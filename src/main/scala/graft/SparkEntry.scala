@@ -1051,6 +1051,46 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  /** Join-size estimation from sketches ([[graft.functions
+    * .CmsJoinSize]]): the broadcast-or-shuffle planning question
+    * answered from two count-min grids over the join keys, without
+    * running the join. Certified: the estimate NEVER undercounts the
+    * exact orders⋈lineitem row count and stays inside the formal
+    * `ε·N_a·N_b` envelope (the exact join here is the certification
+    * oracle; at 100 TB only the two map-side sketch passes run).
+    */
+  private def cmsJoinSizeOrders(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinAgg.countMinSketch
+    import graft.functions.CmsJoinSize.cmsJoinSize
+    val (w, d) = (16384, 4)
+    val o = t(s, dir, "orders").agg(
+      countMinSketch(col("o_orderkey").cast("string"), w, d).as("sk_o"),
+      count(lit(1)).as("n_o"))
+    val l = t(s, dir, "lineitem").agg(
+      countMinSketch(col("l_orderkey").cast("string"), w, d).as("sk_l"),
+      count(lit(1)).as("n_l"))
+    val exact = t(s, dir, "orders").select(col("o_orderkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_join_exact"))
+    val est = cmsJoinSize(col("sk_o"), col("sk_l"), w, d)
+    val envelope = ceil(lit(math.E / w) *
+      col("n_o").cast("double") * col("n_l").cast("double")).cast("long")
+    o.join(l).join(exact)
+      .select(col("n_o"), col("n_l"), col("n_join_exact"),
+        (est >= col("n_join_exact") &&
+          est <= col("n_join_exact") + envelope).as("within_bound"))
+  }
+
+  /** k-anonymity audit over customer quasi-identifiers ([[graft.ops
+    * .Privacy]]): one aggregate at (nation, segment) grain, then a
+    * group-grain summary — how many combinations fall below k=10, how
+    * many rows they expose, and the k the dataset actually provides.
+    */
+  private def kAnonymityCustomers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.kAnonymityStats(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 10L)
+
   /** Unicode canonicalization audit ([[graft.functions
     * .NormalizeUnicode]], native codegen'd expression): how many
     * documents change under NFC, and whether the exact-dup fingerprint
@@ -1135,6 +1175,8 @@ object SparkEntry {
     "cms_brand_counts" -> (cmsBrandCounts _),
     "table_fingerprint_orders" -> (tableFingerprintOrders _),
     "price_histogram" -> (priceHistogram _),
+    "cms_join_size" -> (cmsJoinSizeOrders _),
+    "k_anonymity_customers" -> (kAnonymityCustomers _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1153,6 +1195,25 @@ object SparkEntry {
   val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
 
   private def baseOracleSql: Map[String, String] = Map(
+    // exact counts + literal TRUE — the hash match certifies the
+    // sketch inner-product estimate landed in [exact, exact + ε·Na·Nb]
+    "cms_join_size" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+        |       (SELECT CAST(count(*) AS BIGINT)
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) AS n_join_exact,
+        |       TRUE AS within_bound""".stripMargin,
+    "k_anonymity_customers" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_total_rows,
+        |       CAST(sum(CASE WHEN n_rows < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |       CAST(sum(CASE WHEN n_rows < 10 THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |       min(n_rows) AS k_effective
+        |FROM g""".stripMargin,
     // same integer-cents scaling, same floor-divide bucket edges
     // (width 3,000,000 = ceil((hi-lo)/nBuckets) from the Spark side)
     "price_histogram" ->

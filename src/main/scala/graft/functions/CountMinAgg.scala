@@ -179,3 +179,72 @@ object CmsEstimate {
   def cmsEstimate(sketch: Column, item: Column, width: Int, depth: Int): Column =
     column(CmsEstimate(expression(sketch), expression(item), width, depth))
 }
+
+/** Equi-join SIZE estimate from two [[CountMinAgg]] grids built with
+  * the SAME (width, depth) over each side's join key: min over rows of
+  * the counter inner product (Alon-Gibbons-Matias-Szegedy via CMS;
+  * Cormode & Muthukrishnan §4.2). NEVER undercounts; overcounts by at
+  * most `ε·N_a·N_b` (ε = e/width) — cross-terms shrink with width, so
+  * useful tightness wants `width ≳` the distinct-key count. This is
+  * the broadcast-or-shuffle planning question ("how big is this join?")
+  * answered from two KB–MB sketches without running the join.
+  */
+case class CmsJoinSize(a: Expression, b: Expression, width: Int, depth: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  require(width > 0, s"width=$width")
+  require(depth > 0, s"depth=$depth")
+
+  override def left: Expression = a
+  override def right: Expression = b
+
+  override def checkInputDataTypes(): TypeCheckResult = (a.dataType, b.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "count_min_join_size needs two array<bigint> sketches, got " +
+        s"(${a.dataType.simpleString}, ${b.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_min_join_size"
+
+  protected override def nullSafeEval(sa: Any, sb: Any): Any = {
+    val va = sa.asInstanceOf[ArrayData]
+    val vb = sb.asInstanceOf[ArrayData]
+    val n = width * depth
+    if (va.numElements() != n || vb.numElements() != n)
+      throw new IllegalArgumentException(
+        s"count_min_join_size(width=$width, depth=$depth) expects two " +
+          s"$n-cell sketches, got ${va.numElements()} and " +
+          s"${vb.numElements()} — both must be built with these parameters")
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var dot = 0L
+      var c = 0
+      while (c < width) {
+        val i = r * width + c
+        dot += va.getLong(i) * vb.getLong(i)
+        c += 1
+      }
+      if (dot < min) min = dot
+      r += 1
+    }
+    min
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
+object CmsJoinSize {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Estimated equi-join row count between the streams the two sketches
+    * summarize; both must be built with this `width`/`depth`.
+    */
+  def cmsJoinSize(a: Column, b: Column, width: Int, depth: Int): Column =
+    column(CmsJoinSize(expression(a), expression(b), width, depth))
+}

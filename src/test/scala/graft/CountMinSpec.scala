@@ -68,6 +68,29 @@ class CountMinSpec extends AnyFunSuite {
     assert(chain.contains("must match the sketch's build parameters"))
   }
 
+  test("join-size estimate: exact with wide grids, never undercounts with tiny ones") {
+    import graft.functions.CmsJoinSize.cmsJoinSize
+    // A: a,a,b,c  B: a,b,b,d → true join size = 2·1 + 1·2 = 4
+    val a = Seq("a", "a", "b", "c").toDF("k")
+    val b = Seq("a", "b", "b", "d").toDF("k")
+    def est(w: Int, d: Int): Long =
+      a.agg(countMinSketch(col("k"), w, d).as("ska"))
+        .join(b.agg(countMinSketch(col("k"), w, d).as("skb")))
+        .select(cmsJoinSize(col("ska"), col("skb"), w, d))
+        .as[Long].head()
+    assert(est(512, 3) === 4L)        // wide grid: no collisions
+    assert(est(2, 2) >= 4L)           // tiny grid: only ever overcounts
+    // mismatched build parameters fail loudly
+    val e = intercept[Throwable] {
+      a.agg(countMinSketch(col("k"), 64, 3).as("ska"))
+        .join(b.agg(countMinSketch(col("k"), 32, 3).as("skb")))
+        .select(cmsJoinSize(col("ska"), col("skb"), 64, 3)).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("both must be built with these parameters"))
+  }
+
   test("SQL registration works; wrong item type fails analysis") {
     GraftFunctions.register(spark)
     df.createOrReplaceTempView("cms_items")

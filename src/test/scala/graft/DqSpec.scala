@@ -91,4 +91,25 @@ class DqSpec extends AnyFunSuite {
       .select("bucket").collect().map(_.getInt(0)).toSeq
     assert(h2 === Seq(9))
   }
+
+  test("k-anonymity: small groups reported, null combos are groups, stats add up") {
+    import graft.ops.Privacy
+    val df = (Seq(("tx", Some("a"))) ++                    // unique → risk
+      Seq.fill(3)(("ca", Some("b"))) ++                    // 3 < k=5 → risk
+      Seq.fill(12)(("ny", Some("c"))) ++                   // safe
+      Seq(("tx", None), ("tx", None))                      // null combo, 2 rows
+      ).toDF("state", "seg")
+    val v = Privacy.kAnonymityViolations(df, Seq("state", "seg"), 5L)
+      .orderBy("n_rows").collect()
+    assert(v.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+    // the null quasi-combo is its own (reported) group
+    assert(v.exists(r => r.getString(0) == "tx" && r.isNullAt(1)))
+    val s = Privacy.kAnonymityStats(df, Seq("state", "seg"), 5L).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getLong(4)) === ((4L, 18L, 3L, 6L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Privacy.kAnonymityStats(df, Seq("state"), 1L)
+    }
+    assert(e.getMessage.contains("k >= 2"))
+  }
 }

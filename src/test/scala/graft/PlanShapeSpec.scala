@@ -80,7 +80,7 @@ class PlanShapeSpec extends AnyFunSuite {
         (p.contains("BroadcastNestedLoopJoin") &&
           !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi",
             "chi2_priority_status", "cms_brand_counts", "lm_quality_score",
-            "source_overlap_sketch")(name))
+            "source_overlap_sketch", "cms_join_size")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
