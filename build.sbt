@@ -53,6 +53,7 @@ val suiteWeights: Map[String, Double] = Map(
   "graft.CurationSpec" -> 35, "graft.QuickstartSpec" -> 34,
   "graft.PlanShapeSpec" -> 26, "graft.PageRankSpec" -> 22,
   "graft.ScaleStressSpec" -> 20, "graft.SessionizeStreamSpec" -> 20,
+  "graft.SetSimSpec" -> 28,
   "graft.RangeJoinSpec" -> 18, "graft.MlCrossCheckSpec" -> 15,
   "graft.AnsiModeSpec" -> 14, "graft.PropertySpec" -> 14,
   "graft.AnalyticsOpsSpec" -> 14, "graft.FunnelStreamSpec" -> 12,

@@ -114,7 +114,10 @@ object Bench {
       "unicode_fingerprint_stats", "containment_pairs", "cms_brand_counts",
       "table_fingerprint_orders", "lm_quality_score",
       "source_overlap_sketch", "weighted_reservoir_docs",
-      "price_histogram", "cms_join_size", "k_anonymity_customers")
+      "price_histogram", "cms_join_size", "k_anonymity_customers",
+      "ks_price_drift", "incremental_rollup_orders", "pagerank_trade_graph",
+      "dataset_split_stats", "setsim_prefix_pairs", "setsim_snm_pairs",
+      "sparse_cosine_pairs")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -677,6 +677,60 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("vec_id")).as("id_sum"))
   }
 
+  /** (name, weight) for the canonical 80/10/10 corpus split — shared by
+    * the Spark query and its oracle so the cut points agree by
+    * construction.
+    */
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic train/val/test assignment ([[Curation.datasetSplit]]),
+    * summarized per split. The oracle replays the same (id, seed) hash
+    * arithmetic, so a hash match certifies every document landed in the
+    * same split on both engines — the reproducibility property itself.
+    */
+  private def datasetSplitStats(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "documents")
+      .groupBy(Curation.datasetSplit(col("doc_id"), SplitWeights).as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars_total"))
+      .orderBy(col("split"))
+
+  /** EXACT shingle-set similarity join via PPJoin prefix filtering
+    * ([[SetSim.prefixFilterPairs]]): every pair at Jaccard ≥ 0.6, found
+    * from rare-prefix candidates only. The ORACLE brute-forces all
+    * pairs — the Spark side never does — so the hash match is an
+    * exactness proof of the pruning at gate scale.
+    */
+  private def setsimPrefixPairs(s: SparkSession, dir: String): DataFrame =
+    SetSim.prefixFilterPairs(tPar(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Blocked sorted-neighborhood pairs ([[SetSim
+    * .sortedNeighborhoodPairs]]): block on `lang`, collate by `n_chars`
+    * (near-dups have near-equal lengths), compare within 10 positions.
+    * Deliberately approximate — the spec measures recall vs brute
+    * force; the oracle certifies the window semantics exactly.
+    */
+  private def setsimSnmPairs(s: SparkSession, dir: String): DataFrame =
+    SetSim.sortedNeighborhoodPairs(tPar(s, dir, "documents"), "doc_id",
+        "text", "lang", col("n_chars"), window = 10, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Sparse TF-IDF cosine pairs ([[Tfidf.sparseCosinePairs]]) over the
+    * df≤50 word-3-gram vocabulary — similarity search with no
+    * embeddings, candidates from the inverted index. N-gram grain, not
+    * unigram: this corpus's 31-term unigram vocabulary is universal per
+    * doc (df ≥ 250 at sf0.1 — a unigram tf-idf weighs nothing), while
+    * n-gram frequencies keep discriminating at every scale. Integer
+    * micro-unit weights make the norms and dots exact cross-engine; the
+    * oracle replays the same grid.
+    */
+  private def sparseCosinePairsQ(s: SparkSession, dir: String): DataFrame =
+    Tfidf.sparseCosinePairs(tPar(s, dir, "documents"), "doc_id", "text",
+        maxDf = 50L, threshold = 0.3, ngram = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -728,6 +782,10 @@ object LlmQueries {
     "edit_sim_pairs" -> (editSimPairs _),
     "boilerplate_strip_stats" -> (boilerplateStripStats _),
     "semantic_dedup_stats" -> (semanticDedupStats _),
+    "dataset_split_stats" -> (datasetSplitStats _),
+    "setsim_prefix_pairs" -> (setsimPrefixPairs _),
+    "setsim_snm_pairs" -> (setsimSnmPairs _),
+    "sparse_cosine_pairs" -> (sparseCosinePairsQ _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -1810,5 +1868,98 @@ object LlmQueries {
          |SELECT media_id, media_type, n_frames,
          |       CAST(unnest(range(0, n_frames, stride)) AS INTEGER) AS frame_idx
          |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+    // same (id, seed) bucket arithmetic via datasetSplitSql — a hash
+    // match proves per-document split assignment agrees engine-to-engine
+    "dataset_split_stats" ->
+      s"""SELECT ${Curation.datasetSplitSql("doc_id", SplitWeights)} AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // BRUTE FORCE on the oracle side (all doc pairs) vs prefix-filtered
+    // candidates on the Spark side — equality certifies the pruning
+    // dropped nothing. The length-ratio prune is implied by J ≥ t.
+    "setsim_prefix_pairs" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), base AS (
+         |  SELECT doc_id, $Shingles AS toks FROM b0
+         |), nz AS (
+         |  SELECT doc_id, toks, len(toks) AS s FROM base WHERE len(toks) > 0
+         |), c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS i,
+         |         CAST(a.s + b.s AS DOUBLE) AS u0
+         |  FROM nz a JOIN nz b
+         |    ON a.doc_id < b.doc_id
+         |   AND least(a.s, b.s) >= 0.6 * greatest(a.s, b.s)
+         |)
+         |SELECT id_a, id_b,
+         |       CASE WHEN u0 - i > 0 THEN i / (u0 - i) ELSE 0.0 END AS jaccard
+         |FROM c
+         |WHERE CASE WHEN u0 - i > 0 THEN i / (u0 - i) ELSE 0.0 END >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    // same per-block (n_chars, doc_id) ordering and ≤10-position window
+    "setsim_snm_pairs" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, lang, n_chars, $Toks AS toks FROM documents
+         |), base AS (
+         |  SELECT doc_id, lang AS block, n_chars, $Shingles AS toks FROM b0
+         |), nz AS (
+         |  SELECT doc_id, block, n_chars, toks, len(toks) AS s
+         |  FROM base WHERE len(toks) > 0
+         |), p AS (
+         |  SELECT doc_id, block, toks, s,
+         |         CAST(row_number() OVER (PARTITION BY block ORDER BY n_chars, doc_id) AS BIGINT) AS pos
+         |  FROM nz
+         |), c AS (
+         |  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+         |         b.pos - a.pos AS pos_gap,
+         |         CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS i,
+         |         CAST(a.s + b.s AS DOUBLE) AS u0
+         |  FROM p a JOIN p b
+         |    ON a.block = b.block AND b.pos - a.pos BETWEEN 1 AND 10
+         |)
+         |SELECT block, id_a, id_b, pos_gap,
+         |       CASE WHEN u0 - i > 0 THEN i / (u0 - i) ELSE 0.0 END AS jaccard
+         |FROM c
+         |WHERE CASE WHEN u0 - i > 0 THEN i / (u0 - i) ELSE 0.0 END >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // same micro-unit weight grid, HUGEINT exact norms/dots, one
+    // double division per pair — bit-identical cosines engine-to-engine
+    "sparse_cosine_pairs" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), t AS (
+         |  SELECT doc_id, unnest($ShinglesAll) AS term FROM b0
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+         |), v AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         |), w AS (
+         |  SELECT doc_id, tf.term,
+         |         CAST(round(CAST(tf AS DOUBLE)
+         |                    * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+         |                    * 1000000.0) AS BIGINT) AS w
+         |  FROM tf JOIN v ON tf.term = v.term CROSS JOIN nn
+         |  WHERE df <= 50
+         |), w2 AS (SELECT * FROM w WHERE w <> 0
+         |), norms AS (
+         |  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w2 GROUP BY 1
+         |), dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+         |  FROM w2 a JOIN w2 b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), cos AS (
+         |  SELECT id_a, id_b,
+         |         round(CAST(dot AS DOUBLE)
+         |               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+         |  FROM dots JOIN norms na ON na.doc_id = id_a
+         |  JOIN norms nb ON nb.doc_id = id_b
+         |)
+         |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

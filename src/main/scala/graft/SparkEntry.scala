@@ -642,10 +642,17 @@ object SparkEntry {
   /** Mergeable distinct-count cube: monthly HLL sketches of the
     * customer set per priority ([[graft.ops.Reagg.distinctSketch]]),
     * merged to per-priority totals WITHOUT re-scanning orders — the
-    * sketch twin of [[rollupQuarterlyFromMonthly]]'s sum merge.
-    * Rows-only in the driver gate (Datasketches HLL has no DuckDB
-    * twin); the merge-equals-direct identity and the within-ε accuracy
-    * are pinned by `WindowsSaltSpec`.
+    * sketch twin of [[rollupQuarterlyFromMonthly]]'s sum merge. Since
+    * round 6 it exact-hash-checks via the same envelope-certification
+    * pattern as `cms_join_size`: the query also computes the EXACT
+    * per-priority distinct count and a `within_bound` verdict (merged
+    * estimate within ±5% ≈ 3σ of HLL lgK=12's 1.625% RSE), and the
+    * oracle recomputes the exact counts and asserts literal TRUE — an
+    * estimate outside the envelope flips the Spark side and fails the
+    * hash. The exact leg is the certification harness; the sketch cube
+    * is what ships at 100 TB (slices carry KB sketches, reports merge
+    * without re-scanning facts). Merge-equals-direct is pinned by
+    * `WindowsSaltSpec`.
     */
   private def distinctSketchCustomers(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Reagg
@@ -653,9 +660,18 @@ object SparkEntry {
       .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("yyyymm"),
         col("o_orderpriority"))
       .agg(Reagg.distinctSketch(col("o_custkey")).as("sk"))
-    monthly.groupBy(col("o_orderpriority"))
+    val est = monthly.groupBy(col("o_orderpriority"))
       .agg(Reagg.estimateDistinct(Reagg.mergeDistinctSketches(col("sk")))
-        .as("est_customers"))
+        .as("__est"))
+    val exact = tPar(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("__p"))
+      .agg(count_distinct(col("o_custkey")).as("n_exact_customers"))
+    est.join(exact, col("o_orderpriority") === col("__p"))
+      .select(col("o_orderpriority"), col("n_exact_customers"),
+        (abs(col("__est").cast("double") -
+            col("n_exact_customers").cast("double")) <=
+          lit(0.05) * col("n_exact_customers").cast("double"))
+          .as("within_bound"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -1091,6 +1107,56 @@ object SparkEntry {
     graft.ops.Privacy.kAnonymityStats(t(s, dir, "customer"),
       Seq("c_nationkey", "c_mktsegment"), k = 10L)
 
+  /** Kolmogorov–Smirnov drift ([[graft.ops.Drift.ks]]) between the same
+    * 1995/1996 order-total populations as `price_drift_psi`, on the
+    * same $50k grid — the worst single ECDF gap next to PSI's summed
+    * divergence. `ks_scaled` is exact decimal(38,0) integer arithmetic;
+    * the one double division happens at the end.
+    */
+  private def ksPriceDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Drift
+    val orders = t(s, dir, "orders")
+    def yr(y: Int) = orders.where(year(col("o_orderdate")) === y)
+    Drift.ks(yr(1995), yr(1996), cents(col("o_totalprice")), 5000000L)
+  }
+
+  /** Incremental rollup maintenance ([[graft.ops.Incremental]]): the
+    * 1992–1996 snapshot's partial states merge with the 1997+ delta's —
+    * history is never rescanned — and the oracle recomputes from ALL
+    * orders, certifying merge ≡ recompute on count/sum/min/max and the
+    * read-time avg.
+    */
+  private def incrementalRollupOrders(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val orders = t(s, dir, "orders")
+    val keys = Seq("o_orderpriority")
+    val cut = "1997-01-01"
+    val snapshot = Incremental.partial(
+      orders.where(col("o_orderdate") < lit(cut)),
+      keys, cents(col("o_totalprice")), "cents")
+    val delta = Incremental.partial(
+      orders.where(col("o_orderdate") >= lit(cut)),
+      keys, cents(col("o_totalprice")), "cents")
+    Incremental.finish(Incremental.merge(Seq(snapshot, delta), keys, "cents"),
+        "cents")
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Fixed-point PageRank ([[graft.ops.PageRank.ranksFixedPoint]]) over
+    * the customer→supplier trade graph (supplier node ids offset by
+    * 1,000,000 to disjoin the key spaces) — 3 power iterations in exact
+    * integer micro-units, bit-identical to the unrolled SQL twin, so
+    * the iterative graph family gets an exact-hash oracle.
+    */
+  private def pagerankCustomerSupplier(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+    graft.ops.PageRank.ranksFixedPoint(edges, "src", "dst", iters = 3)
+      .orderBy(col("id"))
+  }
+
   /** Unicode canonicalization audit ([[graft.functions
     * .NormalizeUnicode]], native codegen'd expression): how many
     * documents change under NFC, and whether the exact-dup fingerprint
@@ -1177,6 +1243,9 @@ object SparkEntry {
     "price_histogram" -> (priceHistogram _),
     "cms_join_size" -> (cmsJoinSizeOrders _),
     "k_anonymity_customers" -> (kAnonymityCustomers _),
+    "ks_price_drift" -> (ksPriceDrift _),
+    "incremental_rollup_orders" -> (incrementalRollupOrders _),
+    "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -1187,12 +1256,13 @@ object SparkEntry {
     * neither oracled nor declared here, so an oracle can't be forgotten
     * silently.
     *
-    * (knn_cosine_ivf and quantile_sketch_quantity left this list in
-    * round 6: the IVF twin embeds the trained centroids as literals,
-    * and the quantile query now certifies its estimates against exact
-    * rank windows both engines compute — so both exact-hash-check.)
+    * (Empty since round 6: knn_cosine_ivf embeds its trained centroids
+    * as literals, quantile_sketch_quantity certifies its estimates
+    * against exact rank windows, and distinct_sketch_customers
+    * certifies its merged HLL estimates against exact distinct counts —
+    * every query in the contract exact-hash-checks.)
     */
-  val rowsOnlyQueries: Set[String] = Set("distinct_sketch_customers")
+  val rowsOnlyQueries: Set[String] = Set.empty
 
   private def baseOracleSql: Map[String, String] = Map(
     // exact counts + literal TRUE — the hash match certifies the
@@ -1203,6 +1273,13 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT)
         |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) AS n_join_exact,
         |       TRUE AS within_bound""".stripMargin,
+    // exact distinct counts + literal TRUE — the hash match certifies
+    // every merged HLL estimate landed inside the ±5% (≈3σ) envelope
+    "distinct_sketch_customers" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact_customers,
+        |       TRUE AS within_bound
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "k_anonymity_customers" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
@@ -1214,6 +1291,59 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_rows < 10 THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
         |       min(n_rows) AS k_effective
         |FROM g""".stripMargin,
+    // same 1995/1996 populations and $50k cents grid as price_drift_psi;
+    // the ECDF gap max is exact integer cross-multiplication in both
+    // engines (HUGEINT there, decimal(38,0) here), one division at the end
+    "ks_price_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket
+        |  FROM orders WHERE year(o_orderdate) = 1995
+        |), b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket
+        |  FROM orders WHERE year(o_orderdate) = 1996
+        |), ca AS (SELECT bucket, count(*) AS c FROM a GROUP BY 1
+        |), cb AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1
+        |), g AS (
+        |  SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        |), cum AS (
+        |  SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+        |  FROM g WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |         CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM g
+        |)
+        |SELECT t.n_buckets, t.n_a, t.n_b,
+        |       CAST(max(abs(CAST(cum_a AS HUGEINT) * t.n_b
+        |                    - CAST(cum_b AS HUGEINT) * t.n_a)) AS DECIMAL(38,0)) AS ks_scaled,
+        |       round(CAST(max(abs(CAST(cum_a AS HUGEINT) * t.n_b
+        |                          - CAST(cum_b AS HUGEINT) * t.n_a)) AS DOUBLE)
+        |             / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
+        |FROM cum CROSS JOIN t GROUP BY 1, 2, 3""".stripMargin,
+    // the oracle recomputes the rollup from ALL orders in one pass — a
+    // hash match certifies snapshot⊕delta state merge ≡ full recompute
+    "incremental_rollup_orders" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(v) AS BIGINT) AS sum_cents,
+        |       min(v) AS min_cents, max(v) AS max_cents,
+        |       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the unrolled integer fixed-point twin (PageRank.fixedPointSql):
+    // identical floored arithmetic per iteration, bit-equal ranks
+    "pagerank_trade_graph" ->
+      graft.ops.PageRank.fixedPointSql(
+        """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+          |                CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+        iters = 3),
     // same integer-cents scaling, same floor-divide bucket edges
     // (width 3,000,000 = ceil((hi-lo)/nBuckets) from the Spark side)
     "price_histogram" ->

@@ -168,6 +168,47 @@ object Curation {
     df.where(keep)
   }
 
+  /** Deterministic train/validation/test assignment keyed on an integer
+    * id: the split every training-data release needs, and the one place
+    * a random split silently poisons evaluation — a per-run RNG assigns
+    * the SAME document to train today and test tomorrow. Here the
+    * assignment is a pure function of (id, seed): reproducible across
+    * runs, engines, and repartitionings, and documents never migrate
+    * between splits when the corpus grows (the [[sampleBucket]] hash
+    * does not depend on corpus size).
+    *
+    * `weights` are (name, weight) in order; each id lands in the split
+    * whose cumulative bucket range covers `sampleBucket(id, seed)` (the
+    * 1e6-bucket space is divided proportionally, earlier splits first,
+    * last split absorbing the rounding remainder). Map-only — one added
+    * column, no shuffle.
+    */
+  def datasetSplit(id: Column, weights: Seq[(String, Double)],
+                   seed: Long = 12345L): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + (w / total * 1e6).toLong }.tail
+    val bucket = sampleBucket(id, seed)
+    // last split takes everything past its cut (rounding remainder)
+    weights.init.zip(cuts.init).foldRight(lit(weights.last._1)) {
+      case (((name, _), cut), acc) => when(bucket < cut, name).otherwise(acc)
+    }
+  }
+
+  /** ANSI-SQL twin of [[datasetSplit]]; keep in lockstep. */
+  def datasetSplitSql(idExpr: String, weights: Seq[(String, Double)],
+                      seed: Long = 12345L): String = {
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + (w / total * 1e6).toLong }.tail
+    val bucket = sampleBucketSql(idExpr, seed)
+    val whens = weights.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN $bucket < $cut THEN '$name'" }.mkString(" ")
+    s"(CASE $whens ELSE '${weights.last._1}' END)"
+  }
+
   // ----- the curation funnel ---------------------------------------------
 
   /** The standard corpus-curation funnel as one composition:

@@ -38,6 +38,78 @@ object Tfidf {
         col("tf").cast("double") *
           log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
 
+  /** Exact sparse cosine-similarity pairs over the df-capped TF-IDF
+    * vocabulary, via the inverted index — the sparse-vector complement
+    * to [[Similarity]]'s dense-embedding kNN: no embeddings needed,
+    * candidates come from shared rare-ish terms.
+    *
+    * Semantics: cosine over the vocabulary restricted to `df ≤ maxDf`.
+    * The cap is part of the DEFINITION, not an approximation knob — it
+    * is the standard IR stopword discipline (ubiquitous terms carry no
+    * discrimination), and at scale it is also what bounds the inverted
+    * index join: a term's pair fanout is ≤ maxDf², so no hot-token key
+    * can go quadratic in the corpus.
+    *
+    * Determinism: each (doc, term) weight `tf · ln((N+1)/(df+1))` is
+    * fixed-pointed ONCE to integer micro-units (same grid discipline as
+    * [[LangModel]]'s lp_nano); norms and dot products are then EXACT
+    * integer sums in decimal(38,0) (w ≤ ~1e9 ⇒ w² ≤ ~1e18 per term —
+    * a long sum could overflow across terms, the decimal cannot), and
+    * the single double division + 6dp round happens per pair at the
+    * end. Partitioning-invariant, engine-invariant.
+    *
+    * Scale shape: weights are one (doc, term)-grain join against the
+    * capped vocab; norms one doc-grain aggregate; the pair join keys on
+    * `term` (never all-pairs) and re-aggregates at pair grain; the two
+    * norm joins are id-grain. One shuffle per grain, nothing
+    * driver-side.
+    */
+  def sparseCosinePairs(documents: DataFrame, idCol: String, textCol: String,
+                        maxDf: Long, threshold: Double,
+                        ngram: Int = 1): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf (a df-1 term can never pair)")
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    require(ngram >= 1, s"ngram=$ngram")
+    // ngram > 1 scores over word n-grams (repeats preserved — these are
+    // FREQUENCIES, not the distinct sets the dedup family uses). The
+    // right grain for corpora whose unigram vocabulary is near-universal
+    // per doc: there a unigram tf-idf has nothing rare to weigh, while
+    // n-gram frequencies keep discriminating.
+    val units =
+      if (ngram == 1) TextStats.tokens(col(textCol))
+      else Curation.shinglesAll(TextStats.tokens(col(textCol)), ngram)
+    val tf = documents
+      .select(col(idCol), explode(units).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = vocabulary(tf, idCol).where(col("df") <= maxDf)
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(vocab.select(col("term"), col("df")), "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)) * lit(1e6))
+          .cast("long").as("w"))
+      .where(col("w") =!= 0L)
+    val norms = w.groupBy(col(idCol))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    val a = w.select(col(idCol).as("id_a"), col("term"), col("w").as("wa"))
+    val b = w.select(col(idCol).as("id_b"), col("term"), col("w").as("wb"))
+    val dots = a.join(b, Seq("term"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wa").cast("decimal(38,0)") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col(idCol).as("id_a"), col("n2").as("na2")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("n2").as("nb2")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Top-k terms per document by (rounded tfidf desc, term) — total
     * order, deterministic.
     */

@@ -57,4 +57,51 @@ object Drift {
       .groupBy(col("n_buckets"), col("n_a"), col("n_b"))
       .agg(round(sum(col("__contrib")), 6).as("psi"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance on the same bucket grid:
+    * `D = max_x |F_a(x) - F_b(x)|` over the union of observed buckets —
+    * the complementary drift statistic to [[psi]] (PSI weighs the whole
+    * distribution, KS the single worst ECDF gap; a localized shift that
+    * PSI's sum dilutes shows up undiluted here).
+    *
+    * Determinism: the ECDF comparison is EXACT INTEGER arithmetic —
+    * `ks_scaled = max |cum_a·n_b - cum_b·n_a|` in decimal(38,0), which
+    * cannot overflow (each factor ≤ 2⁶³ so the product < 8.6e37 < 1e38);
+    * the single double division `ks_scaled / (n_a·n_b)` happens once at
+    * the end, rounded to 6 decimals. No order-dependent double sums.
+    *
+    * Scale shape: one bucket-grain aggregate per side (map-side
+    * partial), a full-outer join on the bucket id, then ONE cumulative
+    * window over the grid. The window is single-partition BY DESIGN —
+    * it runs on the bucket grid (size = value range / bucketWidth), not
+    * the data, the same "tiny grid" discipline as [[psi]]; pick a
+    * bucketWidth that keeps the grid in the thousands and the data
+    * volume never touches the window.
+    */
+  def ks(a: DataFrame, b: DataFrame, value: Column,
+         bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = bucketCounts(a, value, bucketWidth).withColumnRenamed("c", "ca")
+    val cb = bucketCounts(b, value, bucketWidth).withColumnRenamed("c", "cb")
+    val grid = ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      sum(col("ca")).over(w).as("cum_a"),
+      sum(col("cb")).over(w).as("cum_b"))
+    val totals = grid.agg(count(lit(1)).as("n_buckets"),
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n_buckets"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
+          col("cum_b").cast("decimal(38,0)") * col("n_a")).as("__gap"))
+      .groupBy(col("n_buckets"), col("n_a"), col("n_b"))
+      .agg(max(col("__gap")).cast("decimal(38,0)").as("ks_scaled"))
+      .select(col("n_buckets"), col("n_a"), col("n_b"), col("ks_scaled"),
+        round(col("ks_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks"))
+  }
 }

@@ -90,4 +90,94 @@ object PageRank {
     CheckpointBridge.release(base)
     ckpt.select(col("id"), col("rank"))
   }
+
+  /** Fixed-point PageRank: the same damped power iteration in INTEGER
+    * arithmetic (ranks in `unit` micro-units, damping as the rational
+    * `dampNum/dampDen`, every division a floor `div`) for a FIXED
+    * iteration count — bit-identical on any engine, so the graph
+    * family's iterate-join-aggregate shape gets a real exact-hash
+    * oracle ([[fixedPointSql]] is the ANSI twin; keep in lockstep).
+    * [[ranks]] (converged doubles) stays the production path; this
+    * variant exists because cross-engine double fixpoints are not
+    * comparable, exactly like the integer-moments trend twin
+    * ([[Trend]]) replacing `regr_slope`.
+    *
+    * Per iteration, identically in both engines:
+    * {{{
+    *   contrib(u→v) = r(u) div deg(u)            (per edge, floored)
+    *   D            = Σ r(u) over deg-less nodes (dangling mass)
+    *   r'(v) = ((dampDen-dampNum)·unit div dampDen) div n
+    *         + (dampNum · (Σ contrib(·→v) + D div n)) div dampDen
+    * }}}
+    * Floors leak O(1) units per node per round — harmless (and
+    * identical) at `unit` = 1e12.
+    *
+    * Same scale shape as [[ranks]]: each round is one edge⋈rank join +
+    * one dst-grain aggregate, one generation of ranks live at a time.
+    */
+  def ranksFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int = 3, unit: Long = 1000000000000L,
+                      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping $dampNum/$dampDen out of (0,1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val base = nodes.join(deg, nodes("id") === deg("src"), "left")
+      .select(col("id"), col("__deg")).localCheckpoint(true)
+    val n = base.count()
+    require(n > 0, "empty graph")
+    val basePart = ((dampDen - dampNum) * unit / dampDen) / n
+    var cur = base.withColumn("rank", lit(unit / n)).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val prev = cur
+      val dangPerNode = prev.where(col("__deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0) / n
+      val contribs = e
+        .join(prev.select(col("id").as("__s"), col("rank"), col("__deg")),
+          col("src") === col("__s"))
+        .select(col("dst"), expr("rank div __deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      cur = base.join(contribs, base("id") === contribs("dst"), "left")
+        .select(col("id"), col("__deg"),
+          (lit(basePart) + expr(
+            s"(${dampNum}L * (coalesce(__in, 0L) + ${dangPerNode}L)) div ${dampDen}L"))
+            .as("rank"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(prev)
+    }
+    CheckpointBridge.release(e)
+    CheckpointBridge.release(base)
+    cur.select(col("id"), col("rank").as("rank_fp"))
+  }
+
+  /** ANSI-SQL twin of [[ranksFixedPoint]] (unrolled CTE per iteration);
+    * `edgesSql` must yield distinct (src, dst). Keep in lockstep.
+    */
+  def fixedPointSql(edgesSql: String, iters: Int,
+                    unit: Long = 1000000000000L, dampNum: Long = 85L,
+                    dampDen: Long = 100L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(rank), 0) AS dang FROM r${i - 1} WHERE deg IS NULL),
+         |c$i AS (SELECT e.dst AS id, sum(r.rank // r.deg) AS insum
+         |        FROM e JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
+         |r$i AS (SELECT b.id, b.deg,
+         |          ((($dampDen - $dampNum) * $unit // $dampDen) // (SELECT n FROM cnt))
+         |          + ($dampNum * (COALESCE(c.insum, 0)
+         |                         + ((SELECT dang FROM d$i) // (SELECT n FROM cnt)))) // $dampDen AS rank
+         |        FROM base b LEFT JOIN c$i c ON c.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |base AS (SELECT n.id, d.deg FROM nodes n LEFT JOIN deg d ON d.src = n.id),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT b.id, b.deg, (SELECT $unit // n FROM cnt) AS rank FROM base b),
+       |$rounds
+       |SELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters ORDER BY id""".stripMargin
+  }
 }

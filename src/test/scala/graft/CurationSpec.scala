@@ -142,6 +142,47 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.forall(b => b >= 0 && b < 1000000L))
   }
 
+  test("datasetSplit: total, proportional, stable as the corpus grows, DuckDB-portable") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = (0L until 10000L).toDF("id")
+    val got = df.select(col("id"), Curation.datasetSplit(col("id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total function: every id lands in exactly one split
+    assert(got.size === 10000)
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 10000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.02, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
+    // growth stability: the assignment is a pure function of (id, seed),
+    // so a larger corpus never moves an existing document
+    val grown = (0L until 20000L).toDF("id")
+      .select(col("id"), Curation.datasetSplit(col("id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+    // unnormalized weights mean the same proportions
+    val w2 = Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)
+    val same = df.select(col("id"), Curation.datasetSplit(col("id"), w2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(same === got)
+
+    // the SQL twin assigns identically in DuckDB
+    import java.sql.DriverManager
+    Class.forName("org.duckdb.DuckDBDriver")
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val sql = s"""SELECT id, ${Curation.datasetSplitSql("id", w)} AS s
+                   |FROM (SELECT unnest(range(0, 10000)) AS id)""".stripMargin
+      val rs = conn.createStatement().executeQuery(sql)
+      var n = 0
+      while (rs.next()) {
+        assert(rs.getString(2) === got(rs.getLong(1)),
+          s"duckdb split mismatch for id=${rs.getLong(1)}")
+        n += 1
+      }
+      assert(n === 10000)
+    } finally conn.close()
+  }
+
   test("weightedMix: integer weights replicate exactly, fractions sample, unlisted drop") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
     val mixed = Curation.weightedMix(df, "id", "src",

@@ -54,4 +54,34 @@ class PageRankSpec extends AnyFunSuite {
         maxIter = 1, tol = 1e-12)
     }
   }
+
+  test("fixed-point ranks track the dense double iteration at the same depth") {
+    val iters = 3
+    val unit = 1000000000000L
+    val got = PageRank.ranksFixedPoint(edgeList.toDF("s", "d"), "s", "d",
+        iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = dense(edgeList, 0.85, iters)
+    assert(got.keySet === want.keySet)
+    // floor divisions leak only O(units): relative parity with the
+    // double recurrence is ~1e-12-per-op, far inside 1e-9
+    got.foreach { case (v, r) =>
+      assert(math.abs(r.toDouble / unit - want(v)) < 1e-9,
+        s"node $v: ${r.toDouble / unit} vs ${want(v)}")
+    }
+    // floors only ever LOSE mass, and at most a few units per node per
+    // round — total stays just under one unit of rank
+    val mass = got.values.sum
+    assert(mass <= unit)
+    assert(mass > unit - 100L * got.size * iters)
+  }
+
+  test("fixed-point is deterministic run-to-run") {
+    val df = edgeList.toDF("s", "d")
+    val a = PageRank.ranksFixedPoint(df, "s", "d", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = PageRank.ranksFixedPoint(df, "s", "d", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
 }

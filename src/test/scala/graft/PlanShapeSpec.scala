@@ -69,7 +69,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("the only cartesian-shaped joins are the documented ones") {
     // brute-force kNN (exactness baseline); single-row broadcast totals
-    // in tfidf (corpus doc count), PSI drift (grid totals), chi-square
+    // in tfidf (corpus doc count), PSI/KS drift (grid totals), chi-square
     // (marginals), cms (the 1-row sketch+N frame), and the LM model's
     // corpus totals; and the sketch-overlap pair join (non-equi over the
     // |sources|-row SKETCH frame, never data grain). Anything else is a
@@ -80,7 +80,8 @@ class PlanShapeSpec extends AnyFunSuite {
         (p.contains("BroadcastNestedLoopJoin") &&
           !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi",
             "chi2_priority_status", "cms_brand_counts", "lm_quality_score",
-            "source_overlap_sketch", "cms_join_size")(name))
+            "source_overlap_sketch", "cms_join_size", "ks_price_drift",
+            "sparse_cosine_pairs")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }

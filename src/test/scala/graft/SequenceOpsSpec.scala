@@ -223,4 +223,26 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(r === BigDecimal(1.6 * math.log(9.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("KS is 0 for identical and 1 for disjoint distributions") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(11L, 12L, 13L, 14L).toDF("v")
+    val same = Drift.ks(a, a, col("v"), 10L).select("ks").as[Double].head()
+    assert(same === 0.0)
+    val disj = Drift.ks(a, b, col("v"), 10L)
+      .select(col("ks_scaled").cast("long"), col("ks"))
+      .as[(Long, Double)].head()
+    assert(disj === ((16L, 1.0))) // full mass gap at bucket 0: |4·4 − 0·4|
+  }
+
+  test("KS picks the single worst ECDF gap, exactly") {
+    // a buckets: [0,0,0,1]; b buckets: [0,1,1,1] → cum gaps |3·4−1·4|=8, 0
+    val a = Seq(1L, 2L, 3L, 14L).toDF("v")
+    val b = Seq(1L, 12L, 13L, 14L).toDF("v")
+    val r = Drift.ks(a, b, col("v"), 10L)
+      .select(col("n_buckets"), col("n_a"), col("n_b"),
+        col("ks_scaled").cast("long"), col("ks"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r === ((2L, 4L, 4L, 8L, 0.5)))
+  }
 }
