@@ -117,7 +117,8 @@ object Bench {
       "price_histogram", "cms_join_size", "k_anonymity_customers",
       "ks_price_drift", "incremental_rollup_orders", "pagerank_trade_graph",
       "dataset_split_stats", "setsim_prefix_pairs", "setsim_snm_pairs",
-      "sparse_cosine_pairs")
+      "sparse_cosine_pairs", "zipf_fit", "linkage_snm_scores",
+      "hilbert_locality")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

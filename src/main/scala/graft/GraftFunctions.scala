@@ -57,6 +57,8 @@ object GraftFunctions {
     "zorder_key3" -> { es =>
       arity(es, 3, "zorder_key3")
       graft.functions.ZOrderKey3(es.head, es(1), es(2)) },
+    "hilbert_key" -> { es =>
+      arity(es, 2, "hilbert_key"); graft.functions.HilbertKey(es.head, es(1)) },
     // aggregates: the analyzer wraps a bare AggregateFunction builder
     // result in an AggregateExpression during function resolution
     "top_k" -> { es =>

@@ -731,6 +731,62 @@ object LlmQueries {
         maxDf = 50L, threshold = 0.3, ngram = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Zipf-law fit ([[Tfidf.zipfFit]]) over the top-20 unigram
+    * vocabulary — corpus-shape diagnostic; integer micro-unit logs make
+    * the regression moments exact, so the slope hash-matches the
+    * DuckDB replay bit-for-bit.
+    */
+  private def zipfFitQ(s: SparkSession, dir: String): DataFrame =
+    Tfidf.zipfFit(tPar(s, dir, "documents"), "doc_id", "text", topK = 20)
+      .select(col("corpus"), col("n"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+
+  // Fellegi–Sunter field models shared by the linkage query and its
+  // oracle (m = agreement rate among matches, u = among non-matches)
+  private val LinkSourceMU = (0.9, 0.3)
+  private val LinkLenMU = (0.95, 0.2)
+  private val LinkTextMU = (0.98, 0.02)
+  private val LinkUpper = 4.0
+  private val LinkLower = -4.0
+
+  /** End-to-end entity-resolution composition: sorted-neighborhood
+    * candidates (UNGATED — disagreeing pairs are signal here) scored by
+    * the Fellegi–Sunter model ([[graft.ops.Linkage]]) over three
+    * fields (source agreement, length within 5%, shingle-Jaccard ≥
+    * 0.5) and classified into match / possible / non_match. Integer
+    * micro-ln weights make every score an exact sum; the oracle embeds
+    * the identical weight literals via `Linkage.weightsMicro`.
+    */
+  private def linkageSnmScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val docs = tPar(s, dir, "documents")
+    val cand = SetSim.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      "lang", col("n_chars"), window = 10, threshold = 0.0)
+    val attrs = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val withAttrs = cand
+      .join(attrs.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+        col("n_chars").as("len_a")), Seq("id_a"))
+      .join(attrs.select(col("doc_id").as("id_b"), col("source").as("src_b"),
+        col("n_chars").as("len_b")), Seq("id_b"))
+    val fields = Seq(
+      Linkage.FieldModel("source", col("src_a") === col("src_b"),
+        LinkSourceMU._1, LinkSourceMU._2),
+      Linkage.FieldModel("length",
+        abs(col("len_a") - col("len_b")) * 20 <=
+          greatest(col("len_a"), col("len_b")),
+        LinkLenMU._1, LinkLenMU._2),
+      Linkage.FieldModel("text", col("jaccard") >= 0.5,
+        LinkTextMU._1, LinkTextMU._2))
+    Linkage.classifyPairs(withAttrs, fields, upper = LinkUpper,
+        lower = LinkLower)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("verdict"))
+  }
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -786,6 +842,8 @@ object LlmQueries {
     "setsim_prefix_pairs" -> (setsimPrefixPairs _),
     "setsim_snm_pairs" -> (setsimSnmPairs _),
     "sparse_cosine_pairs" -> (sparseCosinePairsQ _),
+    "zipf_fit" -> (zipfFitQ _),
+    "linkage_snm_scores" -> (linkageSnmScores _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -1961,5 +2019,87 @@ object LlmQueries {
          |)
          |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    // same micro-unit ln grid, exact HUGEINT moments, identical
+    // closed-form division — slope/intercept bit-equal
+    "zipf_fit" ->
+      s"""WITH t AS (
+         |  SELECT unnest($Toks) AS term FROM documents
+         |), counts AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS total_tf FROM t GROUP BY 1
+         |  ORDER BY total_tf DESC, term LIMIT 20
+         |), ranked AS (
+         |  SELECT total_tf,
+         |         CAST(row_number() OVER (ORDER BY total_tf DESC, term) AS BIGINT) AS rank
+         |  FROM counts
+         |), fixed AS (
+         |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         |         CAST(round(ln(CAST(total_tf AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+         |  FROM ranked
+         |), m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM fixed
+         |)
+         |SELECT 'corpus' AS corpus, n,
+         |       round(CASE WHEN n * sxx - sx * sx <> 0
+         |                  THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         |             END, 6) AS slope,
+         |       round(CASE WHEN n * sxx - sx * sx <> 0
+         |                  THEN (CAST(sy AS DOUBLE) -
+         |                        (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+         |                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |             END, 6) AS intercept
+         |FROM m""".stripMargin,
+    // identical SNM candidates (ungated), identical micro-ln weight
+    // literals from Linkage.weightsMicro, exact integer scores
+    "linkage_snm_scores" -> {
+      val (saA, saD) = graft.ops.Linkage.weightsMicro(LinkSourceMU._1, LinkSourceMU._2)
+      val (lnA, lnD) = graft.ops.Linkage.weightsMicro(LinkLenMU._1, LinkLenMU._2)
+      val (txA, txD) = graft.ops.Linkage.weightsMicro(LinkTextMU._1, LinkTextMU._2)
+      val up = (LinkUpper * 1e6).toLong
+      val lo = (LinkLower * 1e6).toLong
+      s"""WITH b0 AS (
+         |  SELECT doc_id, lang, n_chars, $Toks AS toks FROM documents
+         |), base AS (
+         |  SELECT doc_id, lang AS block, n_chars, $Shingles AS toks FROM b0
+         |), nz AS (
+         |  SELECT doc_id, block, n_chars, toks, len(toks) AS s
+         |  FROM base WHERE len(toks) > 0
+         |), p AS (
+         |  SELECT doc_id, block, toks, s,
+         |         CAST(row_number() OVER (PARTITION BY block ORDER BY n_chars, doc_id) AS BIGINT) AS pos
+         |  FROM nz
+         |), c AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS i,
+         |         CAST(a.s + b.s AS DOUBLE) AS u0
+         |  FROM p a JOIN p b
+         |    ON a.block = b.block AND b.pos - a.pos BETWEEN 1 AND 10
+         |), jac AS (
+         |  SELECT id_a, id_b,
+         |         CASE WHEN u0 - i > 0 THEN i / (u0 - i) ELSE 0.0 END AS jaccard
+         |  FROM c
+         |), scored AS (
+         |  SELECT (CASE WHEN da.source = db.source THEN $saA
+         |               WHEN NOT (da.source = db.source) THEN $saD ELSE 0 END)
+         |       + (CASE WHEN abs(da.n_chars - db.n_chars) * 20 <= greatest(da.n_chars, db.n_chars) THEN $lnA
+         |               WHEN NOT (abs(da.n_chars - db.n_chars) * 20 <= greatest(da.n_chars, db.n_chars)) THEN $lnD ELSE 0 END)
+         |       + (CASE WHEN jaccard >= 0.5 THEN $txA
+         |               WHEN NOT (jaccard >= 0.5) THEN $txD ELSE 0 END) AS score_micro
+         |  FROM jac
+         |  JOIN documents da ON da.doc_id = jac.id_a
+         |  JOIN documents db ON db.doc_id = jac.id_b
+         |), verdicts AS (
+         |  SELECT round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score,
+         |         CASE WHEN score_micro >= $up THEN 'match'
+         |              WHEN score_micro <= $lo THEN 'non_match'
+         |              ELSE 'possible' END AS verdict
+         |  FROM scored
+         |)
+         |SELECT verdict, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       min(score) AS min_score, max(score) AS max_score
+         |FROM verdicts GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

@@ -689,6 +689,21 @@ object SparkEntry {
         max(col("z")).as("z_max"), sum(col("z")).as("z_sum"))
       .orderBy(col("l_suppkey"))
 
+  /** Per-supplier range stats of the native Hilbert key
+    * ([[graft.functions.HilbertKey]], codegen'd) over (l_partkey,
+    * l_suppkey) — the locality-superior sibling of [[zorderLocality]]
+    * (adjacent-step property proven in `HilbertSpec`); the oracle
+    * replays the full 31-level xy2d loop as generated CTE stages.
+    */
+  private def hilbertLocality(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        graft.functions.HilbertKey.hilbertKey(col("l_partkey"), col("l_suppkey")).as("h"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"), min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"), sum(col("h")).as("h_sum"))
+      .orderBy(col("l_suppkey"))
+
   private def quantileQuantity(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -1208,6 +1223,7 @@ object SparkEntry {
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
+    "hilbert_locality" -> (hilbertLocality _),
     "rollup_quarterly_from_monthly" -> (rollupQuarterlyFromMonthly _),
     "distinct_sketch_customers" -> (distinctSketchCustomers _),
     "bloom_pruned_revenue" -> (bloomPrunedRevenue _),
@@ -2060,6 +2076,36 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1, 2 ORDER BY quarter, o_orderpriority""".stripMargin,
+    // the 31-level xy2d loop replayed as generated CTE stage pairs
+    // (shifts from HilbertKey.StageShifts, so the schedule cannot
+    // drift): per bit, rx/ry extraction, arc accumulation
+    // d += s²·xor(3·rx, ry), then the reflect-swap frame update
+    "hilbert_locality" -> {
+      val stages = graft.functions.HilbertKey.StageShifts.zipWithIndex.map {
+        case (sh, i) =>
+          val s = 1L << sh
+          val prev = if (i == 0) "hbase" else s"h$i"
+          s"""p${i + 1} AS (SELECT l_suppkey, d, x, y,
+             |  CASE WHEN (x & ${s}) > 0 THEN 1 ELSE 0 END AS rx,
+             |  CASE WHEN (y & ${s}) > 0 THEN 1 ELSE 0 END AS ry FROM $prev),
+             |h${i + 1} AS (SELECT l_suppkey,
+             |  d + ${s * s} * xor(3 * rx, ry) AS d,
+             |  CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN ${s - 1} - y ELSE y END AS x,
+             |  CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN ${s - 1} - x ELSE x END AS y
+             |  FROM p${i + 1})""".stripMargin
+      }.mkString(",\n")
+      val n = graft.functions.HilbertKey.StageShifts.size
+      s"""WITH hbase AS (
+         |  SELECT l_suppkey, CAST(0 AS BIGINT) AS d,
+         |         CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+         |  FROM lineitem
+         |),
+         |$stages
+         |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(d) AS h_min, max(d) AS h_max,
+         |       CAST(sum(d) AS BIGINT) AS h_sum
+         |FROM h$n GROUP BY 1 ORDER BY l_suppkey""".stripMargin
+    },
     // Morton interleave mirrored as one CTE per dilation stage (masks
     // from ZOrderKey.SpreadStages, so the constants cannot drift)
     "zorder_locality" -> {

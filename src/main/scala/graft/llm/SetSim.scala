@@ -118,7 +118,10 @@ object SetSim {
                               sortKey: Column, window: Int,
                               threshold: Double): DataFrame = {
     require(window >= 1, s"window=$window")
-    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    // threshold 0 = UNGATED: every within-window candidate pair, with
+    // its jaccard — the feed a downstream scorer (e.g.
+    // [[graft.ops.Linkage]]) wants, where disagreeing pairs are signal
+    require(threshold >= 0 && threshold <= 1, s"threshold=$threshold")
     val base = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
         sortKey.as("key"),
         MinHash.shingles(TextStats.tokens(col(textCol))).as("toks"))

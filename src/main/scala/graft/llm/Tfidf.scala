@@ -110,6 +110,48 @@ object Tfidf {
       .where(col("cosine") >= threshold)
   }
 
+  /** Zipf-law fit over the head of the vocabulary: the least-squares
+    * slope of `ln(frequency)` against `ln(rank)` for the `topK` most
+    * frequent units — the standard corpus-health diagnostic (natural
+    * text sits near slope −1; a synthetic or templated corpus shows up
+    * as a flat or cliff-shaped head). `-slope` is the fitted Zipf
+    * exponent.
+    *
+    * Determinism: both logs are fixed-pointed ONCE at vocab grain to
+    * integer micro-units (the [[LangModel]] grid discipline), so the
+    * regression moments are exact integer sums ([[graft.ops.Trend]])
+    * and the slope is one engine-invariant double division. The slope
+    * is scale-free (both axes carry the same 1e6 factor); the intercept
+    * is in micro-ln units.
+    *
+    * Scale shape: one unit-grain aggregate for counts, a topK
+    * order-limit (TakeOrdered — no global sort materializes), a
+    * window over the ≤ topK-row head ONLY, and a 1-row moment
+    * aggregate. The corpus never touches the window.
+    */
+  def zipfFit(documents: DataFrame, idCol: String, textCol: String,
+              topK: Int, ngram: Int = 1): DataFrame = {
+    require(topK >= 2, s"topK=$topK (a slope needs two points)")
+    require(ngram >= 1, s"ngram=$ngram")
+    val units =
+      if (ngram == 1) TextStats.tokens(col(textCol))
+      else Curation.shinglesAll(TextStats.tokens(col(textCol)), ngram)
+    val head = documents.select(explode(units).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("total_tf"))
+      .orderBy(col("total_tf").desc, col("term")).limit(topK)
+    // rank over the ≤ topK-row head — the "tiny grid" window discipline
+    val ranked = head.select(col("total_tf"),
+      row_number().over(Window.orderBy(col("total_tf").desc, col("term")))
+        .cast("long").as("rank"))
+    val fixed = ranked.select(lit("corpus").as("corpus"),
+      round(log(col("rank").cast("double")) * lit(1e6))
+        .cast("long").as("ln_rank_micro"),
+      round(log(col("total_tf").cast("double")) * lit(1e6))
+        .cast("long").as("ln_tf_micro"))
+    graft.ops.Trend.linearTrend(fixed, Seq("corpus"),
+      col("ln_rank_micro"), col("ln_tf_micro"))
+  }
+
   /** Top-k terms per document by (rounded tfidf desc, term) — total
     * order, deterministic.
     */

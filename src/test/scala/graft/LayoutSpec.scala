@@ -151,4 +151,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zPath).orderBy("x", "y").collect().toSeq
       === df.orderBy("x", "y").collect().toSeq)
   }
+
+  test("hilbert layout: per-file boxes at least as tight as Morton's") {
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = scala.util.Random.shuffle(grid).toDF("x", "y")
+    def avgArea(path: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .collect().map(_.getLong(1))
+      perFile.sum.toDouble / perFile.length
+    }
+    val hPath = Files.createTempDirectory("hilbert").toString + "/t"
+    ZOrder.writeClusteredHilbert(df, hPath, "x", "y", numFiles = 16)
+    val zPath = Files.createTempDirectory("zorder2").toString + "/t"
+    ZOrder.writeClustered(df, zPath, "x", "y", numFiles = 16)
+    val (ha, za) = (avgArea(hPath), avgArea(zPath))
+    // each file holds 256 cells; a perfect clustering's box area is 256.
+    // Hilbert's adjacency keeps every file near-perfect; Morton's
+    // diagonal jumps widen some boxes. Assert both the absolute quality
+    // and the ordering so a silent swap of the two curves fails.
+    assert(ha <= za, s"hilbert avg box $ha wider than morton $za")
+    assert(ha <= 512, s"hilbert boxes too wide: $ha")
+    // rewrote, not resampled
+    assert(spark.read.parquet(hPath).orderBy("x", "y").collect().toSeq
+      === df.orderBy("x", "y").collect().toSeq)
+  }
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.Tfidf
 
-/** Sparse TF-IDF cosine pairs: hand-verified integer arithmetic on a
-  * tiny corpus, the df-cap definition, and the identity pair.
+/** Tfidf similarity/diagnostic operators: sparse cosine pairs
+  * (hand-verified integer arithmetic, df-cap definition, identity
+  * pair) and the Zipf fit on an exactly-Zipfian corpus.
   */
 class SparseCosineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -46,6 +47,27 @@ class SparseCosineSpec extends AnyFunSuite {
         maxDf = 3L, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got((1L, 2L)) === 1.0)
+  }
+
+  test("zipfFit recovers slope -1 on an exactly-Zipfian corpus") {
+    // frequencies 12/r for ranks 1..4: ln f = ln 12 − ln r → slope −1,
+    // up to the micro-unit rounding of the two ln grids (< 1e-5)
+    val text = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val r = Tfidf.zipfFit(docs, "doc_id", "text", topK = 4)
+      .select("n", "slope").as[(Long, Double)].head()
+    assert(r._1 === 4L)
+    assert(math.abs(r._2 - (-1.0)) < 1e-5, s"slope ${r._2}")
+  }
+
+  test("zipfFit is deterministic under frequency ties (term tiebreak)") {
+    val docs = Seq((1L, "b b a a c c d")).toDF("doc_id", "text")
+    val r1 = Tfidf.zipfFit(docs, "doc_id", "text", topK = 4)
+      .select("slope").as[Double].head()
+    val r2 = Tfidf.zipfFit(docs.repartition(7), "doc_id", "text", topK = 4)
+      .select("slope").as[Double].head()
+    assert(r1 === r2)
   }
 
   test("the df cap is definitional: ubiquitous terms influence nothing") {
