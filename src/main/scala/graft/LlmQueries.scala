@@ -742,6 +742,25 @@ object LlmQueries {
         round(col("slope"), 6).as("slope"),
         round(col("intercept"), 6).as("intercept"))
 
+  /** Query-term list shared by the BM25 query and its oracle. */
+  private val Bm25Query = Seq("customer", "merge", "vector", "stream")
+
+  /** Top-15 documents for a 4-term query under BM25
+    * ([[graft.llm.Retrieval]]): exact-integer micro-unit score sums,
+    * ties on doc_id.
+    */
+  private def bm25TopDocs(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopDocs(tPar(s, dir, "documents"), "doc_id", "text",
+      Bm25Query, k = 15)
+
+  /** Monroe-style log-odds characteristic terms ([[graft.llm.LogOdds]])
+    * of the English slice vs the rest, informative Dirichlet prior
+    * alpha0 = 100.
+    */
+  private def logOddsTerms(s: SparkSession, dir: String): DataFrame =
+    LogOdds.characteristicTerms(tPar(s, dir, "documents"), "doc_id",
+      "text", col("lang") === "en", alpha0 = 100.0, topK = 20)
+
   // Fellegi–Sunter field models shared by the linkage query and its
   // oracle (m = agreement rate among matches, u = among non-matches)
   private val LinkSourceMU = (0.9, 0.3)
@@ -844,6 +863,8 @@ object LlmQueries {
     "sparse_cosine_pairs" -> (sparseCosinePairsQ _),
     "zipf_fit" -> (zipfFitQ _),
     "linkage_snm_scores" -> (linkageSnmScores _),
+    "bm25_top_docs" -> (bm25TopDocs _),
+    "log_odds_terms" -> (logOddsTerms _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -2100,6 +2121,92 @@ object LlmQueries {
          |SELECT verdict, CAST(count(*) AS BIGINT) AS n_pairs,
          |       min(score) AS min_score, max(score) AS max_score
          |FROM verdicts GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // same expression tree (idf, length normalizer, contribution) over
+    // the same exact integer inputs, micro-rounded per posting, exact
+    // integer score sum — k1/b/(k1+1) literals interpolated from the
+    // SAME Scala doubles (round-trip printing), so no constant drift
+    "bm25_top_docs" -> {
+      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+      val k1 = 1.2
+      val b = 0.75
+      val k1p1 = k1 + 1.0
+      s"""WITH b0 AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), t AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM b0
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM b0
+         |), nn AS (
+         |  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         |         CAST((SELECT sum(len(toks)) FROM b0) AS BIGINT) AS total_len
+         |), qv AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf WHERE term IN ($terms) GROUP BY 1
+         |), c AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(
+         |           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf AS DOUBLE) * $k1p1)
+         |           / (CAST(tf AS DOUBLE) + $k1 *
+         |              (1.0 - $b + $b * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         |               / CAST(total_len AS DOUBLE)))
+         |           * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM tf JOIN qv ON tf.term = qv.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN nn
+         |), scored AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |         CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM c GROUP BY 1
+         |), pick AS (
+         |  SELECT * FROM scored ORDER BY score_micro DESC, doc_id LIMIT 15
+         |)
+         |SELECT doc_id, n_hits,
+         |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM pick ORDER BY score_micro DESC, doc_id""".stripMargin
+    },
+    // one conditional term-grain aggregate, the same prior/delta/sigma
+    // expression tree from exact integer counts, micro-rounded z
+    "log_odds_terms" -> {
+      val a0 = 100.0
+      s"""WITH b0 AS (
+         |  SELECT lang = 'en' AS is_a, $Toks AS toks FROM documents
+         |), t AS (
+         |  SELECT is_a, unnest(toks) AS term FROM b0
+         |), counts AS (
+         |  SELECT term,
+         |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS y_a,
+         |         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS y_b
+         |  FROM t GROUP BY 1
+         |), nn AS (
+         |  SELECT CAST(sum(CASE WHEN is_a THEN len(toks) ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN is_a THEN 0 ELSE len(toks) END) AS BIGINT) AS n_b
+         |  FROM b0
+         |), z AS (
+         |  SELECT term, y_a, y_b,
+         |         CAST(round(
+         |           (ln((CAST(y_a AS DOUBLE) + aw)
+         |               / (CAST(n_a AS DOUBLE) + $a0 - CAST(y_a AS DOUBLE) - aw))
+         |            - ln((CAST(y_b AS DOUBLE) + aw)
+         |                 / (CAST(n_b AS DOUBLE) + $a0 - CAST(y_b AS DOUBLE) - aw)))
+         |           / sqrt(1.0 / (CAST(y_a AS DOUBLE) + aw)
+         |                  + 1.0 / (CAST(y_b AS DOUBLE) + aw))
+         |           * 1000000.0) AS BIGINT) AS z_micro
+         |  FROM (
+         |    SELECT term, y_a, y_b, n_a, n_b,
+         |           $a0 * (CAST(y_a AS DOUBLE) + CAST(y_b AS DOUBLE))
+         |             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS aw
+         |    FROM counts CROSS JOIN nn
+         |  )
+         |), pick AS (
+         |  SELECT * FROM z ORDER BY abs(z_micro) DESC, term LIMIT 20
+         |)
+         |SELECT term, y_a, y_b,
+         |       round(CAST(z_micro AS DOUBLE) / 1000000.0, 6) AS z
+         |FROM pick ORDER BY abs(z_micro) DESC, term""".stripMargin
     },
   )
 }

@@ -1034,6 +1034,21 @@ object SparkEntry {
         lo = 0L, hi = 60000000L, nBuckets = 20)
       .orderBy(col("o_orderpriority"), col("bucket"))
 
+  /** Equi-depth decile histogram per priority ([[graft.ops.Profile
+    * .equiDepthHistogram]]): bucket edges are each group's own exact
+    * interpolated deciles over order totals in integer cents, so every
+    * bucket holds ~n/10 rows regardless of the price distribution —
+    * the skew-proof twin of [[priceHistogram]]. One group-grain
+    * percentile aggregate, a tiny boundary join back, map-only
+    * assignment, one (group, bucket)-grain aggregate.
+    */
+  private def equiDepthHistOrders(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.equiDepthHistogram(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("cents_v")),
+        Seq("o_orderpriority"), col("cents_v"), nBuckets = 10)
+      .orderBy(col("o_orderpriority"), col("bucket"))
+
   /** Monthly replica fingerprints of the orders table ([[graft.ops
     * .Fingerprint]]): one map-only pass, commutative 60-bit-hash sums
     * per month slice — the copy-validation a 100 TB migration runs
@@ -1257,6 +1272,7 @@ object SparkEntry {
     "cms_brand_counts" -> (cmsBrandCounts _),
     "table_fingerprint_orders" -> (tableFingerprintOrders _),
     "price_histogram" -> (priceHistogram _),
+    "equi_depth_hist_orders" -> (equiDepthHistOrders _),
     "cms_join_size" -> (cmsJoinSizeOrders _),
     "k_anonymity_customers" -> (kAnonymityCustomers _),
     "ks_price_drift" -> (ksPriceDrift _),
@@ -1378,6 +1394,29 @@ object SparkEntry {
         |SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS n,
         |       min(v) AS v_min, max(v) AS v_max
         |FROM b GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin,
+    // same interior-decile boundary list (generated from the same
+    // i/10 doubles), same boundary<value bucket rule — the integer
+    // (n, v_min, v_max) output hash-matches iff every comparison does
+    "equi_depth_hist_orders" -> {
+      val bs = (1 until 10).map(i => (i.toDouble / 10).toString).mkString(", ")
+      s"""WITH src AS (
+         |  SELECT o_orderpriority,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders
+         |), q AS (
+         |  SELECT o_orderpriority,
+         |         quantile_cont(CAST(v AS DOUBLE), [$bs]) AS bs
+         |  FROM src GROUP BY 1
+         |), b AS (
+         |  SELECT src.o_orderpriority,
+         |         CAST(1 + len(list_filter(q.bs, x -> x < CAST(src.v AS DOUBLE))) AS INTEGER) AS bucket,
+         |         src.v AS v
+         |  FROM src JOIN q USING (o_orderpriority)
+         |)
+         |SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS n,
+         |       min(v) AS v_min, max(v) AS v_max
+         |FROM b GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
+    },
     // identical canonical rendering (chr(1) separator, chr(0)-tagged
     // null marker, decimal/strftime casts), same 60 md5 bits parsed via
     // DuckDB's hex cast — the Spark side is Fingerprint.sliceFingerprints

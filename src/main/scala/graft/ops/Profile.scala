@@ -65,4 +65,47 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         min(col("__v")).as("v_min"), max(col("__v")).as("v_max"))
   }
+
+  /** Equi-depth (equal-frequency) histogram of `value` in `nBuckets`
+    * buckets per group — the skew-proof complement of [[histogram]]:
+    * bucket edges are the group's own interpolated quantiles, so a
+    * heavy-tailed column still yields ~n/B rows per bucket instead of
+    * one hot bucket and B−1 empties.
+    *
+    * Bucket `b ∈ [1, nBuckets]` holds values v with
+    * `q_{(b−1)/B} < v ≤ q_{b/B}` (boundaries computed at the interior
+    * quantiles only; boundary-equal values go DOWN, so the mapping is a
+    * total function). Exact-duplicate runs straddling an edge all land
+    * in one bucket — depths are near-equal, not exactly equal, which is
+    * the standard equi-depth contract.
+    *
+    * Scale shape: boundaries come from ONE group-grain exact
+    * [[org.apache.spark.sql.functions.percentile]] aggregate (state is
+    * bounded by distinct values per group, not rows — no per-group
+    * window over the data, no single-partition sort), the tiny
+    * boundary table joins back on the group key, bucket assignment is
+    * map-only, and the result aggregates at (group, bucket) grain.
+    *
+    * Determinism: values are caller-scaled integers (e.g. cents);
+    * boundaries are interpolated doubles, but both engines compute the
+    * same linear interpolation from the same exact integers, so the
+    * `boundary < value` comparisons agree (the [[Anomaly.winsorize]]
+    * precedent).
+    */
+  def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
+                         value: org.apache.spark.sql.Column,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets")
+    val ps = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(value.cast("double"), array(ps: _*)).as("__bs"))
+    df.withColumn("__v", value.cast("long"))
+      .join(bounds, groupCols)
+      .withColumn("bucket",
+        (size(filter(col("__bs"), b => b < col("__v").cast("double"))) + 1)
+          .cast("int"))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("v_min"), max(col("__v")).as("v_max"))
+  }
 }

@@ -92,6 +92,30 @@ class DqSpec extends AnyFunSuite {
     assert(h2 === Seq(9))
   }
 
+  test("equi-depth histogram: near-equal depths, boundary ties go down, per-group edges") {
+    import graft.ops.Profile
+    // 1..10 in 2 buckets: median boundary 5.5 splits 5/5
+    val even = (1L to 10L).map(("g", _)).toDF("grp", "v")
+    val h = Profile.equiDepthHistogram(even, Seq("grp"), col("v"), 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(h.toSeq === Seq((1, 5L, 1L, 5L), (2, 5L, 6L, 10L)))
+    // duplicate run straddling the edge lands in ONE (lower) bucket
+    val dup = Seq(1L, 1L, 1L, 1L, 2L, 3L).map(("g", _)).toDF("grp", "v")
+    val hd = Profile.equiDepthHistogram(dup, Seq("grp"), col("v"), 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(hd === Seq((1, 4L), (2, 2L))) // boundary=1.0; all four 1s go down
+    // boundaries are each group's own: same values shifted per group
+    val two = ((1L to 8L).map(("a", _)) ++ (101L to 108L).map(("b", _)))
+      .toDF("grp", "v")
+    val ht = Profile.equiDepthHistogram(two, Seq("grp"), col("v"), 4)
+      .orderBy("grp", "bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ht === Seq(("a", 1, 2L), ("a", 2, 2L), ("a", 3, 2L), ("a", 4, 2L),
+      ("b", 1, 2L), ("b", 2, 2L), ("b", 3, 2L), ("b", 4, 2L)))
+  }
+
   test("k-anonymity: small groups reported, null combos are groups, stats add up") {
     import graft.ops.Privacy
     val df = (Seq(("tx", Some("a"))) ++                    // unique → risk

@@ -71,7 +71,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // brute-force kNN (exactness baseline); single-row broadcast totals
     // in tfidf (corpus doc count), PSI/KS drift (grid totals), chi-square
     // (marginals), cms (the 1-row sketch+N frame), and the LM model's
-    // corpus totals; and the sketch-overlap pair join (non-equi over the
+    // corpus totals; bm25 (1-row corpus stats) and log-odds (1-row
+    // side totals); and the sketch-overlap pair join (non-equi over the
     // |sources|-row SKETCH frame, never data grain). Anything else is a
     // regression.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
@@ -81,7 +82,7 @@ class PlanShapeSpec extends AnyFunSuite {
           !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi",
             "chi2_priority_status", "cms_brand_counts", "lm_quality_score",
             "source_overlap_sketch", "cms_join_size", "ks_price_drift",
-            "sparse_cosine_pairs")(name))
+            "sparse_cosine_pairs", "bm25_top_docs", "log_odds_terms")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
