@@ -1140,8 +1140,8 @@ object SparkEntry {
   /** Kolmogorov–Smirnov drift ([[graft.ops.Drift.ks]]) between the same
     * 1995/1996 order-total populations as `price_drift_psi`, on the
     * same $50k grid — the worst single ECDF gap next to PSI's summed
-    * divergence. `ks_scaled` is exact decimal(38,0) integer arithmetic;
-    * the one double division happens at the end.
+    * divergence. The ECDF gap max is exact decimal(38,0) integer
+    * arithmetic kept internal; only the rounded double `ks` is output.
     */
   private def ksPriceDrift(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Drift
@@ -1325,7 +1325,10 @@ object SparkEntry {
         |FROM g""".stripMargin,
     // same 1995/1996 populations and $50k cents grid as price_drift_psi;
     // the ECDF gap max is exact integer cross-multiplication in both
-    // engines (HUGEINT there, decimal(38,0) here), one division at the end
+    // engines (HUGEINT there, decimal(38,0) here) — but the exact wide
+    // integer stays INTERNAL on both sides; only the rounded double ks
+    // reaches the compared schema (decimal(38,0) result columns
+    // canonicalize differently across engines — the r6 lesson)
     "ks_price_drift" ->
       """WITH a AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket
@@ -1348,8 +1351,6 @@ object SparkEntry {
         |  FROM g
         |)
         |SELECT t.n_buckets, t.n_a, t.n_b,
-        |       CAST(max(abs(CAST(cum_a AS HUGEINT) * t.n_b
-        |                    - CAST(cum_b AS HUGEINT) * t.n_a)) AS DECIMAL(38,0)) AS ks_scaled,
         |       round(CAST(max(abs(CAST(cum_a AS HUGEINT) * t.n_b
         |                          - CAST(cum_b AS HUGEINT) * t.n_a)) AS DOUBLE)
         |             / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
@@ -1433,7 +1434,8 @@ object SparkEntry {
         |  FROM orders
         |)
         |SELECT yyyymm, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(h) AS DECIMAL(38,0)) AS hash_sum,
+        |       CAST(CAST(sum(h) AS HUGEINT)
+        |            % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS hash_sum,
         |       min(h) AS hash_min, max(h) AS hash_max
         |FROM h GROUP BY 1 ORDER BY yyyymm""".stripMargin,
     // exact counts + literal TRUE bound flags — the hash match certifies

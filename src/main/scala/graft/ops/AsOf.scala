@@ -77,12 +77,32 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // mixed datetime flavors (TimestampNTZ parquet vs a cast-to-LTZ
+    // probe column, or a date vs a timestamp) are coerced to a common
+    // type on an INTERNAL column — per-side casts are monotonic, so the
+    // as-of order is unchanged and the user-visible left schema keeps
+    // its original time type. Without this the plan's equal-type
+    // invariant throws the moment an input flips flavor (the r6
+    // regression: events.ts read back as TimestampNTZ).
+    val commonTime = commonTimeType(
+      left.schema(leftTs).dataType, right.schema(rightTs).dataType)
+    val lPrepped = commonTime match {
+      case Some(t) if t != left.schema(leftTs).dataType =>
+        left.withColumn("__l_asof_ts", col(leftTs).cast(t))
+      case _ => left
+    }
+    val lTimeName =
+      if (lPrepped.columns.contains("__l_asof_ts")) "__l_asof_ts" else leftTs
     // shared key/time names on the right get an internal prefix so the
     // joined output (left ++ right) stays name-unambiguous, then drop
     val rPrepped = right.select(right.columns.toIndexedSeq.map { c =>
-      if (keys.contains(c) || c == rightTs) col(c).as(s"__r_$c") else col(c)
+      if (c == rightTs) {
+        val cast = commonTime.fold(col(c))(col(c).cast(_))
+        cast.as(s"__r_$c")
+      } else if (keys.contains(c)) col(c).as(s"__r_$c")
+      else col(c)
     }: _*)
-    val lPlan = left.queryExecution.analyzed
+    val lPlan = lPrepped.queryExecution.analyzed
     val rPlan = rPrepped.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String) =
@@ -90,7 +110,27 @@ object AsOf {
         throw new IllegalArgumentException(s"no column '$name'"))
     val joined = PlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
-      attr(lPlan, leftTs), attr(rPlan, s"__r_$rightTs")))
-    joined.drop((keys.map(k => s"__r_$k") :+ s"__r_$rightTs"): _*)
+      attr(lPlan, lTimeName), attr(rPlan, s"__r_$rightTs")))
+    joined.drop(
+      (keys.map(k => s"__r_$k") :+ s"__r_$rightTs" :+ "__l_asof_ts"): _*)
+  }
+
+  /** Common comparison type for a mixed datetime pair: any side that is
+    * instant-flavored (`TimestampType`) pulls the pair to LTZ; otherwise
+    * NTZ. Non-datetime or already-equal pairs return the left type only
+    * when equal, else None (caller keeps the strict-type error).
+    */
+  private[graft] def commonTimeType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+    : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val datetime: Set[org.apache.spark.sql.types.DataType] =
+      Set(TimestampType, TimestampNTZType, DateType)
+    if (a == b) None // equal types need no coercion column
+    else if (datetime(a) && datetime(b))
+      Some(if (a == TimestampType || b == TimestampType) TimestampType
+           else TimestampNTZType)
+    else None
   }
 }

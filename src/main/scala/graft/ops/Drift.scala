@@ -65,10 +65,14 @@ object Drift {
     * PSI's sum dilutes shows up undiluted here).
     *
     * Determinism: the ECDF comparison is EXACT INTEGER arithmetic —
-    * `ks_scaled = max |cum_a·n_b - cum_b·n_a|` in decimal(38,0), which
-    * cannot overflow (each factor ≤ 2⁶³ so the product < 8.6e37 < 1e38);
-    * the single double division `ks_scaled / (n_a·n_b)` happens once at
-    * the end, rounded to 6 decimals. No order-dependent double sums.
+    * `max |cum_a·n_b - cum_b·n_a|` carried INTERNALLY in decimal(38,0),
+    * which cannot overflow (each factor ≤ 2⁶³ so the product
+    * < 8.6e37 < 1e38); the single double division by `n_a·n_b` happens
+    * once at the end, rounded to 6 decimals. No order-dependent double
+    * sums — and no wide decimal in the OUTPUT schema: a decimal(38,0)
+    * result column renders differently across engines/drivers (the r6
+    * hash-mismatch class), so the exact integer never leaves this
+    * method.
     *
     * Scale shape: one bucket-grain aggregate per side (map-side
     * partial), a full-outer join on the bucket id, then ONE cumulative
@@ -98,9 +102,9 @@ object Drift {
         abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
           col("cum_b").cast("decimal(38,0)") * col("n_a")).as("__gap"))
       .groupBy(col("n_buckets"), col("n_a"), col("n_b"))
-      .agg(max(col("__gap")).cast("decimal(38,0)").as("ks_scaled"))
-      .select(col("n_buckets"), col("n_a"), col("n_b"), col("ks_scaled"),
-        round(col("ks_scaled").cast("double") /
+      .agg(max(col("__gap")).cast("decimal(38,0)").as("__ks_scaled"))
+      .select(col("n_buckets"), col("n_a"), col("n_b"),
+        round(col("__ks_scaled").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)
           .as("ks"))
   }

@@ -16,10 +16,16 @@ import org.apache.spark.sql.types.DecimalType
   * Per-row hash = first 60 bits of md5 over the null-tagged,
   * 0x01-separated rendering — 60 bits so the value parses as a positive
   * BIGINT in any engine (the DuckDB twin does
-  * `('0x' || substr(md5(…),1,15))::BIGINT`), and the sum is carried as
-  * DECIMAL(38,0): 2^60 × 10^9 rows ≈ 10^27 ≪ 10^38, so the sum never
-  * wraps and stays engine-exact where a BIGINT sum would overflow
-  * differently per engine.
+  * `('0x' || substr(md5(…),1,15))::BIGINT`). The sum accumulates in
+  * DECIMAL(38,0) (2^60 × 10^9 rows ≈ 10^27 ≪ 10^38 — exact, where a
+  * raw BIGINT sum would overflow differently per engine), then the
+  * PUBLISHED `hash_sum` wraps the exact sum mod 2^63 into a BIGINT:
+  * an int64-bounded fingerprint stays exact at any scale, and wide
+  * decimals never reach a result schema (they canonicalize
+  * differently across engines/drivers — the r6 hash-mismatch class).
+  * Wrapping keeps the any-difference-perturbs-the-sum property: two
+  * sums equal mod 2^63 with equal n_rows/min/max collide with
+  * probability ~2^-63, the same order as the hash itself.
   *
   * Callers pass explicitly RENDERED columns (cast doubles to a decimal
   * grain, dates to strings) — canonical text is what makes fingerprints
@@ -55,13 +61,22 @@ object Fingerprint {
     * (month, ingest batch) so a mismatch pinpoints WHICH slice to
     * re-copy instead of failing the whole table.
     */
+  /** 2^63 as an exact decimal literal — the wrap modulus for published
+    * hash sums. Per-row hashes are non-negative, so `sum % 2^63` lands
+    * in [0, 2^63) and casts to BIGINT losslessly on every engine
+    * (DuckDB twin: `CAST(sum(h) % CAST('9223372036854775808' AS
+    * HUGEINT) AS BIGINT)`).
+    */
+  private val TwoPow63: Column =
+    lit(new java.math.BigDecimal("9223372036854775808"))
+
   def sliceFingerprints(df: DataFrame, slice: Column,
                         cols: Seq[Column]): DataFrame =
     df.select(slice.as("slice"), rowHash(cols).as("__h"))
       .groupBy(col("slice"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("__h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
-          .as("hash_sum"),
+        (sum(col("__h").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+          % TwoPow63).cast("long").as("hash_sum"),
         min(col("__h")).as("hash_min"),
         max(col("__h")).as("hash_max"))
 

@@ -101,6 +101,51 @@ class AsOfSpec extends AnyFunSuite {
     assert(byEv("no-null-key") === 200)
   }
 
+  test("mixed NTZ/LTZ time flavors coerce instead of throwing, both forms agree") {
+    // the r6 regression: events.ts read back from parquet as
+    // TimestampNTZ while the probe side was cast to LTZ timestamp —
+    // AsOfJoinPlan's equal-type invariant threw. asofJoinNative now
+    // coerces the pair to a common type on internal columns; the
+    // user-visible left schema keeps its original flavor.
+    val left = Seq((1L, 5L, "a"), (1L, 15L, "b"), (2L, 9L, "c"))
+      .toDF("k", "lt", "ev")
+      .select(col("k"),
+        timestamp_micros(col("lt")).cast("timestamp_ntz").as("lts"),
+        col("ev"))
+    val right = Seq((1L, 5L, 50), (1L, 10L, 100), (2L, 40L, 200))
+      .toDF("k", "rt", "snap")
+      .select(col("k"), timestamp_micros(col("rt")).as("rts"), col("snap"))
+    assert(left.schema("lts").dataType.typeName === "timestamp_ntz")
+    assert(right.schema("rts").dataType.typeName === "timestamp")
+
+    val native = AsOf.asofJoinNative(left, right, Seq("k"), "lts", "rts")
+    // output keeps the left column's declared NTZ flavor
+    assert(native.schema("lts").dataType.typeName === "timestamp_ntz")
+    val rows = native.select("ev", "snap").orderBy("ev").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(rows.toSeq === Seq(("a", 50), ("b", 100), ("c", -1)))
+    // and the custom exec is still the operator that ran
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+
+    // flipped flavors (LTZ left, NTZ right) coerce the same way
+    val leftLtz = left.select(col("k"), col("lts").cast("timestamp").as("lts"),
+      col("ev"))
+    val rightNtz = right.select(col("k"),
+      col("rts").cast("timestamp_ntz").as("rts"), col("snap"))
+    val flipped = AsOf.asofJoinNative(leftLtz, rightNtz, Seq("k"), "lts", "rts")
+      .select("ev", "snap").orderBy("ev").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(flipped.toSeq === rows.toSeq)
+
+    // date vs timestamp coerces too (date → midnight, monotonic)
+    val rightDate = Seq((1L, "1970-01-01", 7)).toDF("k", "d", "snap")
+      .select(col("k"), to_date(col("d")).as("rts"), col("snap"))
+    val dr = AsOf.asofJoinNative(left, rightDate, Seq("k"), "lts", "rts")
+      .select("ev", "snap").orderBy("ev").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(dr.toSeq === Seq(("a", 7), ("b", 7), ("c", -1)))
+  }
+
   test("native as-of: keys with no right rows yield nulls; empty right side works") {
     val left = Seq((9L, 100L, "x")).toDF("k", "lt", "ev")
       .select(col("k"), timestamp_micros(col("lt")).as("lts"), col("ev"))

@@ -35,6 +35,29 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no contract query emits a wide decimal in its final schema") {
+    // decimal(38,x) result columns canonicalize differently between the
+    // driver's DuckDB-native and Spark-parquet hash paths (the r6
+    // ks_price_drift / table_fingerprint_orders mismatches). Wide
+    // decimals may be used INTERNALLY for exact arithmetic, but the
+    // published schema must land on engine-stable types (BIGINT,
+    // bounded decimal, double). Analysis-only: no query executes here.
+    import org.apache.spark.sql.types.DecimalType
+    val dir = "/root/testdata/sf0.001"
+    def isWide(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case d: DecimalType => d.precision > 18
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        build(SparkTestSession.spark, dir).schema.fields
+          .filter(f => isWide(f.dataType))
+          .map(f => s"$name.${f.name}: ${f.dataType.simpleString}")
+    }
+    assert(offenders.isEmpty,
+      s"wide decimal in contract schema (driver-hash trap): $offenders")
+  }
+
   test("oracle SQL never carries the driver-breaking control characters unescaped") {
     // Verify.q escapes these; this guards against an oracle so exotic the
     // escape layer would need extending (e.g. unicode line separators)

@@ -39,8 +39,8 @@ class FingerprintSpec extends AnyFunSuite {
   test("null and the string \"null\" fingerprint differently") {
     val withNull = Seq((1, 1, None: Option[String])).toDF("slice", "k", "v")
     val withStr = Seq((1, 1, Some("null"))).toDF("slice", "k", "v")
-    val hn = fps(withNull).select("hash_sum").collect()(0).getDecimal(0)
-    val hs = fps(withStr).select("hash_sum").collect()(0).getDecimal(0)
+    val hn = fps(withNull).select("hash_sum").collect()(0).getLong(0)
+    val hs = fps(withStr).select("hash_sum").collect()(0).getLong(0)
     assert(hn !== hs)
   }
 

@@ -230,9 +230,8 @@ class SequenceOpsSpec extends AnyFunSuite {
     val same = Drift.ks(a, a, col("v"), 10L).select("ks").as[Double].head()
     assert(same === 0.0)
     val disj = Drift.ks(a, b, col("v"), 10L)
-      .select(col("ks_scaled").cast("long"), col("ks"))
-      .as[(Long, Double)].head()
-    assert(disj === ((16L, 1.0))) // full mass gap at bucket 0: |4·4 − 0·4|
+      .select(col("ks")).as[Double].head()
+    assert(disj === 1.0) // full mass gap at bucket 0: |4·4 − 0·4| / 16
   }
 
   test("KS picks the single worst ECDF gap, exactly") {
@@ -240,9 +239,8 @@ class SequenceOpsSpec extends AnyFunSuite {
     val a = Seq(1L, 2L, 3L, 14L).toDF("v")
     val b = Seq(1L, 12L, 13L, 14L).toDF("v")
     val r = Drift.ks(a, b, col("v"), 10L)
-      .select(col("n_buckets"), col("n_a"), col("n_b"),
-        col("ks_scaled").cast("long"), col("ks"))
-      .as[(Long, Long, Long, Long, Double)].head()
-    assert(r === ((2L, 4L, 4L, 8L, 0.5)))
+      .select(col("n_buckets"), col("n_a"), col("n_b"), col("ks"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(r === ((2L, 4L, 4L, 0.5))) // worst gap |3·4−1·4| / 16
   }
 }
