@@ -78,6 +78,40 @@ object Scd2 {
       .unionByName(keep).unionByName(closed).unionByName(opened)
   }
 
+  /** Fold a time-ordered sequence of `(snapshot, effectiveAt)` into
+    * `history`, localCheckpointing every `checkpointEvery` merges.
+    *
+    * Each [[mergeSnapshot]] EMBEDS the previous history plan ~5 times
+    * (past + cur + the three shaped branches over the same join), so an
+    * unchecked N-snapshot fold builds a ~5^N-node logical tree: 4
+    * merges are a few hundred nodes, 11 merges hang the ANALYZER before
+    * a single task runs. The periodic eager checkpoint collapses
+    * history to a LogicalRDD leaf, capping the tree at ~5^checkpointEvery
+    * regardless of N: daily snapshots over a year fold in flat
+    * per-merge cost. Results are identical to the raw fold
+    * (checkpointing is semantically transparent); prior checkpoints are
+    * released once superseded. Keep `checkpointEvery` small (≤4) — the
+    * growth it caps is exponential, not linear.
+    */
+  def foldSnapshots(history: DataFrame, snaps: Seq[(DataFrame, Column)],
+                    keys: Seq[String], attrs: Seq[String],
+                    checkpointEvery: Int = 4): DataFrame = {
+    require(checkpointEvery > 0, s"checkpointEvery=$checkpointEvery")
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    var lastCp: DataFrame = null
+    val folded = snaps.zipWithIndex.foldLeft(history) {
+      case (h, ((snap, at), i)) =>
+        val merged = mergeSnapshot(h, snap, keys, attrs, at)
+        if ((i + 1) % checkpointEvery == 0 && i + 1 < snaps.length) {
+          val cp = merged.localCheckpoint(true)
+          if (lastCp != null) CheckpointBridge.release(lastCp)
+          lastCp = cp
+          cp
+        } else merged
+    }
+    folded
+  }
+
   /** Time-travel read: the version of each key valid at `at`. */
   def asOf(history: DataFrame, at: Column): DataFrame =
     history.where(col("valid_from") <= at &&

@@ -158,4 +158,68 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(wedges < 200L,
       s"orientation should bound wedges to the low-degree side, got $wedges")
   }
+
+  test("SCD2: a 12-snapshot fold keeps plan depth bounded and matches the derived history") {
+    import graft.sinks.Scd2
+    // 12 monthly snapshots over 300 keys; every key's value changes every
+    // 3rd month, a third of keys appear late — exercises keep/close/open
+    // on every merge. (scd2_customer_history folds 4; the verdict asked
+    // for proof the merge depth stays bounded well past that.)
+    def snap(m: Int) = (1 to 300)
+      .filter(k => k % 3 != 0 || m >= 6) // k%3==0 keys appear from month 6
+      .map(k => (k.toLong, s"v${k}_${m / 3}"))
+      .toDF("id", "v")
+    val snaps = (1 to 12).map(m => (snap(m), lit(m)))
+    val h0 = Scd2.init(snaps.head._1, snaps.head._2)
+
+    // NO raw-fold baseline appears here, not even for plan inspection:
+    // each mergeSnapshot embeds the prior history plan ~5× (past + cur
+    // + the three shaped branches of the same join), so the
+    // uncheckpointed N-merge logical tree is ~5^N nodes — at N=11 even
+    // ANALYZING it is the hang this test exists to prove foldSnapshots
+    // avoids. Correctness is asserted against a hand-derived history.
+    // bounded fold: checkpoint every 4 merges — executes in seconds
+    val t0 = System.nanoTime()
+    val bounded = Scd2.foldSnapshots(h0, snaps.tail, Seq("id"), Seq("v"),
+      checkpointEvery = 4)
+    val boundedRows = bounded
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4)))
+      .toSeq.sorted
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // hand-derived expected history: value flips at m = 3, 6, 9, 12
+    // (v-suffix is m/3); k%3==0 keys first appear at m = 6
+    val expected = (for {
+      k <- 1 to 300
+      firstM = if (k % 3 == 0) 6 else 1
+      epochs = Seq(1, 3, 6, 9, 12).filter(_ >= firstM)
+      (m, idx) <- epochs.zipWithIndex
+    } yield {
+      val to = epochs.lift(idx + 1).getOrElse(-1)
+      (k.toLong, s"v${k}_${m / 3}", m, to, to == -1)
+    }).sorted
+    assert(boundedRows === expected,
+      s"history mismatch: got ${boundedRows.size} rows, " +
+        s"expected ${expected.size}")
+
+    // the load-bearing assertion: lineage is truncated — the final plan
+    // hangs off the LAST checkpoint (a LogicalRDD leaf), so its tree is
+    // the ~5^3 of the post-checkpoint merges, NOT the ~5^11 of the raw
+    // fold. A 4-merge fold from a leaf bounds what 11-with-checkpoints
+    // may cost — insensitive to Spark's exact per-merge node count.
+    def nodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case p => p }.size
+    val boundedDepth = nodes(bounded)
+    val fourFromLeaf = nodes(
+      (1 to 4).foldLeft(h0.localCheckpoint(true)) { case (h, i) =>
+        Scd2.mergeSnapshot(h, snaps(i)._1, Seq("id"), Seq("v"), snaps(i)._2)
+      })
+    info(f"plan nodes: bounded(11 merges)=$boundedDepth " +
+      f"four-from-leaf=$fourFromLeaf wall=$secs%.1f s")
+    assert(boundedDepth <= fourFromLeaf,
+      s"checkpoint did not truncate lineage: $boundedDepth nodes after 11 " +
+        s"merges vs $fourFromLeaf after 4 from a leaf")
+  }
 }

@@ -217,5 +217,35 @@ class WindowsSaltSpec extends AnyFunSuite {
     val ex = intercept[Exception](spark.sql("SELECT top_k(item, m) FROM tk").collect())
     assert(ex.getMessage.contains("expects 3 arguments") ||
       Option(ex.getCause).exists(_.getMessage.contains("expects 3 arguments")))
+    // wrong INPUT TYPES fail at analysis with the declared signature —
+    // never as a mid-job ClassCastException from update() (round-5 advice)
+    val exT = intercept[Exception](
+      spark.sql("SELECT top_k(m, m, 2) FROM tk").collect())
+    assert(exT.getMessage.contains("top_k needs (string item, bigint metric)"),
+      exT.getMessage.take(300))
+    val exH = intercept[Exception](
+      spark.sql("SELECT heavy_hitters(m, 8) FROM tk").collect())
+    assert(exH.getMessage.contains("heavy_hitters"), exH.getMessage.take(300))
+  }
+
+  test("BloomPrune: identical key names on both sides resolve via internal aliases") {
+    import graft.ops.BloomPrune
+    // the common case — joining on the SAME column name — used to fail
+    // analysis with an ambiguous reference before the __bp_ aliasing
+    val probe = (1 to 2000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val build = (1 to 2000 by 40).map(i => (i.toLong, s"b$i")).toDF("k", "tag")
+    val pruned = BloomPrune.bloomPrunedJoin(probe, build, "k", "k",
+        expectedItems = 100L, fpp = 0.01)
+      .select(col("__bp_l.k").as("k"), col("v"), col("tag"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val plain = probe.alias("p").join(build.alias("b"),
+        col("p.k") === col("b.k"))
+      .select(col("p.k").as("k"), col("v"), col("tag"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(pruned === plain && plain.size === 50)
+    // left_semi with equal names keeps only probe columns — no ambiguity
+    val semi = BloomPrune.bloomPrunedJoin(probe, build, "k", "k",
+      joinType = "left_semi", expectedItems = 100L, fpp = 0.01)
+    assert(semi.columns.toSeq === Seq("k", "v") && semi.count() === 50)
   }
 }
