@@ -157,6 +157,36 @@ object LlmQueries {
         k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
       .orderBy(col("cluster_id"), col("doc_id"))
 
+  /** Aggregate-only linear-probe training ([[Calibration.olsFit2]]):
+    * fit subword-piece counts from (chars, punct) byte statistics in
+    * ONE moment pass — "how many tokens is this corpus" without running
+    * a tokenizer over it. The DuckDB twin re-derives the identical
+    * closed-form solve from the same exact integer moments.
+    */
+  private def tokenCountModel(s: SparkSession, dir: String): DataFrame =
+    Calibration.olsFit2(tPar(s, dir, "documents"),
+      x1 = length(col("text")).cast("long"),
+      x2 = graft.functions.RegexpCount.regexpCount(col("text"),
+        "[.,;:!?'\"()\\[\\]{}-]"),
+      y = TextStats.nWordPieces(col("text")))
+
+  /** Maximal cross-document duplicated token spans at w=5 — the
+    * substring-grain dedup signal document-grain MinHash misses; see
+    * [[SubstringDedup.dupSpans]].
+    */
+  private def substringDupSpansQ(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.dupSpans(tPar(s, dir, "documents"), "doc_id", "text",
+        w = 5, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Per-document duplicated-token profile (clean docs included) — the
+    * curation gating column; see [[SubstringDedup.dupStats]].
+    */
+  private def substringDupStatsQ(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.dupStats(tPar(s, dir, "documents"), "doc_id", "text",
+        w = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** Overlap-coefficient (containment) pairs — the partial-copy signal
     * symmetric Jaccard misses; see [[Containment.overlapPairs]].
     */
@@ -844,6 +874,9 @@ object LlmQueries {
     "winnow_fingerprints" -> (winnowFingerprintsQ _),
     "winnow_dup_pairs" -> (winnowDupPairsQ _),
     "winnow_dup_clusters" -> (winnowDupClustersQ _),
+    "substring_dup_spans" -> (substringDupSpansQ _),
+    "substring_dup_stats" -> (substringDupStatsQ _),
+    "token_count_model" -> (tokenCountModel _),
     "containment_pairs" -> (containmentPairs _),
     "lm_quality_score" -> (lmQualityScore _),
     "source_overlap_sketch" -> (sourceOverlapSketch _),
@@ -919,6 +952,32 @@ object LlmQueries {
       |              END AS INTEGER) AS sample_rate
       |  FROM m
       |)""".stripMargin
+
+  /** Substring-dedup (w=5, minDocs=2) shared CTEs ending in
+    * `isl(doc_id, pos, island)` — the DuckDB twin of
+    * [[SubstringDedup.dupSpans]]'s duplicated-position islands, reused
+    * by the span and per-doc-stats oracles.
+    */
+  private val SubstringDupCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $Toks AS t FROM documents
+       |), grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+       |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+       |  WHERE len(t) >= 5
+       |), dup AS (
+       |  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |), dpos AS (
+       |  SELECT g.doc_id, g.pos,
+       |         lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       |  FROM grams g JOIN dup USING (h)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM dpos
+       |)""".stripMargin
 
   /** Winnowing (k=3, w=4) as shared CTEs ending in `wfp(doc_id, pos,
     * fp)` — the DuckDB twin of [[TextStats.winnowFingerprints]], reused
@@ -1324,6 +1383,69 @@ object LlmQueries {
       s"""WITH $WinnowCtes
          |SELECT DISTINCT doc_id, pos, fp FROM wfp
          |ORDER BY doc_id, pos, fp""".stripMargin,
+    // identical exact integer moments (HUGEINT sums ≙ decimal(38,0)),
+    // then the SAME Cramer expression tree in doubles — every
+    // intermediate rounds identically, so the fit hash-matches
+    "token_count_model" ->
+      s"""WITH f AS (
+         |  SELECT CAST(length(text) AS BIGINT) AS x1,
+         |         CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS x2,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS y
+         |  FROM documents
+         |), m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |         CAST(count(*) AS DOUBLE) AS n,
+         |         CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+         |         CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+         |         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         |         CAST(sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS DOUBLE) AS s11,
+         |         CAST(sum(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS DOUBLE) AS s12,
+         |         CAST(sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS DOUBLE) AS s22,
+         |         CAST(sum(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS s1y,
+         |         CAST(sum(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS s2y,
+         |         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+         |  FROM f
+         |), solved AS (
+         |  SELECT n_exact, n, sy, s1y, s2y, syy,
+         |         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+         |         sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         |         n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1,
+         |         n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2
+         |  FROM m
+         |)
+         |SELECT n_exact AS n,
+         |       CASE WHEN det <> 0.0 THEN round(det0 / det, 6) END AS b0,
+         |       CASE WHEN det <> 0.0 THEN round(det1 / det, 6) END AS b1,
+         |       CASE WHEN det <> 0.0 THEN round(det2 / det, 6) END AS b2,
+         |       CASE WHEN det <> 0.0 AND syy - sy * sy / n <> 0.0
+         |            THEN round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y)
+         |                             / (syy - sy * sy / n), 6) END AS r2
+         |FROM solved""".stripMargin,
+    // w=5 shingle hashes (same 60 md5 bits as the Spark side), shingle-
+    // grain distinct-doc gate, then gaps-and-islands span merge — the
+    // whole derivation is integer/md5-exact, so spans hash-match
+    "substring_dup_spans" ->
+      s"""WITH $SubstringDupCtes
+         |SELECT doc_id, min(pos) AS span_start,
+         |       max(pos) + 4 AS span_end,
+         |       max(pos) + 4 - min(pos) + 1 AS span_tokens
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "substring_dup_stats" ->
+      s"""WITH $SubstringDupCtes,
+         |spans AS (
+         |  SELECT doc_id, max(pos) + 4 - min(pos) + 1 AS span_tokens
+         |  FROM isl GROUP BY doc_id, island
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |       COALESCE(p.dup, 0) AS dup_tokens,
+         |       round(COALESCE(p.dup, 0) /
+         |             CAST(greatest(len($Toks), 1) AS DOUBLE), 6) AS dup_ratio
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // the winnow candidate graph closed transitively — proves the
     // closure composes with a second candidate generator
     "winnow_dup_clusters" ->

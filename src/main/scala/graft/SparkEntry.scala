@@ -268,6 +268,29 @@ object SparkEntry {
       dblOut2(sum(dec(col("VALUE").cast("double")))).as("value_sum"))
   }
 
+  /** ORC write→read roundtrip — the second columnar format in the
+    * source/sink matrix (parquet, DSV/CSV, JSON raw, JDBC, text, ORC;
+    * spark-avro is not on this classpath). Same discipline as
+    * `dsv_roundtrip`: the oracle recomputes the aggregate from the
+    * canonical parquet, so a hash match proves the ORC round trip
+    * preserved every value (decimal grain, timestamp, nulls) — not just
+    * the row count.
+    */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_orc_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cents"), col("o_orderdate"))
+      .write.mode("overwrite").orc(path)
+    val back = s.read.orc(path)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      sum(col("cents")).as("sum_cents"),
+      min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+      max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_day"))
+  }
+
   /** W — deterministic pick-one per key via row_number (the upgrade path
     * for A1's nondeterministic `first`, SURVEY.md §2.5 W1).
     */
@@ -302,6 +325,16 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Watermark-sizing audit ([[graft.ops.Windows.latenessStats]]):
+    * replay events per user in event-id (arrival) order, track the
+    * event-time high-water mark, and report how many events trail it by
+    * more than each candidate watermark — the measurement that turns
+    * `withWatermark("ts", ???)` into a data-driven choice.
+    */
+  private def watermarkLatenessEvents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.latenessStats(t(s, dir, "events"), "user_id", "ts",
+      "event_id", thresholdsSec = Seq(60L, 300L, 900L))
+
   /** CUBE over (returnflag, linestatus) — beyond the reference's separate
     * GROUP BYs (SURVEY.md §2.4 note).
     */
@@ -311,6 +344,26 @@ object SparkEntry {
       .agg(dblOut2(sum(dec(col("l_quantity")))).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** GROUPING SETS over ((flag,status),(flag),(status)) — the
+    * non-hierarchical grain combination neither `rollup` nor `cube`
+    * expresses (cube adds the grand total; rollup can't emit the
+    * status-only slice). One pass via Spark's native `groupingSets`
+    * (an Expand under one aggregate — N grains, ONE shuffle, where
+    * unioned GROUP BYs would rescan the fact N times); `grouping_id`
+    * disambiguates the null-key rows from genuine nulls.
+    */
+  private def groupingSetsLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        dblOut2(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
 
   /** Distinct aggregates (exact; the approximate HLL twin is unit-tested
     * since approx values can't hash-match an oracle).
@@ -1137,6 +1190,32 @@ object SparkEntry {
     graft.ops.Privacy.kAnonymityStats(t(s, dir, "customer"),
       Seq("c_nationkey", "c_mktsegment"), k = 10L)
 
+  /** l-diversity audit ([[graft.ops.Privacy.lDiversityStats]]) over the
+    * same (nation, segment) quasi-identifiers, with the $1000 account-
+    * balance band as the sensitive attribute — k-anonymity's complement:
+    * group SIZE is no protection when the group agrees on the secret.
+    */
+  private def lDiversityCustomers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.lDiversityStats(
+      t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+        // floor division (not `div`): truncation and floor disagree on
+        // negative balances, and DuckDB's `//` floors
+        floor(cents(col("c_acctbal")) / lit(100000.0)).cast("long")
+          .as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 10L)
+
+  /** Seeded ε-DP noisy per-nation customer counts ([[graft.ops.Privacy
+    * .dpNoisyCounts]]): the release-table form of a private aggregate.
+    * Noise is the inverse Laplace CDF at a 60-bit md5 uniform of
+    * (key, seed), so the DuckDB twin re-derives the identical release —
+    * a hash match certifies the mechanism end to end (uniform, sign,
+    * scale), not just the exact counts under it.
+    */
+  private def dpNoisyCountsNation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.dpNoisyCounts(t(s, dir, "customer"),
+        Seq("c_nationkey"), epsilon = 1.0, seed = 20260813L)
+      .orderBy(col("c_nationkey"))
+
   /** Kolmogorov–Smirnov drift ([[graft.ops.Drift.ks]]) between the same
     * 1995/1996 order-total populations as `price_drift_psi`, on the
     * same $50k grid — the worst single ECDF gap next to PSI's summed
@@ -1228,6 +1307,8 @@ object SparkEntry {
     "running_lineitem_total" -> (runningLineitemTotal _),
     "user_sessions" -> (userSessions _),
     "cube_lineitem" -> (cubeLineitem _),
+    "grouping_sets_lineitem" -> (groupingSetsLineitem _),
+    "watermark_lateness_events" -> (watermarkLatenessEvents _),
     "distinct_counts" -> (distinctCounts _),
     "rollup_supplier_salted" -> (rollupSupplierSalted _),
     "events_asof_orders" -> (eventsAsofOrders _),
@@ -1251,6 +1332,7 @@ object SparkEntry {
     "trailing_revenue_90d" -> (trailingRevenue90d _),
     "order_gap_days" -> (orderGapDays _),
     "dsv_roundtrip" -> (dsvRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _),
     "scd2_customer_history" -> (scd2CustomerHistory _),
     "snapshot_diff_customers" -> (snapshotDiffCustomers _),
     "order_interval_stats" -> (orderIntervalStats _),
@@ -1275,6 +1357,8 @@ object SparkEntry {
     "equi_depth_hist_orders" -> (equiDepthHistOrders _),
     "cms_join_size" -> (cmsJoinSizeOrders _),
     "k_anonymity_customers" -> (kAnonymityCustomers _),
+    "l_diversity_customers" -> (lDiversityCustomers _),
+    "dp_noisy_counts_nation" -> (dpNoisyCountsNation _),
     "ks_price_drift" -> (ksPriceDrift _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
@@ -1323,6 +1407,41 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_rows < 10 THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
         |       min(n_rows) AS k_effective
         |FROM g""".stripMargin,
+    // same QI grain; the sensitive attribute is the floor-divided $1000
+    // balance band (floor on BOTH engines — truncation would disagree on
+    // negative balances)
+    "l_diversity_customers" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(DISTINCT CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) / 100000.0) AS BIGINT)) AS BIGINT) AS n_distinct
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_total_rows,
+        |       CAST(sum(CASE WHEN n_distinct < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |       CAST(sum(CASE WHEN n_distinct < 10 THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |       min(n_distinct) AS l_effective
+        |FROM g""".stripMargin,
+    // the twin re-derives the SEEDED Laplace release: identical 60-bit
+    // md5 uniform of (key, seed=20260813), identical inverse-CDF — a
+    // hash match certifies the mechanism, not just the counts under it
+    "dp_noisy_counts_nation" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1
+        |), h AS (
+        |  SELECT c_nationkey, n,
+        |         ('0x' || substr(md5(concat_ws(chr(1),
+        |            coalesce(CAST(c_nationkey AS VARCHAR), chr(0)||'null'),
+        |            '20260813')), 1, 15))::BIGINT
+        |           / 1152921504606846976.0 - 0.5 AS centered
+        |  FROM c
+        |)
+        |SELECT c_nationkey,
+        |       round(CAST(n AS DOUBLE)
+        |             - sign(centered) * ln(greatest(1e-18, 1.0 - 2.0 * abs(centered))) / 1.0,
+        |             6) AS noisy_count
+        |FROM h ORDER BY c_nationkey""".stripMargin,
     // same 1995/1996 populations and $50k cents grid as price_drift_psi;
     // the ECDF gap max is exact integer cross-multiplication in both
     // engines (HUGEINT there, decimal(38,0) here) — but the exact wide
@@ -1961,6 +2080,33 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // arrival order = event_id; lateness in exact integer micros on
+    // both engines (epoch_us ≙ unix_micros)
+    "watermark_lateness_events" ->
+      """WITH l AS (
+        |  SELECT max(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - epoch_us(ts) AS late_us
+        |  FROM events
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+        |       CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+        |       CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_300s,
+        |       CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_900s,
+        |       max(late_us) AS max_lateness_us
+        |FROM l""".stripMargin,
+    // GROUPING() packs the same bitmask in both engines (first argument
+    // most significant), so gid doubles as the null-vs-aggregated marker
+    "grouping_sets_lineitem" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |       l_returnflag, l_linestatus,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "distinct_counts" ->
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
@@ -1972,6 +2118,15 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_types,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS value_sum
         |FROM events""".stripMargin,
+    // the oracle recomputes from canonical parquet: a hash match proves
+    // the ORC write→read preserved every value, not just row counts
+    "orc_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       strftime(max(o_orderdate), '%Y-%m-%d') AS max_day
+        |FROM orders""".stripMargin,
     "events_asof_orders" ->
       """WITH od AS (
         |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey FROM orders

@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring-level duplicate detection: find the MAXIMAL token spans of
+  * each document that also occur (as an exact w-token substring) in
+  * other documents — the "dedup the repeated passage, not the whole
+  * document" operator from Lee et al. 2022 ("Deduplicating Training
+  * Data Makes Language Models Better"), whose suffix-array span removal
+  * is the step beyond document-grain MinHash/SimHash: two documents can
+  * be globally dissimilar yet share a verbatim boilerplate paragraph or
+  * licence block that a trained model will memorize.
+  *
+  * Spark-first shape instead of the paper's suffix array (pointer-
+  * chasing over one giant in-memory array — the opposite of a
+  * distributed plan):
+  *
+  *   1. per-position w-token shingle hashes — map-only, the
+  *      [[TextStats.winnowFingerprints]] gram idiom;
+  *   2. duplicated shingles = `count_distinct(doc) >= minDocs` at
+  *      SHINGLE grain — one keyed aggregate, partial-pushed; a
+  *      boilerplate shingle shared by a million documents is one group
+  *      with a big count, never a pair join;
+  *   3. mark duplicated positions with an h-grain equi-join back —
+  *      each position matches AT MOST ONE shingle group, so the join
+  *      CANNOT fan out (contrast every pair-generating dedup path,
+  *      which needs frequency caps — this one is linear by
+  *      construction);
+  *   4. merge overlapping/adjacent duplicated windows into maximal
+  *      spans — one per-doc window pass (gaps-and-islands, the
+  *      [[graft.ops.Intervals]] discipline).
+  *
+  * Every stage is a column expression over md5 (bit-identical across
+  * engines), so span boundaries are exactly oracle-checkable. A 60-bit
+  * hash collision could mark a span duplicated spuriously
+  * (~2⁻⁶⁰ per shingle pair sharing a bucket — negligible; the paper's
+  * suffix array is exact but single-machine).
+  */
+object SubstringDedup {
+
+  /** `(idCol, pos, h)`: the 60-bit hash of the w-token shingle starting
+    * at each 1-based token position. Documents shorter than `w` tokens
+    * emit nothing.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                    w: Int): DataFrame = {
+    require(w >= 2, s"w=$w — a 1-token 'substring' is a vocabulary, not a span")
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= w)
+      .select(col(idCol),
+        expr(
+          s"""explode(transform(sequence(1, size(__toks) - ${w - 1}),
+             |  i -> struct(cast(i as bigint) as pos,
+             |    cast(conv(substring(md5(array_join(slice(__toks, i, $w), ' ')), 1, 15), 16, 10) as bigint) as h)))"""
+            .stripMargin).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
+  }
+
+  /** Maximal cross-document duplicated token spans: one row per
+    * `(document, span)` with 1-based inclusive token bounds. A position
+    * is duplicated when its w-gram occurs in at least `minDocs`
+    * DISTINCT documents; runs of duplicated positions closer than `w`
+    * tokens merge (their w-windows overlap or touch).
+    *
+    * @return `idCol, span_start, span_end, span_tokens`
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs — 1 would flag every token")
+    val grams = shingleHashes(df, idCol, textCol, w)
+    val dupShingles = grams.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("h"))
+    val dupPos = grams.join(dupShingles, "h")
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withPrev = dupPos
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+    val islands = withPrev
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") - col("__prev") > w, 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** Per-document duplication profile over ALL documents (clean ones
+    * included): `idCol, n_tokens, dup_tokens, dup_ratio` — the gating
+    * column a curation pipeline thresholds on ("drop documents that are
+    * mostly duplicated passages", the paper's NearDup+ExactSubstr
+    * combination).
+    */
+  def dupStats(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 5, minDocs: Int = 2): DataFrame = {
+    val perDoc = dupSpans(df, idCol, textCol, w, minDocs)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("__dup"))
+    df.select(col(idCol), TextStats.nTokens(col(textCol)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("__dup"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 6)
+          .as("dup_ratio"))
+  }
+}

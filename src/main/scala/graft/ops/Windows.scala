@@ -45,4 +45,39 @@ object Windows {
     df.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Out-of-orderness audit for WATERMARK SIZING: before configuring a
+    * streaming job's `withWatermark`, measure how late the data
+    * actually arrives. Per key, replay events in arrival order
+    * (`arrivalCol` — an ingest sequence, offset, or arrival stamp) and
+    * track the event-time high-water mark; an event's lateness is how
+    * far its event time trails that mark. One row out: total events,
+    * out-of-order events, counts beyond each candidate threshold, and
+    * the max lateness — read off "watermark 60 s loses 0.3% of events,
+    * 300 s loses none".
+    *
+    * Scale shape: one per-key window pass in arrival order (the same
+    * single shuffle as sessionize), then a global one-row aggregate.
+    */
+  def latenessStats(df: DataFrame, key: String, ts: String,
+                    arrivalCol: String,
+                    thresholdsSec: Seq[Long] = Seq(60L, 300L, 900L))
+    : DataFrame = {
+    require(thresholdsSec.nonEmpty, "no thresholds")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsm = unix_micros(col(ts).cast("timestamp"))
+    val late = df
+      .select((max(tsm).over(w) - tsm).as("__late_us"))
+    val aggs =
+      count(lit(1)).as("n_events") +:
+        sum(when(col("__late_us") > 0L, 1L).otherwise(0L))
+          .as("n_out_of_order") +:
+        thresholdsSec.map(t =>
+          sum(when(col("__late_us") > t * 1000000L, 1L).otherwise(0L))
+            .as(s"n_late_${t}s")) :+
+        max(col("__late_us")).as("max_lateness_us")
+    late.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -136,4 +136,47 @@ class DqSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("k >= 2"))
   }
+
+  test("l-diversity: size is no protection when the group agrees on the secret") {
+    import graft.ops.Privacy
+    val df = (
+      Seq.fill(20)(("ny", "x")) ++                       // 20 rows, 1 value → violates
+      (1 to 6).map(i => ("ca", s"v$i")) ++               // 6 rows, 6 values → safe
+      Seq(("tx", "a"), ("tx", "a"), ("tx", "b"))         // 3 rows, 2 values → violates
+      ).toDF("state", "diag")
+    val s = Privacy.lDiversityStats(df, Seq("state"), "diag", l = 3L).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getLong(4)) === ((3L, 29L, 2L, 23L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Privacy.lDiversityStats(df, Seq("state", "diag"), "diag", 3L)
+    }
+    assert(e.getMessage.contains("cannot also be a quasi-identifier"))
+  }
+
+  test("DP noisy counts: deterministic under the seed, noise centered and bounded") {
+    import graft.ops.Privacy
+    val df = (1 to 1000).map(i => (s"g${i % 50}", i)).toDF("g", "v")
+    val a = Privacy.dpNoisyCounts(df, Seq("g"), epsilon = 1.0, seed = 7L)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val b = Privacy.dpNoisyCounts(df.repartition(13), Seq("g"),
+        epsilon = 1.0, seed = 7L)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.toSeq === b.toSeq, "seeded release must be partition-invariant")
+    // every group has 20 rows; Laplace(1) noise at the md5 uniform is
+    // within ±42 always (ln 1e-18 floor) and small on average
+    assert(a.forall { case (_, v) => math.abs(v - 20.0) < 42.0 })
+    val meanAbs = a.map { case (_, v) => math.abs(v - 20.0) }.sum / a.length
+    assert(meanAbs > 0.01 && meanAbs < 5.0, s"meanAbs=$meanAbs")
+    // a different seed is a different release
+    val c = Privacy.dpNoisyCounts(df, Seq("g"), epsilon = 1.0, seed = 8L)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(c.toSeq !== a.toSeq)
+    // tighter epsilon → larger noise scale on the same uniforms
+    val wide = Privacy.dpNoisyCounts(df, Seq("g"), epsilon = 0.1, seed = 7L)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    a.zip(wide).foreach { case ((g, v1), (_, v10)) =>
+      assert(math.abs(v10 - 20.0) > math.abs(v1 - 20.0) * 5 ||
+        math.abs(v1 - 20.0) < 1e-9, s"$g: $v1 vs $v10")
+    }
+  }
 }
