@@ -170,6 +170,73 @@ object LlmQueries {
         "[.,;:!?'\"()\\[\\]{}-]"),
       y = TextStats.nWordPieces(col("text")))
 
+  /** Temperature-flattened sampling allocation at α=0.3 (the XLM-R
+    * default) over per-language exact word-piece counts, at a 10M-token
+    * mixture budget — see [[Curation.temperatureAllocation]].
+    */
+  private def temperatureMixLangs(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureAllocation(
+        tPar(s, dir, "documents")
+          .select(col("lang"), TextStats.nWordPieces(col("text")).as("n_wp")),
+        "lang", "n_wp", alpha = 0.3, budgetTokens = 10000000L)
+      .orderBy(col("source"))
+
+  /** Corpus-grain Flesch reading ease per language from summed exact
+    * moments (words, sentence boundaries, vowel-run syllables) — the
+    * length-weighted readability of each language slice, not a mean of
+    * per-document scores; see [[TextStats.fleschOf]].
+    */
+  private def fleschByLang(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "documents")
+      .select(col("lang"),
+        TextStats.nTokens(col("text")).as("__w"),
+        TextStats.nSentences(col("text")).as("__s"),
+        TextStats.nSyllables(col("text")).as("__y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_sentences"),
+        sum(col("__y")).as("n_syllables"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        TextStats.fleschOf(col("n_words"), col("n_sentences"),
+          col("n_syllables")).as("flesch"))
+      .orderBy(col("lang"))
+
+  /** Registered-domain crawl rollup over URLs DERIVED deterministically
+    * from document rows (the testdata carries no URL column, so both
+    * engines synthesize the same messy URLs — mixed scheme/host case,
+    * default and explicit ports, tracking params, unsorted params,
+    * fragments, trailing slashes, www vs bare, a co.uk slice — then
+    * canonicalize them; see [[graft.ops.Urls]]). The path key folds
+    * doc_id mod 50, so canonicalization must UNIFY distinct raw URLs
+    * for the dup_ratio to come out right.
+    */
+  private def urlDomainStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Urls.domainStats(
+      tPar(s, dir, "documents").select(concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("HTTP"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("https"))
+          .otherwise(lit("http")),
+        lit("://"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(".Example.CO.UK"))
+          .otherwise(lit(".example.COM")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          when(pmod(col("doc_id"), lit(3)) === 1, lit(":443")).otherwise(lit(":80")))
+          .when(pmod(col("doc_id"), lit(7)) === 1, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"), pmod(col("doc_id"), lit(50)),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(50)),
+            lit("&b=2")))
+          .otherwise(concat(lit("?b=2&id="), pmod(col("doc_id"), lit(50)))),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("#frag")).otherwise(lit("")))
+        .as("url")),
+      "url").orderBy(col("domain"))
+
   /** Maximal cross-document duplicated token spans at w=5 — the
     * substring-grain dedup signal document-grain MinHash misses; see
     * [[SubstringDedup.dupSpans]].
@@ -877,6 +944,9 @@ object LlmQueries {
     "substring_dup_spans" -> (substringDupSpansQ _),
     "substring_dup_stats" -> (substringDupStatsQ _),
     "token_count_model" -> (tokenCountModel _),
+    "temperature_mix_langs" -> (temperatureMixLangs _),
+    "flesch_by_lang" -> (fleschByLang _),
+    "url_domain_stats" -> (urlDomainStats _),
     "containment_pairs" -> (containmentPairs _),
     "lm_quality_score" -> (lmQualityScore _),
     "source_overlap_sketch" -> (sourceOverlapSketch _),
@@ -1421,6 +1491,102 @@ object LlmQueries {
          |            THEN round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y)
          |                             / (syy - sy * sy / n), 6) END AS r2
          |FROM solved""".stripMargin,
+    // exact per-lang word-piece sums, then the α=0.3 flattening — the
+    // only cross-engine arithmetic is pow/ratios over identical longs,
+    // absorbed by the 6-decimal rounding
+    "temperature_mix_langs" ->
+      s"""WITH d AS (
+         |  SELECT lang AS source,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_wp
+         |  FROM documents
+         |), g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_wp) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY source
+         |), t AS (
+         |  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         |         sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS tot_flat
+         |  FROM g
+         |)
+         |SELECT source, n_docs, n_tokens,
+         |       round(CAST(n_tokens AS DOUBLE) / tot, 6) AS raw_share,
+         |       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / tot_flat, 6) AS p_alpha,
+         |       round(10000000.0 * pow(CAST(n_tokens AS DOUBLE), 0.3) / tot_flat, 6) AS alloc_tokens,
+         |       round(10000000.0 * pow(CAST(n_tokens AS DOUBLE), 0.3) / tot_flat
+         |             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         |FROM g, t ORDER BY source""".stripMargin,
+    // corpus-grain Flesch from summed exact moments; vowel-run
+    // syllables, terminal-punctuation-run sentences floored at 1
+    "flesch_by_lang" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |         CAST(len($Toks) AS BIGINT) AS w,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) END AS s,
+         |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+         |  FROM documents
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(w) AS BIGINT) AS n_words,
+         |       CAST(sum(s) AS BIGINT) AS n_sentences,
+         |       CAST(sum(y) AS BIGINT) AS n_syllables,
+         |       CASE WHEN sum(s) > 0 AND sum(w) > 0 THEN
+         |         round(206.835 - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE)
+         |                       - 84.6 * CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+         |       END AS flesch
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // same deterministic messy-URL synthesis, then the full canonical
+    // pipeline (case, ports, fragments, tracking strip, param sort,
+    // trailing slash) and the eTLD+1 label slice — every stage string-
+    // exact, so the rollup hash-matches
+    "url_domain_stats" ->
+      s"""WITH u AS (
+         |  SELECT (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END
+         |       || '://'
+         |       || CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END
+         |       || source
+         |       || CASE WHEN doc_id % 4 = 0 THEN '.Example.CO.UK' ELSE '.example.COM' END
+         |       || CASE WHEN doc_id % 7 = 0 THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
+         |               WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END
+         |       || '/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR)
+         |       || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+         |       || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) || '&b=2'
+         |               ELSE '?b=2&id=' || CAST(doc_id % 50 AS VARCHAR) END
+         |       || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS url
+         |  FROM documents
+         |), parts AS (
+         |  SELECT
+         |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    lower(regexp_replace(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '(^[^@]*@|:[0-9]*$$)', '', 'g')) AS host,
+         |    regexp_extract(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$$', 1) AS rawport,
+         |    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         |    regexp_extract(trim(url), '\\?([^#]*)', 1) AS rawquery
+         |  FROM u
+         |), plists AS (
+         |  SELECT *, list_sort(list_filter(string_split(rawquery, '&'),
+         |           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*=|utm_[a-z0-9_]*$$|gclid=|fbclid=|ref=)'))) AS plist
+         |  FROM parts
+         |), canon AS (
+         |  SELECT host,
+         |    scheme || '://' || host
+         |    || (CASE WHEN (scheme = 'http' AND rawport = '80') OR (scheme = 'https' AND rawport = '443') OR rawport = '' THEN '' ELSE ':' || rawport END)
+         |    || (CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/' ELSE regexp_replace(rawpath, '/+$$', '') END)
+         |    || (CASE WHEN len(plist) > 0 THEN '?' || array_to_string(plist, '&') ELSE '' END) AS canon
+         |  FROM plists
+         |), dom AS (
+         |  SELECT canon, host,
+         |    CASE WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1]) IN
+         |           (${graft.ops.Urls.MultiSuffixes.map(x => s"'$x'").mkString(",")})
+         |         THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+         |         WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+         |         ELSE host END AS domain
+         |  FROM (SELECT *, string_split(host, '.') AS hp FROM canon)
+         |)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+         |       CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+         |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |       round(1.0 - CAST(count(DISTINCT canon) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+         |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
     // w=5 shingle hashes (same 60 md5 bits as the Spark side), shingle-
     // grain distinct-doc gate, then gaps-and-islands span merge — the
     // whole derivation is integer/md5-exact, so spans hash-match

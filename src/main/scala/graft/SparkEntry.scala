@@ -1229,6 +1229,42 @@ object SparkEntry {
     Drift.ks(yr(1995), yr(1996), cents(col("o_totalprice")), 5000000L)
   }
 
+  /** Benford first-digit screen ([[graft.ops.Stats.benfordFirstDigit]])
+    * on order totals in cents — multi-magnitude natural amounts, the
+    * distribution the law applies to. Gap and MAD terms quantify how
+    * far the generator's price model drifts off the curve.
+    */
+  private def benfordOrderTotals(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.benfordFirstDigit(t(s, dir, "orders"),
+      cents(col("o_totalprice")))
+
+  /** Functional-dependency audit ([[graft.ops.Profile.fdViolations]])
+    * over orders: the PK dependency holds (0 violating groups certifies
+    * the gate's clean path), the two non-dependencies quantify their
+    * blast radius.
+    */
+  private def fdAuditOrders(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.fdViolations(t(s, dir, "orders"), Seq(
+      (Seq("o_orderkey"), "o_custkey"),
+      (Seq("o_custkey"), "o_orderstatus"),
+      (Seq("o_orderdate"), "o_orderpriority")))
+      .orderBy(col("fd"))
+
+  /** Ratio-to-moving-average seasonal indices
+    * ([[graft.ops.Trend.seasonalIndices]]) of monthly order revenue:
+    * tick = year·12 + (month−1), so slot k IS calendar month k+1 —
+    * "how far above or below trend does each month run". The monthly
+    * pre-aggregate is the data-grain shuffle; the window runs over the
+    * ~80-row series.
+    */
+  private def seasonalIndicesOrders(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.seasonalIndices(
+      t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate")) - 1).as("tick"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents")),
+      "tick", "rev_cents", period = 12)
+
   /** Incremental rollup maintenance ([[graft.ops.Incremental]]): the
     * 1992–1996 snapshot's partial states merge with the 1997+ delta's —
     * history is never rescanned — and the oracle recomputes from ALL
@@ -1360,6 +1396,9 @@ object SparkEntry {
     "l_diversity_customers" -> (lDiversityCustomers _),
     "dp_noisy_counts_nation" -> (dpNoisyCountsNation _),
     "ks_price_drift" -> (ksPriceDrift _),
+    "benford_order_totals" -> (benfordOrderTotals _),
+    "fd_audit_orders" -> (fdAuditOrders _),
+    "seasonal_indices_orders" -> (seasonalIndicesOrders _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
   )
@@ -1474,6 +1513,68 @@ object SparkEntry {
         |                          - CAST(cum_b AS HUGEINT) * t.n_a)) AS DOUBLE)
         |             / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
         |FROM cum CROSS JOIN t GROUP BY 1, 2, 3""".stripMargin,
+    // first digit of the cents amount; expected share ln(1+1/d)/ln(10)
+    // — the same closed form both engines evaluate
+    "benford_order_totals" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders
+        |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+        |), g AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+        |), t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS tot FROM g)
+        |SELECT digit, n_obs,
+        |       round(CAST(n_obs AS DOUBLE) / tot, 6) AS obs_share,
+        |       round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS benford_share,
+        |       round(CAST(n_obs AS DOUBLE) / tot - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS gap,
+        |       round(abs(CAST(n_obs AS DOUBLE) / tot - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) / 9.0, 6) AS mad_term
+        |FROM g, t ORDER BY digit""".stripMargin,
+    // null-sentinel distinct per determinant group, then the one-row
+    // blast-radius summary per FD
+    "fd_audit_orders" ->
+      """WITH g1 AS (
+        |  SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), chr(0)||'null')) AS BIGINT) AS nd
+        |  FROM orders GROUP BY 1
+        |), g2 AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)||'null')) AS BIGINT) AS nd
+        |  FROM orders GROUP BY 1
+        |), g3 AS (
+        |  SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)||'null')) AS BIGINT) AS nd
+        |  FROM orders GROUP BY 1
+        |), u AS (
+        |  SELECT 'o_orderkey -> o_custkey' AS fd, n, nd FROM g1
+        |  UNION ALL SELECT 'o_custkey -> o_orderstatus' AS fd, n, nd FROM g2
+        |  UNION ALL SELECT 'o_orderdate -> o_orderpriority' AS fd, n, nd FROM g3
+        |)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |       CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) AS n_rows_in_violating,
+        |       max(nd) AS max_distinct_dependent
+        |FROM u GROUP BY fd ORDER BY fd""".stripMargin,
+    // exact long window sums for the two even-period centered windows;
+    // ratios on a fixed 9-decimal grid, slot means rounded to 6
+    "seasonal_indices_orders" ->
+      """WITH m AS (
+        |  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS tick,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT CAST(tick % 12 AS BIGINT) AS slot, rev,
+        |         sum(rev) OVER wa AS sa, count(rev) OVER wa AS ca,
+        |         sum(rev) OVER wb AS sb, count(rev) OVER wb AS cb
+        |  FROM m
+        |  WINDOW wa AS (ORDER BY tick ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+        |         wb AS (ORDER BY tick ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+        |), r AS (
+        |  SELECT slot, round(CAST(rev AS DOUBLE) / (CAST(sa + sb AS DOUBLE) / 24.0), 9) AS ratio
+        |  FROM w WHERE ca = 12 AND cb = 12 AND sa + sb <> 0
+        |)
+        |SELECT slot, CAST(count(*) AS BIGINT) AS n_obs,
+        |       round(sum(ratio) / CAST(count(*) AS DOUBLE), 6) AS seasonal_index
+        |FROM r GROUP BY slot ORDER BY slot""".stripMargin,
     // the oracle recomputes the rollup from ALL orders in one pass — a
     // hash match certifies snapshot⊕delta state merge ≡ full recompute
     "incremental_rollup_orders" ->

@@ -467,4 +467,44 @@ object Curation {
                 seed: Long = 12345L): DataFrame =
     df.join(sourceCapIds(df, idCol, srcCol, cap, seed).select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  // ----- temperature-based mixture allocation ----------------------------
+
+  /** Temperature-flattened sampling allocation — the `p_l ∝ n_l^α`
+    * upweighting multilingual/multi-source pretraining uses (mC4,
+    * XLM-R: α ≈ 0.3-0.7) so head sources don't drown the tail: α = 1
+    * samples proportional to size, α = 0 samples uniformly, and values
+    * between trade head coverage for tail epochs.
+    *
+    * Per source, from its exact token count: the raw share, the
+    * α-flattened sampling probability, the token allocation under
+    * `budgetTokens`, and `epochs` = allocation / corpus size — the
+    * column mixture designers gate on ("α=0.3 cycles the smallest
+    * source 40×; raise α or cap epochs").
+    *
+    * Scale shape: one keyed aggregate to source grain, then a 1-row
+    * broadcast of the two totals back over the (tiny) source table.
+    * The only doubles are the final closed-form `pow`/ratios over exact
+    * long moments — 6-decimal-rounded, engine-twinnable.
+    */
+  def temperatureAllocation(df: DataFrame, srcCol: String, nToksCol: String,
+                            alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0,1]")
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens")
+    val bySrc = df.groupBy(col(srcCol).as("source"))
+      .agg(sum(col(nToksCol).cast("long")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+    val flat = pow(col("n_tokens").cast("double"), lit(alpha))
+    val totals = bySrc.agg(sum(col("n_tokens")).as("__tot"),
+      sum(flat).as("__tot_flat"))
+    bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot").cast("double"), 6)
+          .as("raw_share"),
+        round(flat / col("__tot_flat"), 6).as("p_alpha"),
+        round(lit(budgetTokens.toDouble) * flat / col("__tot_flat"), 6)
+          .as("alloc_tokens"),
+        round(lit(budgetTokens.toDouble) * flat / col("__tot_flat") /
+          col("n_tokens").cast("double"), 6).as("epochs"))
+  }
 }

@@ -108,6 +108,39 @@ object TextStats {
     lenScore * lit(0.5) + punctOk * lit(0.25) + swOk * lit(0.25)
   }
 
+  // ----- readability (Flesch) -------------------------------------------
+
+  /** Syllable-count proxy: maximal vowel runs (`y` counted as a vowel),
+    * case-insensitive — the standard dictionary-free heuristic ("beautiful"
+    * → eau+i+u = 3). Counted natively, no array materialization.
+    */
+  def nSyllables(text: Column): Column =
+    graft.functions.RegexpCount.regexpCount(lower(text), "[aeiouy]+")
+
+  /** Sentence-count proxy: maximal terminal-punctuation runs ("What?!"
+    * is one boundary), floored at 1 for any non-empty text so ratios
+    * stay defined for fragments without a terminator.
+    */
+  def nSentences(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      greatest(graft.functions.RegexpCount.regexpCount(text, "[.!?]+"), lit(1L)))
+
+  /** Flesch reading ease from pre-aggregated EXACT long moments
+    * (Σ words, Σ sentences, Σ syllables):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` —
+    * closed-form double arithmetic at the end, the [[graft.ops.Trend]]
+    * determinism discipline. Null when either denominator is zero.
+    * Feeding one document's moments gives its score; feeding a GROUP'S
+    * summed moments gives the corpus-level score (the length-weighted
+    * form — NOT the mean of per-document scores, which would overweight
+    * fragments).
+    */
+  def fleschOf(nWords: Column, nSentences: Column, nSyllables: Column): Column =
+    when(nSentences > 0L && nWords > 0L,
+      round(lit(206.835) -
+        lit(1.015) * nWords.cast("double") / nSentences.cast("double") -
+        lit(84.6) * nSyllables.cast("double") / nWords.cast("double"), 6))
+
   /** Tiny per-language stopword sets for the n-gram/stopword language-ID
     * heuristic (deterministic, dictionary-free).
     */

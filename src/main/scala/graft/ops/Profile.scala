@@ -108,4 +108,37 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         min(col("__v")).as("v_min"), max(col("__v")).as("v_max"))
   }
+
+  /** Functional-dependency violation audit: for each candidate FD
+    * `determinant → dependent`, how many determinant groups bind more
+    * than one distinct dependent value (nulls count as a value — a key
+    * that maps to both 'A' and NULL is still ambiguous). The schema-
+    * constraint complement of the reference's row-level gates: its
+    * `dq_uniques` is the special case `PK → everything`; this audits
+    * any claimed dependency ("an order has one customer", "a nation is
+    * in one region") and quantifies the blast radius when it fails.
+    *
+    * One row per FD: `fd, n_groups, n_violating_groups,
+    * n_rows_in_violating, max_distinct_dependent`. Each FD is one keyed
+    * aggregate at its own determinant grain (different keys cannot
+    * share a shuffle); the union is plan-level, not a rescan barrier.
+    */
+  def fdViolations(df: DataFrame, fds: Seq[(Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "no FDs to audit")
+    fds.map { case (det, dep) =>
+      require(det.nonEmpty, "empty determinant")
+      require(!det.contains(dep), s"FD ${det.mkString(",")} -> $dep is trivial")
+      df.groupBy(det.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          count_distinct(coalesce(col(dep).cast("string"),
+            lit("\u0000null"))).as("__nd"))
+        .agg(lit(s"${det.mkString(",")} -> $dep").as("fd"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__nd") > 1L, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when(col("__nd") > 1L, col("__n")).otherwise(0L))
+            .as("n_rows_in_violating"),
+          max(col("__nd")).as("max_distinct_dependent"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -34,6 +34,41 @@ object Stats {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Benford first-digit audit — the forensic-accounting DQ screen
+    * (Nigrini 2012): naturally occurring multi-magnitude amounts have
+    * first-digit frequencies `log10(1 + 1/d)`; fabricated, capped, or
+    * unit-converted data drifts off that curve. One row per digit 1-9:
+    * observed count, observed share, the Benford expectation, and the
+    * signed gap — plus each digit's contribution to the mean absolute
+    * deviation (Nigrini's conformity statistic: MAD < 0.006 ≈ close
+    * conformity; > 0.015 ≈ nonconformity; sum `mad_term` to read it).
+    *
+    * `value` must be integer-grain and positive to participate (zeros,
+    * nulls, negatives are excluded — they have no Benford first digit).
+    *
+    * Scale shape: first digit is a map-side string expression; the
+    * aggregate has ≤ 9 groups; the totals join is a 1-row broadcast.
+    */
+  def benfordFirstDigit(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.select(value.cast("long").as("__v"))
+      .where(col("__v").isNotNull && col("__v") > 0L)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("__n_total"))
+    val obsShare = col("n_obs").cast("double") / col("__n_total").cast("double")
+    // log10(1 + 1/d) via ln — the same closed form in the twin
+    val expShare = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(obsShare, 6).as("obs_share"),
+        round(expShare, 6).as("benford_share"),
+        round(obsShare - expShare, 6).as("gap"),
+        round(abs(obsShare - expShare) / lit(9.0), 6).as("mad_term"))
+      .orderBy(col("digit"))
+  }
+
   /** One row `(n, dof, chi2)`: Pearson's chi-square statistic for
     * independence of two categorical columns. Rows with a null category
     * on either side are EXCLUDED up front (they would silently drop

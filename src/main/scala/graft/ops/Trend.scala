@@ -29,6 +29,57 @@ import org.apache.spark.sql.functions._
   */
 object Trend {
 
+  /** Classical ratio-to-moving-average seasonal decomposition (the
+    * textbook X-11 ancestor) over an even-period series: per period
+    * slot (e.g. month-of-year), the average ratio of the observed value
+    * to its CENTERED period-length moving average. An index of 1.12 for
+    * December reads "Decembers run 12% above trend" — the
+    * deseasonalizing divisor a forecast or anomaly gate applies before
+    * comparing months.
+    *
+    * `df` must hold ONE row per consecutive integer `tickCol` (gap-fill
+    * first — a missing month silently shifts every window after it) with
+    * an exact integer `valueCol`. For even `period` p the centered MA at
+    * t is the standard two-window average
+    * `(Σ[t-p/2, t+p/2-1] + Σ[t-p/2+1, t+p/2]) / 2p`, defined only where
+    * both windows are complete — edge ticks drop out of the ratio pool
+    * rather than biasing it.
+    *
+    * Output per slot `tick % period`: `slot, n_obs, seasonal_index`
+    * (mean ratio, 6-decimal). The window sums are exact longs; each
+    * ratio is one double division rounded to a fixed 9-decimal grid;
+    * the per-slot mean is then a double sum over a handful of grid
+    * values — the [[Stats.chiSquare]] tiny-grid residual, absorbed by
+    * the final 6-decimal rounding.
+    *
+    * Scale shape: one unpartitioned ordered window over the SERIES
+    * (period-grain input, e.g. months — thousands of rows at most, not
+    * data grain; for per-group series add the group key to the window
+    * spec), then a slot-grain aggregate.
+    */
+  def seasonalIndices(df: DataFrame, tickCol: String, valueCol: String,
+                      period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0, s"period=$period must be even >= 2")
+    val h = period / 2
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(tickCol))
+    val v = col(valueCol).cast("long")
+    val sumA = sum(v).over(w.rowsBetween(-h, h - 1))
+    val cntA = count(v).over(w.rowsBetween(-h, h - 1))
+    val sumB = sum(v).over(w.rowsBetween(-h + 1, h))
+    val cntB = count(v).over(w.rowsBetween(-h + 1, h))
+    val trend = (sumA + sumB).cast("double") / lit(2.0 * period)
+    val ratio = when(cntA === period && cntB === period && trend =!= 0.0,
+      round(v.cast("double") / trend, 9))
+    df.select(pmod(col(tickCol).cast("long"), lit(period.toLong)).as("slot"),
+        ratio.as("__r"))
+      .where(col("__r").isNotNull)
+      .groupBy(col("slot"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(col("__r")) / count(lit(1)).cast("double"), 6)
+          .as("seasonal_index"))
+      .orderBy(col("slot"))
+  }
+
   /** `groupCols + n + slope + intercept`: least-squares fit of `y`
     * against `x` per group. Groups with fewer than 2 distinct x values
     * have an undefined slope → null slope/intercept (the SQL

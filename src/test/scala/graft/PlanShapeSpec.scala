@@ -82,7 +82,10 @@ class PlanShapeSpec extends AnyFunSuite {
           !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi",
             "chi2_priority_status", "cms_brand_counts", "lm_quality_score",
             "source_overlap_sketch", "cms_join_size", "ks_price_drift",
-            "sparse_cosine_pairs", "bm25_top_docs", "log_odds_terms")(name))
+            "sparse_cosine_pairs", "bm25_top_docs", "log_odds_terms",
+            // 1-row totals broadcasts: Benford's digit total, the
+            // temperature mixture's corpus totals
+            "benford_order_totals", "temperature_mix_langs")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
