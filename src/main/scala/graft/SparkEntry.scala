@@ -1229,6 +1229,66 @@ object SparkEntry {
     Drift.ks(yr(1995), yr(1996), cents(col("o_totalprice")), 5000000L)
   }
 
+  /** Market-basket association ([[graft.ops.Basket.coOccurrence]]):
+    * brands co-ordered within an order, with support/confidence/lift/
+    * PMI from exact counts. Orders have bounded line counts, so the
+    * within-basket pair fanout is tiny; the 25-brand item space keeps
+    * the pair table dense enough that lift is meaningful.
+    */
+  private def marketBasketBrands(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val baskets = li.join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+      col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    graft.ops.Basket.coOccurrence(baskets, "l_orderkey", "p_brand")
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  /** LOCF time-weighted average event value per user
+    * ([[graft.ops.Windows.timeWeightedAvg]]) — each reading holds until
+    * the next, so sampling cadence stops biasing the mean.
+    */
+  private def timeWeightedValue(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.timeWeightedAvg(
+      t(s, dir, "events").select(col("user_id"), col("ts"),
+        cents(col("value")).as("value_cents")),
+      "user_id", "ts", "value_cents")
+      .orderBy(col("user_id"))
+
+  /** Freshness-decayed brand demand ([[graft.ops.Decay.decayedCounts]]):
+    * half-life 180 days against the dataset's end — the "trending now"
+    * ranking raw counts can't give (a brand's 1994 spike shouldn't
+    * outrank last quarter's steady seller).
+    */
+  private def decayedBrandCounts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_shipdate"))
+    val withBrand = li.join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+      col("l_partkey") === col("p_partkey"))
+    graft.ops.Decay.decayedCounts(withBrand, Seq("p_brand"),
+        col("l_shipdate"), asOf = "1998-12-01", halfLifeDays = 180.0)
+      .orderBy(col("p_brand"))
+  }
+
+  /** Native Jaro-Winkler ([[graft.functions.JaroWinklerSim]]) scored
+    * over consecutive part names (the deterministic candidate pairing):
+    * the oracle recomputes with DuckDB's own `jaro_winkler_similarity`,
+    * so a hash match certifies the custom expression bit-for-bit on
+    * real text — window matching, floored half-transpositions, the 0.7
+    * boost threshold, the ≤4 prefix cap.
+    */
+  private def jwNameSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("p_partkey"))
+    t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      .withColumn("__next", lead(col("p_name"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(col("p_partkey"),
+        round(graft.functions.JaroWinklerSim.jaroWinkler(
+          col("p_name"), col("__next")), 6).as("jw"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Benford first-digit screen ([[graft.ops.Stats.benfordFirstDigit]])
     * on order totals in cents — multi-magnitude natural amounts, the
     * distribution the law applies to. Gap and MAD terms quantify how
@@ -1399,6 +1459,10 @@ object SparkEntry {
     "benford_order_totals" -> (benfordOrderTotals _),
     "fd_audit_orders" -> (fdAuditOrders _),
     "seasonal_indices_orders" -> (seasonalIndicesOrders _),
+    "market_basket_brands" -> (marketBasketBrands _),
+    "time_weighted_value" -> (timeWeightedValue _),
+    "decayed_brand_counts" -> (decayedBrandCounts _),
+    "jw_name_similarity" -> (jwNameSimilarity _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
   )
@@ -1575,6 +1639,75 @@ object SparkEntry {
         |SELECT slot, CAST(count(*) AS BIGINT) AS n_obs,
         |       round(sum(ratio) / CAST(count(*) AS DOUBLE), 6) AS seasonal_index
         |FROM r GROUP BY slot ORDER BY slot""".stripMargin,
+    // distinct (order, brand) pairs, the same ≤64 basket cap, pair and
+    // marginal counts exact, association ratios closed-form
+    "market_basket_brands" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), sized AS (
+        |  SELECT b, i FROM (
+        |    SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM bi
+        |  ) WHERE sz <= 64
+        |), nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM sized
+        |), marg AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM sized GROUP BY i
+        |), pairs AS (
+        |  SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM sized l JOIN sized r ON l.b = r.b AND l.i < r.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item_a, item_b, n_ab, ma.ni AS n_a, mb.ni AS n_b,
+        |       round(CAST(n_ab AS DOUBLE) / nb.n, 6) AS support,
+        |       round(CAST(n_ab AS DOUBLE) / CAST(ma.ni AS DOUBLE), 6) AS confidence_ab,
+        |       round(CAST(n_ab AS DOUBLE) / CAST(mb.ni AS DOUBLE), 6) AS confidence_ba,
+        |       round(CAST(n_ab AS DOUBLE) * nb.n / (CAST(ma.ni AS DOUBLE) * CAST(mb.ni AS DOUBLE)), 6) AS lift,
+        |       round(ln(CAST(n_ab AS DOUBLE) * nb.n / (CAST(ma.ni AS DOUBLE) * CAST(mb.ni AS DOUBLE))), 6) AS pmi
+        |FROM pairs JOIN marg ma ON pairs.item_a = ma.i
+        |           JOIN marg mb ON pairs.item_b = mb.i
+        |           CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+    // LOCF integral: exact value·duration sums (HUGEINT there,
+    // decimal(38,0) here), one closed-form division
+    "time_weighted_value" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tu,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, v,
+        |         lead(tu) OVER (PARTITION BY user_id ORDER BY tu, v) - tu AS dur
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(dur) AS BIGINT) AS span_us,
+        |       CASE WHEN sum(dur) > 0 THEN
+        |         round(CAST(sum(CAST(v AS HUGEINT) * CAST(dur AS HUGEINT)) AS DOUBLE)
+        |               / CAST(sum(dur) AS DOUBLE), 6) END AS twa
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // exact (brand, age-days) count grid, then the tiny-grid weighted
+    // fold — same two-stage shape as the Spark side
+    "decayed_brand_counts" ->
+      """WITH g AS (
+        |  SELECT p_brand,
+        |         CAST(datediff('day', l_shipdate, DATE '1998-12-01') AS BIGINT) AS age,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE datediff('day', l_shipdate, DATE '1998-12-01') >= 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p_brand, CAST(sum(n) AS BIGINT) AS n_raw,
+        |       round(sum(CAST(n AS DOUBLE) * pow(2.0, -CAST(age AS DOUBLE) / 180.0)), 6) AS decayed_count
+        |FROM g GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // DuckDB's own jaro_winkler_similarity re-scores the same adjacent
+    // pairs — a hash match certifies the custom expression exactly
+    "jw_name_similarity" ->
+      """WITH w AS (
+        |  SELECT p_partkey, p_name,
+        |         lead(p_name) OVER (ORDER BY p_partkey) AS nxt
+        |  FROM part
+        |)
+        |SELECT p_partkey, round(jaro_winkler_similarity(p_name, nxt), 6) AS jw
+        |FROM w WHERE nxt IS NOT NULL ORDER BY p_partkey""".stripMargin,
     // the oracle recomputes the rollup from ALL orders in one pass — a
     // hash match certifies snapshot⊕delta state merge ≡ full recompute
     "incremental_rollup_orders" ->

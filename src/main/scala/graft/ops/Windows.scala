@@ -59,6 +59,41 @@ object Windows {
     * Scale shape: one per-key window pass in arrival order (the same
     * single shuffle as sessionize), then a global one-row aggregate.
     */
+  /** Time-weighted average over an IRREGULARLY sampled series — the
+    * metrics-engine `time_weight('LOCF')` semantics: each sample's
+    * value holds until the next sample, so the mean weights each value
+    * by its holding duration instead of pretending samples are
+    * equally spaced (a sensor that reports 1/s while broken and 1/h
+    * while healthy would otherwise average mostly-broken). The last
+    * sample has no successor and contributes no area (pure LOCF
+    * integral over the observed span).
+    *
+    * Per key: `n_samples, span_us, twa` (6-decimal; null for keys with
+    * fewer than two samples — no span to integrate). `value` must be
+    * integer-grain (e.g. cents): each value·duration term is then
+    * exact, the per-key sums accumulate exactly in decimal(38,0), and
+    * the single closed-form division makes the result engine-twinnable.
+    *
+    * Scale shape: one per-key ordered window for the successor
+    * timestamp, then one keyed aggregate — the sessionize shuffle
+    * shape, nothing global.
+    */
+  def timeWeightedAvg(df: DataFrame, key: String, ts: String,
+                      value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(value))
+    val tUs = unix_micros(col(ts).cast("timestamp"))
+    val dur = lead(tUs, 1).over(w) - tUs
+    val d38 = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    df.select(col(key), col(value).cast("long").as("__v"), dur.as("__dur"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("__dur")).as("span_us"),
+        when(sum(col("__dur")) > 0L,
+          round(sum(d38(col("__v")) * d38(col("__dur"))).cast("double") /
+            sum(d38(col("__dur"))).cast("double"), 6)).as("twa"))
+  }
+
   def latenessStats(df: DataFrame, key: String, ts: String,
                     arrivalCol: String,
                     thresholdsSec: Seq[Long] = Seq(60L, 300L, 900L))

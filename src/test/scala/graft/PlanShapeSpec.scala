@@ -84,8 +84,9 @@ class PlanShapeSpec extends AnyFunSuite {
             "source_overlap_sketch", "cms_join_size", "ks_price_drift",
             "sparse_cosine_pairs", "bm25_top_docs", "log_odds_terms",
             // 1-row totals broadcasts: Benford's digit total, the
-            // temperature mixture's corpus totals
-            "benford_order_totals", "temperature_mix_langs")(name))
+            // temperature mixture's corpus totals, the basket count
+            "benford_order_totals", "temperature_mix_langs",
+            "market_basket_brands")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
