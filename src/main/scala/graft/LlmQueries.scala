@@ -170,6 +170,26 @@ object LlmQueries {
         "[.,;:!?'\"()\\[\\]{}-]"),
       y = TextStats.nWordPieces(col("text")))
 
+  /** Per-class precision/recall/F1 of the heuristic language-ID
+    * against the labeled `lang` column ([[graft.ops.Eval.classStats]])
+    * — the model-eval loop a pipeline runs before trusting a cheap
+    * classifier to gate a corpus. `def`-level classes appearing on only
+    * one side (e.g. `und`, never a label) still get a row.
+    */
+  private def langIdEval(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.classStats(tPar(s, dir, "documents"),
+        col("lang"), TextStats.langId(col("text")))
+      .orderBy(col("clazz"))
+
+  /** Chance-corrected agreement (Cohen's κ,
+    * [[graft.ops.Eval.cohenKappa]]) between the label and the heuristic
+    * — raw accuracy flatters a skewed label mix; κ subtracts what the
+    * marginals agree on by luck.
+    */
+  private def langIdKappa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.cohenKappa(tPar(s, dir, "documents"),
+      col("lang"), TextStats.langId(col("text")))
+
   /** Temperature-flattened sampling allocation at α=0.3 (the XLM-R
     * default) over per-language exact word-piece counts, at a 10M-token
     * mixture budget — see [[Curation.temperatureAllocation]].
@@ -945,6 +965,8 @@ object LlmQueries {
     "substring_dup_stats" -> (substringDupStatsQ _),
     "token_count_model" -> (tokenCountModel _),
     "temperature_mix_langs" -> (temperatureMixLangs _),
+    "lang_id_eval" -> (langIdEval _),
+    "lang_id_kappa" -> (langIdKappa _),
     "flesch_by_lang" -> (fleschByLang _),
     "url_domain_stats" -> (urlDomainStats _),
     "containment_pairs" -> (containmentPairs _),
@@ -976,6 +998,32 @@ object LlmQueries {
   private val Ws = TextStats.WsRegex
   private val Toks =
     s"""list_filter(regexp_split_to_array(trim(text), '$Ws'), x -> x <> '')"""
+
+  /** Shared language-ID prediction CTEs (`base`, `h`, `pred`): the
+    * stopword-hit argmax exactly as [[TextStats.langId]] computes it.
+    * `pred` exposes `doc_id, lang, p`.
+    */
+  private lazy val LangPredCtes: String = {
+    val hits = TextStats.LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, t -> list_contains($lst, lower(t)))) AS hits_$lang"
+    }.mkString(",\n         ")
+    val langs = TextStats.LangStopwords.keys.toSeq.sorted
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val cases = langs.map(l =>
+      s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString("\n         ")
+    s"""base AS (
+       |  SELECT doc_id, lang, $Toks AS toks FROM documents
+       |), h AS (
+       |  SELECT doc_id, lang,
+       |         $hits
+       |  FROM base
+       |), pred AS (
+       |  SELECT doc_id, lang,
+       |         CASE $cases ELSE 'und' END AS p
+       |  FROM h
+       |)""".stripMargin
+  }
   private def toksOf(c: String) =
     s"""list_filter(regexp_split_to_array(trim($c), '$Ws'), x -> x <> '')"""
   private val Fingerprint =
@@ -1837,26 +1885,61 @@ object LlmQueries {
          |         + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END) * 0.25 AS quality_score,
          |       fingerprint
          |FROM stats ORDER BY doc_id""".stripMargin,
-    "lang_id_pred" -> {
-      val hits = TextStats.LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(toks, t -> list_contains($lst, lower(t)))) AS hits_$lang"
-      }.mkString(",\n         ")
-      val langs = TextStats.LangStopwords.keys.toSeq.sorted
-      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-      val cases = langs.map(l =>
-        s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'").mkString("\n         ")
-      s"""WITH base AS (
-         |  SELECT doc_id, lang, $Toks AS toks FROM documents
-         |), h AS (
-         |  SELECT doc_id, lang,
-         |         $hits
-         |  FROM base
+    "lang_id_pred" ->
+      s"""WITH $LangPredCtes
+         |SELECT doc_id, lang, p AS lang_pred
+         |FROM pred ORDER BY doc_id""".stripMargin,
+    // confusion grid from the same prediction CTEs; per-class folds of
+    // the tiny grid, full-outer on class (one-sided classes kept)
+    "lang_id_eval" ->
+      s"""WITH $LangPredCtes,
+         |cm AS (
+         |  SELECT lang AS a, p, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2
+         |), act AS (
+         |  SELECT a AS clazz, CAST(sum(n) AS BIGINT) AS n_actual,
+         |         CAST(sum(CASE WHEN p = a THEN n ELSE 0 END) AS BIGINT) AS tp
+         |  FROM cm GROUP BY 1
+         |), prd AS (
+         |  SELECT p AS clazz, CAST(sum(n) AS BIGINT) AS n_predicted
+         |  FROM cm GROUP BY 1
          |)
-         |SELECT doc_id, lang,
-         |       CASE $cases ELSE 'und' END AS lang_pred
-         |FROM h ORDER BY doc_id""".stripMargin
-    },
+         |SELECT coalesce(act.clazz, prd.clazz) AS clazz,
+         |       coalesce(n_actual, 0) AS n_actual,
+         |       coalesce(n_predicted, 0) AS n_predicted,
+         |       coalesce(tp, 0) AS tp,
+         |       CASE WHEN coalesce(n_predicted, 0) > 0
+         |            THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_predicted AS DOUBLE), 6) END AS precision,
+         |       CASE WHEN coalesce(n_actual, 0) > 0
+         |            THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) END AS recall,
+         |       CASE WHEN coalesce(n_predicted, 0) > 0 AND coalesce(n_actual, 0) > 0 AND coalesce(tp, 0) > 0
+         |            THEN round(2.0 * CAST(tp AS DOUBLE) / CAST(n_predicted + n_actual AS DOUBLE), 6) END AS f1
+         |FROM act FULL OUTER JOIN prd ON act.clazz = prd.clazz
+         |ORDER BY clazz""".stripMargin,
+    // observed vs marginal-chance agreement over the same grid
+    "lang_id_kappa" ->
+      s"""WITH $LangPredCtes,
+         |cm AS (
+         |  SELECT lang AS a, p, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2
+         |), rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cm GROUP BY 1
+         |), ct AS (SELECT p AS b, CAST(sum(n) AS BIGINT) AS cb FROM cm GROUP BY 1
+         |), ch AS (
+         |  SELECT coalesce(CAST(sum(CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)) AS DOUBLE), 0.0) AS pe_num
+         |  FROM rt JOIN ct ON rt.a = ct.b
+         |), ag AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         |         CAST(sum(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM cm
+         |)
+         |SELECT n_tot AS n,
+         |       round(CAST(n_agree AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS po,
+         |       round(pe_num / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)), 6) AS pe,
+         |       CASE WHEN pe_num / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)) <> 1.0
+         |            THEN round((CAST(n_agree AS DOUBLE) / CAST(n_tot AS DOUBLE)
+         |                        - pe_num / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)))
+         |                       / (1.0 - pe_num / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE))), 6) END AS kappa
+         |FROM ag CROSS JOIN ch""".stripMargin,
     "dedup_exact_stats" ->
       s"""WITH fp AS (SELECT $Fingerprint AS f FROM documents),
          |g AS (SELECT f, count(*) AS n FROM fp GROUP BY 1)

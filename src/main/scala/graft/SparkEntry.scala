@@ -1289,6 +1289,15 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
+  /** Threshold-free ranking quality ([[graft.ops.Eval.aucMannWhitney]]):
+    * does event value discriminate purchases from other events? AUC as
+    * the Mann-Whitney statistic over the cents-grain score grid — no
+    * row-grain rank, ties count half, the sum is half-integer-exact.
+    */
+  private def purchaseValueAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.aucMannWhitney(t(s, dir, "events"),
+      cents(col("value")), col("event_type") === "purchase")
+
   /** Benford first-digit screen ([[graft.ops.Stats.benfordFirstDigit]])
     * on order totals in cents — multi-magnitude natural amounts, the
     * distribution the law applies to. Gap and MAD terms quantify how
@@ -1463,6 +1472,7 @@ object SparkEntry {
     "time_weighted_value" -> (timeWeightedValue _),
     "decayed_brand_counts" -> (decayedBrandCounts _),
     "jw_name_similarity" -> (jwNameSimilarity _),
+    "purchase_value_auc" -> (purchaseValueAuc _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
   )
@@ -1698,6 +1708,27 @@ object SparkEntry {
         |SELECT p_brand, CAST(sum(n) AS BIGINT) AS n_raw,
         |       round(sum(CAST(n AS DOUBLE) * pow(2.0, -CAST(age AS DOUBLE) / 180.0)), 6) AS decayed_count
         |FROM g GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // score-grid Mann-Whitney: counts per distinct cents value, the
+    // cumulative negatives-below window, half-tie terms — all exact
+    "purchase_value_auc" ->
+      """WITH g AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT pos, neg,
+        |         coalesce(CAST(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS nb
+        |  FROM g
+        |)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       CAST(sum(neg) AS BIGINT) AS n_neg,
+        |       CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+        |         round(sum(CAST(pos AS DOUBLE) * (CAST(nb AS DOUBLE) + CAST(neg AS DOUBLE) / 2.0))
+        |               / (CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)), 6) END AS auc
+        |FROM c""".stripMargin,
     // DuckDB's own jaro_winkler_similarity re-scores the same adjacent
     // pairs — a hash match certifies the custom expression exactly
     "jw_name_similarity" ->

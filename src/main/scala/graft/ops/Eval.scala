@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation aggregates — the scoring half of a training-
+  * data pipeline's model loop: per-class precision/recall/F1, chance-
+  * corrected agreement (Cohen's κ) between two labelers (annotator vs
+  * model, judge vs judge), and threshold-free ranking quality (ROC AUC
+  * as the Mann-Whitney statistic). At corpus scale these run as
+  * aggregates over label/score GRIDS, never row-grain sorts.
+  *
+  * Determinism: every count is an exact long; the only doubles are
+  * closed-form ratios at the end (6-decimal rounded). AUC's rank math
+  * stays on a half-integer grid (binary fractions — exactly
+  * representable), so even its sums are bit-exact.
+  */
+object Eval {
+
+  /** Per-class one-vs-rest confusion stats for a multi-class predictor:
+    * `clazz, n_actual, n_predicted, tp, precision, recall, f1` — one
+    * row per class appearing on EITHER side (a class the model never
+    * predicts still shows, with null precision; an hallucinated class
+    * shows with null recall).
+    *
+    * Scale shape: one (actual, predicted) pair-grain aggregate — the
+    * confusion matrix, ≤ classes² rows — then class-grain folds of that
+    * tiny grid. One data shuffle total.
+    */
+  def classStats(df: DataFrame, actual: Column, predicted: Column)
+    : DataFrame = {
+    val cm = df.select(actual.cast("string").as("__a"),
+        predicted.cast("string").as("__p"))
+      .where(col("__a").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__n"))
+    val act = cm.groupBy(col("__a").as("clazz"))
+      .agg(sum(col("__n")).as("n_actual"),
+        sum(when(col("__p") === col("__a"), col("__n")).otherwise(0L))
+          .as("tp"))
+    val pred = cm.groupBy(col("__p").as("clazz"))
+      .agg(sum(col("__n")).as("n_predicted"))
+    act.join(pred, Seq("clazz"), "full_outer")
+      .select(col("clazz"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_predicted") > 0L,
+          round(col("tp").cast("double") / col("n_predicted").cast("double"), 6)))
+      .withColumn("recall",
+        when(col("n_actual") > 0L,
+          round(col("tp").cast("double") / col("n_actual").cast("double"), 6)))
+      .withColumn("f1",
+        when(col("n_predicted") > 0L && col("n_actual") > 0L &&
+          col("tp") > 0L,
+          round(lit(2.0) * col("tp").cast("double") /
+            (col("n_predicted") + col("n_actual")).cast("double"), 6)))
+  }
+
+  /** Cohen's κ between two label columns, one row:
+    * `n, po, pe, kappa` — observed agreement, chance agreement from the
+    * marginals, and the chance-corrected score (κ=1 perfect, 0 chance
+    * level, <0 worse than chance). Null κ when pe=1 (both sides
+    * constant and equal — agreement is unfalsifiable).
+    *
+    * Scale shape: the same confusion-grid aggregate as [[classStats]];
+    * marginal products fold over ≤ classes² rows.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cm = df.select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val rowT = cm.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+    val colT = cm.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
+    // chance agreement: Σ_c rowMarginal(c)·colMarginal(c) — exact in
+    // decimal(38,0) (marginal products pass long range once n > ~3e9)
+    val d38 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val chance = rowT.join(colT, col("__a") === col("__b"))
+      .agg(coalesce(sum(d38(col("__ra")) * d38(col("__cb"))),
+        lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("__pe_num"))
+    val agree = cm.agg(sum(col("__n")).as("__n_tot"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .as("__n_agree"))
+    val n = col("__n_tot").cast("double")
+    val po = col("__n_agree").cast("double") / n
+    val pe = col("__pe_num").cast("double") / (n * n)
+    agree.crossJoin(broadcast(chance))
+      .select(col("__n_tot").as("n"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** ROC AUC as the Mann-Whitney U statistic over an INTEGER score:
+    * the probability a random positive outscores a random negative
+    * (ties count half). One row: `n_pos, n_neg, auc`.
+    *
+    * Computed at score-GRID grain: counts per distinct score, a
+    * cumulative window over the grid, then
+    * `U = Σ_s pos_s · (negBelow_s + neg_s/2)` — the rank formulation
+    * without ranking any row. The grid is bounded by distinct score
+    * values (the caller scores at integer grain, e.g. cents), so the
+    * window runs over thousands of rows, not the corpus; every term is
+    * a half-integer (exact in binary), making the sum bit-exact.
+    */
+  def aucMannWhitney(df: DataFrame, score: Column, label: Column)
+    : DataFrame = {
+    val grid = df.select(score.cast("long").as("__s"),
+        label.cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val negBelow = coalesce(sum(col("__neg")).over(w), lit(0L))
+    grid
+      .select(col("__pos"), col("__neg"),
+        (col("__pos").cast("double") *
+          (negBelow.cast("double") + col("__neg").cast("double") / 2.0))
+          .as("__u"))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        when(sum(col("__pos")) > 0L && sum(col("__neg")) > 0L,
+          round(sum(col("__u")) /
+            (sum(col("__pos")).cast("double") *
+              sum(col("__neg")).cast("double")), 6)).as("auc"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Eval
+
+/** Classifier-eval aggregates: hand-checked confusion stats, κ against
+  * its definition, and Mann-Whitney AUC incl. tie handling.
+  */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("classStats: per-class P/R/F1, one-sided classes kept") {
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
+      ("c", "c"), ("a", "d")).toDF("y", "p")
+    val rows = Eval.classStats(df, col("y"), col("p")).orderBy("clazz")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d"))
+    val a = rows(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 2L, 2L)))
+    assert(a.getDouble(4) === 1.0)          // precision 2/2
+    assert(a.getDouble(5) === 0.5)          // recall 2/4
+    assert(a.getDouble(6) === 0.666667)     // f1 = 2*2/(2+4)
+    val d = rows(3)
+    assert((d.getLong(1), d.getLong(2), d.getLong(3)) === ((0L, 1L, 0L)))
+    assert(d.getDouble(4) === 0.0)          // precision 0/1
+    assert(d.isNullAt(5) && d.isNullAt(6))  // no actuals → recall undefined
+  }
+
+  test("cohenKappa: chance-level is 0, perfect is 1, constant-equal is null") {
+    val chance = Seq(("y", "y"), ("y", "n"), ("n", "y"), ("n", "n"))
+      .toDF("a", "b")
+    val r = Eval.cohenKappa(chance, col("a"), col("b")).head()
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) === ((4L, 0.5, 0.5)))
+    assert(r.getDouble(3) === 0.0)
+    val perfect = Seq(("y", "y"), ("n", "n"), ("m", "m")).toDF("a", "b")
+    assert(Eval.cohenKappa(perfect, col("a"), col("b")).head().getDouble(3)
+      === 1.0)
+    val const = Seq(("y", "y"), ("y", "y")).toDF("a", "b")
+    assert(Eval.cohenKappa(const, col("a"), col("b")).head().isNullAt(3))
+  }
+
+  test("aucMannWhitney: separation, reversal, ties, the half-tie credit") {
+    def auc(rows: Seq[(Long, Boolean)]): java.lang.Double = {
+      val r = Eval.aucMannWhitney(rows.toDF("s", "y"), col("s"), col("y"))
+        .head()
+      if (r.isNullAt(2)) null else r.getDouble(2)
+    }
+    assert(auc(Seq((10L, true), (20L, true), (1L, false), (2L, false))) === 1.0)
+    assert(auc(Seq((1L, true), (2L, true), (10L, false), (20L, false))) === 0.0)
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false))) === 0.5)
+    // pos at 5 ties one neg (half credit) and beats the neg at 1
+    assert(auc(Seq((5L, true), (1L, false), (5L, false))) === 0.75)
+    // degenerate: single-class input → null
+    assert(auc(Seq((5L, true), (6L, true))) === null)
+  }
+}
