@@ -170,6 +170,14 @@ object LlmQueries {
         "[.,;:!?'\"()\\[\\]{}-]"),
       y = TextStats.nWordPieces(col("text")))
 
+  /** Top PMI collocations ([[Collocations.pmiBigrams]]) at min-count 5
+    * — adjacent pairs the unigram model can't explain, the phrase-
+    * mining signal.
+    */
+  private def collocationsPmi(s: SparkSession, dir: String): DataFrame =
+    Collocations.pmiBigrams(tPar(s, dir, "documents"), "text",
+      minCount = 5L, k = 50)
+
   /** Per-class precision/recall/F1 of the heuristic language-ID
     * against the labeled `lang` column ([[graft.ops.Eval.classStats]])
     * — the model-eval loop a pipeline runs before trusting a cheap
@@ -967,6 +975,7 @@ object LlmQueries {
     "temperature_mix_langs" -> (temperatureMixLangs _),
     "lang_id_eval" -> (langIdEval _),
     "lang_id_kappa" -> (langIdKappa _),
+    "collocations_pmi" -> (collocationsPmi _),
     "flesch_by_lang" -> (fleschByLang _),
     "url_domain_stats" -> (urlDomainStats _),
     "containment_pairs" -> (containmentPairs _),
@@ -1539,6 +1548,28 @@ object LlmQueries {
          |            THEN round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y)
          |                             / (syy - sy * sy / n), 6) END AS r2
          |FROM solved""".stripMargin,
+    // bigram/unigram counts exact; PMI rounded to 6 BEFORE the ranking
+    // sort, (w1, w2) total tiebreak
+    "collocations_pmi" ->
+      s"""WITH base AS (
+         |  SELECT $Toks AS toks FROM documents
+         |), bi AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM base, unnest(range(1, len(toks))) AS u(i)
+         |  WHERE len(toks) >= 2
+         |), uni AS (
+         |  SELECT t AS w, CAST(count(*) AS BIGINT) AS n
+         |  FROM base, unnest(toks) AS un(t) GROUP BY 1
+         |), bc AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+         |), tot AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM bi)
+         |SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
+         |       round(ln(CAST(n_ab AS DOUBLE) * nn
+         |                / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))), 6) AS pmi
+         |FROM bc JOIN uni a ON bc.w1 = a.w JOIN uni b ON bc.w2 = b.w
+         |        CROSS JOIN tot
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     // exact per-lang word-piece sums, then the α=0.3 flattening — the
     // only cross-engine arithmetic is pow/ratios over identical longs,
     // absorbed by the 6-decimal rounding

@@ -1289,6 +1289,19 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
+  /** Max-mean-shift change-point scan
+    * ([[graft.ops.ChangePoint.meanShiftScan]]) over the daily event-
+    * volume series: WHEN did ingest volume move, not just "drift
+    * somewhere in the window". The daily pre-aggregate is the data
+    * shuffle; the scan runs on the ~90-row series.
+    */
+  private def changepointEventVolume(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ChangePoint.meanShiftScan(
+      t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events")),
+      "day", "n_events")
+
   /** Threshold-free ranking quality ([[graft.ops.Eval.aucMannWhitney]]):
     * does event value discriminate purchases from other events? AUC as
     * the Mann-Whitney statistic over the cents-grain score grid — no
@@ -1473,6 +1486,7 @@ object SparkEntry {
     "decayed_brand_counts" -> (decayedBrandCounts _),
     "jw_name_similarity" -> (jwNameSimilarity _),
     "purchase_value_auc" -> (purchaseValueAuc _),
+    "changepoint_event_volume" -> (changepointEventVolume _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
   )
@@ -1708,6 +1722,32 @@ object SparkEntry {
         |SELECT p_brand, CAST(sum(n) AS BIGINT) AS n_raw,
         |       round(sum(CAST(n AS DOUBLE) * pow(2.0, -CAST(age AS DOUBLE) / 180.0)), 6) AS decayed_count
         |FROM g GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // exact prefix sums over the daily series; scores on a fixed
+    // 9-decimal grid before the argmax, tick as tiebreak
+    "changepoint_event_volume" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT day, v,
+        |         CAST(sum(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        |  FROM s
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS tot FROM s
+        |), sc AS (
+        |  SELECT day, rn, n - rn AS nr,
+        |         CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE) AS ml,
+        |         CAST(tot - cum AS DOUBLE) / CAST(n - rn AS DOUBLE) AS mr,
+        |         round(abs(CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE)
+        |                   - CAST(tot - cum AS DOUBLE) / CAST(n - rn AS DOUBLE))
+        |               * sqrt(CAST(rn AS DOUBLE) * CAST(n - rn AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS s9
+        |  FROM w CROSS JOIN t WHERE rn < n
+        |)
+        |SELECT day AS split_tick, rn AS n_left, nr AS n_right,
+        |       round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+        |       round(s9, 6) AS shift_score
+        |FROM sc ORDER BY s9 DESC, split_tick LIMIT 1""".stripMargin,
     // score-grid Mann-Whitney: counts per distinct cents value, the
     // cumulative negatives-below window, half-tie terms — all exact
     "purchase_value_auc" ->

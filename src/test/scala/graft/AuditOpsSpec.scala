@@ -85,6 +85,33 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(p0(1).getDouble(6) > p0(0).getDouble(6))
   }
 
+  test("meanShiftScan finds the planted level shift with the right score") {
+    // 10 ticks at 100, then 10 at 200 → split after tick 9 (0-based),
+    // score = 100 * sqrt(10*10/20) = 223.606798
+    val df = (0 until 20).map(t => (t.toLong, if (t < 10) 100L else 200L))
+      .toDF("tick", "v")
+    val r = graft.ops.ChangePoint.meanShiftScan(df, "tick", "v").head()
+    assert(r.getLong(0) === 9L)
+    assert((r.getLong(1), r.getLong(2)) === ((10L, 10L)))
+    assert((r.getDouble(3), r.getDouble(4)) === ((100.0, 200.0)))
+    assert(r.getDouble(5) === 223.606798)
+  }
+
+  test("pmiBigrams: the planted phrase wins; hapax pairs are gated out") {
+    import spark.implicits._
+    // "deep learning" appears 6×; filler tokens appear everywhere
+    val docs = (1 to 6).map(i => s"the deep learning run $i of the day") ++
+      Seq("one unique pairing here")
+    val rows = graft.llm.Collocations.pmiBigrams(docs.toDF("text"), "text",
+      minCount = 5L, k = 3).collect()
+    assert(rows.nonEmpty)
+    assert((rows(0).getString(0), rows(0).getString(1)) ===
+      (("deep", "learning")))
+    assert(rows(0).getLong(2) === 6L)
+    // "unique pairing" (n=1) must not appear despite maximal PMI
+    assert(!rows.exists(r => r.getString(0) === "unique"))
+  }
+
   test("flesch moments: vowel runs, sentence floor, corpus-grain score") {
     import graft.llm.TextStats
     val df = Seq(

@@ -86,7 +86,8 @@ class PlanShapeSpec extends AnyFunSuite {
             // 1-row totals broadcasts: Benford's digit total, the
             // temperature mixture's corpus totals, the basket count
             "benford_order_totals", "temperature_mix_langs",
-            "market_basket_brands", "lang_id_kappa")(name))
+            "market_basket_brands", "lang_id_kappa",
+            "changepoint_event_volume", "collocations_pmi")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
