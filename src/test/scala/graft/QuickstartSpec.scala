@@ -366,4 +366,78 @@ class QuickstartSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(spark.read.parquet(s"$root/out").count() === 2) // dup dropped
   }
+
+  test("quickstart: substring spans, collocations, temperature mix") {
+    import graft.llm.{SubstringDedup, Collocations}
+    // README: duplicated-passage spans at w=5 (docs 1-3 share text)
+    val spans = SubstringDedup.dupSpans(docs, "doc_id", "text", w = 5)
+    assert(spans.count() >= 3)
+    // README: PMI phrase mining with the min-count gate
+    val phrases = Collocations.pmiBigrams(docs, "text", minCount = 2L, k = 10)
+    assert(phrases.count() >= 1 && phrases.columns.contains("pmi"))
+    import graft.llm.Curation.temperatureAllocation
+    val corpusStats = Seq(("en", 900L), ("de", 100L)).toDF("lang", "n_tokens")
+    // README: α-flattened sampling design table
+    val mix = temperatureAllocation(corpusStats, "lang", "n_tokens",
+      alpha = 0.3, budgetTokens = 1000000L)
+    assert(mix.columns.contains("epochs") && mix.count() === 2)
+  }
+
+  test("quickstart: urls, basket, change point, decay, eval") {
+    import graft.ops.{Urls, Basket, ChangePoint, Decay, Eval}
+    val pages = Seq("http://A.com/x?utm_source=1", "http://a.com:80/x/",
+      "https://b.co.uk/y").toDF("url")
+    // README: canonical URL + registered-domain rollup
+    val domains = Urls.domainStats(pages, "url")
+    assert(domains.count() === 2)
+    val lines = Seq((1L, "B1"), (1L, "B2"), (2L, "B1"), (2L, "B2"),
+      (3L, "B3")).toDF("order_id", "brand")
+    // README: basket association with the size cap
+    val assoc = Basket.coOccurrence(lines, "order_id", "brand")
+    assert(assoc.count() === 1)
+    val daily = (0 until 20).map(t => (t.toLong, if (t < 10) 10L else 30L))
+      .toDF("day", "n")
+    // README: the change-point scan
+    val cp = ChangePoint.meanShiftScan(daily, "day", "n")
+    assert(cp.head().getLong(0) === 9L)
+    val sales = Seq(("b", "2024-06-20"), ("b", "2024-06-30"))
+      .toDF("brand", "d").select(col("brand"), col("d").cast("date").as("d"))
+    // README: half-life decayed counts
+    val fresh2 = Decay.decayedCounts(sales, Seq("brand"), col("d"),
+      asOf = "2024-06-30", halfLifeDays = 30.0)
+    assert(fresh2.head().getLong(1) === 2L)
+    val preds = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("label", "pred")
+    // README: the classifier-eval trio
+    val prf = Eval.classStats(preds, col("label"), col("pred"))
+    assert(prf.count() === 2)
+    val agreement = Eval.cohenKappa(preds, col("label"), col("pred"))
+    assert(!agreement.head().isNullAt(3))
+    val scored = Seq((10L, true), (1L, false)).toDF("score", "y")
+    val rankQ = Eval.aucMannWhitney(scored, col("score"), col("y"))
+    assert(rankQ.head().getDouble(2) === 1.0)
+  }
+
+  test("quickstart: jaro-winkler expression and the drift monitor") {
+    import graft.functions.JaroWinklerSim
+    val namePairs = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+    // README: native Jaro-Winkler
+    val sim = namePairs.select(JaroWinklerSim.jaroWinkler(col("a"), col("b")))
+    assert(math.abs(sim.head().getDouble(0) - 0.9611111111111111) < 1e-12)
+
+    import graft.streaming.DriftMonitor
+    val root = Files.createTempDirectory("quickstart-drift").toString
+    val reference = Seq(100L, 200L, 300L).toDF("cents")
+    Seq(105L, 205L, 305L).toDF("cents").write.parquet(s"$root/in/f1")
+    val schema = spark.read.parquet(s"$root/in/f1").schema
+    val stream2 = spark.readStream.schema(schema).parquet(s"$root/in/*")
+    // README: per-micro-batch PSI gate
+    val monitor = DriftMonitor.psiWriter(stream2, reference, "cents",
+      bucketWidth = 5000000L, metricsPath = s"$root/drift_metrics")
+    val q2 = monitor
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/chk")
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$root/drift_metrics").count() === 1)
+  }
 }

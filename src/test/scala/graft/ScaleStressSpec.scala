@@ -120,6 +120,28 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(secs < 120.0, f"winnow pairs took $secs%.1f s on 5000 docs")
   }
 
+  test("substring dedup: a corpus-wide boilerplate paragraph stays group-grain") {
+    // 4000 docs all sharing one 10-token boilerplate block: the hot
+    // shingles are shared by ALL docs (pairwise that would be ~8M doc
+    // pairs), but dupSpans never forms pairs — duplicated shingles are a
+    // count_distinct gate and each position joins back to AT MOST one
+    // shingle group. Every doc must get exactly its boilerplate span,
+    // in time linear in the corpus.
+    val boiler = (1 to 10).map(j => s"b$j").mkString(" ")
+    val docs = (0 until 4000).map { i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c $boiler z${i}x z${i}y")
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val spans = graft.llm.SubstringDedup.dupSpans(docs, "doc_id", "text",
+      w = 5, minDocs = 2).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"4000-doc substring spans: ${spans.length} in $secs%.1f s")
+    assert(spans.length === 4000) // one maximal span per doc
+    // the boilerplate occupies tokens 4..13 in every doc
+    assert(spans.forall(r => r.getLong(1) === 4L && r.getLong(2) === 13L))
+    assert(secs < 60.0, f"substring spans took $secs%.1f s on 4000 docs")
+  }
+
   test("triangle counting: degree orientation collapses the hub's quadratic wedges") {
     import graft.ops.Triangles
     // hub-and-ring: node 0 touches 1..2000 (a hot key), nodes 1..50 also
