@@ -118,7 +118,17 @@ object Bench {
       "ks_price_drift", "incremental_rollup_orders", "pagerank_trade_graph",
       "dataset_split_stats", "setsim_prefix_pairs", "setsim_snm_pairs",
       "sparse_cosine_pairs", "zipf_fit", "linkage_snm_scores",
-      "hilbert_locality")
+      "hilbert_locality", "bm25_top_docs", "log_odds_terms",
+      "equi_depth_hist_orders",
+      // round 7
+      "grouping_sets_lineitem", "watermark_lateness_events",
+      "orc_roundtrip", "l_diversity_customers", "dp_noisy_counts_nation",
+      "token_count_model", "substring_dup_spans", "substring_dup_stats",
+      "temperature_mix_langs", "flesch_by_lang", "url_domain_stats",
+      "benford_order_totals", "fd_audit_orders", "seasonal_indices_orders",
+      "market_basket_brands", "time_weighted_value", "decayed_brand_counts",
+      "jw_name_similarity", "purchase_value_auc", "changepoint_event_volume",
+      "collocations_pmi", "lang_id_eval", "lang_id_kappa")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)
