@@ -1943,7 +1943,7 @@ object LlmQueries {
          |            THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_predicted AS DOUBLE), 6) END AS precision,
          |       CASE WHEN coalesce(n_actual, 0) > 0
          |            THEN round(CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE), 6) END AS recall,
-         |       CASE WHEN coalesce(n_predicted, 0) > 0 AND coalesce(n_actual, 0) > 0 AND coalesce(tp, 0) > 0
+         |       CASE WHEN coalesce(n_predicted, 0) > 0 AND coalesce(n_actual, 0) > 0
          |            THEN round(2.0 * CAST(tp AS DOUBLE) / CAST(n_predicted + n_actual AS DOUBLE), 6) END AS f1
          |FROM act FULL OUTER JOIN prd ON act.clazz = prd.clazz
          |ORDER BY clazz""".stripMargin,

@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Closed-form linear-probe fitting over integer features — the
   * aggregate-only form of model training a data pipeline can afford at
@@ -27,7 +26,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Calibration {
 
-  private def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+  private def d38(c: Column): Column = graft.ops.Exact.d38(c)
 
   /** OLS fit `y ≈ b0 + b1·x1 + b2·x2` via the normal equations.
     * Inputs MUST be integer-valued columns (long-castable); moments

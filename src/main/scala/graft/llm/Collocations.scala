@@ -43,7 +43,11 @@ object Collocations {
     val pairs = bi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
-    val total = bi.agg(count(lit(1)).as("__n_bi"))
+    // Σ max(len−1, 0) ≡ the bigram count — a cheap array-length
+    // aggregate instead of re-running the corpus-scale explode
+    val total = toks.agg(
+      coalesce(sum(greatest(size(col("__toks")) - 1, lit(0)).cast("long")),
+        lit(0L)).as("__n_bi"))
     val pmi = log(col("n_ab").cast("double") * col("__n_bi").cast("double") /
       (col("n_a").cast("double") * col("n_b").cast("double")))
     pairs

@@ -86,13 +86,14 @@ object AsOf {
     // regression: events.ts read back as TimestampNTZ).
     val commonTime = commonTimeType(
       left.schema(leftTs).dataType, right.schema(rightTs).dataType)
-    val lPrepped = commonTime match {
+    // remember whether the cast column was added rather than probing
+    // columns afterwards — a user frame that happens to carry a
+    // "__l_asof_ts" column must not hijack the join time
+    val (lPrepped, lTimeName) = commonTime match {
       case Some(t) if t != left.schema(leftTs).dataType =>
-        left.withColumn("__l_asof_ts", col(leftTs).cast(t))
-      case _ => left
+        (left.withColumn("__l_asof_ts", col(leftTs).cast(t)), "__l_asof_ts")
+      case _ => (left, leftTs)
     }
-    val lTimeName =
-      if (lPrepped.columns.contains("__l_asof_ts")) "__l_asof_ts" else leftTs
     // shared key/time names on the right get an internal prefix so the
     // joined output (left ++ right) stays name-unambiguous, then drop
     val rPrepped = right.select(right.columns.toIndexedSeq.map { c =>
@@ -111,8 +112,10 @@ object AsOf {
     val joined = PlanBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
       attr(lPlan, lTimeName), attr(rPlan, s"__r_$rightTs")))
+    val internal = keys.map(k => s"__r_$k") :+ s"__r_$rightTs"
     joined.drop(
-      (keys.map(k => s"__r_$k") :+ s"__r_$rightTs" :+ "__l_asof_ts"): _*)
+      (if (lTimeName == "__l_asof_ts") internal :+ "__l_asof_ts"
+       else internal): _*)
   }
 
   /** Common comparison type for a mixed datetime pair: any side that is

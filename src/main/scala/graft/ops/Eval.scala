@@ -51,8 +51,9 @@ object Eval {
         when(col("n_actual") > 0L,
           round(col("tp").cast("double") / col("n_actual").cast("double"), 6)))
       .withColumn("f1",
-        when(col("n_predicted") > 0L && col("n_actual") > 0L &&
-          col("tp") > 0L,
+        // defined (as 0.0) whenever both denominators exist — a null at
+        // tp=0 would let macro-F1 averages silently skip the worst classes
+        when(col("n_predicted") > 0L && col("n_actual") > 0L,
           round(lit(2.0) * col("tp").cast("double") /
             (col("n_predicted") + col("n_actual")).cast("double"), 6)))
   }
@@ -74,11 +75,9 @@ object Eval {
     val colT = cm.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
     // chance agreement: Σ_c rowMarginal(c)·colMarginal(c) — exact in
     // decimal(38,0) (marginal products pass long range once n > ~3e9)
-    val d38 = (c: Column) =>
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    import Exact.d38
     val chance = rowT.join(colT, col("__a") === col("__b"))
-      .agg(coalesce(sum(d38(col("__ra")) * d38(col("__cb"))),
-        lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .agg(coalesce(sum(d38(col("__ra")) * d38(col("__cb"))), d38(lit(0L)))
         .as("__pe_num"))
     val agree = cm.agg(sum(col("__n")).as("__n_tot"),
       sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))

@@ -56,11 +56,6 @@ object Fingerprint {
     hash60(concat_ws("\u0001", rendered: _*))
   }
 
-  /** One fingerprint row per `slice` value: `(slice, n_rows, hash_sum,
-    * hash_min, hash_max)`. Slice at the table's natural increment
-    * (month, ingest batch) so a mismatch pinpoints WHICH slice to
-    * re-copy instead of failing the whole table.
-    */
   /** 2^63 as an exact decimal literal — the wrap modulus for published
     * hash sums. Per-row hashes are non-negative, so `sum % 2^63` lands
     * in [0, 2^63) and casts to BIGINT losslessly on every engine
@@ -70,6 +65,11 @@ object Fingerprint {
   private val TwoPow63: Column =
     lit(new java.math.BigDecimal("9223372036854775808"))
 
+  /** One fingerprint row per `slice` value: `(slice, n_rows, hash_sum,
+    * hash_min, hash_max)`. Slice at the table's natural increment
+    * (month, ingest batch) so a mismatch pinpoints WHICH slice to
+    * re-copy instead of failing the whole table.
+    */
   def sliceFingerprints(df: DataFrame, slice: Column,
                         cols: Seq[Column]): DataFrame =
     df.select(slice.as("slice"), rowHash(cols).as("__h"))

@@ -46,19 +46,6 @@ object Windows {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Out-of-orderness audit for WATERMARK SIZING: before configuring a
-    * streaming job's `withWatermark`, measure how late the data
-    * actually arrives. Per key, replay events in arrival order
-    * (`arrivalCol` — an ingest sequence, offset, or arrival stamp) and
-    * track the event-time high-water mark; an event's lateness is how
-    * far its event time trails that mark. One row out: total events,
-    * out-of-order events, counts beyond each candidate threshold, and
-    * the max lateness — read off "watermark 60 s loses 0.3% of events,
-    * 300 s loses none".
-    *
-    * Scale shape: one per-key window pass in arrival order (the same
-    * single shuffle as sessionize), then a global one-row aggregate.
-    */
   /** Time-weighted average over an IRREGULARLY sampled series — the
     * metrics-engine `time_weight('LOCF')` semantics: each sample's
     * value holds until the next sample, so the mean weights each value
@@ -83,8 +70,7 @@ object Windows {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(value))
     val tUs = unix_micros(col(ts).cast("timestamp"))
     val dur = lead(tUs, 1).over(w) - tUs
-    val d38 = (c: org.apache.spark.sql.Column) =>
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    import Exact.d38
     df.select(col(key), col(value).cast("long").as("__v"), dur.as("__dur"))
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_samples"),
@@ -94,6 +80,19 @@ object Windows {
             sum(d38(col("__dur"))).cast("double"), 6)).as("twa"))
   }
 
+  /** Out-of-orderness audit for WATERMARK SIZING: before configuring a
+    * streaming job's `withWatermark`, measure how late the data
+    * actually arrives. Per key, replay events in arrival order
+    * (`arrivalCol` — an ingest sequence, offset, or arrival stamp) and
+    * track the event-time high-water mark; an event's lateness is how
+    * far its event time trails that mark. One row out: total events,
+    * out-of-order events, counts beyond each candidate threshold, and
+    * the max lateness — read off "watermark 60 s loses 0.3% of events,
+    * 300 s loses none".
+    *
+    * Scale shape: one per-key window pass in arrival order (the same
+    * single shuffle as sessionize), then a global one-row aggregate.
+    */
   def latenessStats(df: DataFrame, key: String, ts: String,
                     arrivalCol: String,
                     thresholdsSec: Seq[Long] = Seq(60L, 300L, 900L))

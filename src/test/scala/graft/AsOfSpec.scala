@@ -40,6 +40,24 @@ class AsOfSpec extends AnyFunSuite {
     assert(native.toSeq === out.toSeq)
   }
 
+  test("a user column named __l_asof_ts is neither hijacked nor dropped") {
+    // same time types → no internal cast column is added; the join must
+    // run on lts, not the user's identically-named column, and the
+    // user's column must survive to the output
+    val decoy = to_timestamp(lit("1970-01-01 00:00:00"))
+    val left = Seq((1, "2024-01-10 00:00:00", "e1"))
+      .toDF("k", "lts_s", "ev")
+      .select(col("k"), to_timestamp(col("lts_s")).as("lts"), col("ev"),
+        decoy.as("__l_asof_ts"))
+    val right = Seq((1, "2024-01-05 00:00:00", 42))
+      .toDF("k", "rts_s", "snap")
+      .select(col("k"), to_timestamp(col("rts_s")).as("rts"), col("snap"))
+    val out = AsOf.asofJoinNative(left, right, Seq("k"), "lts", "rts")
+    assert(out.columns.contains("__l_asof_ts"), "user column was dropped")
+    // joined on lts (2024) → snap matches; the 1970 decoy would miss
+    assert(out.select("snap").head().getInt(0) === 42)
+  }
+
   test("native as-of exec equals the composed form on skewed multi-partition data") {
     // 500 events over 7 users (one hot user), 60 snapshot rows
     val left = (1 to 500).map { i =>

@@ -41,7 +41,9 @@ class ContractSpec extends AnyFunSuite {
     // ks_price_drift / table_fingerprint_orders mismatches). Wide
     // decimals may be used INTERNALLY for exact arithmetic, but the
     // published schema must land on engine-stable types (BIGINT,
-    // bounded decimal, double). Analysis-only: no query executes here.
+    // bounded decimal, double). Only schemas are asserted, but BUILDING
+    // a query is not free of side effects: the roundtrip builders
+    // (dsv/orc) eagerly write-and-read their fixture under /tmp.
     import org.apache.spark.sql.types.DecimalType
     val dir = "/root/testdata/sf0.001"
     def isWide(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {

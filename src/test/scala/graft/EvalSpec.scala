@@ -13,10 +13,10 @@ class EvalSpec extends AnyFunSuite {
 
   test("classStats: per-class P/R/F1, one-sided classes kept") {
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
-      ("c", "c"), ("a", "d")).toDF("y", "p")
+      ("c", "c"), ("a", "d"), ("e", "f"), ("f", "e")).toDF("y", "p")
     val rows = Eval.classStats(df, col("y"), col("p")).orderBy("clazz")
       .collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d"))
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d", "e", "f"))
     val a = rows(0)
     assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 2L, 2L)))
     assert(a.getDouble(4) === 1.0)          // precision 2/2
@@ -26,6 +26,12 @@ class EvalSpec extends AnyFunSuite {
     assert((d.getLong(1), d.getLong(2), d.getLong(3)) === ((0L, 1L, 0L)))
     assert(d.getDouble(4) === 0.0)          // precision 0/1
     assert(d.isNullAt(5) && d.isNullAt(6))  // no actuals → recall undefined
+    // tp=0 with BOTH sides populated: F1 is a defined 0.0, not null —
+    // macro-F1 averages must include the always-confused classes
+    val e = rows(4)
+    assert((e.getLong(1), e.getLong(2), e.getLong(3)) === ((1L, 1L, 0L)))
+    assert(e.getDouble(4) === 0.0 && e.getDouble(5) === 0.0 &&
+      e.getDouble(6) === 0.0)
   }
 
   test("cohenKappa: chance-level is 0, perfect is 1, constant-equal is null") {
