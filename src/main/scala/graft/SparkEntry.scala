@@ -1289,6 +1289,18 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
+  /** Session-anomaly scoring ([[graft.ops.Transitions
+    * .sequenceLikelihood]]): each user's event stream scored under the
+    * population's own transition model — scripted/broken sessions sink
+    * by mean log-likelihood without labels. Log-probs are nano-unit
+    * fixed-point on the full V×V grid, so the oracle re-derives the
+    * identical integer sums.
+    */
+  private def userSequenceLikelihood(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Transitions.sequenceLikelihood(t(s, dir, "events"),
+        "user_id", "ts", "event_type")
+      .orderBy(col("user_id"))
+
   /** Max-mean-shift change-point scan
     * ([[graft.ops.ChangePoint.meanShiftScan]]) over the daily event-
     * volume series: WHEN did ingest volume move, not just "drift
@@ -1487,6 +1499,7 @@ object SparkEntry {
     "jw_name_similarity" -> (jwNameSimilarity _),
     "purchase_value_auc" -> (purchaseValueAuc _),
     "changepoint_event_volume" -> (changepointEventVolume _),
+    "user_sequence_likelihood" -> (userSequenceLikelihood _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
   )
@@ -1722,6 +1735,35 @@ object SparkEntry {
         |SELECT p_brand, CAST(sum(n) AS BIGINT) AS n_raw,
         |       round(sum(CAST(n AS DOUBLE) * pow(2.0, -CAST(age AS DOUBLE) / 180.0)), 6) AS decayed_count
         |FROM g GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // the transition model's log-probs fixed-pointed ONCE on the V×V
+    // grid (nano-units, add-one smoothing) — per-user sums are
+    // BIGINT-exact in both engines
+    "user_sequence_likelihood" ->
+      """WITH pairs AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS to_type
+        |  FROM events
+        |), p AS (SELECT * FROM pairs WHERE to_type IS NOT NULL
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2
+        |), st AS (SELECT DISTINCT event_type AS s FROM events WHERE event_type IS NOT NULL
+        |), v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM st
+        |), ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM c GROUP BY 1
+        |), grid AS (
+        |  SELECT a.s AS from_type, b.s AS to_type,
+        |         CAST(round(ln((CAST(coalesce(c.n, 0) AS DOUBLE) + 1.0)
+        |              / (CAST(coalesce(ft.nf, 0) AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1e9) AS BIGINT) AS lp
+        |  FROM st a CROSS JOIN st b
+        |  LEFT JOIN c ON a.s = c.from_type AND b.s = c.to_type
+        |  LEFT JOIN ft ON a.s = ft.from_type
+        |  CROSS JOIN v
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |       CAST(sum(lp) AS BIGINT) AS ll_nano,
+        |       round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e9, 6) AS mean_ll
+        |FROM p JOIN grid ON p.from_type = grid.from_type AND p.to_type = grid.to_type
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // exact prefix sums over the daily series; scores on a fixed
     // 9-decimal grid before the argmax, tick as tiebreak
     "changepoint_event_volume" ->

@@ -87,7 +87,9 @@ class PlanShapeSpec extends AnyFunSuite {
             // temperature mixture's corpus totals, the basket count
             "benford_order_totals", "temperature_mix_langs",
             "market_basket_brands", "lang_id_kappa",
-            "changepoint_event_volume", "collocations_pmi")(name))
+            "changepoint_event_volume", "collocations_pmi",
+            // V×V state-grid build + 1-row V broadcast — never data grain
+            "user_sequence_likelihood")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }

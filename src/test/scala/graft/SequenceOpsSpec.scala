@@ -243,4 +243,24 @@ class SequenceOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].head()
     assert(r === ((2L, 4L, 4L, 0.5))) // worst gap |3·4−1·4| / 16
   }
+
+  test("sequence likelihood: nano-exact smoothed log-probs on the V×V grid") {
+    import graft.ops.Transitions
+    // A: x→x→x (two (x,x) hops); B: x→y. V=2, from-total(x)=3.
+    // lp(x,x)=ln(3/5), lp(x,y)=ln(2/5) — nano-rounded once at grid grain
+    val df = Seq(
+      ("A", 1L, "x"), ("A", 2L, "x"), ("A", 3L, "x"),
+      ("B", 1L, "x"), ("B", 2L, "y")
+    ).toDF("u", "t", "typ")
+      .select(col("u"), timestamp_micros(col("t") * 1000000L).as("ts"),
+        col("typ"))
+    val rows = Transitions.sequenceLikelihood(df, "u", "ts", "typ")
+      .orderBy("u").collect()
+    val a = rows(0)
+    assert((a.getLong(1), a.getLong(2)) === ((2L, 2L * -510825624L)))
+    assert(a.getDouble(3) === -0.510826)
+    val b = rows(1)
+    assert((b.getLong(1), b.getLong(2)) === ((1L, -916290732L)))
+    assert(b.getDouble(3) === -0.916291)
+  }
 }
