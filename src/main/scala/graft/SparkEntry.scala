@@ -1289,6 +1289,14 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
+  /** Exact Spearman rank correlation ([[graft.ops.Stats.spearman]])
+    * between quantity and extended price — the outlier-proof monotone
+    * twin of `qty_price_correlation`'s Pearson, from grid-grain ranks.
+    */
+  private def qtyPriceSpearman(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.spearman(t(s, dir, "lineitem"),
+      col("l_quantity").cast("long"), cents(col("l_extendedprice")))
+
   /** Session-anomaly scoring ([[graft.ops.Transitions
     * .sequenceLikelihood]]): each user's event stream scored under the
     * population's own transition model — scripted/broken sessions sink
@@ -1500,6 +1508,7 @@ object SparkEntry {
     "purchase_value_auc" -> (purchaseValueAuc _),
     "changepoint_event_volume" -> (changepointEventVolume _),
     "user_sequence_likelihood" -> (userSequenceLikelihood _),
+    "qty_price_spearman" -> (qtyPriceSpearman _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
   )
@@ -1735,6 +1744,38 @@ object SparkEntry {
         |SELECT p_brand, CAST(sum(n) AS BIGINT) AS n_raw,
         |       round(sum(CAST(n AS DOUBLE) * pow(2.0, -CAST(age AS DOUBLE) / 180.0)), 6) AS decayed_count
         |FROM g GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // doubled average ranks from the value grid (2·below + n_eq + 1 —
+    // integer even under ties), exact HUGEINT moments, one closed form
+    "qty_price_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem
+        |), gx AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+        |), rx AS (
+        |  SELECT x, 2 * coalesce(CAST(sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + n + 1 AS r2x
+        |  FROM gx
+        |), gy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+        |), ry AS (
+        |  SELECT y, 2 * coalesce(CAST(sum(n) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + n + 1 AS r2y
+        |  FROM gy
+        |), j AS (SELECT r2x, r2y FROM b JOIN rx USING (x) JOIN ry USING (y)
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(r2x AS HUGEINT)) AS sa, sum(CAST(r2y AS HUGEINT)) AS sb,
+        |         sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sab,
+        |         sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS saa,
+        |         sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sbb
+        |  FROM j
+        |)
+        |SELECT n,
+        |       CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+        |             AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+        |            THEN round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |                       / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |                            * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |       END AS rho
+        |FROM m""".stripMargin,
     // the transition model's log-probs fixed-pointed ONCE on the V×V
     // grid (nano-units, add-one smoothing) — per-user sums are
     // BIGINT-exact in both engines

@@ -34,6 +34,48 @@ object Stats {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Spearman rank correlation, EXACT and engine-twinnable — the
+    * robust complement of [[pearson]]: monotone association that
+    * outliers and nonlinearity can't distort (a handful of mispriced
+    * rows that wreck Pearson barely move rank order).
+    *
+    * No row-grain sort: average ranks come from the VALUE GRID
+    * (counts per distinct value + a cumulative window over the grid,
+    * the [[Eval.aucMannWhitney]] shape), doubled so ties' half-ranks
+    * stay integer (`2·avgRank = 2·countBelow + n_eq + 1`). Rows join
+    * their doubled ranks back by value (keyed), the five moments
+    * accumulate exactly in decimal(38,0), and ρ is one closed-form
+    * double expression. Grid size is bounded by distinct values, not
+    * rows. One row out: `(n, rho)`; null ρ when either side is
+    * constant.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import Exact.d38
+    val base = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def ranks2(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      base.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .select(col(c),
+          (coalesce(sum(col("__n")).over(w), lit(0L)) * 2 +
+            col("__n") + 1).as(s"__r2$c"))
+    }
+    val ranked = base.join(ranks2("__x"), "__x").join(ranks2("__y"), "__y")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(d38(col("__r2__x"))).as("sa"), sum(d38(col("__r2__y"))).as("sb"),
+      sum(d38(col("__r2__x")) * d38(col("__r2__y"))).as("sab"),
+      sum(d38(col("__r2__x")) * d38(col("__r2__x"))).as("saa"),
+      sum(d38(col("__r2__y")) * d38(col("__r2__y"))).as("sbb"))
+    val n = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val cov = n * dd("sab") - dd("sa") * dd("sb")
+    val vx = n * dd("saa") - dd("sa") * dd("sa")
+    val vy = n * dd("sbb") - dd("sb") * dd("sb")
+    m.select(col("n"),
+      when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6)).as("rho"))
+  }
+
   /** Benford first-digit audit — the forensic-accounting DQ screen
     * (Nigrini 2012): naturally occurring multi-magnitude amounts have
     * first-digit frequencies `log10(1 + 1/d)`; fabricated, capped, or

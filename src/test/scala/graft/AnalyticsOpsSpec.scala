@@ -238,6 +238,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r("zero") === Some(0.0) && r("flat") === None)
   }
 
+  test("spearman: monotone nonlinearity is 1, ties average, constant is null") {
+    import graft.ops.Stats
+    // perfectly monotone but NONLINEAR (Pearson < 1 here; Spearman = 1)
+    val mono = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 1000L)).toDF("x", "y")
+    assert(Stats.spearman(mono, col("x"), col("y")).head().getDouble(1) === 1.0)
+    // matching ties on both sides keep perfect rank agreement
+    val tied = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    assert(Stats.spearman(tied, col("x"), col("y")).head().getDouble(1) === 1.0)
+    // hand case: ranks (1,2,3) vs (3,1,2) → ρ = −0.5
+    val hand = Seq((1L, 9L), (2L, 1L), (3L, 5L)).toDF("x", "y")
+    assert(Stats.spearman(hand, col("x"), col("y")).head().getDouble(1) === -0.5)
+    // constant side → undefined
+    val const = Seq((1L, 7L), (2L, 7L)).toDF("x", "y")
+    assert(Stats.spearman(const, col("x"), col("y")).head().isNullAt(1))
+  }
+
   test("pearson and chi-square drop incomplete rows instead of corrupting stats") {
     import graft.ops.Stats
     // a null y must not count into n while missing from the sums
