@@ -129,7 +129,8 @@ object Bench {
       "market_basket_brands", "time_weighted_value", "decayed_brand_counts",
       "jw_name_similarity", "purchase_value_auc", "changepoint_event_volume",
       "collocations_pmi", "lang_id_eval", "lang_id_kappa",
-      "user_sequence_likelihood", "qty_price_spearman")
+      "user_sequence_likelihood", "qty_price_spearman",
+      "lang_source_mi", "length_pctl_by_source")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

@@ -170,6 +170,29 @@ object LlmQueries {
         "[.,;:!?'\"()\\[\\]{}-]"),
       y = TextStats.nWordPieces(col("text")))
 
+  /** Mutual information between `lang` and `source`
+    * ([[graft.ops.Eval.mutualInformation]]) — the leakage/association
+    * screen: how much does knowing a document's source tell you about
+    * its language (and so how much would source-stratified sampling
+    * skew the language mix)?
+    */
+  private def langSourceMi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.mutualInformation(tPar(s, dir, "documents"),
+      col("lang"), col("source"))
+
+  /** Within-source token-length percentile
+    * ([[graft.ops.Normalize.quantileRank]]): "bottom 10%" must mean
+    * bottom 10% OF EACH SOURCE — sources have different length norms,
+    * and a pooled cut lets a verbose source monopolize the keep set.
+    */
+  private def lengthPctlBySource(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Normalize.quantileRank(
+        tPar(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextStats.nTokens(col("text")).as("n_tokens")),
+        "source", "n_tokens")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pctl"))
+      .orderBy(col("doc_id"))
+
   /** Top PMI collocations ([[Collocations.pmiBigrams]]) at min-count 5
     * — adjacent pairs the unigram model can't explain, the phrase-
     * mining signal.
@@ -976,6 +999,8 @@ object LlmQueries {
     "lang_id_eval" -> (langIdEval _),
     "lang_id_kappa" -> (langIdKappa _),
     "collocations_pmi" -> (collocationsPmi _),
+    "lang_source_mi" -> (langSourceMi _),
+    "length_pctl_by_source" -> (lengthPctlBySource _),
     "flesch_by_lang" -> (fleschByLang _),
     "url_domain_stats" -> (urlDomainStats _),
     "containment_pairs" -> (containmentPairs _),
@@ -1548,6 +1573,55 @@ object LlmQueries {
          |            THEN round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y)
          |                             / (syy - sy * sy / n), 6) END AS r2
          |FROM solved""".stripMargin,
+    // confusion-grid MI/entropies as tiny-grid double folds over exact
+    // counts — the chi-square residual, absorbed by 6-dp rounding
+    "lang_source_mi" ->
+      s"""WITH cm AS (
+         |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2
+         |), rt AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cm GROUP BY 1
+         |), ct AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1
+         |), t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cm
+         |), ha AS (
+         |  SELECT sum(-(CAST(ra AS DOUBLE) / CAST(tt AS DOUBLE))
+         |             * ln(CAST(ra AS DOUBLE) / CAST(tt AS DOUBLE))) AS ha
+         |  FROM rt, t
+         |), hb AS (
+         |  SELECT sum(-(CAST(cb AS DOUBLE) / CAST(tt AS DOUBLE))
+         |             * ln(CAST(cb AS DOUBLE) / CAST(tt AS DOUBLE))) AS hb
+         |  FROM ct, t
+         |), mi AS (
+         |  SELECT max(tt) AS n,
+         |         sum((CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+         |             * ln(CAST(c AS DOUBLE) * CAST(tt AS DOUBLE)
+         |                  / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))) AS mi
+         |  FROM cm JOIN rt USING (a) JOIN ct USING (b), t
+         |)
+         |SELECT n, round(mi, 6) AS mi,
+         |       CASE WHEN ha > 0 AND hb > 0
+         |            THEN round(mi / sqrt(ha * hb), 6) END AS nmi
+         |FROM mi, ha, hb""".stripMargin,
+    // (source, length)-grid mid-rank percentiles — the Spearman grid
+    // discipline per group, joined back by value
+    "length_pctl_by_source" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), g AS (
+         |  SELECT source, n_tokens, CAST(count(*) AS BIGINT) AS n
+         |  FROM d GROUP BY 1, 2
+         |), t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1
+         |), r AS (
+         |  SELECT source, n_tokens,
+         |         round(CAST(2 * coalesce(CAST(sum(n) OVER (
+         |                 PARTITION BY source ORDER BY n_tokens
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |               + n + 1 AS DOUBLE) / CAST(2 * tot AS DOUBLE), 6) AS pctl
+         |  FROM g JOIN t USING (source)
+         |)
+         |SELECT doc_id, d.source, d.n_tokens, pctl
+         |FROM d JOIN r ON d.source = r.source AND d.n_tokens = r.n_tokens
+         |ORDER BY doc_id""".stripMargin,
     // bigram/unigram counts exact; PMI rounded to 6 BEFORE the ranking
     // sort, (w1, w2) total tiebreak
     "collocations_pmi" ->

@@ -91,6 +91,43 @@ object Eval {
         when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Mutual information between two categorical columns, one row:
+    * `n, mi, nmi` — how much knowing one tells you about the other, in
+    * nats, with the sqrt-normalized variant in [0,1] for comparing
+    * column pairs (the feature-selection/leakage screen: a "random"
+    * split column with high NMI against the label is a red flag).
+    * `nmi` is null when either side is constant (zero entropy).
+    *
+    * Scale shape: the [[classStats]] confusion-grid aggregate; MI and
+    * the entropies fold over ≤ classes² cells — the tiny-grid double
+    * sum ([[Stats.chiSquare]] residual), 6-decimal rounded.
+    */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cm = df.select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val rowT = cm.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+    val colT = cm.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
+    val tot = cm.agg(sum(col("__n")).as("__t"))
+    def entropy(cnt: String): Column = {
+      val p = col(cnt).cast("double") / col("__t").cast("double")
+      sum(-p * log(p))
+    }
+    val ha = rowT.crossJoin(broadcast(tot)).agg(entropy("__ra").as("__ha"))
+    val hb = colT.crossJoin(broadcast(tot)).agg(entropy("__cb").as("__hb"))
+    val n = col("__t").cast("double")
+    val pab = col("__n").cast("double") / n
+    val term = pab * log(col("__n").cast("double") * n /
+      (col("__ra").cast("double") * col("__cb").cast("double")))
+    cm.join(rowT, "__a").join(colT, "__b").crossJoin(broadcast(tot))
+      .agg(max(col("__t")).as("n"), sum(term).as("__mi"))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), round(col("__mi"), 6).as("mi"),
+        when(col("__ha") > 0.0 && col("__hb") > 0.0,
+          round(col("__mi") / sqrt(col("__ha") * col("__hb")), 6))
+          .as("nmi"))
+  }
+
   /** ROC AUC as the Mann-Whitney U statistic over an INTEGER score:
     * the probability a random positive outscores a random negative
     * (ties count half). One row: `n_pos, n_neg, auc`.

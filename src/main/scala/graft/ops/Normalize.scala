@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Within-group quantile-rank normalization — make a metric comparable
+  * ACROSS heterogeneous groups before a global threshold: raw document
+  * lengths (or quality scores) from different sources live on different
+  * scales, so "drop the bottom 10%" must mean bottom 10% OF EACH
+  * SOURCE, not of the pooled mix where one verbose source monopolizes
+  * the top. Each row gets its mid-rank percentile within its group:
+  * `(countBelow + (countEqual + 1)/2) / n` — ties share one value, the
+  * output is in (0, 1], and a uniform re-expression of any input
+  * distribution.
+  *
+  * Scale shape: the [[Stats.spearman]] grid discipline per group —
+  * counts at (group, value) grain, one cumulative window over each
+  * group's VALUE GRID (bounded by distinct values, not rows), then a
+  * keyed join back. No row-grain sort anywhere.
+  *
+  * Determinism: `value` must be integer-grain; the percentile is one
+  * closed-form division of exact longs, 6-decimal rounded.
+  */
+object Normalize {
+
+  /** Input columns plus `pctl` (the within-group mid-rank percentile of
+    * `valueCol`). Null values keep null `pctl`.
+    */
+  def quantileRank(df: DataFrame, groupCol: String, valueCol: String)
+    : DataFrame = {
+    val grid = df.select(col(groupCol).as("__g"), col(valueCol).cast("long")
+        .as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+      .orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totals = grid.groupBy(col("__g")).agg(sum(col("__n")).as("__tot"))
+    val ranked = grid
+      .select(col("__g"), col("__v"),
+        coalesce(sum(col("__n")).over(w), lit(0L)).as("__below"),
+        col("__n"))
+      .join(totals, "__g")
+      .select(col("__g"), col("__v"),
+        // mid-rank percentile on the doubled-integer grid (ties share)
+        round((col("__below") * 2 + col("__n") + 1).cast("double") /
+          (col("__tot") * 2).cast("double"), 6).as("pctl"))
+    df.join(ranked,
+      col(groupCol) === col("__g") &&
+        col(valueCol).cast("long") === col("__v"), "left")
+      .drop("__g", "__v")
+  }
+}

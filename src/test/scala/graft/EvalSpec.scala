@@ -47,6 +47,37 @@ class EvalSpec extends AnyFunSuite {
     assert(Eval.cohenKappa(const, col("a"), col("b")).head().isNullAt(3))
   }
 
+  test("mutualInformation: independence is 0, identity is H, constant is null") {
+    // perfectly independent 2×2 (equal cell counts)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = Eval.mutualInformation(indep, col("a"), col("b")).head()
+    assert(ri.getLong(0) === 4L && ri.getDouble(1) === 0.0 &&
+      ri.getDouble(2) === 0.0)
+    // identity: MI = H(A) = ln 2, NMI = 1
+    val ident = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val rd = Eval.mutualInformation(ident, col("a"), col("b")).head()
+    assert(math.abs(rd.getDouble(1) - 0.693147) < 1e-9)
+    assert(rd.getDouble(2) === 1.0)
+    // constant side: zero entropy → NMI undefined, MI 0
+    val const = Seq(("x", "p"), ("y", "p")).toDF("a", "b")
+    val rc = Eval.mutualInformation(const, col("a"), col("b")).head()
+    assert(rc.getDouble(1) === 0.0 && rc.isNullAt(2))
+  }
+
+  test("quantileRank: mid-rank percentiles within each group, ties share") {
+    val df = Seq(("s1", 10L), ("s1", 20L), ("s1", 20L), ("s1", 30L),
+      ("s2", 5L)).toDF("src", "v")
+    val got = graft.ops.Normalize.quantileRank(df, "src", "v")
+      .orderBy("src", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // s1: 10 → (0·2+1+1)/8 = 0.25; 20,20 → (2+2+1)/8 = 0.625 both;
+    // 30 → (6+1+1)/8 = 1.0; s2 single → (0+1+1)/2 = 1.0
+    assert(got.toSeq === Seq(("s1", 10L, 0.25), ("s1", 20L, 0.625),
+      ("s1", 20L, 0.625), ("s1", 30L, 1.0), ("s2", 5L, 1.0)))
+  }
+
   test("aucMannWhitney: separation, reversal, ties, the half-tie credit") {
     def auc(rows: Seq[(Long, Boolean)]): java.lang.Double = {
       val r = Eval.aucMannWhitney(rows.toDF("s", "y"), col("s"), col("y"))

@@ -89,7 +89,9 @@ class PlanShapeSpec extends AnyFunSuite {
             "market_basket_brands", "lang_id_kappa",
             "changepoint_event_volume", "collocations_pmi",
             // V×V state-grid build + 1-row V broadcast — never data grain
-            "user_sequence_likelihood")(name))
+            "user_sequence_likelihood",
+            // 1-row total/entropy broadcasts over the confusion grid
+            "lang_source_mi")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
