@@ -130,7 +130,9 @@ object Bench {
       "jw_name_similarity", "purchase_value_auc", "changepoint_event_volume",
       "collocations_pmi", "lang_id_eval", "lang_id_kappa",
       "user_sequence_likelihood", "qty_price_spearman",
-      "lang_source_mi", "length_pctl_by_source")
+      "lang_source_mi", "length_pctl_by_source",
+      "order_volume_acf", "rolling_median_supplier", "pareto_parts",
+      "golden_customer_records")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

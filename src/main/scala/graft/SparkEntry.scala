@@ -1420,6 +1420,69 @@ object SparkEntry {
         count_distinct(md5(col("nfc"))).as("fp_nfc"))
   }
 
+  /** Per-lag autocorrelation ([[graft.ops.Trend.acf]]) of the daily
+    * order-volume series: does today's volume predict volume k days
+    * out, for k = 1..7? Exact long moments per lag, one rounded double
+    * per row — the same integer-moment determinism as the trend/
+    * correlation family.
+    */
+  private def orderVolumeAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).as("tick"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.ops.Trend.acf(daily, "tick", "n_orders", maxLag = 7)
+  }
+
+  /** Exact rolling 3-month median of per-supplier monthly revenue
+    * ([[graft.ops.Windows.rollingMedian]]) — the robust trailing
+    * statistic next to `trailing_revenue_90d`'s mean. Cents are exact
+    * BIGINTs on both engines; the median of integers is x.0/x.5,
+    * rendered identically from double.
+    */
+  private def rollingMedianSupplier(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("yyyymm"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("bigint"))
+        .cast("long").as("rev_cents"))
+    graft.ops.Windows.rollingMedian(monthly, Seq("l_suppkey"),
+        Seq(col("yyyymm")), col("rev_cents"), nRows = 3, as = "med3_cents")
+      .orderBy(col("l_suppkey"), col("yyyymm"))
+  }
+
+  /** Pareto frontier ([[graft.ops.Skyline.frontier2D]]) per part type:
+    * the parts no other part of the same type beats on BOTH price
+    * (lower) and size (larger) — the sort-based sweep, not the n²
+    * dominance anti-join.
+    */
+  private def paretoParts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.frontier2D(t(s, dir, "part"), Seq("p_type"),
+        xCol = "p_retailprice", yCol = "p_size", tieCols = Seq("p_partkey"))
+      .select(col("p_type"), col("p_partkey"), col("p_size"),
+        col("p_retailprice"))
+      .orderBy(col("p_type"), col("p_partkey"))
+
+  /** Golden-record survivorship ([[graft.ops.Survivorship]]) over each
+    * customer's order records: most-recent priority (recency rule),
+    * modal status (frequency rule, alphabetical tiebreak), max price,
+    * earliest date. Every rule is a commutative struct aggregate —
+    * one keyed shuffle, no window sort.
+    */
+  private def goldenCustomerRecords(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Survivorship
+    val o = t(s, dir, "orders")
+    val base = o.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("n_records"),
+      Survivorship.mostRecent(col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority")).as("latest_priority"),
+      dblOut(max(dec(col("o_totalprice")))).as("max_price"),
+      min(col("o_orderdate")).cast("date").as("first_date"))
+    val modal = Survivorship.modalValue(o, Seq("o_custkey"),
+      "o_orderstatus", "modal_status")
+    base.join(modal, Seq("o_custkey")).orderBy(col("o_custkey"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1511,6 +1574,10 @@ object SparkEntry {
     "qty_price_spearman" -> (qtyPriceSpearman _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
+    "order_volume_acf" -> (orderVolumeAcf _),
+    "rolling_median_supplier" -> (rollingMedianSupplier _),
+    "pareto_parts" -> (paretoParts _),
+    "golden_customer_records" -> (goldenCustomerRecords _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -2722,5 +2789,88 @@ object SparkEntry {
         |       CAST(0.0 AS DOUBLE) AS blank_to_zero,
         |       COALESCE(TRY_CAST(trim(lang) AS INTEGER), 0) AS lang_key_default
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-lag Pearson over aligned (v[t], v[t+k]) pairs; HUGEINT moments
+    // mirror the Spark side's exact longs, one rounded double at the end
+    "order_volume_acf" ->
+      """WITH s AS (
+        |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS t,
+        |         CAST(count(*) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), l AS (SELECT CAST(x AS INTEGER) AS lag FROM generate_series(1, 7) g(x)),
+        |j AS (
+        |  SELECT l.lag, a.v AS x, b.v AS y
+        |  FROM s a CROSS JOIN l JOIN s b ON b.t = a.t + l.lag
+        |), m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT lag, n_pairs,
+        |       CASE WHEN CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0
+        |             AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0
+        |            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |                            * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+        |       END AS r
+        |FROM m ORDER BY lag""".stripMargin,
+    // exact integer cents; median of BIGINTs is x.0/x.5 — identical
+    // double rendering from both engines' exact-percentile aggregates
+    "rolling_median_supplier" ->
+      """WITH m AS (
+        |  SELECT l_suppkey,
+        |         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS yyyymm,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_suppkey, yyyymm, rev_cents,
+        |       CAST(median(rev_cents) OVER (PARTITION BY l_suppkey ORDER BY yyyymm
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med3_cents
+        |FROM m ORDER BY l_suppkey, yyyymm""".stripMargin,
+    // sort-based skyline sweep: frontier iff y strictly beats the
+    // running max over the (x asc, y desc, key) prefix
+    "pareto_parts" ->
+      """WITH w AS (
+        |  SELECT p_type, p_partkey, p_size, p_retailprice,
+        |         max(p_size) OVER (PARTITION BY p_type
+        |           ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM part
+        |)
+        |SELECT p_type, p_partkey, p_size, p_retailprice
+        |FROM w WHERE pm IS NULL OR p_size > pm
+        |ORDER BY p_type, p_partkey""".stripMargin,
+    // survivorship rules replicated as rank-1 windows (the agg and the
+    // window forms are semantically identical; the Spark side uses the
+    // partial-aggregating struct-max shape)
+    "golden_customer_records" ->
+      """WITH rec AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |), md AS (
+        |  SELECT o_custkey, o_orderstatus FROM (
+        |    SELECT o_custkey, o_orderstatus,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+        |    FROM orders WHERE o_orderstatus IS NOT NULL
+        |    GROUP BY o_custkey, o_orderstatus
+        |  ) WHERE rn = 1
+        |), agg AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_records,
+        |         CAST(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS max_price,
+        |         CAST(min(o_orderdate) AS DATE) AS first_date
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT agg.o_custkey, n_records,
+        |       r.o_orderpriority AS latest_priority, max_price, first_date,
+        |       md.o_orderstatus AS modal_status
+        |FROM agg
+        |JOIN (SELECT o_custkey, o_orderpriority FROM rec WHERE rn = 1) r USING (o_custkey)
+        |JOIN md USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -85,6 +85,61 @@ object Trend {
     * have an undefined slope → null slope/intercept (the SQL
     * convention), never a divide-by-zero.
     */
+  /** Per-lag autocorrelation of an integer-valued series — "does order
+    * volume today predict volume k days out?" for every lag 1..`maxLag`
+    * at once. For lag k this is the exact Pearson correlation over the
+    * aligned pairs (v[t], v[t+k]) (the regression form of the sample
+    * ACF; it differs from the global-mean textbook estimator only in
+    * using each lag's own pair means, which is what makes it exact on a
+    * gappy series too).
+    *
+    * `df` must be at (tick, value) grain with integer ticks and an
+    * exact integer `valueCol` — aggregate + gap-fill first if the
+    * source is event-grain. Missing ticks simply contribute no pair at
+    * the lags they'd span (pairwise deletion), they do not shift the
+    * alignment.
+    *
+    * Determinism: all five moments per lag aggregate as exact longs;
+    * each r_k is one double expression at the end, rounded to 6
+    * decimals — bit-stable across engines and partitionings, the same
+    * discipline as [[linearTrend]]. Overflow envelope: Σ(v·v) per lag
+    * must stay below 2⁶³ — at 10⁹ ticks that allows values to ~3000,
+    * beyond which callers should rescale the series first.
+    *
+    * Scale shape: the lag explosion multiplies the SERIES (tick grain,
+    * not data grain) by `maxLag`, then one equi-join on the shifted
+    * tick and one lag-grain aggregate — never a window over the whole
+    * series, never a driver loop over lags.
+    */
+  def acf(df: DataFrame, tickCol: String, valueCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag=$maxLag")
+    val base = df.select(col(tickCol).cast("long").as("__t"),
+      col(valueCol).cast("long").as("__v"))
+    val a = base.withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("lag", col("lag").cast("int"))
+    val b = base.select(col("__t").as("__tb"), col("__v").as("__vb"))
+    val num = (col("n_pairs") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val denX = (col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val denY = (col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    a.join(b, a("__t") + a("lag") === b("__tb"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__v")).as("__sx"), sum(col("__vb")).as("__sy"),
+        sum(col("__v") * col("__vb")).as("__sxy"),
+        sum(col("__v") * col("__v")).as("__sxx"),
+        sum(col("__vb") * col("__vb")).as("__syy"))
+      .withColumn("r",
+        when(denX > 0d && denY > 0d,
+          round(num / sqrt(denX * denY), 6)))
+      .select(col("lag"), col("n_pairs"), col("r"))
+      .orderBy(col("lag"))
+  }
+
   def linearTrend(df: DataFrame, groupCols: Seq[String], x: Column,
                   y: Column): DataFrame = {
     // shared moment scaffolding (pairwise deletion of null x/y)

@@ -33,6 +33,24 @@ object Windows {
     df.withColumn(as, sum(measure).over(w))
   }
 
+  /** Exact rolling median of an integer measure over the trailing
+    * `nRows`-row frame per key — the robust counterpart of a trailing
+    * mean: one outlier day saturates a 7-day average but barely moves
+    * the 7-day median. Exactness: `percentile` (the exact-percentile
+    * aggregate, not `approx_percentile`) over integer inputs yields
+    * only x.0 / x.5 values — bit-stable across engines, no
+    * interpolation ambiguity. Same single-shuffle partitioned-window
+    * shape as [[runningTotal]]; the frame buffer holds `nRows` longs
+    * per position, independent of group size.
+    */
+  def rollingMedian(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                    measure: Column, nRows: Int, as: String): DataFrame = {
+    require(nRows >= 1, s"nRows=$nRows")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    df.withColumn(as, percentile(measure, lit(0.5)).over(w).cast("double"))
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event (per key, under `order`) exceeds `gapSeconds`.
     * Adds a 1-based `session_id` per key.

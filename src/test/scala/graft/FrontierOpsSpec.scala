@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Skyline, Survivorship, Trend, Windows}
+
+/** Round-7 late additions: Pareto-frontier sweep, golden-record
+  * survivorship aggregates, per-lag ACF, and the exact rolling median —
+  * all against hand-computed fixtures plus a brute-force cross-check
+  * for the skyline.
+  */
+class FrontierOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ skyline
+
+  test("frontier2D matches the quadratic dominance definition") {
+    // deterministic pseudo-random points, two groups
+    val pts = (1 to 200).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, i.toLong, (i * 37 % 101).toLong, (i * 59 % 97).toLong)
+    }
+    val df = pts.toDF("g", "id", "x", "y")
+    val got = Skyline.frontier2D(df, Seq("g"), "x", "y", Seq("id"))
+      .select("g", "x", "y").as[(String, Long, Long)].collect().toSet
+    // brute force: dominated iff some other point is <=x, >=y, and
+    // strictly better somewhere; coincident dupes collapse to one
+    val brute = pts.groupBy(_._1).flatMap { case (g, rows) =>
+      rows.filterNot { case (_, _, x, y) =>
+        rows.exists { case (_, _, x2, y2) =>
+          (x2 <= x && y2 >= y) && (x2 < x || y2 > y)
+        }
+      }.map(r => (g, r._3, r._4)).distinct
+    }.toSet
+    assert(got === brute)
+  }
+
+  test("frontier2D keeps one representative of coincident frontier points") {
+    val df = Seq(("g", 1L, 5L, 9L), ("g", 2L, 5L, 9L), ("g", 3L, 6L, 9L))
+      .toDF("g", "id", "x", "y")
+    val got = Skyline.frontier2D(df, Seq("g"), "x", "y", Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(1L)) // dupe id=2 collapsed; id=3 dominated (worse x, equal y)
+  }
+
+  // ------------------------------------------------------- survivorship
+
+  test("mostRecent picks latest non-null with key tiebreak") {
+    val df = Seq(
+      (1L, 10L, 100L, "old"), (1L, 20L, 101L, "new"),
+      (1L, 20L, 102L, "newer-key"), (1L, 30L, 103L, null),
+      (2L, 5L, 200L, null)).toDF("k", "ts", "id", "v")
+    val got = df.groupBy($"k")
+      .agg(Survivorship.mostRecent($"ts", $"id", $"v").as("v"))
+      .as[(Long, Option[String])].collect().toMap
+    // k=1: null at ts=30 skipped; tie at ts=20 → larger id wins
+    assert(got === Map(1L -> Some("newer-key"), 2L -> None))
+  }
+
+  test("modalValue picks most frequent, ties to smallest value") {
+    val df = Seq((1L, "b"), (1L, "b"), (1L, "a"), (1L, "a"), (1L, "c"),
+      (2L, "z")).toDF("k", "v")
+    val got = Survivorship.modalValue(df, Seq("k"), "v", "winner")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "z")) // a ties b on 2 → smaller wins
+  }
+
+  test("longest picks the longest string, ties to smallest") {
+    val df = Seq((1L, "aa"), (1L, "zz"), (1L, "b")).toDF("k", "v")
+    val got = df.groupBy($"k").agg(Survivorship.longest($"v").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "zz")) // max struct: equal len → max value
+  }
+
+  // ------------------------------------------------------------- acf
+
+  test("acf is 1 at the period of a perfectly periodic series") {
+    // period-3 series over 90 ticks: lag 3 and 6 correlate perfectly
+    val df = (0 until 90).map(t => (t.toLong, Seq(5L, 9L, 2L)(t % 3)))
+      .toDF("t", "v")
+    val r = Trend.acf(df, "t", "v", maxLag = 6)
+      .select("lag", "r").as[(Int, Double)].collect().toMap
+    assert(r(3) === 1.0 && r(6) === 1.0)
+    assert(r(1) < 0.0 && r(2) < 0.0) // off-phase lags anticorrelate
+  }
+
+  test("acf handles gaps by pairwise deletion") {
+    // ticks 0..9 with 5 missing: lag 1 pairs exclude (4,5) and (5,6)
+    val df = (0 to 9).filter(_ != 5).map(t => (t.toLong, t.toLong))
+      .toDF("t", "v")
+    val row = Trend.acf(df, "t", "v", maxLag = 1).collect().head
+    assert(row.getLong(1) === 7L) // 9 ticks → 8 adjacent pairs minus (4,5),(5,6) = 7
+    assert(row.getDouble(2) === 1.0) // identity series stays perfectly correlated
+  }
+
+  // ---------------------------------------------------- rolling median
+
+  test("rollingMedian computes exact trailing 3-row medians per key") {
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 100L), ("s", 3L, 20L),
+      ("s", 4L, 30L), ("u", 1L, 7L)).toDF("k", "t", "v")
+    val got = Windows.rollingMedian(df, Seq("k"), Seq($"t"), $"v", 3, "m")
+      .orderBy($"k", $"t").select("m").as[Double].collect().toSeq
+    // s: [10]→10, [10,100]→55, [10,100,20]→20, [100,20,30]→30; u: [7]→7
+    assert(got === Seq(10.0, 55.0, 20.0, 30.0, 7.0))
+  }
+}
