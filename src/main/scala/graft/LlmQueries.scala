@@ -560,6 +560,84 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss sign projection 64→32
+    * ([[Similarity.jlSignRows]] / [[Similarity.projectSigned]]): every
+    * pair among the first 32 vectors gets its squared distance in the
+    * original and the projected space, and the JL ratio
+    * ‖R(a−b)‖² / (outDims·‖a−b‖²) — concentrated around 1 — is
+    * certified inside [0.15, 3.0] by `within_bound` (computed here,
+    * literal TRUE in the twin: the hash match IS the envelope proof,
+    * the sketch-query pattern; for a χ²₃₂-style ratio the per-pair
+    * escape odds are ~1e-9, far beyond the eval slice). The projection
+    * is map-only; only the bounded eval slice pairs.
+    */
+  private def jlProjectionPairs(s: SparkSession, dir: String): DataFrame = {
+    val signs = Similarity.jlSignRows(64, 32)
+    def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b,
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    val emb = tPar(s, dir, "embeddings").where(col("vec_id") < 32)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.projectSigned(col("embedding"), signs).as("__pv"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("__ea"),
+      col("__pv").as("__pa"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__eb"),
+      col("__pv").as("__pb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__do", dist2(col("__ea"), col("__eb")))
+      .withColumn("__dp", dist2(col("__pa"), col("__pb")))
+      .withColumn("dist2_orig", round(col("__do"), 6))
+      .withColumn("dist2_proj", round(col("__dp"), 6))
+      .withColumn("jl_ratio",
+        when(col("__do") > 0, round(col("__dp") / (lit(32.0) * col("__do")), 6))
+          .otherwise(lit(1.0)))
+      .withColumn("within_bound",
+        col("jl_ratio") >= 0.15 && col("jl_ratio") <= 3.0)
+      .select(col("id_a"), col("id_b"), col("dist2_orig"), col("dist2_proj"),
+        col("jl_ratio"), col("within_bound"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Product-quantization ANN ([[Similarity.knnPqAdc]]): 4 subspaces ×
+    * 8 sub-centroids trained by the deterministic Lloyd's, corpus
+    * encoded to 4 codes/vector, candidates ranked by the ADC
+    * approximation, exact cosine re-ranked on the survivors. The twin
+    * embeds the trained codebooks as literals (same memo discipline as
+    * IVF) and replicates encode + ADC + re-rank in SQL — the whole
+    * compressed-index path exact-hash-checks.
+    */
+  private[graft] def pqTag(dir: String) = s"$dir|pq-m4-k8-i2"
+
+  private def knnCosinePq(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    val books = Similarity.pqCodebooksCached(pqTag(dir), emb, "vec_id",
+      "embedding", dims = 64, m = 4, k = 8, iters = 2)
+    Similarity.knnPqAdc(emb.where(col("vec_id") < 16), emb, "vec_id",
+        "vec_id", "embedding", books, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Rank-biased overlap@10 ([[graft.ops.Eval.rbo]], p = 0.9) between
+    * the exact cosine ranking and the label-bucketed ANN ranking, per
+    * query — the top-weighted agreement score an index rollout gates
+    * on ("how much of what the exact ranking puts first does the index
+    * still surface first?"). Contributions sum as exact nanos, so the
+    * per-query score is order-independent and twin-expressible.
+    */
+  private def annRboEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 16)
+    val brute = Similarity.knnBrute(q, emb, "vec_id", "vec_id",
+      "embedding", k = 10)
+    val bucketed = Similarity.knnBucketed(q, emb, "vec_id", "vec_id",
+      "embedding", "label", k = 10)
+    graft.ops.Eval.rbo(brute, bucketed, "query_id", "neighbor_id",
+        "rank", p = 0.9, k = 10)
+      .orderBy(col("query_id"))
+  }
+
   /** Sampled slice (vec_id % 8 = 0) so the within-bucket pair count stays
     * bounded at bench scale; threshold low enough to emit real pairs on
     * random data.
@@ -975,6 +1053,9 @@ object LlmQueries {
     "knn_cosine_lsh" -> (knnCosineLsh _),
     "knn_cosine_multiprobe" -> (knnCosineMultiprobe _),
     "knn_cosine_ivf" -> (knnCosineIvf _),
+    "knn_cosine_pq" -> (knnCosinePq _),
+    "ann_rbo_eval" -> (annRboEval _),
+    "jl_projection_pairs" -> (jlProjectionPairs _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "frame_sample_plan" -> (frameSamplePlan _),
@@ -1362,12 +1443,100 @@ object LlmQueries {
         }
       }
     }
-    centsOpt.toSeq.flatMap { cents =>
+    // float literals go through a STRING cast: DuckDB parses a bare
+    // numeric `x::FLOAT` via decimal and can land 1 ulp off the nearest
+    // float32, while CAST('x' AS FLOAT) round-trips Scala's shortest
+    // repr exactly (caught by knn_cosine_pq at sf0.01: one ADC term
+    // differed 4e-10 and crossed a 6-decimal rounding boundary)
+    def fLit(x: Float): String = s"'$x'::FLOAT"
+    val ivfEntries = centsOpt.toSeq.flatMap { cents =>
       val rows = cents.zipWithIndex.map { case (c, i) =>
-        c.map(x => s"${x}::FLOAT").mkString(s"    ($i, list_value(", ", ", "))")
+        c.map(fLit).mkString(s"    ($i, list_value(", ", ", "))")
       }.mkString(",\n")
       Seq(ivfEntry(rows), semanticDedupEntry(rows))
     }.toMap
+    val booksOpt = sys.props.get("graft.oracle.sfDir").flatMap { dir =>
+      Similarity.trainedCodebooks(pqTag(dir), m = 4).orElse {
+        org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+          Similarity.pqCodebooksCached(pqTag(dir),
+            tPar(s, dir, "embeddings"), "vec_id", "embedding",
+            dims = 64, m = 4, k = 8, iters = 2)
+        }
+      }
+    }
+    val pqEntries = booksOpt.toSeq.map { books =>
+      val rows = books.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, i) =>
+          c.map(fLit).mkString(s"    ($s, $i, list_value(", ", ", "))")
+        }
+      }.mkString(",\n")
+      pqEntry(rows)
+    }.toMap
+    ivfEntries ++ pqEntries
+  }
+
+  /** PQ twin: codebooks as (subspace, code, centroid) literals; encode =
+    * per-subspace argmax over the sliced vector; ADC terms pivot to one
+    * column per subspace so the 4-term sums fold left-to-right exactly
+    * like the Spark expression; exact re-rank replicated on survivors.
+    */
+  private def pqEntry(rows: String): (String, String) = {
+    val sub = 16
+    def slAt(v: String, sRef: String) =
+      s"$v[$sRef * $sub + 1 : $sRef * $sub + $sub]"
+    def sl(v: String) = slAt(v, "s")
+    "knn_cosine_pq" ->
+      s"""WITH cb AS (
+         |  SELECT * FROM (VALUES
+         |$rows
+         |  ) AS t(s, ci, cv)
+         |), e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |             ${dotSql("embedding", "embedding")} AS qn2
+         |      FROM embeddings WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT vec_id, s, ci AS code FROM (
+         |    SELECT e.vec_id, cb.s, cb.ci,
+         |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+         |             ORDER BY ${cosineSql(slAt("e.embedding", "cb.s"), "cb.cv")} DESC, cb.ci) AS rn
+         |    FROM e CROSS JOIN cb) WHERE rn = 1
+         |), adc AS (
+         |  SELECT q.query_id, enc.vec_id AS neighbor_id, enc.s, q.qn2,
+         |         ${dotSql(slAt("q.qe", "enc.s"), "cb.cv")} AS d,
+         |         ${dotSql("cb.cv", "cb.cv")} AS c2
+         |  FROM q CROSS JOIN enc
+         |  JOIN cb ON cb.s = enc.s AND cb.ci = enc.code
+         |  WHERE enc.vec_id <> q.query_id
+         |), p AS (
+         |  SELECT query_id, neighbor_id, max(qn2) AS qn2,
+         |         max(CASE WHEN s = 0 THEN d END) AS d0,
+         |         max(CASE WHEN s = 1 THEN d END) AS d1,
+         |         max(CASE WHEN s = 2 THEN d END) AS d2,
+         |         max(CASE WHEN s = 3 THEN d END) AS d3,
+         |         max(CASE WHEN s = 0 THEN c2 END) AS e0,
+         |         max(CASE WHEN s = 1 THEN c2 END) AS e1,
+         |         max(CASE WHEN s = 2 THEN c2 END) AS e2,
+         |         max(CASE WHEN s = 3 THEN c2 END) AS e3
+         |  FROM adc GROUP BY 1, 2
+         |), sims AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(CASE WHEN sqrt(qn2) * sqrt(e0 + e1 + e2 + e3) > 0
+         |               THEN (d0 + d1 + d2 + d3) / (sqrt(qn2) * sqrt(e0 + e1 + e2 + e3))
+         |               ELSE 0.0 END, 6) AS approx_sim
+         |  FROM p
+         |), r AS (
+         |  SELECT query_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_sim DESC, neighbor_id) AS INTEGER) AS rank,
+         |         neighbor_id, approx_sim
+         |  FROM sims
+         |)
+         |SELECT r.query_id, r.rank, r.neighbor_id, r.approx_sim,
+         |       round(${cosineSql("q.qe", "e.embedding")}, 6) AS true_sim
+         |FROM r JOIN q ON q.query_id = r.query_id
+         |JOIN e ON e.vec_id = r.neighbor_id
+         |WHERE r.rank <= 5
+         |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
   /** SemDeDup twin over the same trained centroids: assignment argmax,
@@ -2308,6 +2477,73 @@ object LlmQueries {
          |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // the ±1 sign rows are pure-Scala LCG parities — the twin embeds the
+    // identical DOUBLE literals and replays both cosines; within_bound
+    // is literal TRUE (certified-envelope pattern)
+    "jl_projection_pairs" -> {
+      val rows = Similarity.jlSignRows(64, 32).zipWithIndex
+        .map { case (r, j) =>
+          r.mkString(s"    ($j, list_value(", ", ", "))")
+        }.mkString(",\n")
+      def d2(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+      s"""WITH sg AS (
+         |  SELECT * FROM (VALUES
+         |$rows
+         |  ) AS t(j, sv)
+         |), v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+         |pr AS (
+         |  SELECT vec_id, list(d ORDER BY j) AS pv FROM (
+         |    SELECT v.vec_id, sg.j, ${dotSql("v.embedding", "sg.sv")} AS d
+         |    FROM v CROSS JOIN sg)
+         |  GROUP BY vec_id
+         |), pd AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${d2("a.embedding", "b.embedding")} AS dorig,
+         |         ${d2("pa.pv", "pb.pv")} AS dproj
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |  JOIN pr pa ON pa.vec_id = a.vec_id
+         |  JOIN pr pb ON pb.vec_id = b.vec_id
+         |)
+         |SELECT id_a, id_b,
+         |       round(dorig, 6) AS dist2_orig, round(dproj, 6) AS dist2_proj,
+         |       CASE WHEN dorig > 0 THEN round(dproj / (32.0 * dorig), 6)
+         |            ELSE 1.0 END AS jl_ratio,
+         |       TRUE AS within_bound
+         |FROM pd ORDER BY id_a, id_b""".stripMargin
+    },
+    // brute@10 and bucketed@10 replicated, matched items weighted by the
+    // shared nano-grid tail weights W[max(ra, rb)] from Eval.rboWeightsNano
+    "ann_rbo_eval" -> {
+      val wCase = graft.ops.Eval.rboWeightsNano(0.9, 10).zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN CAST($w AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings WHERE vec_id < 16),
+         |a AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           CAST(row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${cosineSql("q.qe", "e.embedding")}, 6) DESC, e.vec_id) AS INTEGER) AS rank
+         |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= 10
+         |), b AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           CAST(row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${cosineSql("q.qe", "e.embedding")}, 6) DESC, e.vec_id) AS INTEGER) AS rank
+         |    FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id)
+         |  WHERE rank <= 10
+         |), m AS (
+         |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_common,
+         |         CAST(sum(CASE greatest(a.rank, b.rank) $wCase END) AS BIGINT) AS wsum
+         |  FROM a JOIN b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |  GROUP BY 1
+         |)
+         |SELECT q.query_id, coalesce(n_common, 0) AS n_common,
+         |       round(CAST(coalesce(wsum, 0) AS DOUBLE) / 1e9, 6) AS rbo
+         |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN m USING (query_id)
+         |ORDER BY q.query_id""".stripMargin
+    },
     "knn_cosine_bucketed" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings WHERE vec_id < 16),
          |s AS (

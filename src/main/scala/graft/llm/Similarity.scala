@@ -158,6 +158,127 @@ object Similarity {
     (-best.getField("ni")).cast("int")
   }
 
+  /** Deterministic ±1 sign matrix for a Johnson–Lindenstrauss random
+    * projection: row j is the j-th output dimension's sign pattern over
+    * the input dimensions. The "randomness" is an LCG parity — pure
+    * Scala arithmetic, so the SAME rows embed as literals in a twin
+    * engine (no RNG state to reproduce). Cosine is scale-invariant, so
+    * the conventional 1/√outDims scaling is omitted.
+    *
+    * The parity comes from a splitmix64-style avalanche of (i, j) — a
+    * LINEAR index mix (LCG without finalization) leaves the rows
+    * correlated and visibly breaks the JL concentration (ratios 0.08–5
+    * instead of ~χ²/dof around 1, observed directly at sf0.01).
+    */
+  def jlSignRows(inDims: Int, outDims: Int): Array[Array[Double]] =
+    Array.tabulate(outDims) { j =>
+      Array.tabulate(inDims) { i =>
+        var z = (i.toLong << 32) | (j.toLong & 0xffffffffL)
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+        z ^= z >>> 33
+        if ((z & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Project `vec` through literal ±1 sign rows: out[j] = Σ_i v_i·s_ji,
+    * each output a sequential double fold (twin-reproducible). Map-only
+    * — at corpus scale this is the cheap preprocessing that shrinks a
+    * 100 TB embedding column by dims/outDims before any pairwise work.
+    */
+  def projectSigned(vec: Column, signs: Array[Array[Double]]): Column =
+    array(signs.map { row =>
+      aggregate(
+        zip_with(vec, array(row.map(lit).toIndexedSeq: _*),
+          (v, r) => v.cast("double") * r),
+        lit(0.0), (acc, x) => acc + x)
+    }.toIndexedSeq: _*)
+
+  /** Product-quantization codebooks: the vector splits into `m`
+    * contiguous subspaces and each subspace trains its own `k`
+    * sub-centroids (same deterministic Lloyd's as [[kMeansCentroids]],
+    * over the sliced column). The result compresses a corpus vector to
+    * `m` small codes — at 100 TB the difference between an index that
+    * fits in executor memory (m bytes/vector) and one that doesn't
+    * (4·dims bytes/vector), which is the entire point of PQ.
+    *
+    * Memoized per (tag, subspace) through the same [[centroidMemo]]
+    * discipline as IVF, so an oracle emitter can embed the EXACT
+    * trained floats.
+    */
+  def pqCodebooksCached(tag: String, corpus: => DataFrame, idCol: String,
+                        vecCol: String, dims: Int, m: Int, k: Int,
+                        iters: Int): Array[Array[Array[Float]]] = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    lazy val c = corpus // evaluate the by-name corpus at most once
+    (0 until m).map { s =>
+      kMeansCentroidsCached(s"$tag#$s",
+        c.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+        idCol, "__sub", k, iters)
+    }.toArray
+  }
+
+  /** The memoized PQ codebooks for `tag`, if training already ran. */
+  def trainedCodebooks(tag: String, m: Int): Option[Array[Array[Array[Float]]]] = {
+    val subs = (0 until m).map(s => trainedCentroids(s"$tag#$s"))
+    if (subs.forall(_.isDefined)) Some(subs.map(_.get).toArray) else None
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC) + exact
+    * re-rank column: the corpus is ENCODED once (per subspace, the
+    * nearest sub-centroid — map-only over literal codebooks), then each
+    * query scores candidates from the codes alone:
+    *
+    *   dot(q, x) ≈ Σ_s dot(q_s, c_{s, code_s(x)})    (the ADC identity)
+    *   ‖x̂‖²      = Σ_s ‖c_{s, code_s(x)}‖²
+    *
+    * so `approx_sim = ADC / (‖q‖·‖x̂‖)` never touches the original
+    * corpus floats — the scan reads m codes per row, not dims floats.
+    * The emitted `true_sim` column is the standard exact re-rank over
+    * the k survivors only (top-k · |Q| rows, not corpus grain).
+    *
+    * All sums fold left-to-right over ascending subspace index, so a
+    * twin engine replaying the same literals reproduces every bit.
+    * Ranking is (rounded approx_sim desc, neighbor_id) — total order.
+    */
+  def knnPqAdc(queries: DataFrame, corpus: DataFrame, qidCol: String,
+               idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Float]]], k: Int = 10): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    def litVec(cen: Array[Float]): Column = array(cen.map(lit).toIndexedSeq: _*)
+    def subv(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
+    val codeCols = (0 until m).map(s =>
+      nearestCentroid(subv(col("__cv"), s), codebooks(s)).as(s"__code$s"))
+    val coded = corpus.select(
+      (col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +: codeCols): _*)
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+    // ADC terms: per subspace, the dot of the query slice against EVERY
+    // sub-centroid (a literal array), selected by the stored code
+    val adc = (0 until m).map { s =>
+      element_at(array(codebooks(s).map(cen =>
+        dot(subv(col("__qv"), s), litVec(cen))).toIndexedSeq: _*),
+        col(s"__code$s") + 1)
+    }.reduceLeft(_ + _)
+    val recon2 = (0 until m).map { s =>
+      element_at(array(codebooks(s).map(cen =>
+        dot(litVec(cen), litVec(cen))).toIndexedSeq: _*),
+        col(s"__code$s") + 1)
+    }.reduceLeft(_ + _)
+    val den = sqrt(dot(col("__qv"), col("__qv"))) * sqrt(recon2)
+    val sims = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim",
+        round(when(den > 0, adc / den).otherwise(lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .withColumn("true_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_sim"), col("true_sim"))
+  }
+
   /** IVF top-k: train (or reuse) centroids, assign the corpus once, then
     * probe the `nProbes` centroids nearest to each query — candidates =
     * the union of those buckets, still an equi-join keyed on the bucket

@@ -162,4 +162,61 @@ object Eval {
             (sum(col("__pos")).cast("double") *
               sum(col("__neg")).cast("double")), 6)).as("auc"))
   }
+
+  /** Truncated rank-biased overlap weights at persistence `p`, depth
+    * `k`, on the shared nano grid: W[m] is what ONE item appearing at
+    * max(rankA, rankB) = m contributes to RBO@k, i.e.
+    * (1−p)·Σ_{d=m..k} p^(d−1)/d. Pure Scala, so the Spark expression
+    * and a SQL twin can embed bit-identical literals.
+    */
+  def rboWeightsNano(p: Double, k: Int): Seq[Long] =
+    (1 to k).map { m =>
+      val w = (1 - p) * (m to k).map(d => math.pow(p, d - 1) / d).sum
+      math.round(w * 1e9)
+    }
+
+  /** Rank-biased overlap@k (Webber et al.) between two per-query
+    * rankings — the top-weighted agreement measure for comparing an ANN
+    * index's output against the exact ranking: RBO@k =
+    * (1−p)·Σ_{d=1..k} p^(d−1)·|A_1..d ∩ B_1..d|/d, with p the
+    * persistence (p=0.9 ≈ "the user looks ~10 deep").
+    *
+    * Instead of materializing the k prefix depths, each item present in
+    * BOTH rankings contributes the closed-form tail weight
+    * W[max(ra, rb)] exactly once — a (query, item) equi-join, one
+    * weight lookup, one keyed sum. The weights sum as exact nanos so
+    * the per-query total is order-independent; the /1e9 at the end is
+    * one double division rounded to 6 decimals.
+    *
+    * Queries with zero overlap emit rbo = 0 (left join from `rankA`'s
+    * query set). Both inputs must be at (query, item) grain with ranks
+    * 1..k; rows ranked beyond `k` are ignored.
+    *
+    * Scale shape: broadcast-sized weight array, one equi-join at
+    * ranking grain (|Q|·k rows per side), one query-grain aggregate —
+    * nothing touches corpus grain.
+    */
+  def rbo(rankA: DataFrame, rankB: DataFrame, queryCol: String,
+          itemCol: String, rankCol: String, p: Double = 0.9,
+          k: Int = 10): DataFrame = {
+    require(p > 0 && p < 1 && k >= 1, s"p=$p k=$k")
+    val wNano = rboWeightsNano(p, k)
+    val a = rankA.select(col(queryCol).as("query_id"),
+      col(itemCol).as("__item"), col(rankCol).cast("int").as("__ra"))
+      .where(col("__ra") <= k)
+    val b = rankB.select(col(queryCol).as("query_id"),
+      col(itemCol).as("__item"), col(rankCol).cast("int").as("__rb"))
+      .where(col("__rb") <= k)
+    val qs = a.select(col("query_id")).distinct()
+    val matched = a.join(b, Seq("query_id", "__item"))
+      .withColumn("__w", element_at(
+        array(wNano.map(lit): _*), greatest(col("__ra"), col("__rb"))))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__wsum"))
+    qs.join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("__wsum"), lit(0L)).cast("double") / 1e9, 6)
+          .as("rbo"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Similarity
+import graft.ops.Eval
+
+/** Round-7 ANN extensions: rank-biased overlap, product-quantization
+  * ADC, and the JL sign projection.
+  */
+class AnnEvalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --------------------------------------------------------------- rbo
+
+  test("rbo of identical rankings is the closed-form truncated mass") {
+    val r = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q", "item", "rank")
+    val got = Eval.rbo(r, r, "q", "item", "rank", p = 0.9, k = 3)
+      .select("rbo").as[Double].head()
+    // X_d = d at every depth: RBO = (1-p)·Σ p^(d-1) = 1 - p^k
+    val want = Eval.rboWeightsNano(0.9, 3).sum / 1e9
+    assert(math.abs(got - want) < 1e-9)
+    assert(math.abs(want - (1 - math.pow(0.9, 3))) < 1e-6)
+  }
+
+  test("rbo of disjoint rankings is 0, and queries missing from B still emit") {
+    val a = Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("q", "item", "rank")
+    val b = Seq((1L, 99L, 1)).toDF("q", "item", "rank")
+    val got = Eval.rbo(a, b, "q", "item", "rank", p = 0.9, k = 3)
+      .orderBy("query_id")
+      .select("query_id", "n_common", "rbo").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got === Seq((1L, 0L, 0.0), (2L, 0L, 0.0)))
+  }
+
+  test("rbo weights a top-rank agreement above a tail agreement") {
+    // same single common item, at rank 1 vs rank 3 on the B side
+    val a = Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("q", "item", "rank")
+    val b = Seq((1L, 10L, 1), (2L, 20L, 3)).toDF("q", "item", "rank")
+    val got = Eval.rbo(a, b, "q", "item", "rank", p = 0.9, k = 3)
+      .orderBy("query_id").select("rbo").as[Double].collect()
+    assert(got(0) > got(1) && got(1) > 0.0)
+  }
+
+  // ---------------------------------------------------------------- pq
+
+  test("knnPqAdc is exact when the corpus lies on the codebook grid") {
+    // 4 vectors over m=2 subspaces of 2 dims; init-only training (iters=0)
+    // makes the codebooks the first-2 vectors' subvectors, and every
+    // corpus subvector appears in the codebook → reconstruction is
+    // exact → approx_sim must equal the true cosine on every pair.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)), (1L, Array(0f, 1f, 1f, 0f)),
+      (2L, Array(1f, 0f, 1f, 0f)), (3L, Array(0f, 1f, 0f, 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooksCached("test-pq-grid", df, "vec_id",
+      "embedding", dims = 4, m = 2, k = 2, iters = 0)
+    assert(books.length === 2 && books.forall(_.length === 2))
+    val out = Similarity.knnPqAdc(df, df, "vec_id", "vec_id", "embedding",
+        books, k = 3)
+      .select("approx_sim", "true_sim").as[(Double, Double)].collect()
+    assert(out.nonEmpty && out.forall { case (a, t) => a === t })
+  }
+
+  test("pq codebooks memoize per subspace tag") {
+    val df = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Similarity.pqCodebooksCached("test-pq-memo", df, "vec_id",
+      "embedding", dims = 2, m = 1, k = 2, iters = 0)
+    val b2 = Similarity.trainedCodebooks("test-pq-memo", m = 1)
+    assert(b2.isDefined && (b2.get(0) eq b1(0)))
+  }
+
+  // ---------------------------------------------------------------- jl
+
+  test("jlSignRows is deterministic, ±1-valued, and decorrelated") {
+    val a = Similarity.jlSignRows(64, 32)
+    val b = Similarity.jlSignRows(64, 32)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x == 1.0 || x == -1.0))
+    // pairwise row dot products concentrate near 0 (|dot| ≤ 32 of 64):
+    // the linear-mix bug this guards against produced fully correlated
+    // rows (|dot| = 64)
+    val maxAbsDot = (for {
+      i <- a.indices; j <- a.indices if i < j
+    } yield math.abs(a(i).zip(a(j)).map { case (x, y) => x * y }.sum)).max
+    assert(maxAbsDot <= 32.0)
+  }
+
+  test("projectSigned matches the Scala-side fold") {
+    val signs = Similarity.jlSignRows(4, 2)
+    val v = Array(1.5f, -2.0f, 0.5f, 3.0f)
+    val got = Seq((0L, v)).toDF("id", "vec")
+      .select(Similarity.projectSigned(col("vec"), signs).as("p"))
+      .as[Seq[Double]].head()
+    val want = signs.map(row =>
+      row.zip(v).foldLeft(0.0) { case (acc, (r, x)) => acc + r * x.toDouble })
+    assert(got === want.toSeq)
+  }
+}

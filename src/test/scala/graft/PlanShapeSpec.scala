@@ -91,7 +91,12 @@ class PlanShapeSpec extends AnyFunSuite {
             // V×V state-grid build + 1-row V broadcast — never data grain
             "user_sequence_likelihood",
             // 1-row total/entropy broadcasts over the confusion grid
-            "lang_source_mi")(name))
+            "lang_source_mi",
+            // bounded eval slices of the embeddings table, never corpus
+            // grain: PQ scores broadcast queries against coded rows,
+            // RBO builds the brute baseline, JL pairs the 32-vector
+            // eval slice
+            "knn_cosine_pq", "ann_rbo_eval", "jl_projection_pairs")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
