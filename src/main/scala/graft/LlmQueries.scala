@@ -560,6 +560,18 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Top principal direction of the embedding corpus
+    * ([[graft.ops.Pca.topComponentFixedPoint]]): scatter matrix in
+    * exact integer units, 5 power iterations with integer
+    * renormalization, deterministic sign orientation — the whole
+    * dimensionality-reduction training loop exact-hash-checks against
+    * an unrolled SQL twin, the same fixed-point discipline as the
+    * PageRank query.
+    */
+  private def pcaTopComponent(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pca.topComponentFixedPoint(
+      tPar(s, dir, "embeddings"), "vec_id", "embedding", iters = 5)
+
   /** Johnson–Lindenstrauss sign projection 64→32
     * ([[Similarity.jlSignRows]] / [[Similarity.projectSigned]]): every
     * pair among the first 32 vectors gets its squared distance in the
@@ -1056,6 +1068,7 @@ object LlmQueries {
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
+    "pca_top_component" -> (pcaTopComponent _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "frame_sample_plan" -> (frameSamplePlan _),
@@ -2477,6 +2490,49 @@ object LlmQueries {
          |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // unrolled fixed-point power iteration: HUGEINT-safe exact sums, the
+    // shared pmod floor-division form, 1-row max renormalizers — every
+    // step replays the Spark integers bit-for-bit
+    "pca_top_component" -> {
+      def fdiv(a: String, b: String) =
+        s"CAST((($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b) AS BIGINT)"
+      val steps = (1 to 5).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (
+           |  SELECT c.i, CAST(sum(CAST(c.c AS HUGEINT) * $pv.v) AS BIGINT) AS w
+           |  FROM c JOIN $pv ON c.j = $pv.j GROUP BY 1
+           |), m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+           |v$t AS (
+           |  SELECT w$t.i AS j,
+           |         CASE WHEN m$t.m > 0
+           |              THEN ${fdiv("w$T.w".replace("$T", t.toString), fdiv("m$T.m".replace("$T", t.toString), "10000") + " + 1")}
+           |              ELSE CAST(10000 AS BIGINT) END AS v
+           |  FROM w$t, m$t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id, i - 1 AS i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4) AS BIGINT) AS e
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+         |), gram AS (
+         |  SELECT a.i, b.i AS j, CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS BIGINT) AS g
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+         |), s AS (
+         |  SELECT i, CAST(sum(e) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM q GROUP BY 1
+         |), c AS (
+         |  SELECT g.i, g.j,
+         |         ${fdiv("si.n * g.g - si.s * sj.s", "1000000")} AS c
+         |  FROM gram g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j
+         |), v0 AS (
+         |  SELECT DISTINCT i AS j, CAST(10000 AS BIGINT) AS v FROM q
+         |),
+         |$steps,
+         |lead AS (SELECT v FROM v5 ORDER BY abs(v) DESC, j LIMIT 1)
+         |SELECT CAST(v5.j AS INTEGER) AS dim,
+         |       CAST(CASE WHEN lead.v < 0 THEN -v5.v ELSE v5.v END AS DOUBLE) / 1e4 AS loading
+         |FROM v5, lead ORDER BY dim""".stripMargin
+    },
     // the ±1 sign rows are pure-Scala LCG parities — the twin embeds the
     // identical DOUBLE literals and replays both cosines; within_bound
     // is literal TRUE (certified-envelope pattern)

@@ -96,7 +96,9 @@ class PlanShapeSpec extends AnyFunSuite {
             // grain: PQ scores broadcast queries against coded rows,
             // RBO builds the brute baseline, JL pairs the 32-vector
             // eval slice
-            "knn_cosine_pq", "ann_rbo_eval", "jl_projection_pairs")(name))
+            "knn_cosine_pq", "ann_rbo_eval", "jl_projection_pairs",
+            // 1-row max-renormalizer broadcasts over the dims-grain grid
+            "pca_top_component")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
