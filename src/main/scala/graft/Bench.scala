@@ -133,7 +133,8 @@ object Bench {
       "lang_source_mi", "length_pctl_by_source",
       "order_volume_acf", "rolling_median_supplier", "pareto_parts",
       "golden_customer_records", "knn_cosine_pq", "ann_rbo_eval",
-      "jl_projection_pairs", "pca_top_component")
+      "jl_projection_pairs", "pca_top_component", "expectations_orders",
+      "running_distinct_users", "attribution_time_decay")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

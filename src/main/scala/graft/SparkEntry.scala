@@ -1483,6 +1483,57 @@ object SparkEntry {
     base.join(modal, Seq("o_custkey")).orderBy(col("o_custkey"))
   }
 
+  /** Declarative DQ expectation suite ([[graft.pdq.Expectations]]) over
+    * orders — five named rules, one scan, per-rule pass/fail counts.
+    * The in-range rule is deliberately set where real rows fail
+    * (o_totalprice caps near 500k), so the report's failure path is
+    * exercised, not just the green path.
+    */
+  private def expectationsOrders(s: SparkSession, dir: String): DataFrame = {
+    import graft.pdq.Expectations._
+    run(t(s, dir, "orders"), Seq(
+      notNull("o_orderkey"),
+      unique(Seq("o_orderkey")),
+      acceptedValues("o_orderstatus", Seq("F", "O", "P")),
+      inRange("o_totalprice", 0.0, 400000.0),
+      matchesRegex("o_orderpriority", "^[1-5]-")))
+  }
+
+  /** Reach curve ([[graft.ops.Windows.cumulativeDistinct]]): per day,
+    * active users, first-time users, and the running distinct total —
+    * the first-seen identity instead of an expanding distinct window.
+    */
+  private def runningDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    graft.ops.Windows.cumulativeDistinct(ev, "user_id", "day")
+      .select(col("tick").as("day"), col("n_active"), col("n_new"),
+        col("n_cum"))
+      .orderBy(col("day"))
+  }
+
+  /** Time-decay attribution ([[graft.ops.Attribution.timeDecayCredit]],
+    * halflife 1 day, lookback 3 days): per-touch credits are exact
+    * integer floor-divisions on the micro weight grid, so channel
+    * rollups sum longs — no summation-order ulps to round away (the
+    * defect class the linear query's whole-cent rounding guards).
+    */
+  private def attributionTimeDecay(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Attribution
+    val ev = t(s, dir, "events")
+      .withColumn("value_cents", cents(col("value")))
+    Attribution.timeDecayCredit(ev.select(col("user_id"), col("ts"),
+        col("event_type"), col("value_cents")),
+        "user_id", "ts", "event_type", "value_cents",
+        Seq("view", "click", "signup"), "purchase",
+        lookbackSec = 259200L, halflifeSec = 86400L,
+        bucketWidthSec = 86400L)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touch_credits"),
+        sum(col("credit")).cast("long").as("credited_cents"))
+      .orderBy(col("channel"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1578,6 +1629,9 @@ object SparkEntry {
     "rolling_median_supplier" -> (rollingMedianSupplier _),
     "pareto_parts" -> (paretoParts _),
     "golden_customer_records" -> (goldenCustomerRecords _),
+    "expectations_orders" -> (expectationsOrders _),
+    "running_distinct_users" -> (runningDistinctUsers _),
+    "attribution_time_decay" -> (attributionTimeDecay _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -2872,5 +2926,72 @@ object SparkEntry {
         |JOIN (SELECT o_custkey, o_orderpriority FROM rec WHERE rn = 1) r USING (o_custkey)
         |JOIN md USING (o_custkey)
         |ORDER BY o_custkey""".stripMargin,
+    // one aggregate row fans out to the per-rule report; count(DISTINCT)
+    // matches the struct-distinct (no null keys in this table)
+    "expectations_orders" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_nn,
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS f_uq,
+        |         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |                        AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS f_av,
+        |         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |                        AND (o_totalprice < 0.0 OR o_totalprice > 400000.0) THEN 1 ELSE 0 END) AS BIGINT) AS f_ir,
+        |         CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS f_re
+        |  FROM orders
+        |)
+        |SELECT rule, n_checked, n_failed, n_failed = 0 AS passed FROM (
+        |  SELECT 'not_null:o_orderkey' AS rule, n AS n_checked, f_nn AS n_failed FROM a
+        |  UNION ALL SELECT 'unique:o_orderkey', n, f_uq FROM a
+        |  UNION ALL SELECT 'accepted_values:o_orderstatus', n, f_av FROM a
+        |  UNION ALL SELECT 'in_range:o_totalprice', n, f_ir FROM a
+        |  UNION ALL SELECT 'matches_regex:o_orderpriority', n, f_re FROM a
+        |) ORDER BY rule""".stripMargin,
+    // first-seen identity: a user enters the cumulative count once, at
+    // its min day — the running sum is over the day SERIES
+    "running_distinct_users" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |act AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |        FROM e GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+        |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+        |SELECT act.day, n_active, coalesce(n_new, 0) AS n_new,
+        |       CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY act.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+        |FROM act LEFT JOIN nw ON act.day = nw.day
+        |ORDER BY act.day""".stripMargin,
+    // decay weights floor-quantized to the micro grid; per-touch credit
+    // is the shared pmod floor-division — channel sums are exact longs.
+    // Ages floor per-timestamp (unix_timestamp ≡ floor(epoch)) because
+    // events carry sub-second precision.
+    "attribution_time_decay" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts AS conv_ts,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), tch AS (
+        |  SELECT user_id, ts AS touch_ts, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_ts, c.v, t.channel,
+        |         CAST(floor(pow(2.0, -CAST(CAST(floor(epoch(c.conv_ts)) AS BIGINT)
+        |                - CAST(floor(epoch(t.touch_ts)) AS BIGINT) AS DOUBLE) / 86400.0) * 1e6) AS BIGINT) AS wn
+        |  FROM conv c JOIN tch t
+        |    ON t.user_id = c.user_id AND t.touch_ts <= c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - INTERVAL 259200 SECONDS
+        |), ws AS (
+        |  SELECT *, CAST(sum(wn) OVER (PARTITION BY user_id, conv_ts) AS BIGINT) AS wsum
+        |  FROM pairs
+        |), cr AS (
+        |  SELECT channel,
+        |         CASE WHEN wsum > 0
+        |              THEN CAST(((v * wn) - (((v * wn) % wsum + wsum) % wsum)) / wsum AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS credit
+        |  FROM ws
+        |)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_credits,
+        |       CAST(sum(credit) AS BIGINT) AS credited_cents
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

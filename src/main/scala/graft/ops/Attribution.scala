@@ -85,4 +85,54 @@ object Attribution {
     pairs.withColumn("credit",
       col("conv_value").cast("double") / count(lit(1)).over(perConv))
   }
+
+  /** Time-decay attribution: each in-window touch earns credit
+    * proportional to 2^(−age/halflife) — a touch one halflife before
+    * the conversion is worth half a same-instant touch. Unlike
+    * [[linearCredit]]'s per-touch double division, the decay weights
+    * are FLOOR-QUANTIZED to a micro grid and each touch's credit is an
+    * exact integer floor-division `⌊value·w / Σw⌋` — channel rollups
+    * then sum exact longs, bit-stable under any partitioning (the
+    * [[Decay]] fixed-grid discipline applied to credit assignment).
+    * The sub-cent remainder of each conversion (< 1 cent × touches) is
+    * deliberately dropped, not redistributed — documented, exact, and
+    * twin-expressible.
+    *
+    * Scale shape: identical to [[linearCredit]] — a bucketed interval
+    * join at touch grain, one per-conversion window sum, no data-grain
+    * sort.
+    */
+  def timeDecayCredit(events: DataFrame, entityCol: String, tsCol: String,
+                      typeCol: String, valueCol: String,
+                      touchTypes: Seq[String], convType: String,
+                      lookbackSec: Long, halflifeSec: Long,
+                      bucketWidthSec: Long = 3600L): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes required")
+    require(!touchTypes.contains(convType), "conversion cannot be a touch")
+    require(lookbackSec > 0 && halflifeSec > 0,
+      s"lookbackSec=$lookbackSec halflifeSec=$halflifeSec")
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol), col(tsCol).cast("timestamp").as("touch_ts"),
+        col(typeCol).as("channel"))
+    val windows = events.where(col(typeCol) === convType)
+      .groupBy(col(entityCol), col(tsCol).cast("timestamp").as("conv_ts"))
+      .agg(sum(col(valueCol)).as("conv_value"))
+      .withColumn("win_start",
+        col("conv_ts") - expr(s"INTERVAL $lookbackSec SECONDS"))
+    val pairs = RangeJoin.intervalJoin(touches, windows, Seq(entityCol),
+      "touch_ts", "win_start", "conv_ts", bucketWidth = bucketWidthSec)
+    val age = unix_timestamp(col("conv_ts")) - unix_timestamp(col("touch_ts"))
+    val wMicro = floor(
+      pow(lit(2.0), -age.cast("double") / halflifeSec.toDouble) * 1e6)
+      .cast("long")
+    val perConv = Window.partitionBy(col(entityCol), col("conv_ts"))
+    pairs
+      .withColumn("__w", wMicro)
+      .withColumn("__wsum", sum(col("__w")).over(perConv))
+      .withColumn("credit",
+        when(col("__wsum") > 0L,
+          Pca.floorDivQ(col("conv_value") * col("__w"), col("__wsum")))
+          .otherwise(lit(0L)))
+      .drop("__w", "__wsum")
+  }
 }

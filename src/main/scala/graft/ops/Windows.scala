@@ -33,6 +33,33 @@ object Windows {
     df.withColumn(as, sum(measure).over(w))
   }
 
+  /** Cumulative-distinct ("reach") curve: per tick, how many distinct
+    * keys were active that tick, how many appeared for the FIRST time,
+    * and the running total of distinct keys ever seen. The naive
+    * formulation (count distinct over an expanding window) rescans the
+    * whole history per tick; this is the scalable identity: a key
+    * contributes to the cumulative count exactly once, at its min-tick,
+    * so `n_cum(t) = Σ_{u ≤ t} n_new(u)` — one key-grain aggregate, one
+    * tick-grain aggregate, one running sum over the TICK SERIES
+    * (thousands of rows, not data grain — same series-grain caveat as
+    * [[graft.ops.Trend.seasonalIndices]]).
+    */
+  def cumulativeDistinct(df: DataFrame, keyCol: String,
+                         tickCol: String): DataFrame = {
+    val active = df.groupBy(col(tickCol).as("tick"))
+      .agg(count_distinct(col(keyCol)).as("n_active"))
+    val newPerTick = df.groupBy(col(keyCol))
+      .agg(min(col(tickCol)).as("tick"))
+      .groupBy(col("tick"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(newPerTick, Seq("tick"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_cum", sum(col("n_new")).over(w))
+      .orderBy(col("tick"))
+  }
+
   /** Exact rolling median of an integer measure over the trailing
     * `nRows`-row frame per key — the robust counterpart of a trailing
     * mean: one outlier day saturates a 7-day average but barely moves
