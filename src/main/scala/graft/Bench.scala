@@ -134,7 +134,8 @@ object Bench {
       "order_volume_acf", "rolling_median_supplier", "pareto_parts",
       "golden_customer_records", "knn_cosine_pq", "ann_rbo_eval",
       "jl_projection_pairs", "pca_top_component", "expectations_orders",
-      "running_distinct_users", "attribution_time_decay")
+      "running_distinct_users", "attribution_time_decay",
+      "phrase_match_docs", "funnel_time_to_convert")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

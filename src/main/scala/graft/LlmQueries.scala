@@ -560,6 +560,17 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Positional phrase search ([[Retrieval.phraseMatch]]) for the
+    * 3-gram "value table part": term-pruned positional postings chained
+    * by two (doc, aligned-pos) equi-joins. The twin scans each token
+    * array directly — same answer, the shape a single-node engine would
+    * use; the postings form is the one that survives 100 TB.
+    */
+  private def phraseMatchDocs(s: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseMatch(tPar(s, dir, "documents"), "doc_id", "text",
+        Seq("value", "table", "part"))
+      .orderBy(col("doc_id"))
+
   /** Top principal direction of the embedding corpus
     * ([[graft.ops.Pca.topComponentFixedPoint]]): scatter matrix in
     * exact integer units, 5 power iterations with integer
@@ -1069,6 +1080,7 @@ object LlmQueries {
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
     "pca_top_component" -> (pcaTopComponent _),
+    "phrase_match_docs" -> (phraseMatchDocs _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "frame_sample_plan" -> (frameSamplePlan _),
@@ -2490,6 +2502,19 @@ object LlmQueries {
          |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // direct token-array scan: i ranges over valid 3-gram starts; the
+    // Spark side's postings join must produce the identical doc set
+    "phrase_match_docs" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(range(1, len(toks) - 1),
+         |           i -> toks[i] = 'value' AND toks[i+1] = 'table'
+         |                AND toks[i+2] = 'part')) AS BIGINT) AS n_occurrences
+         |  FROM t
+         |)
+         |SELECT doc_id, n_occurrences FROM m
+         |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
     // unrolled fixed-point power iteration: HUGEINT-safe exact sums, the
     // shared pmod floor-division form, 1-row max renormalizers — every
     // step replays the Spark integers bit-for-bit

@@ -1534,6 +1534,42 @@ object SparkEntry {
       .orderBy(col("channel"))
   }
 
+  /** Time-to-convert distribution for the view→purchase funnel: per
+    * converting user, seconds from first view to the first purchase at
+    * or after it; percentiles are RANK statistics (the order statistic
+    * at ⌊(n−1)p⌋+1), not interpolated — interpolation arithmetic is an
+    * engine-ulp trap, an order statistic is an exact long. The ranking
+    * window runs over CONVERTING USERS (eval grain), not events.
+    */
+  private def funnelTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val fv = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val fp = ev.where(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .where(col("ts") >= col("view_ts"))
+      .groupBy(col("user_id"), col("view_ts")).agg(min(col("ts")).as("p_ts"))
+    val d = fp.select(col("user_id"),
+      (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts")))
+        .as("delta"))
+    val w = Window.orderBy(col("delta"), col("user_id"))
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = d
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+    def rankStat(p: Double) = max(when(
+      col("rn") === (floor((col("n") - 1L) * lit(p)) + 1L).cast("long"),
+      col("delta")))
+    ranked.agg(
+      max(col("n")).as("n_converted"),
+      min(col("delta")).as("min_sec"),
+      rankStat(0.5).as("p50_sec"),
+      rankStat(0.9).as("p90_sec"),
+      max(col("delta")).as("max_sec"),
+      round(sum(col("delta")).cast("double") / count(lit(1)), 6).as("mean_sec"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1632,6 +1668,7 @@ object SparkEntry {
     "expectations_orders" -> (expectationsOrders _),
     "running_distinct_users" -> (runningDistinctUsers _),
     "attribution_time_decay" -> (attributionTimeDecay _),
+    "funnel_time_to_convert" -> (funnelTimeToConvert _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -2993,5 +3030,33 @@ object SparkEntry {
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_credits,
         |       CAST(sum(credit) AS BIGINT) AS credited_cents
         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rank-statistic percentiles (order statistic at floor((n-1)p)+1),
+    // never interpolation; deltas floor per-timestamp like the decay
+    // oracle because events carry sub-second precision
+    "funnel_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), fp AS (
+        |  SELECT e.user_id, fv.view_ts, min(e.ts) AS p_ts
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.view_ts
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(p_ts)) AS BIGINT)
+        |           - CAST(floor(epoch(view_ts)) AS BIGINT) AS delta
+        |  FROM fp
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY delta, user_id) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM d
+        |)
+        |SELECT max(n) AS n_converted, min(delta) AS min_sec,
+        |       max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN delta END) AS p50_sec,
+        |       max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN delta END) AS p90_sec,
+        |       max(delta) AS max_sec,
+        |       round(CAST(sum(delta) AS DOUBLE) / count(*), 6) AS mean_sec
+        |FROM r""".stripMargin,
   )
 }

@@ -27,6 +27,34 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Exact positional phrase match: documents where `phrase` occurs as
+    * consecutive tokens, with occurrence counts. The scalable shape is
+    * a positional postings list pruned to the phrase's terms BEFORE any
+    * join (the `isin` filter pushes into the token explode, so the
+    * (doc, pos) stream carries only candidate tokens — for a rare
+    * phrase that is a vanishing fraction of the corpus), then one
+    * equi-join per additional term, each keyed on (doc, aligned start
+    * position). No regex over the raw text, no per-document scan of
+    * full token arrays at match time.
+    */
+  def phraseMatch(documents: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = documents.select(col(idCol).as("doc_id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase.distinct: _*))
+    val first = toks.where(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (term, i)) =>
+        val next = toks.where(col("tok") === term)
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+        acc.join(next, Seq("doc_id", "pos"))
+      }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Top-k documents for a bag-of-terms query under BM25.
     *
     * `n_docs` counts the FULL corpus (empty documents too); `avgdl`

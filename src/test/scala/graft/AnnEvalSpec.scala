@@ -72,6 +72,29 @@ class AnnEvalSpec extends AnyFunSuite {
     assert(b2.isDefined && (b2.get(0) eq b1(0)))
   }
 
+  // ------------------------------------------------------------ phrase
+
+  test("phraseMatch counts overlapping occurrences and respects boundaries") {
+    val docs = Seq(
+      (1L, "a a a b"),      // "a a" occurs at 0 and 1 (overlap)
+      (2L, "b a a"),        // once, at the end boundary
+      (3L, "a b a"),        // never consecutive
+      (4L, "x y z")).toDF("doc_id", "text")
+    val got = graft.llm.Retrieval.phraseMatch(docs, "doc_id", "text",
+        Seq("a", "a"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("phraseMatch chains three distinct terms in order") {
+    val docs = Seq((1L, "fast value table part end"),
+      (2L, "part table value")).toDF("doc_id", "text")
+    val got = graft.llm.Retrieval.phraseMatch(docs, "doc_id", "text",
+        Seq("value", "table", "part"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L)))
+  }
+
   // ---------------------------------------------------------------- jl
 
   test("jlSignRows is deterministic, ±1-valued, and decorrelated") {
