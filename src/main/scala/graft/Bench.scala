@@ -135,7 +135,9 @@ object Bench {
       "golden_customer_records", "knn_cosine_pq", "ann_rbo_eval",
       "jl_projection_pairs", "pca_top_component", "expectations_orders",
       "running_distinct_users", "attribution_time_decay",
-      "phrase_match_docs", "funnel_time_to_convert")
+      "phrase_match_docs", "funnel_time_to_convert",
+      "top_brands_with_other", "nation_revenue_share",
+      "weighted_median_price", "label_scatter_embeddings")
     val baselineSubsetTotal =
       best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)

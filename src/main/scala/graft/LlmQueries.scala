@@ -560,6 +560,15 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-label embedding compactness ([[Separability.labelScatter]]):
+    * the n-scaled within-class scatter n·Σ‖e‖² − ‖Σe‖² over the shared
+    * integer quantization grid — exact BIGINTs, no centroid division,
+    * no pairwise work.
+    */
+  private def labelScatterEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Separability.labelScatter(tPar(s, dir, "embeddings"), "label",
+      "embedding")
+
   /** Positional phrase search ([[Retrieval.phraseMatch]]) for the
     * 3-gram "value table part": term-pruned positional postings chained
     * by two (doc, aligned-pos) equi-joins. The twin scans each token
@@ -1081,6 +1090,7 @@ object LlmQueries {
     "jl_projection_pairs" -> (jlProjectionPairs _),
     "pca_top_component" -> (pcaTopComponent _),
     "phrase_match_docs" -> (phraseMatchDocs _),
+    "label_scatter_embeddings" -> (labelScatterEmbeddings _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "frame_sample_plan" -> (frameSamplePlan _),
@@ -2502,6 +2512,28 @@ object LlmQueries {
          |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // same quantization grid and n-scaled identity as the Spark side;
+    // HUGEINT squares collapse back to BIGINT
+    "label_scatter_embeddings" ->
+      """WITH q AS (
+        |  SELECT label, i - 1 AS i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4) AS BIGINT) AS e
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+        |), per AS (
+        |  SELECT label, i, CAST(sum(e) AS BIGINT) AS s,
+        |         CAST(sum(e * e) AS BIGINT) AS ss,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT label, max(n) AS n_rows,
+        |         CAST(sum(ss) AS BIGINT) AS norm2,
+        |         CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS sq
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT label, n_rows,
+        |       CAST(n_rows * norm2 - sq AS BIGINT) AS within_n2,
+        |       round(CAST(norm2 AS DOUBLE) / n_rows, 6) AS mean_norm2
+        |FROM agg ORDER BY label""".stripMargin,
     // direct token-array scan: i ranges over valid 3-gram starts; the
     // Spark side's postings join must produce the identical doc set
     "phrase_match_docs" ->

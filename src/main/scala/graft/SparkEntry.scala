@@ -1570,6 +1570,76 @@ object SparkEntry {
       round(sum(col("delta")).cast("double") / count(lit(1)), 6).as("mean_sec"))
   }
 
+  /** Top-N-plus-OTHER report rollup: the five highest-revenue brands
+    * keep their names, the tail collapses into one OTHER bucket — the
+    * standard reporting shape, done as one brand-grain rank window
+    * (grid grain, not data grain) plus a regroup, never a driver-side
+    * top-k.
+    */
+  private def topBrandsWithOther(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("bigint"))
+        .cast("long").as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("p_brand"))
+    b.withColumn("rn", row_number().over(w))
+      .withColumn("brand",
+        when(col("rn") <= 5, col("p_brand")).otherwise(lit("OTHER")))
+      .groupBy(col("brand"))
+      .agg(sum(col("rev_cents")).cast("long").as("rev_cents"),
+        count(lit(1)).cast("long").as("n_brands"))
+      .orderBy(col("rev_cents").desc, col("brand"))
+  }
+
+  /** Ratio-to-parent shares in the region→nation hierarchy: each
+    * nation's revenue as a share of its region's — one window sum at
+    * nation grain (25 rows), one rounded double division per row.
+    */
+  private def nationRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("bigint"))
+        .cast("long").as("rev_cents"))
+    val named = rev
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+    val w = Window.partitionBy(col("r_regionkey"))
+    named
+      .withColumn("region_cents", sum(col("rev_cents")).over(w))
+      .select(col("n_name"), col("r_name"), col("rev_cents"),
+        round(col("rev_cents").cast("double") / col("region_cents"), 6)
+          .as("share"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Exact lower weighted median of price weighted by quantity, per
+    * return flag: cumulative weights over the per-flag PRICE GRID (not
+    * row grain), median = the smallest price whose doubled cumulative
+    * weight reaches the total — all integer comparisons, no
+    * interpolation.
+    */
+  private def weightedMedianPrice(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        (dec(col("l_extendedprice")) * 100).cast("bigint").as("cents"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(col("l_returnflag"))
+    g.withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("tw", sum(col("w")).over(allW))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tw")).as("total_weight"),
+        min(when(col("cum") * 2 >= col("tw"), col("cents")))
+          .as("wmedian_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1669,6 +1739,9 @@ object SparkEntry {
     "running_distinct_users" -> (runningDistinctUsers _),
     "attribution_time_decay" -> (attributionTimeDecay _),
     "funnel_time_to_convert" -> (funnelTimeToConvert _),
+    "top_brands_with_other" -> (topBrandsWithOther _),
+    "nation_revenue_share" -> (nationRevenueShare _),
+    "weighted_median_price" -> (weightedMedianPrice _),
   )
 
   def oracleSql: Map[String, String] = baseOracleSql ++ LlmQueries.oracleSql
@@ -3058,5 +3131,46 @@ object SparkEntry {
         |       max(delta) AS max_sec,
         |       round(CAST(sum(delta) AS DOUBLE) / count(*), 6) AS mean_sec
         |FROM r""".stripMargin,
+    "top_brands_with_other" ->
+      """WITH b AS (
+        |  SELECT p_brand,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rev_cents DESC, p_brand) AS rn FROM b
+        |)
+        |SELECT CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END AS brand,
+        |       CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+        |       CAST(count(*) AS BIGINT) AS n_brands
+        |FROM r GROUP BY 1 ORDER BY rev_cents DESC, brand""".stripMargin,
+    "nation_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT c_nationkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+        |)
+        |SELECT n_name, r_name, rev_cents,
+        |       round(CAST(rev_cents AS DOUBLE)
+        |             / CAST(sum(rev_cents) OVER (PARTITION BY r_regionkey) AS DOUBLE), 6) AS share
+        |FROM rev JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_name""".stripMargin,
+    // lower weighted median on the per-flag price grid: smallest price
+    // whose doubled cumulative quantity reaches the flag total
+    "weighted_median_price" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT *, CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM g
+        |)
+        |SELECT l_returnflag, max(tw) AS total_weight,
+        |       min(CASE WHEN cum * 2 >= tw THEN cents END) AS wmedian_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -72,6 +72,21 @@ class AnnEvalSpec extends AnyFunSuite {
     assert(b2.isDefined && (b2.get(0) eq b1(0)))
   }
 
+  // ------------------------------------------------------- separability
+
+  test("labelScatter is zero for identical vectors, positive otherwise") {
+    val df = Seq(
+      (0, Array(1f, 2f)), (0, Array(1f, 2f)), (0, Array(1f, 2f)),
+      (1, Array(1f, 0f)), (1, Array(0f, 1f))).toDF("label", "embedding")
+    val got = graft.llm.Separability.labelScatter(df, "label", "embedding")
+      .select("label", "n_rows", "within_n2")
+      .as[(Int, Long, Long)].collect()
+      .map { case (l, n, w) => l -> ((n, w)) }.toMap
+    assert(got(0) === ((3L, 0L)))  // coincident points: exact zero scatter
+    // label 1: n·Σ‖e‖² − ‖Σe‖² = 2·(1e8 + 1e8) − 2·1e8 = 2e8 on the 1e4 grid
+    assert(got(1) === ((2L, 200000000L)))
+  }
+
   // ------------------------------------------------------------ phrase
 
   test("phraseMatch counts overlapping occurrences and respects boundaries") {
