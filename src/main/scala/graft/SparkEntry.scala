@@ -466,6 +466,55 @@ object SparkEntry {
         Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate", "l_quantity"))
       .orderBy(col("column"))
 
+  /** Smoothed target encoding ([[graft.ops.Encoding.targetEncode]]) of
+    * part brand against line revenue cents — one exact rational per
+    * category, bit-equal across engines (single floored division, no
+    * double fixpoint).
+    */
+  private def targetEncodeBrand(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    graft.ops.Encoding.targetEncode(src, "p_brand", "cents", alpha = 20L)
+      .withColumnRenamed("p_brand", "category")
+      .orderBy(col("category"))
+  }
+
+  /** Frequency-rank dictionary encoding
+    * ([[graft.ops.Encoding.dictEncode]]) of the order-priority
+    * vocabulary: dense codes ordered (count desc, value asc), the
+    * deterministic vocab build a feature store replays identically.
+    */
+  private def dictEncodePriority(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoding.dictEncode(t(s, dir, "orders"), "o_orderpriority")
+      .withColumnRenamed("o_orderpriority", "category")
+      .orderBy(col("category"))
+
+  /** Mask-pattern profile ([[graft.ops.Profile.maskProfile]]) over
+    * heterogeneous dim columns in one scan — the format fingerprint a
+    * landing-zone regression check diffs between loads.
+    */
+  private def maskProfileCustomer(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.maskProfile(t(s, dir, "customer"),
+        Seq("c_name", "c_mktsegment", "c_acctbal"))
+      .orderBy(col("column"), col("mask"))
+
+  /** Type inference ([[graft.ops.Profile.inferTypes]]) over string-cast
+    * order fields + raw event props — the landing-zone pass that
+    * decides whether a text column is really dates/ints/decimals.
+    */
+  private def inferTypesOrders(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("k"),
+      col("o_totalprice").cast("string").as("price"),
+      col("o_orderdate").cast("date").cast("string").as("dt"),
+      col("o_orderpriority").as("prio"))
+    graft.ops.Profile.inferTypes(src, Seq("k", "price", "dt", "prio"))
+      .orderBy(col("column"), col("inferred_type"))
+  }
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -1404,6 +1453,40 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Fixed-point HITS ([[graft.ops.Hits.scoresFixedPoint]]) over the
+    * same customer→supplier trade graph as `pagerank_trade_graph`:
+    * customers score as hubs (breadth of suppliers bought from),
+    * suppliers as authorities (breadth of buying customers) — the
+    * two-sided signal PageRank's single score conflates. 3 iterations
+    * of exact integer L1-normalized mass passing, bit-identical to the
+    * unrolled SQL twin.
+    */
+  private def hitsTradeGraph(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+    graft.ops.Hits.scoresFixedPoint(edges, "src", "dst", iters = 3)
+      .orderBy(col("id"))
+  }
+
+  /** Supplier similarity by shared-customer Jaccard
+    * ([[graft.ops.GraphSim.neighborJaccard]]): supplier pairs whose
+    * customer sets overlap, scored inter/union in exact integer
+    * micro-units. Candidates come only through a shared customer
+    * (keyed self-join), with the in-degree cap making hot "stopword"
+    * customers part of the contract — the link-prediction primitive a
+    * source-affinity or seller-clustering pass runs on.
+    */
+  private def supplierNeighborJaccard(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+    graft.ops.GraphSim.neighborJaccard(edges, "src", "dst",
+        maxDegree = 500, minInter = 3L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Unicode canonicalization audit ([[graft.functions
     * .NormalizeUnicode]], native codegen'd expression): how many
     * documents change under NFC, and whether the exact-dup fingerprint
@@ -1674,6 +1757,10 @@ object SparkEntry {
     "lineitem_in_order_window" -> (lineitemInOrderWindow _),
     "lineitem_in_order_window_native" -> (lineitemInOrderWindowNative _),
     "profile_lineitem" -> (profileLineitem _),
+    "target_encode_brand" -> (targetEncodeBrand _),
+    "dict_encode_priority" -> (dictEncodePriority _),
+    "mask_profile_customer" -> (maskProfileCustomer _),
+    "infer_types_orders" -> (inferTypesOrders _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -1731,6 +1818,8 @@ object SparkEntry {
     "qty_price_spearman" -> (qtyPriceSpearman _),
     "incremental_rollup_orders" -> (incrementalRollupOrders _),
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
+    "hits_trade_graph" -> (hitsTradeGraph _),
+    "supplier_neighbor_jaccard" -> (supplierNeighborJaccard _),
     "order_volume_acf" -> (orderVolumeAcf _),
     "rolling_median_supplier" -> (rollingMedianSupplier _),
     "pareto_parts" -> (paretoParts _),
@@ -2115,6 +2204,21 @@ object SparkEntry {
           |                CAST(1000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         iters = 3),
+    // the unrolled integer HITS twin (Hits.fixedPointSql): identical
+    // floored L1 renormalization per half-round, bit-equal scores
+    "hits_trade_graph" ->
+      graft.ops.Hits.fixedPointSql(
+        """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+          |                CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+        iters = 3),
+    // same capped-neighbor contract, same floored micro-Jaccard
+    "supplier_neighbor_jaccard" ->
+      graft.ops.GraphSim.neighborJaccardSql(
+        """SELECT CAST(l_suppkey AS BIGINT) AS src,
+          |       CAST(o_custkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+        maxDegree = 500, minInter = 3L),
     // same integer-cents scaling, same floor-divide bucket edges
     // (width 3,000,000 = ceil((hi-lo)/nBuckets) from the Spark side)
     "price_histogram" ->
@@ -2797,6 +2901,64 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+    // same exact-rational smoothing: (S_c·N + α·G) // (N·(n_c+α))
+    "target_encode_brand" ->
+      graft.ops.Encoding.targetEncodeSql(
+        """SELECT p_brand AS category,
+          |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+        alpha = 20L),
+    // same (count desc, value asc) dense-rank vocabulary
+    "dict_encode_priority" ->
+      graft.ops.Encoding.dictEncodeSql(
+        "SELECT o_orderpriority AS category FROM orders"),
+    // same three regexp_replace passes + run collapse, per column
+    "mask_profile_customer" -> {
+      val cols = Seq("c_name", "c_mktsegment", "c_acctbal")
+      val stacked = cols.map(c =>
+        s"SELECT '$c' AS \"column\", CAST($c AS VARCHAR) AS value FROM customer")
+        .mkString("\nUNION ALL\n")
+      s"""WITH stacked AS ($stacked),
+         |m AS (
+         |  SELECT "column",
+         |         regexp_replace(regexp_replace(regexp_replace(
+         |           COALESCE(value, ''),
+         |           '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g') AS mask
+         |  FROM stacked
+         |), c AS (
+         |  SELECT "column", mask,
+         |         regexp_replace(regexp_replace(regexp_replace(
+         |           mask, 'A+', 'A', 'g'), 'a+', 'a', 'g'), '9+', '9', 'g') AS mask_collapsed
+         |  FROM m
+         |)
+         |SELECT "column", mask, mask_collapsed, CAST(count(*) AS BIGINT) AS n
+         |FROM c GROUP BY 1, 2, 3 ORDER BY "column", mask""".stripMargin
+    },
+    // same anchored character-class regexes, same first-match order
+    "infer_types_orders" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |         CAST(o_totalprice AS VARCHAR) AS price,
+        |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS dt,
+        |         o_orderpriority AS prio
+        |  FROM orders
+        |), stacked AS (
+        |  SELECT 'k' AS "column", k AS value FROM src
+        |  UNION ALL SELECT 'price', price FROM src
+        |  UNION ALL SELECT 'dt', dt FROM src
+        |  UNION ALL SELECT 'prio', prio FROM src
+        |), cls AS (
+        |  SELECT "column",
+        |         CASE WHEN trim(value) IS NULL OR trim(value) = '' THEN 'empty'
+        |              WHEN lower(trim(value)) IN ('true', 'false') THEN 'bool'
+        |              WHEN regexp_matches(trim(value), '^[+-]?[0-9]+$') THEN 'int'
+        |              WHEN regexp_matches(trim(value), '^[+-]?[0-9]*\.[0-9]+$') THEN 'decimal'
+        |              WHEN regexp_matches(trim(value), '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |              ELSE 'string' END AS inferred_type
+        |  FROM stacked
+        |)
+        |SELECT "column", inferred_type, CAST(count(*) AS BIGINT) AS n
+        |FROM cls GROUP BY 1, 2 ORDER BY "column", inferred_type""".stripMargin,
     "quantile_quantity" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,

@@ -35,6 +35,65 @@ object Profile {
       .toDF("column", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Mask (pattern) profiling: every value is reduced to its character-
+    * class skeleton — uppercase→`A`, lowercase→`a`, digits→`9`, all
+    * else kept — plus the run-collapsed form (`AAA-999`→`A-9`), and
+    * the masks are counted per column. The standard raw-feed
+    * fingerprint: one glance shows whether a column is `Aa#9` ids,
+    * `9.9` numerics, or free text, and a new mask appearing between
+    * loads is a format regression no type check catches.
+    *
+    * ONE scan: columns stack through a single `explode` of
+    * (name, value) structs (a per-column union would rescan the table
+    * per column), then a (column, mask)-grain aggregate. Mask
+    * cardinality is bounded by format diversity, not rows.
+    */
+  def maskProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"),
+        col(c).cast("string").as("value"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.value").as("value"))
+    val mask = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(col("value"), lit("")),
+      "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9")
+    val collapsed = regexp_replace(regexp_replace(regexp_replace(
+      col("mask"), "A+", "A"), "a+", "a"), "9+", "9")
+    stacked.withColumn("mask", mask)
+      .withColumn("mask_collapsed", collapsed)
+      .groupBy(col("column"), col("mask"), col("mask_collapsed"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Type inference over string-valued columns: classify each trimmed
+    * value as `empty | bool | int | decimal | date | string` (first
+    * match wins, in that order) and count per (column, type) — the
+    * schema-inference pass a raw DSV/JSON landing zone runs before
+    * declaring column types. Same one-scan stacking as [[maskProfile]].
+    *
+    * Classes are anchored character-class regexes only (identical
+    * semantics in Java regex and RE2, so the SQL twin is exact):
+    * int `[+-]?[0-9]+`, decimal `[+-]?[0-9]*\.[0-9]+`,
+    * date `9999-99-99`, bool `true|false` case-insensitive.
+    */
+  def inferTypes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"),
+        col(c).cast("string").as("value"))): _*)).as("s"))
+      .select(col("s.column").as("column"),
+        trim(col("s.value")).as("value"))
+    val cls = when(col("value").isNull || col("value") === "", "empty")
+      .when(lower(col("value")).isin("true", "false"), "bool")
+      .when(col("value").rlike("^[+-]?[0-9]+$"), "int")
+      .when(col("value").rlike("^[+-]?[0-9]*\\.[0-9]+$"), "decimal")
+      .when(col("value").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+      .otherwise("string")
+    stacked.withColumn("inferred_type", cls)
+      .groupBy(col("column"), col("inferred_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Equi-width histogram of `value` over `[lo, hi)` in `nBuckets`
     * buckets, per group — the distribution view the single-number
     * profile metrics can't give. Bucket `b` covers

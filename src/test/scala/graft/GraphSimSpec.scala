@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{GraphSim, Hits}
+
+/** HITS fixed-point parity with an in-memory integer replica, and
+  * neighbor-Jaccard parity with a brute-force set computation
+  * (including the degree-cap contract).
+  */
+class GraphSimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // two hubs (0, 1) covering authorities 10..13; node 2 a narrow buyer
+  private val edgeList = Seq(
+    (0L, 10L), (0L, 11L), (0L, 12L), (0L, 13L),
+    (1L, 10L), (1L, 11L), (1L, 12L),
+    (2L, 10L))
+
+  /** Exact replica of the distributed integer scheme. */
+  private def denseHits(edges: Seq[(Long, Long)], iters: Int,
+                        unit: Long): Map[Long, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    var h = nodes.map(_ -> unit / n).toMap
+    var a = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      val araw = edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap
+      val aTot = araw.values.sum
+      a = nodes.map(v => v -> araw.getOrElse(v, 0L) * unit / aTot).toMap
+      val hraw = edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap
+      val hTot = hraw.values.sum
+      h = nodes.map(v => v -> hraw.getOrElse(v, 0L) * unit / hTot).toMap
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("HITS fixed-point is bit-equal to the in-memory integer replica") {
+    val got = Hits.scoresFixedPoint(edgeList.toDF("s", "d"), "s", "d",
+        iters = 3, unit = 1000000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = denseHits(edgeList, 3, 1000000000L)
+    assert(got === want)
+    // node 0 covers every authority → top hub; 10 is cited by all → top authority
+    assert(got(0L)._1 === got.values.map(_._1).max)
+    assert(got(10L)._2 === got.values.map(_._2).max)
+    // pure authorities have zero hub mass, pure hubs zero authority mass
+    assert(got(10L)._1 === 0L && got(0L)._2 === 0L)
+  }
+
+  test("neighbor Jaccard matches brute-force sets and honors the degree cap") {
+    // 10 is shared by ALL of 0,1,2 — capped out at maxDegree=2
+    val nbrs: Map[Long, Set[Long]] = edgeList.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val capped = edgeList.groupBy(_._2).filter(_._2.size > 2).keySet // {10}
+    val want = (for {
+      a <- nbrs.keys; b <- nbrs.keys if a < b
+      ia = (nbrs(a) -- capped).intersect(nbrs(b) -- capped)
+      if ia.size >= 2
+      un = ((nbrs(a) -- capped) ++ (nbrs(b) -- capped)).size
+    } yield (a, b, ia.size.toLong, un.toLong,
+        ia.size.toLong * 1000000L / un)).toSet
+    val got = GraphSim.neighborJaccard(edgeList.toDF("s", "d"), "s", "d",
+        maxDegree = 2, minInter = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+    // only (0,1) survives: {11,12,13} ∩ {11,12} = 2, union 3
+    assert(got === Set((0L, 1L, 2L, 3L, 666666L)))
+  }
+}
