@@ -515,6 +515,41 @@ object SparkEntry {
       .orderBy(col("column"), col("inferred_type"))
   }
 
+  /** Compaction planning ([[graft.ops.Compaction.planSummary]]) over a
+    * synthetic small-file inventory (per supplier-month line counts as
+    * file bytes): deterministic cumulative binning to ~50 KB bins per
+    * month partition — the table-maintenance planner a streaming-fed
+    * lake runs nightly.
+    */
+  private def compactionPlanFiles(s: SparkSession, dir: String): DataFrame = {
+    val inv = t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        col("l_suppkey"))
+      .agg((count(lit(1)) * 1000L).as("bytes"))
+      .select(col("part"),
+        concat(lit("f_"), col("l_suppkey").cast("string")).as("file"),
+        col("bytes"))
+    graft.ops.Compaction.planSummary(inv, "part", "file", "bytes",
+        targetBytes = 50000L)
+      .orderBy(col("part"), col("bin"))
+  }
+
+  /** Zone-map skip scoring ([[graft.ops.ZoneMaps]]): model 512-row
+    * blocks of lineitem sorted by ship-day within each returnflag
+    * partition, then score how many blocks a one-year predicate
+    * prunes — the "should we re-sort on ship_date" planning number.
+    */
+  private def zonemapSkipLineitem(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("part"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("day_no"),
+      (col("l_orderkey") * 8L + col("l_linenumber")).as("tie"))
+    val zones = graft.ops.ZoneMaps.build(src, "part", "day_no", "tie",
+      blockRows = 512)
+    graft.ops.ZoneMaps.skipScore(zones, lit(9131L), lit(9495L))
+      .orderBy(col("part"))
+  }
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -1761,6 +1796,8 @@ object SparkEntry {
     "dict_encode_priority" -> (dictEncodePriority _),
     "mask_profile_customer" -> (maskProfileCustomer _),
     "infer_types_orders" -> (inferTypesOrders _),
+    "compaction_plan_files" -> (compactionPlanFiles _),
+    "zonemap_skip_lineitem" -> (zonemapSkipLineitem _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -2959,6 +2996,22 @@ object SparkEntry {
         |)
         |SELECT "column", inferred_type, CAST(count(*) AS BIGINT) AS n
         |FROM cls GROUP BY 1, 2 ORDER BY "column", inferred_type""".stripMargin,
+    // same (bytes desc, file asc) cumulative cut, same floored bin ids
+    "compaction_plan_files" ->
+      graft.ops.Compaction.planSummarySql(
+        """SELECT strftime(l_shipdate, '%Y-%m') AS part,
+          |       'f_' || CAST(l_suppkey AS VARCHAR) AS file,
+          |       CAST(count(*) * 1000 AS BIGINT) AS bytes
+          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+        targetBytes = 50000L),
+    // same 512-row blocks over (day_no, tie), same overlap prune rule
+    "zonemap_skip_lineitem" ->
+      graft.ops.ZoneMaps.skipScoreSql(
+        """SELECT l_returnflag AS part,
+          |       CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS v,
+          |       l_orderkey * 8 + l_linenumber AS tie
+          |FROM lineitem""".stripMargin,
+        blockRows = 512, loSql = "9131", hiSql = "9495"),
     "quantile_quantity" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
