@@ -560,6 +560,21 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cluster-quality scorecard for the SAME trained IVF quantizer
+    * ([[Similarity.silhouetteSimplified]] over
+    * [[Similarity.kMeansCentroidsCached]]'s centroids): per-cluster
+    * simplified silhouette, map-only at corpus scale, per-row scores
+    * micro-rounded before the exact integer sum. The twin replays the
+    * centroid ranking from the trained literals.
+    */
+  private def silhouetteEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    val cents = Similarity.kMeansCentroidsCached(ivfTag(dir), emb,
+      "vec_id", "embedding", k = 8, iters = 3)
+    Similarity.silhouetteSimplified(emb, "vec_id", "embedding", cents)
+      .orderBy(col("bucket"))
+  }
+
   /** Per-label embedding compactness ([[Separability.labelScatter]]):
     * the n-scaled within-class scatter n·Σ‖e‖² − ‖Σe‖² over the shared
     * integer quantization grid — exact BIGINTs, no centroid division,
@@ -1085,6 +1100,7 @@ object LlmQueries {
     "knn_cosine_lsh" -> (knnCosineLsh _),
     "knn_cosine_multiprobe" -> (knnCosineMultiprobe _),
     "knn_cosine_ivf" -> (knnCosineIvf _),
+    "silhouette_embeddings" -> (silhouetteEmbeddings _),
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
@@ -1488,7 +1504,7 @@ object LlmQueries {
       val rows = cents.zipWithIndex.map { case (c, i) =>
         c.map(fLit).mkString(s"    ($i, list_value(", ", ", "))")
       }.mkString(",\n")
-      Seq(ivfEntry(rows), semanticDedupEntry(rows))
+      Seq(ivfEntry(rows), semanticDedupEntry(rows), silhouetteEntry(rows))
     }.toMap
     val booksOpt = sys.props.get("graft.oracle.sfDir").flatMap { dir =>
       Similarity.trainedCodebooks(pqTag(dir), m = 4).orElse {
@@ -1613,6 +1629,44 @@ object LlmQueries {
          |       CAST(sum(vec_id) AS BIGINT) AS id_sum
          |FROM embeddings
          |WHERE vec_id NOT IN (SELECT id FROM scl WHERE m <> id)""".stripMargin
+
+  /** Silhouette twin: same trained-centroid literals, same
+    * (s desc, ci) ranking for best/runner-up, same per-row
+    * micro-rounding before the exact integer sum.
+    */
+  private def silhouetteEntry(rows: String): (String, String) =
+    "silhouette_embeddings" ->
+      s"""WITH cents AS (
+         |  SELECT * FROM (VALUES
+         |$rows
+         |  ) AS t(ci, cv)
+         |), e AS (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, c.ci,
+         |         ${cosineSql("e.embedding", "c.cv")} AS s
+         |  FROM e CROSS JOIN cents c
+         |), ranked AS (
+         |  SELECT vec_id, ci, s,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+         |  FROM scored
+         |), pick AS (
+         |  SELECT a.vec_id, a.ci AS bucket, a.s AS s1, b.s AS s2
+         |  FROM ranked a JOIN ranked b
+         |    ON a.vec_id = b.vec_id AND b.rn = 2
+         |  WHERE a.rn = 1
+         |), per AS (
+         |  SELECT bucket,
+         |         CASE WHEN greatest(1.0 - s1, 1.0 - s2) <= 0 THEN 0
+         |              ELSE CAST(round((s1 - s2) / greatest(1.0 - s1, 1.0 - s2)
+         |                               * 1000000.0) AS BIGINT)
+         |         END AS sil_micro
+         |  FROM pick
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(sil_micro) AS BIGINT) AS sil_sum_micro,
+         |       round(CAST(sum(sil_micro) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS sil_avg
+         |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin
 
   private def ivfEntry(rows: String): (String, String) =
     "knn_cosine_ivf" ->

@@ -550,6 +550,25 @@ object SparkEntry {
       .orderBy(col("part"))
   }
 
+  /** Holt level+trend smoothing ([[graft.ops.Trend.holtLinear]]) of
+    * each supplier's monthly revenue — the fixed-point recursive
+    * forecast state, folded per key in tick order (sequential in time,
+    * parallel across keys), floor divisions in the portable pmod form
+    * so declining (negative-trend) series stay bit-equal to the
+    * recursive-CTE twin.
+    */
+  private def holtSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("key"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").as("t"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    graft.ops.Trend.holtLinear(src, "key", "t", "cents")
+      .orderBy(col("key"))
+  }
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -1798,6 +1817,7 @@ object SparkEntry {
     "infer_types_orders" -> (inferTypesOrders _),
     "compaction_plan_files" -> (compactionPlanFiles _),
     "zonemap_skip_lineitem" -> (zonemapSkipLineitem _),
+    "holt_supplier_revenue" -> (holtSupplierRevenue _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -3004,6 +3024,15 @@ object SparkEntry {
           |       CAST(count(*) * 1000 AS BIGINT) AS bytes
           |FROM lineitem GROUP BY 1, 2""".stripMargin,
         targetBytes = 50000L),
+    // same fixed-point recursion, floor division on both engines
+    "holt_supplier_revenue" ->
+      graft.ops.Trend.holtSql(
+        """SELECT l_suppkey AS key,
+          |       year(o_orderdate) * 12 + month(o_orderdate) AS t,
+          |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+          |                     AS BIGINT)) AS BIGINT) AS y
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1, 2""".stripMargin),
     // same 512-row blocks over (day_no, tie), same overlap prune rule
     "zonemap_skip_lineitem" ->
       graft.ops.ZoneMaps.skipScoreSql(

@@ -158,6 +158,55 @@ object Similarity {
     (-best.getField("ni")).cast("int")
   }
 
+  /** Simplified silhouette per cluster — the cluster-quality number
+    * that says whether a trained quantizer (IVF coarse centroids, the
+    * SemDeDup buckets) actually separates the corpus: per vector,
+    * a = cosine distance to its OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]; averaged per
+    * cluster. The "simplified" variant (centroid distances, not
+    * pairwise ones) is the only silhouette that scales — it's map-only
+    * over literal centroids, where the classic definition is O(n²).
+    *
+    * Per-row scores are micro-rounded to integers BEFORE the per-
+    * cluster sum (double summation is merge-order-dependent; integer
+    * summation is exact and commutative — the same discipline as every
+    * fixed-point op here). Ties in the centroid ranking break to the
+    * lowest index, matching [[nearestCentroid]].
+    *
+    * @return (bucket, n, sil_sum_micro, sil_avg): sil_avg =
+    *         round(sum/(n·1e6), 6) computed from the exact integers
+    */
+  def silhouetteSimplified(corpus: DataFrame, idCol: String,
+                           vecCol: String,
+                           centroids: Array[Array[Float]]): DataFrame = {
+    require(centroids.length >= 2, "need k >= 2 for a silhouette")
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        cosine(col(vecCol), array(c.map(x => lit(x)): _*)).as("s"),
+        lit(-i).as("ni"))
+    }.toIndexedSeq: _*)
+    // ascending struct sort: last = best (highest s; ties → lowest
+    // index, because larger -ni sorts later), second-to-last = runner-up
+    val sorted = array_sort(scored)
+    corpus
+      .withColumn("__best", element_at(sorted, -1))
+      .withColumn("__second", element_at(sorted, -2))
+      .select(
+        (-col("__best.ni")).cast("int").as("bucket"),
+        col("__best.s").as("__s1"), col("__second.s").as("__s2"))
+      .withColumn("__g",
+        greatest(lit(1.0) - col("__s1"), lit(1.0) - col("__s2")))
+      .withColumn("__sil_micro",
+        when(col("__g") <= 0, 0L).otherwise(
+          round((col("__s1") - col("__s2")) / col("__g") * 1e6, 0)
+            .cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__sil_micro")).as("sil_sum_micro"))
+      .withColumn("sil_avg",
+        round(col("sil_sum_micro").cast("double") /
+          col("n").cast("double") / 1e6, 6))
+  }
+
   /** Deterministic ±1 sign matrix for a Johnson–Lindenstrauss random
     * projection: row j is the j-th output dimension's sign pattern over
     * the input dimensions. The "randomness" is an LCG parity — pure

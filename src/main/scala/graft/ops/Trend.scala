@@ -156,4 +156,101 @@ object Trend {
       .withColumn("intercept", intercept)
       .drop("__sx", "__sy", "__sxy", "__sxx")
   }
+
+  /** Holt double-exponential smoothing (level + trend) per key, in
+    * FIXED-POINT integer arithmetic: with α = aNum/aDen,
+    * β = bNum/bDen and y in integer cents,
+    * {{{
+    *   s_t = (aNum·y_t + (aDen−aNum)·(s_{t−1} + b_{t−1})) fdiv aDen
+    *   b_t = (bNum·(s_t − s_{t−1}) + (bDen−bNum)·b_{t−1}) fdiv bDen
+    * }}}
+    * initialized s₁ = y₁, b₁ = 0 — every step one floor division
+    * (`fdiv` is the portable pmod form, [[Pca.floorDivQ]]; the trend
+    * term goes NEGATIVE on declining series, where a bare `div`
+    * truncates toward zero and diverges from an engine that floors).
+    * Bit-identical on any engine; [[holtSql]] is the recursive-CTE
+    * twin.
+    *
+    * The recursion is inherently sequential IN TIME, so it runs as a
+    * per-key fold over the collected series (`collect_list` →
+    * `array_sort` → `aggregate`) — one shuffle at key grain, each
+    * key's series folded in order on one executor. That is the correct
+    * scale shape: series length is bounded (months, days), key count
+    * is what grows, and keys parallelize perfectly. Never a global
+    * window.
+    *
+    * @param df one row per (key, tick); ticks need not be consecutive
+    *        (the recursion consumes observations in tick order)
+    * @return (keyCol, n_points, level, trend, forecast_next =
+    *         level + trend) — the final smoothed state per key
+    */
+  def holtLinear(df: DataFrame, keyCol: String, tickCol: String,
+                 centsCol: String, aNum: Long = 3L, aDen: Long = 10L,
+                 bNum: Long = 2L, bDen: Long = 10L): DataFrame = {
+    require(aNum > 0 && aNum <= aDen, s"alpha $aNum/$aDen")
+    require(bNum > 0 && bNum <= bDen, s"beta $bNum/$bDen")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val series = array_sort(collect_list(
+      struct(col(tickCol).cast("long").as("t"),
+        col(centsCol).cast("long").as("y"))))
+    val grouped = df.groupBy(col(keyCol)).agg(series.as("__series"))
+    val rest = expr(
+      "slice(__series, 2, greatest(size(__series) - 1, 0))")
+    val init = struct(
+      element_at(col("__series"), 1).getField("y").as("s"),
+      lit(0L).as("b"))
+    val folded = aggregate(rest, init, (acc, x) => {
+      val sPrev = acc.getField("s")
+      val bPrev = acc.getField("b")
+      val sNew = fdiv(lit(aNum) * x.getField("y") +
+        lit(aDen - aNum) * (sPrev + bPrev), lit(aDen))
+      val bNew = fdiv(lit(bNum) * (sNew - sPrev) +
+        lit(bDen - bNum) * bPrev, lit(bDen))
+      struct(sNew.as("s"), bNew.as("b"))
+    })
+    grouped
+      .withColumn("__st", folded)
+      .select(col(keyCol), size(col("__series")).cast("long").as("n_points"),
+        col("__st.s").as("level"), col("__st.b").as("trend"),
+        (col("__st.s") + col("__st.b")).as("forecast_next"))
+  }
+
+  /** ANSI-SQL twin of [[holtLinear]] (recursive CTE, one row per
+    * smoothing step); `srcSql` must yield (key, t, y). Keep in
+    * lockstep.
+    */
+  def holtSql(srcSql: String, aNum: Long = 3L, aDen: Long = 10L,
+              bNum: Long = 2L, bDen: Long = 10L): String = {
+    // portable FLOOR division (a bare `//` truncates toward zero on
+    // negatives in some engines — the declining-series trap)
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b) AS BIGINT)"
+    val sNew = fdiv(s"$aNum * m.y + ${aDen - aNum} * (rec.s + rec.b)",
+      aDen.toString)
+    val bNew = fdiv(s"$bNum * (($sNew) - rec.s) + ${bDen - bNum} * rec.b",
+      bDen.toString)
+    s"""WITH RECURSIVE src AS ($srcSql),
+       |m AS (
+       |  SELECT key, y,
+       |         row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+       |  FROM src
+       |),
+       |rec AS (
+       |  SELECT key, 1 AS t, y AS s, CAST(0 AS BIGINT) AS b
+       |  FROM m WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m.key, rec.t + 1, $sNew, $bNew
+       |  FROM rec JOIN m ON m.key = rec.key AND m.rn = rec.t + 1
+       |),
+       |last AS (
+       |  SELECT key, t, s, b,
+       |         row_number() OVER (PARTITION BY key ORDER BY t DESC) AS rn
+       |  FROM rec
+       |)
+       |SELECT key, CAST(t AS BIGINT) AS n_points,
+       |       CAST(s AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+       |       CAST(s + b AS BIGINT) AS forecast_next
+       |FROM last WHERE rn = 1 ORDER BY key""".stripMargin
+  }
 }

@@ -104,4 +104,41 @@ class FrontierOpsSpec extends AnyFunSuite {
     // s: [10]→10, [10,100]→55, [10,100,20]→20, [100,20,30]→30; u: [7]→7
     assert(got === Seq(10.0, 55.0, 20.0, 30.0, 7.0))
   }
+
+  /** In-memory replica of the Holt fixed-point recursion (Math.floorDiv
+    * IS floor division — the semantics both engine twins must hit).
+    */
+  private def denseHolt(ys: Seq[Long], aN: Long, aD: Long, bN: Long,
+                        bD: Long): (Long, Long) = {
+    var s = ys.head
+    var b = 0L
+    ys.tail.foreach { y =>
+      val sNew = Math.floorDiv(aN * y + (aD - aN) * (s + b), aD)
+      b = Math.floorDiv(bN * (sNew - s) + (bD - bN) * b, bD)
+      s = sNew
+    }
+    (s, b)
+  }
+
+  test("holtLinear matches the integer replica; declining series go negative-trend") {
+    // rising series for key r, steadily declining for key d (the
+    // negative-trend path exercises FLOOR division, where truncation
+    // toward zero silently diverges)
+    val rows = (1 to 12).flatMap { t =>
+      Seq(("r", t.toLong, 1000L * t), ("d", t.toLong, 13000L - 1000L * t))
+    }
+    val got = Trend.holtLinear(rows.toDF("key", "t", "cents"),
+        "key", "t", "cents", 3L, 10L, 2L, 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (rs, rb) = denseHolt((1 to 12).map(1000L * _), 3, 10, 2, 10)
+    val (ds, db) = denseHolt((1 to 12).map(13000L - 1000L * _), 3, 10, 2, 10)
+    assert(got("r") === ((12L, rs, rb, rs + rb)))
+    assert(got("d") === ((12L, ds, db, ds + db)))
+    assert(rb > 0L && db < 0L)
+    // a single observation: state = (y, 0)
+    val one = Trend.holtLinear(Seq(("x", 1L, 42L)).toDF("key", "t", "cents"),
+      "key", "t", "cents").collect().head
+    assert(one.getLong(2) === 42L && one.getLong(3) === 0L)
+  }
 }
