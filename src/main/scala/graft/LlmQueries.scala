@@ -560,6 +560,17 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hashing-trick features ([[FeatureHash.hashedFeatures]]): signed
+    * 64-bucket bag-of-words per document (md5 bucket + sign, no
+    * vocabulary anywhere) for a bounded doc slice — the vocabulary-free
+    * featurizer a hashed linear quality model consumes.
+    */
+  private def featureHashDocs(s: SparkSession, dir: String): DataFrame =
+    FeatureHash.hashedFeatures(
+        tPar(s, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", dims = 64)
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** Cluster-quality scorecard for the SAME trained IVF quantizer
     * ([[Similarity.silhouetteSimplified]] over
     * [[Similarity.kMeansCentroidsCached]]'s centroids): per-cluster
@@ -1101,6 +1112,7 @@ object LlmQueries {
     "knn_cosine_multiprobe" -> (knnCosineMultiprobe _),
     "knn_cosine_ivf" -> (knnCosineIvf _),
     "silhouette_embeddings" -> (silhouetteEmbeddings _),
+    "feature_hash_docs" -> (featureHashDocs _),
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
@@ -2303,6 +2315,10 @@ object LlmQueries {
          |                        - pe_num / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)))
          |                       / (1.0 - pe_num / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE))), 6) END AS kappa
          |FROM ag CROSS JOIN ch""".stripMargin,
+    // same md5 bucket/sign arithmetic over the shared token fragment
+    "feature_hash_docs" ->
+      FeatureHash.hashedFeaturesSql(Toks, dims = 64,
+        filterSql = "doc_id < 200"),
     "dedup_exact_stats" ->
       s"""WITH fp AS (SELECT $Fingerprint AS f FROM documents),
          |g AS (SELECT f, count(*) AS n FROM fp GROUP BY 1)

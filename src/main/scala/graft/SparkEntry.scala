@@ -1541,6 +1541,22 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Synchronous label-propagation communities
+    * ([[graft.ops.Communities.labelPropagation]]) over the symmetrized
+    * trade graph: 3 deterministic majority-label rounds (ties to the
+    * smallest label), bit-equal to the unrolled SQL twin — the
+    * "densely attached" grouping that splits what connected components
+    * lumps together.
+    */
+  private def communitiesTradeGraph(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000L) + col("l_suppkey")).as("dst"))
+    graft.ops.Communities.labelPropagation(edges, "src", "dst", iters = 3)
+      .orderBy(col("id"))
+  }
+
   /** Unicode canonicalization audit ([[graft.functions
     * .NormalizeUnicode]], native codegen'd expression): how many
     * documents change under NFC, and whether the exact-dup fingerprint
@@ -1877,6 +1893,7 @@ object SparkEntry {
     "pagerank_trade_graph" -> (pagerankCustomerSupplier _),
     "hits_trade_graph" -> (hitsTradeGraph _),
     "supplier_neighbor_jaccard" -> (supplierNeighborJaccard _),
+    "communities_trade_graph" -> (communitiesTradeGraph _),
     "order_volume_acf" -> (orderVolumeAcf _),
     "rolling_median_supplier" -> (rollingMedianSupplier _),
     "pareto_parts" -> (paretoParts _),
@@ -2267,6 +2284,14 @@ object SparkEntry {
       graft.ops.Hits.fixedPointSql(
         """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
           |                CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+        iters = 3),
+    // same symmetrize + unrolled majority rounds, same (count desc,
+    // label) tiebreak
+    "communities_trade_graph" ->
+      graft.ops.Communities.labelPropagationSql(
+        """SELECT CAST(o_custkey AS BIGINT) AS src,
+          |       CAST(1000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         iters = 3),
     // same capped-neighbor contract, same floored micro-Jaccard

@@ -70,4 +70,37 @@ class GraphSimSpec extends AnyFunSuite {
     // only (0,1) survives: {11,12,13} ∩ {11,12} = 2, union 3
     assert(got === Set((0L, 1L, 2L, 3L, 666666L)))
   }
+
+  test("label propagation: two cliques with one bridge split into two communities") {
+    // clique A = {1,2,3}, clique B = {10,11,12}, bridge 3—10
+    val cliqueEdges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L))
+    val got = graft.ops.Communities
+      .labelPropagation(cliqueEdges.toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // each clique agrees internally; the two communities differ
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(Set(got(10L), got(11L), got(12L)).size === 1)
+    assert(got(1L) !== got(10L))
+  }
+
+  test("feature hashing: signed sums account for every token, buckets bounded") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "alpha"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.llm.FeatureHash.hashedFeatures(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, b, _) => b >= 0 && b < 8 })
+    // |value| per (doc,bucket) ≤ token occurrences; doc 3 has no rows
+    assert(!got.exists(_._1 == 3L))
+    // same token → same bucket: doc 2's single bucket appears in doc 1
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length === 1 && math.abs(d2.head._3) === 1L)
+    val d1 = got.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    assert(d1.contains(d2.head._2))
+    // alpha counts twice the sign beta counts once; total |mass| = 3
+    assert(d1.values.map(math.abs).sum === 3L)
+  }
 }
