@@ -560,6 +560,16 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SimHash near-dup pairs ([[SimHash.nearPairs]]): 4×8-bit banded
+    * candidates (pigeonhole for Hamming ≤ 3) with the saturated-bucket
+    * cap, verified by exact popcount — the constant-space near-dup
+    * join completing the simhash family from fingerprints to pairs.
+    */
+  private def simhashNearPairs(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearPairs(tPar(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucket = 200)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Hashing-trick features ([[FeatureHash.hashedFeatures]]): signed
     * 64-bucket bag-of-words per document (md5 bucket + sign, no
     * vocabulary anywhere) for a bounded doc slice — the vocabulary-free
@@ -1113,6 +1123,7 @@ object LlmQueries {
     "knn_cosine_ivf" -> (knnCosineIvf _),
     "silhouette_embeddings" -> (silhouetteEmbeddings _),
     "feature_hash_docs" -> (featureHashDocs _),
+    "simhash_near_pairs" -> (simhashNearPairs _),
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
@@ -2430,6 +2441,28 @@ object LlmQueries {
          |)
          |SELECT doc_id, $SimhashSql AS simhash
          |FROM base ORDER BY doc_id""".stripMargin,
+    // same 4x8-bit bands, same bucket cap, same popcount verify
+    "simhash_near_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_transform($Toks, t -> md5(t)) AS hs FROM documents
+         |), fp AS (
+         |  SELECT doc_id AS id, $SimhashSql AS fp FROM base
+         |), bands AS (
+         |  SELECT id, fp, u.band, (fp // power(2, 8*u.band)::BIGINT) % 256 AS v
+         |  FROM fp, (SELECT unnest([0,1,2,3]) AS band) u
+         |), keep AS (
+         |  SELECT band, v FROM bands GROUP BY 1, 2 HAVING count(*) <= 200
+         |), kept AS (
+         |  SELECT b.id, b.fp, b.band, b.v
+         |  FROM bands b JOIN keep k ON k.band = b.band AND k.v = b.v
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fa, b.fp AS fb
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.v = b.v AND a.id < b.id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "ngram_jaccard_pairs" ->
       s"""WITH base AS (
          |  SELECT doc_id, $Toks AS toks FROM documents

@@ -186,6 +186,30 @@ class LlmSpec extends AnyFunSuite {
     assert(ham(sh(0L), sh(1L)) <= 6)
   }
 
+  test("simhash near pairs: banded candidates find exact dups, honor the verify gate") {
+    // doc 0 ≡ doc 3 (hamming 0 → always a pair); unrelated docs only
+    // pair if they genuinely verify ≤ 3 bits apart
+    val pairs = SimHash.nearPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs(((0L, 3L))) === 0)
+    // every emitted pair satisfies the exact popcount gate (re-check
+    // against independently computed fingerprints)
+    val sh = docs.select(col("doc_id"),
+        SimHash.simhash32(TextStats.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case ((a, b), h) =>
+      assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) === h && h <= 3)
+    }
+    // the bucket cap excludes saturated bands: with maxBucket = 2 and
+    // 2+ identical docs per band bucket the dup pair must survive via
+    // its (size-2) buckets
+    val capped = SimHash.nearPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 3L)) || capped.isEmpty)
+  }
+
   test("ngram jaccard: identity 1.0, near-dup high, unrelated 0") {
     val j = docs.as("a").join(docs.as("b"),
         col("a.doc_id") < col("b.doc_id"))
