@@ -1687,6 +1687,26 @@ object SparkEntry {
       .orderBy(col("channel"))
   }
 
+  /** Position-based (40/20/40) attribution
+    * ([[graft.ops.Attribution.positionCredit]]): first and last touch
+    * take 40% each, middles split the rest — the same exact-integer
+    * floor-credit discipline as time decay, rolled up per channel.
+    */
+  private def attributionPositionBased(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Attribution
+    val ev = t(s, dir, "events")
+      .withColumn("value_cents", cents(col("value")))
+    Attribution.positionCredit(ev.select(col("user_id"), col("ts"),
+        col("event_type"), col("value_cents")),
+        "user_id", "ts", "event_type", "value_cents",
+        Seq("view", "click", "signup"), "purchase",
+        lookbackSec = 259200L, bucketWidthSec = 86400L)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touch_credits"),
+        sum(col("credit")).cast("long").as("credited_cents"))
+      .orderBy(col("channel"))
+  }
+
   /** Time-to-convert distribution for the view→purchase funnel: per
     * converting user, seconds from first view to the first purchase at
     * or after it; percentiles are RANK statistics (the order statistic
@@ -1901,6 +1921,7 @@ object SparkEntry {
     "expectations_orders" -> (expectationsOrders _),
     "running_distinct_users" -> (runningDistinctUsers _),
     "attribution_time_decay" -> (attributionTimeDecay _),
+    "attribution_position_based" -> (attributionPositionBased _),
     "funnel_time_to_convert" -> (funnelTimeToConvert _),
     "top_brands_with_other" -> (topBrandsWithOther _),
     "nation_revenue_share" -> (nationRevenueShare _),
@@ -3368,6 +3389,48 @@ object SparkEntry {
         |              THEN CAST(((v * wn) - (((v * wn) % wsum + wsum) % wsum)) / wsum AS BIGINT)
         |              ELSE CAST(0 AS BIGINT) END AS credit
         |  FROM ws
+        |)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_credits,
+        |       CAST(sum(credit) AS BIGINT) AS credited_cents
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same micro weight grid (1/2-touch conventions, floored middle
+    // share), same floor-division credits, same remainder drop
+    "attribution_position_based" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts AS conv_ts,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), tch AS (
+        |  SELECT user_id, ts AS touch_ts, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_ts, c.v, t.channel, t.touch_ts
+        |  FROM conv c JOIN tch t
+        |    ON t.user_id = c.user_id AND t.touch_ts <= c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - INTERVAL 259200 SECONDS
+        |), pos AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id, conv_ts
+        |                            ORDER BY touch_ts, channel) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY user_id, conv_ts) AS BIGINT) AS n
+        |  FROM pairs
+        |), ws AS (
+        |  SELECT *,
+        |         CASE WHEN n = 1 THEN 1000000
+        |              WHEN n = 2 THEN 500000
+        |              WHEN rn = 1 OR rn = n THEN 400000
+        |              ELSE CAST((200000 - ((200000 % (n-2) + (n-2)) % (n-2))) / (n-2) AS BIGINT)
+        |         END AS wn
+        |  FROM pos
+        |), wt AS (
+        |  SELECT *, CAST(sum(wn) OVER (PARTITION BY user_id, conv_ts) AS BIGINT) AS wsum
+        |  FROM ws
+        |), cr AS (
+        |  SELECT channel,
+        |         CASE WHEN wsum > 0
+        |              THEN CAST(((v * wn) - (((v * wn) % wsum + wsum) % wsum)) / wsum AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS credit
+        |  FROM wt
         |)
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_credits,
         |       CAST(sum(credit) AS BIGINT) AS credited_cents

@@ -135,4 +135,63 @@ object Attribution {
           .otherwise(lit(0L)))
       .drop("__w", "__wsum")
   }
+
+  /** Position-based (U-shaped) attribution: the FIRST and LAST touch
+    * in the lookback window each take `edgeWeightMicro` (default 40%)
+    * of the conversion, the middle touches split the rest evenly —
+    * the marketer's compromise between first-touch discovery credit
+    * and last-touch closing credit. Conventions: a single touch takes
+    * 100%, exactly two touches split 50/50.
+    *
+    * Same exactness discipline as [[timeDecayCredit]]: weights live on
+    * an integer micro grid (the middle share is itself a floor
+    * division), each credit is `⌊value·w / Σw⌋` in exact integers, and
+    * the sub-cent remainder is dropped, not redistributed. Position
+    * rank orders by (touch_ts, channel); duplicate touches tie
+    * arbitrarily between themselves, which leaves the result multiset
+    * (and every per-channel rollup) unchanged.
+    *
+    * Scale shape: the same bucketed interval join, plus one
+    * per-conversion-window rank — bounded by touches per window, never
+    * a data-grain global sort.
+    */
+  def positionCredit(events: DataFrame, entityCol: String, tsCol: String,
+                     typeCol: String, valueCol: String,
+                     touchTypes: Seq[String], convType: String,
+                     lookbackSec: Long, bucketWidthSec: Long = 3600L,
+                     edgeWeightMicro: Long = 400000L): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes required")
+    require(!touchTypes.contains(convType), "conversion cannot be a touch")
+    require(lookbackSec > 0, s"lookbackSec=$lookbackSec")
+    require(edgeWeightMicro > 0 && 2 * edgeWeightMicro <= 1000000L,
+      s"edgeWeightMicro=$edgeWeightMicro")
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol), col(tsCol).cast("timestamp").as("touch_ts"),
+        col(typeCol).as("channel"))
+    val windows = events.where(col(typeCol) === convType)
+      .groupBy(col(entityCol), col(tsCol).cast("timestamp").as("conv_ts"))
+      .agg(sum(col(valueCol)).as("conv_value"))
+      .withColumn("win_start",
+        col("conv_ts") - expr(s"INTERVAL $lookbackSec SECONDS"))
+    val pairs = RangeJoin.intervalJoin(touches, windows, Seq(entityCol),
+      "touch_ts", "win_start", "conv_ts", bucketWidth = bucketWidthSec)
+    val perConv = Window.partitionBy(col(entityCol), col("conv_ts"))
+    val byPos = perConv.orderBy(col("touch_ts"), col("channel"))
+    pairs
+      .withColumn("__rn", row_number().over(byPos))
+      .withColumn("__n", count(lit(1)).over(perConv))
+      .withColumn("__w",
+        when(col("__n") === 1, lit(1000000L))
+          .when(col("__n") === 2, lit(500000L))
+          .when(col("__rn") === 1 || col("__rn") === col("__n"),
+            lit(edgeWeightMicro))
+          .otherwise(Pca.floorDivQ(lit(1000000L - 2 * edgeWeightMicro),
+            col("__n") - 2)))
+      .withColumn("__wsum", sum(col("__w")).over(perConv))
+      .withColumn("credit",
+        when(col("__wsum") > 0L,
+          Pca.floorDivQ(col("conv_value") * col("__w"), col("__wsum")))
+          .otherwise(lit(0L)))
+      .drop("__w", "__wsum", "__rn", "__n")
+  }
 }

@@ -170,6 +170,34 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(r === Set(("click", 45.0), ("view", 45.0))) // 2 touches in window
   }
 
+  test("position credit: 40/20/40 with 1- and 2-touch conventions") {
+    import graft.ops.Attribution
+    val events = evv(
+      // user 1: four touches → 40 / 10 / 10 / 40 of 100
+      (1L, "2024-01-01 10:00:00", "view", null),
+      (1L, "2024-01-01 10:10:00", "click", null),
+      (1L, "2024-01-01 10:20:00", "view", null),
+      (1L, "2024-01-01 10:30:00", "click", null),
+      (1L, "2024-01-01 11:00:00", "purchase", 100L),
+      // user 2: one touch → 100%
+      (2L, "2024-01-01 10:00:00", "view", null),
+      (2L, "2024-01-01 11:00:00", "purchase", 80L),
+      // user 3: two touches → 50/50
+      (3L, "2024-01-01 10:00:00", "view", null),
+      (3L, "2024-01-01 10:30:00", "click", null),
+      (3L, "2024-01-01 11:00:00", "purchase", 60L))
+    val r = Attribution.positionCredit(events, "user_id", "t", "typ", "v",
+        Seq("view", "click"), "purchase", lookbackSec = 3600L,
+        bucketWidthSec = 600L)
+      .select(col("user_id"), col("touch_ts").cast("string"), col("credit"))
+      .as[(Long, String, Long)].collect()
+    val u1 = r.filter(_._1 == 1L).map(t => t._2.substring(11, 16) -> t._3).toMap
+    assert(u1 === Map("10:00" -> 40L, "10:10" -> 10L, "10:20" -> 10L,
+      "10:30" -> 40L))
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq === Seq(80L))
+    assert(r.filter(_._1 == 3L).map(_._3).sorted.toSeq === Seq(30L, 30L))
+  }
+
   // ----------------------------------------------------------- transitions
 
   test("transition counts pair consecutive events per entity in time order") {
