@@ -560,6 +560,28 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Calibration curve ([[graft.ops.Eval.calibrationCurve]]) of the
+    * stopword-ratio "English-ness" score against the lang='en' label:
+    * equal-width micro-score bins (map-only — deliberately NOT ntile's
+    * global sort), exact integer counts, observed rate vs mean score
+    * per bin. The reliability table every quality/language gate should
+    * publish before its threshold is trusted.
+    */
+  private def calibrationCurveLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val hits = size(filter(toks, t =>
+      lower(t).isin(TextStats.EnStopwords: _*))).cast("long")
+    val n = size(toks).cast("long")
+    val hm = hits * lit(1000000L)
+    val scoreMicro = when(n > 0L,
+      ((hm - pmod(hm, n)) / n).cast("long")).otherwise(0L)
+    graft.ops.Eval.calibrationCurve(
+        tPar(s, dir, "documents").select(scoreMicro.as("score_micro"),
+          (col("lang") === "en").as("label")),
+        col("score_micro"), col("label"), nBins = 10)
+      .orderBy(col("bin"))
+  }
+
   /** SimHash near-dup pairs ([[SimHash.nearPairs]]): 4×8-bit banded
     * candidates (pigeonhole for Hamming ≤ 3) with the saturated-bucket
     * cap, verified by exact popcount — the constant-space near-dup
@@ -1124,6 +1146,7 @@ object LlmQueries {
     "silhouette_embeddings" -> (silhouetteEmbeddings _),
     "feature_hash_docs" -> (featureHashDocs _),
     "simhash_near_pairs" -> (simhashNearPairs _),
+    "calibration_curve_langid" -> (calibrationCurveLangid _),
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
@@ -2441,6 +2464,28 @@ object LlmQueries {
          |)
          |SELECT doc_id, $SimhashSql AS simhash
          |FROM base ORDER BY doc_id""".stripMargin,
+    // same exact integer score grid, same width bins, same two rounded
+    // rates
+    "calibration_curve_langid" ->
+      s"""WITH base AS (
+         |  SELECT $Toks AS toks, lang = 'en' AS label FROM documents
+         |), sc AS (
+         |  SELECT CASE WHEN len(toks) > 0
+         |              THEN (len(list_filter(toks, t -> list_contains($EnSw, lower(t)))) * 1000000)
+         |                   // len(toks)
+         |              ELSE 0 END AS s,
+         |         label
+         |  FROM base
+         |), b AS (
+         |  SELECT least(greatest(s, 0) // 100000, 9) AS bin, s,
+         |         CASE WHEN label THEN 1 ELSE 0 END AS y
+         |  FROM sc
+         |)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(y) AS BIGINT) AS n_pos,
+         |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+         |       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_score
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     // same 4x8-bit bands, same bucket cap, same popcount verify
     "simhash_near_pairs" ->
       s"""WITH base AS (

@@ -219,4 +219,39 @@ object Eval {
         round(coalesce(col("__wsum"), lit(0L)).cast("double") / 1e9, 6)
           .as("rbo"))
   }
+
+  /** Calibration (reliability) curve for a micro-scaled score in
+    * [0, 1e6] against a boolean outcome: equal-WIDTH score bins, per
+    * bin the observed positive rate next to the mean predicted score.
+    * A well-calibrated quality/language classifier tracks the
+    * diagonal; the table is the standard evidence either way.
+    *
+    * Equal-width bins (score div (1e6/nBins), top edge clamped into
+    * the last bin) rather than ntile deciles ON PURPOSE: ntile is a
+    * GLOBAL data-grain sort — the one-task window that dies at corpus
+    * scale — while width binning is map-only and the bin populations
+    * still expose miscalibration. Counts and score sums aggregate as
+    * exact integers; the two rates are one rounded double each at the
+    * end.
+    */
+  def calibrationCurve(df: DataFrame, scoreMicro: Column, label: Column,
+                       nBins: Int = 10): DataFrame = {
+    require(nBins > 0 && 1000000 % nBins == 0, s"nBins=$nBins")
+    val width = 1000000L / nBins
+    val clamped = greatest(scoreMicro, lit(0L))
+    // non-negative integer division in the exact pmod form (a bare `/`
+    // on longs is double division in Spark SQL)
+    val bin = least(((clamped - pmod(clamped, lit(width))) / lit(width))
+      .cast("long"), lit(nBins - 1L))
+    df.select(bin.as("bin"), scoreMicro.as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("__ssum").cast("double") / col("n").cast("double") / 1e6,
+          6).as("mean_score"))
+  }
 }

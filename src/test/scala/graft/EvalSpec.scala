@@ -92,4 +92,19 @@ class EvalSpec extends AnyFunSuite {
     // degenerate: single-class input → null
     assert(auc(Seq((5L, true), (6L, true))) === null)
   }
+
+  test("calibrationCurve: width bins, clamps, exact counts, both rates") {
+    val rows = Seq(
+      (50000L, false), (150000L, false), (150000L, true),
+      (999998L, true), (1000000L, true), // top edge clamps into bin 9
+      (-6L, false)) // negative clamps into bin 0
+    val got = Eval.calibrationCurve(rows.toDF("s", "y"),
+        col("s"), col("y"), nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set(0L, 1L, 9L))
+    assert(got(0L) === ((2L, 0L, 0.0, 0.024997)))  // (50000 + (-6))/2/1e6
+    assert(got(1L) === ((2L, 1L, 0.5, 0.15)))
+    assert(got(9L) === ((2L, 2L, 1.0, 0.999999)))  // (999998+1000000)/2/1e6
+  }
 }

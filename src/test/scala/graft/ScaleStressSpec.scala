@@ -244,4 +244,47 @@ class ScaleStressSpec extends AnyFunSuite {
       s"checkpoint did not truncate lineage: $boundedDepth nodes after 11 " +
         s"merges vs $fourFromLeaf after 4 from a leaf")
   }
+
+  test("simhash banding: 4000 identical-fingerprint docs stay under the bucket cap") {
+    // every doc is the SAME text → one fingerprint → every band bucket
+    // holds all 4000 docs. Uncapped, candidates are C(4000,2) ≈ 8M
+    // pairs × 4 bands; with maxBucket the candidate join must be empty
+    // (the cap is the contract — saturated bands carry no signal), and
+    // a pair of genuinely distinct near-dup docs still surfaces
+    // through its quiet buckets.
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0 until 4000).map(i => (i.toLong, same)) ++
+      Seq((9001L, "unique words here only once appearing alone xray"),
+        (9002L, "unique words here only once appearing alone yankee")))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = graft.llm.SimHash.nearPairs(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"4000 hot docs: ${pairs.size} pairs in $secs%.1f s")
+    // no pair among the 4000 saturated docs survives the cap
+    assert(!pairs.exists { case (a, b) => a < 4000L && b < 4000L })
+    assert(secs < 60.0, f"simhash banding took $secs%.1f s — cap failed?")
+  }
+
+  test("label propagation: rounds stay join-shaped on a 10x star graph") {
+    // a 20k-edge hub-and-spoke graph: the hub's label floods every
+    // spoke in round 1; per-round work is the keyed edge⋈label join,
+    // and the argmax window partitions by node (max candidate set =
+    // degree), so a hot hub cannot create a single-task sort
+    val edges = (1 to 20000).map(i => (0L, i.toLong)).toDF("s", "d")
+    val t0 = System.nanoTime()
+    val labels = graft.ops.Communities
+      .labelPropagation(edges, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20k-spoke star LPA: ${labels.size} nodes in $secs%.1f s")
+    assert(labels.size === 20001)
+    // all spokes adopt the hub's orbit: spokes see only the hub (label
+    // 0 after round 1); the hub sees 20k spokes and takes their
+    // smallest majority label
+    assert((1 to 20000).forall(i => labels(i.toLong) === labels(1L)))
+    assert(secs < 60.0, f"LPA took $secs%.1f s on the star")
+  }
 }
