@@ -569,6 +569,43 @@ object SparkEntry {
       .orderBy(col("key"))
   }
 
+  /** Per-nation z-scores of customer balances
+    * ([[graft.ops.Normalize.zScale]]): exact integer moments, one
+    * cross-multiplied sqrt/division at the end — the feature-scaling
+    * standardization a model-prep pipeline applies before training.
+    */
+  private def zscoreAcctbalByNation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Normalize.zScale(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("bal_cents")),
+        "c_nationkey", "bal_cents")
+      .orderBy(col("c_custkey"))
+
+  /** Month-over-month revenue change per nation: window lag + exact
+    * cent deltas, percent change as one rounded division — the
+    * bread-and-butter reporting view over the monthly rollup grain.
+    */
+  private def momRevenueChange(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        expr("year(o_orderdate) * 100 + month(o_orderdate)").as("yyyymm"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("yyyymm"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("pct_change",
+        when(col("prev_cents") > 0L,
+          round(col("delta_cents").cast("double") /
+            col("prev_cents").cast("double"), 6)))
+      .orderBy(col("c_nationkey"), col("yyyymm"))
+  }
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -1854,6 +1891,8 @@ object SparkEntry {
     "compaction_plan_files" -> (compactionPlanFiles _),
     "zonemap_skip_lineitem" -> (zonemapSkipLineitem _),
     "holt_supplier_revenue" -> (holtSupplierRevenue _),
+    "zscore_acctbal_by_nation" -> (zscoreAcctbalByNation _),
+    "mom_revenue_change" -> (momRevenueChange _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -3070,6 +3109,43 @@ object SparkEntry {
           |       CAST(count(*) * 1000 AS BIGINT) AS bytes
           |FROM lineitem GROUP BY 1, 2""".stripMargin,
         targetBytes = 50000L),
+    // same cross-multiplied exact-moment z, same degenerate-null rule
+    "zscore_acctbal_by_nation" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer
+        |), st AS (
+        |  SELECT c_nationkey AS g, CAST(count(bal_cents) AS BIGINT) AS n,
+        |         CAST(sum(bal_cents) AS BIGINT) AS s,
+        |         CAST(sum(bal_cents * bal_cents) AS BIGINT) AS ss
+        |  FROM src GROUP BY 1
+        |)
+        |SELECT src.c_custkey, src.c_nationkey, src.bal_cents,
+        |       CASE WHEN st.n > 1 AND st.n * st.ss - st.s * st.s > 0
+        |            THEN round(CAST(st.n * src.bal_cents - st.s AS DOUBLE)
+        |                       / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)), 6)
+        |       END AS z
+        |FROM src JOIN st ON st.g = src.c_nationkey
+        |ORDER BY src.c_custkey""".stripMargin,
+    // same lag window at rollup grain, same rounded division
+    "mom_revenue_change" ->
+      """WITH m AS (
+        |  SELECT c_nationkey,
+        |         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), lg AS (
+        |  SELECT *, lag(rev_cents, 1) OVER (PARTITION BY c_nationkey ORDER BY yyyymm) AS prev_cents
+        |  FROM m
+        |)
+        |SELECT c_nationkey, yyyymm, rev_cents, prev_cents,
+        |       rev_cents - prev_cents AS delta_cents,
+        |       CASE WHEN prev_cents > 0
+        |            THEN round(CAST(rev_cents - prev_cents AS DOUBLE)
+        |                       / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
+        |FROM lg ORDER BY c_nationkey, yyyymm""".stripMargin,
     // same fixed-point recursion, floor division on both engines
     "holt_supplier_revenue" ->
       graft.ops.Trend.holtSql(

@@ -50,4 +50,37 @@ object Normalize {
         col(valueCol).cast("long") === col("__v"), "left")
       .drop("__g", "__v")
   }
+
+  /** Per-group z-score standardization of an integer (cents-scaled)
+    * column — the feature-scaling twin of [[quantileRank]] for models
+    * that want moments, not ranks. Computed from EXACT integer moments
+    * in the cross-multiplied form
+    * {{{ z = (n·x − S) / sqrt(n·Σx² − S²) }}}
+    * (algebraically (x − mean)/sd_pop with both sides scaled by n), so
+    * the only floating-point step is one sqrt + one division over
+    * exact longs — identical on any engine, no running-mean
+    * accumulation order to disagree on. Degenerate groups (n = 1 or
+    * zero variance) yield null.
+    *
+    * Overflow envelope: `n·Σx²` must fit int64 — with cent-scale
+    * values ≤ 10⁶ that holds through ~10⁵-row groups; larger groups
+    * should pre-scale the column (the [[graft.ops.Trend]] rebasing
+    * note applies).
+    *
+    * Shape: one group-grain aggregate broadcast back onto the rows —
+    * map-only after the stats join; never a window over the data.
+    */
+  def zScale(df: DataFrame, groupCol: String, centsCol: String)
+    : DataFrame = {
+    val stats = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(col(centsCol)).as("__n"), sum(col(centsCol)).as("__s"),
+        sum(col(centsCol) * col(centsCol)).as("__ss"))
+    val varn = col("__n") * col("__ss") - col("__s") * col("__s")
+    df.join(broadcast(stats), col(groupCol) === col("__g"), "left")
+      .withColumn("z",
+        when(col("__n") > 1L && varn > 0L,
+          round((col("__n") * col(centsCol) - col("__s")).cast("double") /
+            sqrt(varn.cast("double")), 6)))
+      .drop("__g", "__n", "__s", "__ss")
+  }
 }

@@ -53,6 +53,22 @@ class EncodingSpec extends AnyFunSuite {
     assert(got.contains(("seg", "", "", 1L)))
   }
 
+  test("zScale: exact-moment z-scores, degenerate groups null") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 7L),
+        ("c", 5L), ("c", 5L))
+      .toDF("g", "v")
+    val got = graft.ops.Normalize.zScale(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2).asInstanceOf[AnyRef]))
+      .toMap
+    // group a: mean 20, sd_pop = sqrt(200/3); z(10) = -10/8.1649...
+    assert(got(("a", 20L)) === 0.0)
+    assert(math.abs(got(("a", 10L)).asInstanceOf[Double] + 1.224745) < 1e-6)
+    assert(math.abs(got(("a", 30L)).asInstanceOf[Double] - 1.224745) < 1e-6)
+    // singleton group and zero-variance group → null
+    assert(got(("b", 7L)) === null && got(("c", 5L)) === null)
+  }
+
   test("type inference: first-match class order, trim, empty/null") {
     val df = Seq("42", "-7", "3.14", ".5", "2024-01-31", "TRUE", "false",
         " 19 ", "", null, "word", "12a")

@@ -98,7 +98,9 @@ class PlanShapeSpec extends AnyFunSuite {
             // eval slice
             "knn_cosine_pq", "ann_rbo_eval", "jl_projection_pairs",
             // 1-row max-renormalizer broadcasts over the dims-grain grid
-            "pca_top_component")(name))
+            "pca_top_component",
+            // 1-row (N, G) totals broadcast onto the category grain
+            "target_encode_brand")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
