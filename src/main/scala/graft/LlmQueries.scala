@@ -582,6 +582,17 @@ object LlmQueries {
       .orderBy(col("bin"))
   }
 
+  /** Top-p curation cut ([[Curation.nucleusSelect]]): per source, the
+    * best-half-by-character-mass prefix of documents (score desc,
+    * crossing element included) — the quality-budgeted selection a
+    * mixing plan executes. Exact long comparisons; group-grain window.
+    */
+  private def nucleusDocsBySource(s: SparkSession, dir: String): DataFrame =
+    Curation.nucleusSelect(tPar(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", pMicro = 500000L)
+      .orderBy(col("source"), col("rank"))
+
   /** SimHash near-dup pairs ([[SimHash.nearPairs]]): 4×8-bit banded
     * candidates (pigeonhole for Hamming ≤ 3) with the saturated-bucket
     * cap, verified by exact popcount — the constant-space near-dup
@@ -1147,6 +1158,7 @@ object LlmQueries {
     "feature_hash_docs" -> (featureHashDocs _),
     "simhash_near_pairs" -> (simhashNearPairs _),
     "calibration_curve_langid" -> (calibrationCurveLangid _),
+    "nucleus_docs_by_source" -> (nucleusDocsBySource _),
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
@@ -2464,6 +2476,21 @@ object LlmQueries {
          |)
          |SELECT doc_id, $SimhashSql AS simhash
          |FROM base ORDER BY doc_id""".stripMargin,
+    // same (score desc, id) order, same exact-long crossing rule
+    "nucleus_docs_by_source" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |         COALESCE(CAST(sum(n_chars) OVER (
+        |           PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before,
+        |         CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS "rank"
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, n_chars, "rank" FROM w
+        |WHERE before * 1000000 < 500000 * total
+        |ORDER BY source, "rank"""".stripMargin,
     // same exact integer score grid, same width bins, same two rounded
     // rates
     "calibration_curve_langid" ->

@@ -606,6 +606,25 @@ object SparkEntry {
       .orderBy(col("c_nationkey"), col("yyyymm"))
   }
 
+  /** Running revenue drawdown per supplier
+    * ([[graft.ops.Windows.drawdown]]): distance below the running
+    * monthly-revenue peak, exact cents + one rounded ratio — the
+    * decline signal a health dashboard alerts on.
+    */
+  private def revenueDrawdownSupplier(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"),
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)")
+          .as("yyyymm"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("rev_cents"))
+    graft.ops.Windows.drawdown(monthly, Seq("l_suppkey"), "yyyymm",
+        "rev_cents")
+      .orderBy(col("l_suppkey"), col("yyyymm"))
+  }
+
   /** Exact interpolated percentiles per group (rounded on both engines —
     * the interpolation formulas differ in ulp-level arithmetic).
     */
@@ -1893,6 +1912,7 @@ object SparkEntry {
     "holt_supplier_revenue" -> (holtSupplierRevenue _),
     "zscore_acctbal_by_nation" -> (zscoreAcctbalByNation _),
     "mom_revenue_change" -> (momRevenueChange _),
+    "revenue_drawdown_supplier" -> (revenueDrawdownSupplier _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -3146,6 +3166,26 @@ object SparkEntry {
         |            THEN round(CAST(rev_cents - prev_cents AS DOUBLE)
         |                       / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
         |FROM lg ORDER BY c_nationkey, yyyymm""".stripMargin,
+    // same running-max window, same exact cents + one rounded ratio
+    "revenue_drawdown_supplier" ->
+      """WITH m AS (
+        |  SELECT l_suppkey,
+        |         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT *, CAST(max(rev_cents) OVER (
+        |           PARTITION BY l_suppkey ORDER BY yyyymm
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_cents
+        |  FROM m
+        |)
+        |SELECT l_suppkey, yyyymm, rev_cents, peak_cents,
+        |       peak_cents - rev_cents AS drawdown_cents,
+        |       CASE WHEN peak_cents > 0
+        |            THEN round(CAST(peak_cents - rev_cents AS DOUBLE)
+        |                       / CAST(peak_cents AS DOUBLE), 6) END AS dd_ratio
+        |FROM dd ORDER BY l_suppkey, yyyymm""".stripMargin,
     // same fixed-point recursion, floor division on both engines
     "holt_supplier_revenue" ->
       graft.ops.Trend.holtSql(

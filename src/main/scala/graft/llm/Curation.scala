@@ -507,4 +507,41 @@ object Curation {
         round(lit(budgetTokens.toDouble) * flat / col("__tot_flat") /
           col("n_tokens").cast("double"), 6).as("epochs"))
   }
+
+  /** Top-p (nucleus) selection per group: order a group's documents by
+    * (score desc, id) and keep the smallest prefix holding at least
+    * `pMicro`/1e6 of the group's total score mass — the
+    * quality-budgeted curation cut ("the best half of each source's
+    * characters"), the set analog of nucleus sampling. The crossing
+    * element is INCLUDED (keep while cumulative-mass-before <
+    * p·total), so a group always keeps ≥ 1 document and the kept mass
+    * is the least prefix ≥ the budget.
+    *
+    * All comparisons are exact longs (`cumBefore·1e6 < pMicro·total`),
+    * so the cut is bit-identical on any engine. One per-GROUP window
+    * sort (source grain — the partition count a curation run controls),
+    * never a global one.
+    *
+    * @return kept rows: (groupCol, idCol, scoreCol, rank)
+    */
+  def nucleusSelect(df: DataFrame, groupCol: String, idCol: String,
+                    scoreCol: String, pMicro: Long): DataFrame = {
+    require(pMicro > 0 && pMicro <= 1000000L, s"pMicro=$pMicro")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val before = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val whole = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select(col(groupCol), col(idCol), col(scoreCol).cast("long")
+        .as(scoreCol))
+      .withColumn("__before",
+        coalesce(sum(col(scoreCol)).over(before), lit(0L)))
+      .withColumn("__total", sum(col(scoreCol)).over(whole))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("__before") * 1000000L < lit(pMicro) * col("__total"))
+      .drop("__before", "__total")
+  }
 }

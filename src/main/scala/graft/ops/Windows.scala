@@ -159,4 +159,23 @@ object Windows {
         max(col("__late_us")).as("max_lateness_us")
     late.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Running drawdown per key: at each tick, how far the measure sits
+    * below its running peak — the standard decline/health signal
+    * ("revenue is 34% off its high") for any monotonically-watched
+    * series. `drawdown_cents = peak − v` is exact integer; the ratio
+    * is one rounded division (null until a positive peak exists).
+    * Same single-shuffle partitioned-window shape as [[runningTotal]].
+    */
+  def drawdown(df: DataFrame, keys: Seq[String], tickCol: String,
+               centsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tickCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("peak_cents", max(col(centsCol)).over(w))
+      .withColumn("drawdown_cents", col("peak_cents") - col(centsCol))
+      .withColumn("dd_ratio",
+        when(col("peak_cents") > 0L,
+          round(col("drawdown_cents").cast("double") /
+            col("peak_cents").cast("double"), 6)))
+  }
 }

@@ -341,4 +341,39 @@ class CurationSpec extends AnyFunSuite {
     // cap at or above the group size keeps everything
     assert(Curation.sourceCap(df, "doc_id", "source", cap = 10).count() === 40L)
   }
+
+  test("nucleusSelect keeps the least prefix crossing the mass budget") {
+    // s1 scores 50, 30, 20 (total 100): p=0.5 keeps 50 (before=0) and
+    // 30 (before=50·1e6 < 0.5·100·1e6? 50<50 false → excluded)... the
+    // crossing rule: keep while before < p·total → exactly {50}
+    val df = Seq(("s1", 1L, 50L), ("s1", 2L, 30L), ("s1", 3L, 20L),
+      ("s2", 4L, 10L), ("s2", 5L, 10L))
+      .toDF("src", "id", "score")
+    val half = Curation.nucleusSelect(df, "src", "id", "score", 500000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(half.toSet === Set(("s1", 1L), ("s2", 4L)))
+    // p just past one element's share pulls in the next
+    val p60 = Curation.nucleusSelect(df, "src", "id", "score", 600000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(p60.filter(_._1 == "s1").map(t => (t._2, t._3)).toSet ===
+      Set((1L, 1L), (2L, 2L)))
+    // ties order by id; a group always keeps its first element
+    assert(p60.filter(_._1 == "s2").map(_._2).toSet === Set(4L, 5L))
+    val tiny = Curation.nucleusSelect(df, "src", "id", "score", 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(tiny === Set(("s1", 1L), ("s2", 4L)))
+  }
+
+  test("drawdown tracks the running peak with exact cents") {
+    val df = Seq(("k", 1, 100L), ("k", 2, 150L), ("k", 3, 90L),
+      ("k", 4, 150L), ("k", 5, 200L))
+      .toDF("key", "t", "v")
+    val got = graft.ops.Windows.drawdown(df, Seq("key"), "t", "v")
+      .orderBy(col("t"))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5).asInstanceOf[AnyRef]))
+    assert(got.map(t => (t._2, t._3)).toSeq ===
+      Seq((100L, 0L), (150L, 0L), (150L, 60L), (150L, 0L), (200L, 0L)))
+    assert(got(2)._4 === 0.4)
+  }
 }
