@@ -1613,6 +1613,25 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Multi-source BFS depth ([[graft.ops.Bfs.depths]]) over the
+    * symmetrized trade graph from nation-0 customers: frontier
+    * expansion with per-round anti-join and checkpoint release — the
+    * bounded-hop reachability ("blast radius") primitive the other
+    * graph ops skip.
+    */
+  private def bfsDepthTradeGraph(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (lit(1000000L) + col("l_suppkey")).as("b"))
+    val edges = base.select(col("a").as("src"), col("b").as("dst"))
+      .union(base.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = t(s, dir, "customer").where(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+    graft.ops.Bfs.depths(edges, "src", "dst", seeds, "id", maxDepth = 3)
+      .orderBy(col("id"))
+  }
+
   /** Unicode canonicalization audit ([[graft.functions
     * .NormalizeUnicode]], native codegen'd expression): how many
     * documents change under NFC, and whether the exact-dup fingerprint
@@ -1973,6 +1992,7 @@ object SparkEntry {
     "hits_trade_graph" -> (hitsTradeGraph _),
     "supplier_neighbor_jaccard" -> (supplierNeighborJaccard _),
     "communities_trade_graph" -> (communitiesTradeGraph _),
+    "bfs_depth_trade_graph" -> (bfsDepthTradeGraph _),
     "order_volume_acf" -> (orderVolumeAcf _),
     "rolling_median_supplier" -> (rollingMedianSupplier _),
     "pareto_parts" -> (paretoParts _),
@@ -2374,6 +2394,19 @@ object SparkEntry {
           |       CAST(1000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         iters = 3),
+    // same unrolled frontier rounds, same NOT-IN visited anti-join
+    "bfs_depth_trade_graph" ->
+      graft.ops.Bfs.depthsSql(
+        """SELECT CAST(o_custkey AS BIGINT) AS src,
+          |       CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |UNION ALL
+          |SELECT CAST(1000000 + l_suppkey AS BIGINT) AS src,
+          |       CAST(o_custkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+        """SELECT CAST(c_custkey AS BIGINT) AS id
+          |FROM customer WHERE c_nationkey = 0""".stripMargin,
+        maxDepth = 3),
     // same capped-neighbor contract, same floored micro-Jaccard
     "supplier_neighbor_jaccard" ->
       graft.ops.GraphSim.neighborJaccardSql(

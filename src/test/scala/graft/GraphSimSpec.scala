@@ -87,6 +87,21 @@ class GraphSimSpec extends AnyFunSuite {
     assert(got(1L) !== got(10L))
   }
 
+  test("BFS depths: shortest hop counts, budget bound, isolated seeds kept") {
+    // path 1→2→3→4→5, plus a shortcut 1→4 (so 4 is depth 1, 5 depth 2)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("s", "d")
+    val seeds = Seq(1L, 99L).toDF("id") // 99 has no edges at all
+    val got = graft.ops.Bfs.depths(e, "s", "d", seeds, "id", maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L))
+    // depth budget 1 stops the frontier
+    val d1 = graft.ops.Bfs.depths(e, "s", "d", seeds, "id", maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("feature hashing: signed sums account for every token, buckets bounded") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "alpha"), (3L, ""))
       .toDF("doc_id", "text")
