@@ -1632,6 +1632,26 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Seeded (personalized) PageRank
+    * ([[graft.ops.PageRank.ranksPersonalizedFixedPoint]]): teleport
+    * restricted to nation-0 suppliers over the symmetrized trade
+    * graph — TrustRank-style "reachable from quality" scores in the
+    * same exact fixed-point integer discipline as the uniform variant.
+    */
+  private def trustrankTradeGraph(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (lit(1000000L) + col("l_suppkey")).as("b"))
+    val edges = base.select(col("a").as("src"), col("b").as("dst"))
+      .union(base.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
+      .select((lit(1000000L) + col("s_suppkey")).as("id"))
+    graft.ops.PageRank.ranksPersonalizedFixedPoint(edges, "src", "dst",
+        seeds, "id", iters = 3)
+      .orderBy(col("id"))
+  }
+
   /** Unicode canonicalization audit ([[graft.functions
     * .NormalizeUnicode]], native codegen'd expression): how many
     * documents change under NFC, and whether the exact-dup fingerprint
@@ -1781,6 +1801,28 @@ object SparkEntry {
         sum(col("credit")).cast("long").as("credited_cents"))
       .orderBy(col("channel"))
   }
+
+  /** A/B conversion readout ([[graft.ops.Stats.twoProportionZ]]):
+    * deterministic id-parity split, conversion = any purchase — four
+    * exact counts, closed-form rates and pooled z.
+    */
+  private def abConversionZtest(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+    graft.ops.Stats.twoProportionZ(users,
+      pmod(col("user_id"), lit(2L)) === 0L, col("converted") === 1L)
+  }
+
+  /** Top opening paths ([[graft.ops.Transitions.topPaths]]): each
+    * user's first five event types in (ts, type, id) order, counted
+    * corpus-wide — the behavioral prefix distribution funnels start
+    * from.
+    */
+  private def topUserPaths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Transitions.topPaths(t(s, dir, "events"),
+      "user_id", "ts", "event_type", "event_id", maxLen = 5, k = 20)
 
   /** Time-to-convert distribution for the view→purchase funnel: per
     * converting user, seconds from first view to the first purchase at
@@ -1993,6 +2035,7 @@ object SparkEntry {
     "supplier_neighbor_jaccard" -> (supplierNeighborJaccard _),
     "communities_trade_graph" -> (communitiesTradeGraph _),
     "bfs_depth_trade_graph" -> (bfsDepthTradeGraph _),
+    "trustrank_trade_graph" -> (trustrankTradeGraph _),
     "order_volume_acf" -> (orderVolumeAcf _),
     "rolling_median_supplier" -> (rollingMedianSupplier _),
     "pareto_parts" -> (paretoParts _),
@@ -2001,6 +2044,8 @@ object SparkEntry {
     "running_distinct_users" -> (runningDistinctUsers _),
     "attribution_time_decay" -> (attributionTimeDecay _),
     "attribution_position_based" -> (attributionPositionBased _),
+    "ab_conversion_ztest" -> (abConversionZtest _),
+    "top_user_paths" -> (topUserPaths _),
     "funnel_time_to_convert" -> (funnelTimeToConvert _),
     "top_brands_with_other" -> (topBrandsWithOther _),
     "nation_revenue_share" -> (nationRevenueShare _),
@@ -2407,6 +2452,20 @@ object SparkEntry {
         """SELECT CAST(c_custkey AS BIGINT) AS id
           |FROM customer WHERE c_nationkey = 0""".stripMargin,
         maxDepth = 3),
+    // same seed-restricted teleport, same floored integer rounds
+    "trustrank_trade_graph" ->
+      graft.ops.PageRank.personalizedFixedPointSql(
+        """SELECT DISTINCT src, dst FROM (
+          |  SELECT CAST(o_custkey AS BIGINT) AS src,
+          |         CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  UNION ALL
+          |  SELECT CAST(1000000 + l_suppkey AS BIGINT) AS src,
+          |         CAST(o_custkey AS BIGINT) AS dst
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin,
+        """SELECT CAST(1000000 + s_suppkey AS BIGINT) AS id
+          |FROM supplier WHERE s_nationkey = 0""".stripMargin,
+        iters = 3),
     // same capped-neighbor contract, same floored micro-Jaccard
     "supplier_neighbor_jaccard" ->
       graft.ops.GraphSim.neighborJaccardSql(
@@ -3542,6 +3601,42 @@ object SparkEntry {
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_credits,
         |       CAST(sum(credit) AS BIGINT) AS credited_cents
         |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same four exact counts, same closed-form pooled z
+    "ab_conversion_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |       CASE WHEN n_a > 0 THEN round(CAST(conv_a AS DOUBLE) / n_a, 6) END AS rate_a,
+        |       CASE WHEN n_b > 0 THEN round(CAST(conv_b AS DOUBLE) / n_b, 6) END AS rate_b,
+        |       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+        |                 AND conv_a + conv_b < n_a + n_b
+        |            THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |                       / sqrt(((CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b))
+        |                              * (1.0 - (CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b))
+        |                              * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+        |FROM c""".stripMargin,
+    // same (ts, type, id) prefix order, same '>' join, same tiebreak
+    "top_user_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_type, event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_entities
+        |FROM p GROUP BY 1 ORDER BY n_entities DESC, path LIMIT 20""".stripMargin,
     // same micro weight grid (1/2-touch conventions, floored middle
     // share), same floor-division credits, same remainder drop
     "attribution_position_based" ->

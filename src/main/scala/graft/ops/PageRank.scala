@@ -155,6 +155,110 @@ object PageRank {
     cur.select(col("id"), col("rank").as("rank_fp"))
   }
 
+  /** Personalized (seeded) fixed-point PageRank — TrustRank-style
+    * quality propagation: the teleport mass returns ONLY to the seed
+    * set instead of uniformly, so score flows outward from trusted
+    * roots and a node's rank reads "how reachable am I from quality"
+    * (the standard host-quality feature when a curated whitelist
+    * exists; Gyöngyi et al. 2004). Same integer arithmetic, iteration
+    * shape, and overflow envelope as [[ranksFixedPoint]] — the only
+    * change is the restart vector:
+    * {{{
+    *   r'(v) = [v ∈ S]·((dampDen−dampNum)·unit div dampDen) div |S|
+    *         + (dampNum · (Σ contrib(·→v) + D div |S| · [v ∈ S])) div dampDen
+    * }}}
+    * (dangling mass also restarts to the seeds). Non-seed nodes with
+    * no in-links go to zero — exactly the spam-demotion property the
+    * uniform teleport destroys.
+    */
+  def ranksPersonalizedFixedPoint(edges: DataFrame, srcCol: String,
+                                  dstCol: String, seeds: DataFrame,
+                                  seedCol: String, iters: Int = 3,
+                                  unit: Long = 1000000000000L,
+                                  dampNum: Long = 85L,
+                                  dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping $dampNum/$dampDen out of (0,1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val seedSet = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val base = nodes.join(deg, nodes("id") === deg("src"), "left")
+      .select(nodes("id"), col("__deg"))
+      .join(seedSet.select(col("id").as("__sid"), lit(1L).as("__seed")),
+        nodes("id") === col("__sid"), "left")
+      .select(col("id"), col("__deg"),
+        coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint(true)
+    val nSeeds = base.agg(sum(col("__seed"))).head().getLong(0)
+    require(nSeeds > 0, "no seed appears in the graph")
+    val basePart = ((dampDen - dampNum) * unit / dampDen) / nSeeds
+    var cur = base.withColumn("rank",
+        col("__seed") * lit(unit / nSeeds)).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val prev = cur
+      val dangPerSeed = prev.where(col("__deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0) / nSeeds
+      val contribs = e
+        .join(prev.select(col("id").as("__s"), col("rank"), col("__deg")),
+          col("src") === col("__s"))
+        .select(col("dst"), expr("rank div __deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      cur = base.join(contribs, base("id") === contribs("dst"), "left")
+        .select(col("id"), col("__deg"), col("__seed"),
+          (col("__seed") * lit(basePart) + expr(
+            s"(${dampNum}L * (coalesce(__in, 0L)" +
+              s" + __seed * ${dangPerSeed}L)) div ${dampDen}L"))
+            .as("rank"))
+        .localCheckpoint(true)
+      CheckpointBridge.release(prev)
+    }
+    CheckpointBridge.release(e)
+    CheckpointBridge.release(base)
+    cur.select(col("id"), col("rank").as("rank_fp"))
+  }
+
+  /** ANSI-SQL twin of [[ranksPersonalizedFixedPoint]]; `edgesSql`
+    * yields distinct (src, dst), `seedsSql` yields (id). Keep in
+    * lockstep.
+    */
+  def personalizedFixedPointSql(edgesSql: String, seedsSql: String,
+                                iters: Int,
+                                unit: Long = 1000000000000L,
+                                dampNum: Long = 85L,
+                                dampDen: Long = 100L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(rank), 0) // (SELECT ns FROM scnt) AS dps
+         |        FROM r${i - 1} WHERE deg IS NULL),
+         |c$i AS (SELECT e.dst AS id, sum(r.rank // r.deg) AS insum
+         |        FROM e JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
+         |r$i AS (SELECT b.id, b.deg, b.seed,
+         |          b.seed * ((($dampDen - $dampNum) * $unit // $dampDen) // (SELECT ns FROM scnt))
+         |          + ($dampNum * (COALESCE(c.insum, 0)
+         |                         + b.seed * (SELECT dps FROM d$i))) // $dampDen AS rank
+         |        FROM base b LEFT JOIN c$i c ON c.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |sd AS (SELECT DISTINCT id FROM ($seedsSql)),
+       |base AS (
+       |  SELECT n.id, d.deg,
+       |         CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS seed
+       |  FROM nodes n LEFT JOIN deg d ON d.src = n.id
+       |  LEFT JOIN sd ON sd.id = n.id
+       |),
+       |scnt AS (SELECT CAST(sum(seed) AS BIGINT) AS ns FROM base),
+       |r0 AS (SELECT id, deg, seed,
+       |              seed * (SELECT $unit // ns FROM scnt) AS rank FROM base),
+       |$rounds
+       |SELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters ORDER BY id""".stripMargin
+  }
+
   /** ANSI-SQL twin of [[ranksFixedPoint]] (unrolled CTE per iteration);
     * `edgesSql` must yield distinct (src, dst). Keep in lockstep.
     */

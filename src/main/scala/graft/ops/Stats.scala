@@ -141,4 +141,38 @@ object Stats {
       .groupBy(col("n"), col("dof"))
       .agg(round(sum(col("__term")), 6).as("chi2"))
   }
+
+  /** Two-proportion z-test — the A/B experiment readout: did variant A
+    * convert at a different rate than variant B, and by how many
+    * pooled standard errors. One aggregation pass collects the four
+    * exact counts; every derived number (rates, pooled rate, z) is a
+    * closed-form double over those exact longs — identical on any
+    * engine, rounded at 6 decimals. Degenerate pools (all-success,
+    * all-failure, an empty arm) yield null z.
+    *
+    * @param variantA boolean: row belongs to arm A
+    * @param success boolean outcome
+    * @return one row: (n_a, conv_a, n_b, conv_b, rate_a, rate_b, z)
+    */
+  def twoProportionZ(df: DataFrame, variantA: Column,
+                     success: Column): DataFrame = {
+    val agg = df.agg(
+      sum(when(variantA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(variantA && success, 1L).otherwise(0L)).as("conv_a"),
+      sum(when(!variantA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!variantA && success, 1L).otherwise(0L)).as("conv_b"))
+    def dd(c: String) = col(c).cast("double")
+    val p1 = dd("conv_a") / dd("n_a")
+    val p2 = dd("conv_b") / dd("n_b")
+    val pool = (dd("conv_a") + dd("conv_b")) / (dd("n_a") + dd("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / dd("n_a") + lit(1.0) / dd("n_b")))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0L, round(p1, 6)).as("rate_a"),
+      when(col("n_b") > 0L, round(p2, 6)).as("rate_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L &&
+        col("conv_a") + col("conv_b") > 0L &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        round((p1 - p2) / se, 6)).as("z"))
+  }
 }

@@ -95,4 +95,34 @@ object Transitions {
         round(col("ll_nano").cast("double") /
           col("n_transitions").cast("double") / lit(1e9), 6).as("mean_ll"))
   }
+
+  /** Most-common opening paths: each entity's first `maxLen` event
+    * types in (ts, type, tie) order joined with `>`, counted across
+    * entities, top `k` by (count desc, path asc) — the "how do users
+    * actually start" view behind every funnel hypothesis, and the
+    * aggregate [[transitionCounts]]' pairwise matrix can't show
+    * (a matrix loses ORDER beyond adjacent pairs).
+    *
+    * Shape: one entity-grain aggregate (`collect_list` → array sort →
+    * prefix slice — per-entity memory is the event count, bounded by
+    * the same reality that bounds any sessionization), one path-grain
+    * count, a k-row final sort. The tie column must make the per-
+    * entity order total or the path string is nondeterministic.
+    */
+  def topPaths(events: DataFrame, entityCol: String, tsCol: String,
+               typeCol: String, tieCol: String, maxLen: Int = 5,
+               k: Int = 20): DataFrame = {
+    require(maxLen >= 1 && k >= 1, s"maxLen=$maxLen k=$k")
+    val paths = events
+      .groupBy(col(entityCol))
+      .agg(array_sort(collect_list(struct(
+        col(tsCol).as("t"), col(typeCol).as("y"), col(tieCol).as("b"))))
+        .as("__seq"))
+      .select(array_join(
+        expr(s"transform(slice(__seq, 1, $maxLen), x -> x.y)"), ">")
+        .as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -87,6 +87,27 @@ class GraphSimSpec extends AnyFunSuite {
     assert(got(1L) !== got(10L))
   }
 
+  test("personalized PageRank: mass stays near seeds, unreachable nodes get zero") {
+    // seed 0 feeds a chain 0→1→2; node 9 points INTO the seed region
+    // but is unreachable FROM it → rank 0 under seeded teleport
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (9L, 1L)).toDF("s", "d")
+    val seeds = Seq(0L).toDF("id")
+    val got = graft.ops.PageRank
+      .ranksPersonalizedFixedPoint(e, "s", "d", seeds, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(9L) === 0L)
+    assert(got(0L) === got.values.max) // the seed keeps the most mass
+    assert(got(1L) > got(2L)) // closer to the seed → more mass
+    // conservation: total ≤ unit (floors only leak downward)
+    assert(got.values.sum <= 1000000000000L)
+    // exact replica of one round by hand: r0 = unit at seed; contribs
+    // r'(1) = 0.85 * (unit/1 from node 0) floored
+    val oneRound = graft.ops.PageRank
+      .ranksPersonalizedFixedPoint(e, "s", "d", seeds, "id", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound(1L) === 85L * 1000000000000L / 100L)
+  }
+
   test("BFS depths: shortest hop counts, budget bound, isolated seeds kept") {
     // path 1→2→3→4→5, plus a shortcut 1→4 (so 4 is depth 1, 5 depth 2)
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))

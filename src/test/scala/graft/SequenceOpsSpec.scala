@@ -198,6 +198,48 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(r.filter(_._1 == 3L).map(_._3).sorted.toSeq === Seq(30L, 30L))
   }
 
+  test("two-proportion z: separation sign, symmetric arms, degenerate nulls") {
+    import graft.ops.Stats
+    def z(rows: Seq[(Boolean, Boolean)]): java.lang.Double = {
+      val r = Stats.twoProportionZ(rows.toDF("a", "y"), col("a"), col("y"))
+        .head()
+      if (r.isNullAt(6)) null else r.getDouble(6)
+    }
+    // A converts 3/4, B converts 1/4 → strongly positive z
+    val sep = z(Seq((true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false)))
+    assert(sep > 1.0)
+    // swapping arms flips the sign exactly
+    val flipped = z(Seq((false, true), (false, true), (false, true),
+      (false, false), (true, true), (true, false), (true, false),
+      (true, false)))
+    assert(math.abs(sep + flipped) < 1e-9)
+    // identical rates → z = 0; all-success pool → null
+    assert(z(Seq((true, true), (true, false), (false, true),
+      (false, false))) === 0.0)
+    assert(z(Seq((true, true), (false, true))) === null)
+  }
+
+  test("topPaths: prefix order, tiebreaks, truncation at maxLen") {
+    import graft.ops.Transitions
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 10:01:00", "click", 2L),
+      (2L, "2024-01-01 09:00:00", "view", 3L),
+      (2L, "2024-01-01 09:02:00", "click", 4L),
+      (3L, "2024-01-01 08:00:00", "view", 5L),
+      (3L, "2024-01-01 08:01:00", "purchase", 6L),
+      // same-instant tie inside user 3's prefix orders by type
+      (3L, "2024-01-01 08:01:00", "click", 7L))
+      .toDF("u", "t", "y", "id")
+      .withColumn("t", col("t").cast("timestamp"))
+    val got = Transitions.topPaths(ev, "u", "t", "y", "id",
+        maxLen = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // maxLen=2 truncates user 3 to view>click (click < purchase at the tie)
+    assert(got === Map("view>click" -> 3L))
+  }
+
   // ----------------------------------------------------------- transitions
 
   test("transition counts pair consecutive events per entity in time order") {
