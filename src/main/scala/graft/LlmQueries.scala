@@ -582,6 +582,17 @@ object LlmQueries {
       .orderBy(col("bin"))
   }
 
+  /** Largest-remainder sampling quotas ([[Curation.quotaAllocate]]):
+    * 100k-doc budget split across sources by character mass — floored
+    * proportional shares topped up by remainder rank so the quotas
+    * sum to the budget exactly.
+    */
+  private def quotaAllocSources(s: SparkSession, dir: String): DataFrame =
+    Curation.quotaAllocate(tPar(s, dir, "documents")
+        .select(col("source"), col("n_chars")),
+        "source", "n_chars", budget = 100000L)
+      .orderBy(col("source"))
+
   /** Top-p curation cut ([[Curation.nucleusSelect]]): per source, the
     * best-half-by-character-mass prefix of documents (score desc,
     * crossing element included) — the quality-budgeted selection a
@@ -1159,6 +1170,7 @@ object LlmQueries {
     "simhash_near_pairs" -> (simhashNearPairs _),
     "calibration_curve_langid" -> (calibrationCurveLangid _),
     "nucleus_docs_by_source" -> (nucleusDocsBySource _),
+    "quota_alloc_sources" -> (quotaAllocSources _),
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
@@ -2476,6 +2488,26 @@ object LlmQueries {
          |)
          |SELECT doc_id, $SimhashSql AS simhash
          |FROM base ORDER BY doc_id""".stripMargin,
+    // same floored shares, same remainder rank, exact budget
+    "quota_alloc_sources" ->
+      """WITH g AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1
+        |), t AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM g),
+        |s AS (
+        |  SELECT source, weight,
+        |         (100000 * weight) // (SELECT w FROM t) AS share_floor,
+        |         (100000 * weight) % (SELECT w FROM t) AS rem
+        |  FROM g
+        |), r AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk,
+        |         CAST(sum(share_floor) OVER () AS BIGINT) AS spent
+        |  FROM s
+        |)
+        |SELECT source, weight, share_floor,
+        |       share_floor + CASE WHEN rk <= 100000 - spent THEN 1 ELSE 0 END AS alloc
+        |FROM r ORDER BY source""".stripMargin,
     // same (score desc, id) order, same exact-long crossing rule
     "nucleus_docs_by_source" ->
       """WITH w AS (

@@ -402,6 +402,25 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of ([[graft.ops.AsOf.asofJoinForward]]): each event
+    * matched to the user's NEXT order at or after it — the mirror
+    * lookup ("what did this touch lead to"), same union+carry window
+    * with the traversal reversed. DuckDB's ASOF with `<=` is the
+    * independent oracle.
+    */
+  private def eventsAsofNextOrders(s: SparkSession, dir: String): DataFrame = {
+    val ev = tPar(s, dir, "events").where(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val od = graft.ops.Windows.latestPerKey(
+        t(s, dir, "orders").select(
+          col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey")),
+        Seq("user_id", "o_orderdate"), Seq(col("o_orderkey").asc))
+    graft.ops.AsOf.asofJoinForward(ev, od, Seq("user_id"), "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("next_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   /** The SAME as-of semantics through the custom plan path
     * ([[graft.plans.AsOfJoinPlan]] → strategy → streaming-merge exec) —
     * an independent execution engine for the operator, checked by the
@@ -1960,6 +1979,7 @@ object SparkEntry {
     "distinct_counts" -> (distinctCounts _),
     "rollup_supplier_salted" -> (rollupSupplierSalted _),
     "events_asof_orders" -> (eventsAsofOrders _),
+    "events_asof_next_orders" -> (eventsAsofNextOrders _),
     "events_asof_orders_native" -> (eventsAsofOrdersNative _),
     "lineitem_in_order_window" -> (lineitemInOrderWindow _),
     "lineitem_in_order_window_native" -> (lineitemInOrderWindowNative _),
@@ -3114,6 +3134,18 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, od.o_orderkey AS asof_orderkey
         |FROM e ASOF LEFT JOIN od
         |  ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    // mirror semantics: ASOF with <= picks the earliest right >= left
+    "events_asof_next_orders" ->
+      """WITH od AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey ASC) = 1
+        |), e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE user_id < 50
+        |)
+        |SELECT e.event_id, e.user_id, od.o_orderkey AS next_orderkey
+        |FROM e ASOF LEFT JOIN od
+        |  ON e.user_id = od.user_id AND e.ts <= od.o_orderdate
         |ORDER BY event_id""".stripMargin,
     "events_asof_orders_native" ->
       """WITH od AS (

@@ -508,6 +508,51 @@ object Curation {
           col("n_tokens").cast("double"), 6).as("epochs"))
   }
 
+  /** Largest-remainder (Hamilton) quota allocation: split an integer
+    * `budget` across groups proportionally to a weight, with the
+    * floored shares topped up one unit at a time in order of largest
+    * fractional remainder (ties to the smaller group value) until the
+    * budget is EXACTLY exhausted — the standard way to turn
+    * [[temperatureAllocation]]-style real-valued shares into sampling
+    * quotas that actually sum to the budget (floors alone under-spend,
+    * naive rounding over-spends).
+    *
+    * Entirely integer: share = ⌊budget·w/W⌋, remainder = budget·w mod
+    * W, rank over remainders — bit-identical on any engine. Shape: one
+    * group-grain aggregate + a GROUP-grain rank window (a handful of
+    * sources, never data grain).
+    *
+    * Overflow envelope: `budget · w_g` must fit int64 — 10⁵ budgets
+    * over 10¹³-scale weights; rescale weights first past that.
+    *
+    * @return (groupCol, weight, share_floor, alloc) with
+    *         Σ alloc = budget (when Σ weight > 0)
+    */
+  def quotaAllocate(df: DataFrame, groupCol: String, weightCol: String,
+                    budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget")
+    val byG = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("long")).as("weight"))
+    val totals = byG.agg(sum(col("weight")).as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol).asc)
+    val whole = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byG.crossJoin(broadcast(totals))
+      .withColumn("share_floor",
+        expr(s"(${budget}L * weight) div __w"))
+      .withColumn("__rem", expr(s"(${budget}L * weight) % __w"))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__spent", sum(col("share_floor")).over(whole))
+      .withColumn("alloc",
+        col("share_floor") +
+          when(col("__rank") <= lit(budget) - col("__spent"), 1L)
+            .otherwise(0L))
+      .select(col(groupCol), col("weight"), col("share_floor"), col("alloc"))
+  }
+
   /** Top-p (nucleus) selection per group: order a group's documents by
     * (score desc, id) and keep the smallest prefix holding at least
     * `pMicro`/1e6 of the group's total score mass — the

@@ -57,6 +57,45 @@ object AsOf {
         (leftCols ++ rightCols).map(col): _*)
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right row
+    * with `rightTs >= leftTs` per key — "match the event to the next
+    * shipment/order", the mirror of [[asofJoin]]'s
+    * latest-at-or-before. Same union + carried-value window, with the
+    * order reversed: sort by (`__ts` desc, tag) and carry the newest
+    * right values backward; right-before-left on equal timestamps
+    * keeps `>=` inclusive. Identical one-shuffle scale shape; same
+    * unique-right-per-(key, ts) requirement.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == leftTs)
+    val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"overlapping non-key columns: ${leftCols.intersect(rightCols).mkString(",")}")
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType).as(c)
+
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).cast("timestamp").as("__ts"), lit(1).as("__tag")) ++
+        leftCols.map(col) ++ rightCols.map(nullOf(right, _)): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).cast("timestamp").as("__ts"), lit(0).as("__tag")) ++
+        leftCols.map(nullOf(left, _)) ++ rightCols.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).select(
+      keys.map(col) ++ Seq(col("__ts"), col("__tag")) ++ leftCols.map(col) ++
+        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    filled.where(col("__tag") === 1)
+      .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
+        (leftCols ++ rightCols).map(col): _*)
+  }
+
   /** The same as-of semantics as a FIRST-CLASS operator:
     * [[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinStrategy]] →
     * [[graft.plans.AsOfJoinExec]] streaming merge (custom-operator ladder

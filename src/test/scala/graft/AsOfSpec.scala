@@ -40,6 +40,28 @@ class AsOfSpec extends AnyFunSuite {
     assert(native.toSeq === out.toSeq)
   }
 
+  test("forward as-of picks earliest right >= left ts; inclusive; null after last") {
+    val left = Seq(
+      (1, "2024-01-10 00:00:00", "e1"), // equal ts → counts (inclusive)
+      (1, "2024-01-12 00:00:00", "e2"), // between rights → next (15th)
+      (1, "2024-01-20 00:00:00", "e3"), // after last right → null
+      (2, "2024-01-01 00:00:00", "e4")
+    ).toDF("k", "lts_s", "ev")
+      .select(col("k"), to_timestamp(col("lts_s")).as("lts"), col("ev"))
+    val right = Seq(
+      (1, "2024-01-10 00:00:00", 100),
+      (1, "2024-01-15 00:00:00", 150),
+      (2, "2024-03-01 00:00:00", 200)
+    ).toDF("k", "rts_s", "snap")
+      .select(col("k"), to_timestamp(col("rts_s")).as("rts"), col("snap"))
+    val out = AsOf.asofJoinForward(left, right, Seq("k"), "lts", "rts")
+      .orderBy("k", "lts")
+      .select("ev", "snap").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(out.toSeq === Seq(("e1", 100), ("e2", 150), ("e3", -1),
+      ("e4", 200)))
+  }
+
   test("a user column named __l_asof_ts is neither hijacked nor dropped") {
     // same time types → no internal cast column is added; the join must
     // run on lts, not the user's identically-named column, and the

@@ -364,6 +364,25 @@ class CurationSpec extends AnyFunSuite {
     assert(tiny === Set(("s1", 1L), ("s2", 4L)))
   }
 
+  test("quotaAllocate: exact budget, largest-remainder top-ups, tiebreak") {
+    // weights 3:3:4 over budget 11 → floors 3,3,4 (sum 10), remainders
+    // 3/10, 3/10, 4/10 scaled: 33%10=3, 33%10=3, 44%10=4 → one unit
+    // left goes to the largest remainder (c)
+    val df = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("g", "w")
+    val got = Curation.quotaAllocate(df, "g", "w", budget = 11L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map("a" -> ((3L, 3L)), "b" -> ((3L, 3L)),
+      "c" -> ((4L, 5L))))
+    assert(got.values.map(_._2).sum === 11L)
+    // remainder tie splits by group name: budget 10 over 1:1:1 →
+    // floors 3 each, remainder tie → a gets the extra
+    val tie = Curation.quotaAllocate(
+        Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("g", "w"),
+        "g", "w", budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tie === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
   test("drawdown tracks the running peak with exact cents") {
     val df = Seq(("k", 1, 100L), ("k", 2, 150L), ("k", 3, 90L),
       ("k", 4, 150L), ("k", 5, 200L))
