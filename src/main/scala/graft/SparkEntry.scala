@@ -625,6 +625,27 @@ object SparkEntry {
       .orderBy(col("c_nationkey"), col("yyyymm"))
   }
 
+  /** Rolling 6-month quantity↔revenue correlation per returnflag
+    * ([[graft.ops.Windows.rollingCorr]]): exact integer frame moments,
+    * one closed-form double per row — the time-varying dependence the
+    * single global correlation number hides.
+    */
+  private def rollingQtyPriceCorr(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)")
+          .as("yyyymm"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        // whole dollars (floored cents div 100): keeps n·Σy² inside
+        // int64 through sf0.1-scale monthly slices
+        sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 100L")).as("rev_usd"))
+    graft.ops.Windows.rollingCorr(monthly, Seq("l_returnflag"),
+        Seq(col("yyyymm")), col("qty"), col("rev_usd"), nRows = 6)
+      .orderBy(col("l_returnflag"), col("yyyymm"))
+  }
+
   /** Running revenue drawdown per supplier
     * ([[graft.ops.Windows.drawdown]]): distance below the running
     * monthly-revenue peak, exact cents + one rounded ratio — the
@@ -1994,6 +2015,7 @@ object SparkEntry {
     "zscore_acctbal_by_nation" -> (zscoreAcctbalByNation _),
     "mom_revenue_change" -> (momRevenueChange _),
     "revenue_drawdown_supplier" -> (revenueDrawdownSupplier _),
+    "rolling_qty_price_corr" -> (rollingQtyPriceCorr _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -3290,6 +3312,33 @@ object SparkEntry {
         |            THEN round(CAST(rev_cents - prev_cents AS DOUBLE)
         |                       / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
         |FROM lg ORDER BY c_nationkey, yyyymm""".stripMargin,
+    // same trailing-6 frame moments, same closed-form double per row
+    "rolling_qty_price_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS yyyymm,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100) AS BIGINT) AS rev_usd
+        |  FROM lineitem GROUP BY 1, 2
+        |), wm AS (
+        |  SELECT *,
+        |         CAST(count(*) OVER w AS BIGINT) AS n,
+        |         CAST(sum(qty) OVER w AS BIGINT) AS sx,
+        |         CAST(sum(rev_usd) OVER w AS BIGINT) AS sy,
+        |         CAST(sum(qty * rev_usd) OVER w AS BIGINT) AS sxy,
+        |         CAST(sum(qty * qty) OVER w AS BIGINT) AS sxx,
+        |         CAST(sum(rev_usd * rev_usd) OVER w AS BIGINT) AS syy
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY yyyymm
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT l_returnflag, yyyymm, qty, rev_usd,
+        |       CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |       END AS corr
+        |FROM wm ORDER BY l_returnflag, yyyymm""".stripMargin,
     // same running-max window, same exact cents + one rounded ratio
     "revenue_drawdown_supplier" ->
       """WITH m AS (

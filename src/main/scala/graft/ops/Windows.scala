@@ -160,6 +160,38 @@ object Windows {
     late.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Rolling Pearson correlation of two integer measures over the
+    * trailing `nRows`-row frame per key — time-varying dependence
+    * ("are quantity and price moving together THIS quarter"), where
+    * the global [[graft.ops.Stats.pearson]] gives one number for all
+    * history. The five frame moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as EXACT integer window sums; the correlation is one
+    * closed-form double per row over those longs — the same
+    * engine-stable discipline as the global op, applied per frame.
+    * Degenerate frames (fewer than 2 rows, zero variance) yield null.
+    * Same single-shuffle partitioned-window shape as [[runningTotal]].
+    */
+  def rollingCorr(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                  x: Column, y: Column, nRows: Int,
+                  as: String = "corr"): DataFrame = {
+    require(nRows >= 2, s"nRows=$nRows")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    val n = count(lit(1)).over(w)
+    val sx = sum(x).over(w)
+    val sy = sum(y).over(w)
+    val sxy = sum(x * y).over(w)
+    val sxx = sum(x * x).over(w)
+    val syy = sum(y * y).over(w)
+    val covn = n * sxy - sx * sy
+    val vxn = n * sxx - sx * sx
+    val vyn = n * syy - sy * sy
+    df.withColumn(as,
+      when(n > 1 && vxn > 0 && vyn > 0,
+        round(covn.cast("double") /
+          sqrt(vxn.cast("double") * vyn.cast("double")), 6)))
+  }
+
   /** Running drawdown per key: at each tick, how far the measure sits
     * below its running peak — the standard decline/health signal
     * ("revenue is 34% off its high") for any monotonically-watched

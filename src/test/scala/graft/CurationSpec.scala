@@ -383,6 +383,27 @@ class CurationSpec extends AnyFunSuite {
     assert(tie === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
   }
 
+  test("rollingCorr: perfect frames hit ±1, degenerate frames null") {
+    // y = 2x inside the frame → +1; then y flips to -x → the mixed
+    // frames sit strictly between; constant-x frames → null
+    val rows = Seq(("k", 1, 1L, 2L), ("k", 2, 2L, 4L), ("k", 3, 3L, 6L),
+      ("k", 4, 4L, 1L), ("k", 5, 5L, 0L),
+      ("c", 1, 7L, 1L), ("c", 2, 7L, 5L))
+    val got = graft.ops.Windows.rollingCorr(
+        rows.toDF("key", "t", "x", "y"), Seq("key"), Seq(col("t")),
+        col("x"), col("y"), nRows = 3)
+      .orderBy(col("key"), col("t"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(4)) null else r.getDouble(4).asInstanceOf[AnyRef]))
+    val k = got.filter(_._1 == "k").map(_._3)
+    assert(k(0) === null) // frame of 1
+    assert(k(1) === 1.0 && k(2) === 1.0) // linear frames
+    assert(k(3).asInstanceOf[Double] < 1.0)
+    assert(k(4).asInstanceOf[Double] < 0.0) // declining tail dominates
+    // constant x → zero variance → null at both c rows
+    assert(got.filter(_._1 == "c").forall(_._3 == null))
+  }
+
   test("drawdown tracks the running peak with exact cents") {
     val df = Seq(("k", 1, 100L), ("k", 2, 150L), ("k", 3, 90L),
       ("k", 4, 150L), ("k", 5, 200L))
