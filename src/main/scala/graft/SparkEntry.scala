@@ -325,6 +325,41 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Session-grain bot screening ([[graft.ops.Windows.sessionStats]]):
+    * rate + inter-arrival regularity per session — scripted traffic is
+    * fast AND metronomic (n²-scaled gap variance near zero at high
+    * events/min), humans are bursty. Exact integer gap moments.
+    */
+  private def sessionBotScores(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.sessionStats(
+        t(s, dir, "events").where(col("user_id") < 300), "user_id", "ts",
+        Seq(col("ts"), col("event_id")), gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Clamped stock balance ([[graft.ops.Inventory.clampedBalance]]):
+    * per part, order receipts (+qty at order date) and shipments
+    * (−qty at ship date) replayed with the balance floored at zero via
+    * the two-scan identity b = P − min(0, min prefix) — no sequential
+    * recursion — plus the lost-demand units the clamp swallowed.
+    */
+  private def stockBalanceParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_partkey") < 50)
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    val qty = col("l_quantity").cast("long")
+    val receipts = li.select(col("l_partkey").as("part"),
+      col("o_orderdate").cast("date").as("dt"), lit(0).as("kind"),
+      col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+      qty.as("delta"))
+    val issues = li.select(col("l_partkey").as("part"),
+      col("l_shipdate").cast("date").as("dt"), lit(1).as("kind"),
+      col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+      (-qty).as("delta"))
+    graft.ops.Inventory.clampedBalance(receipts.unionByName(issues),
+        Seq("part"), Seq(col("dt"), col("kind"), col("okey"), col("ln")),
+        "delta")
+      .orderBy(col("part"), col("dt"), col("kind"), col("okey"), col("ln"))
+  }
+
   /** Watermark-sizing audit ([[graft.ops.Windows.latenessStats]]):
     * replay events per user in event-id (arrival) order, track the
     * event-time high-water mark, and report how many events trail it by
@@ -1994,6 +2029,8 @@ object SparkEntry {
     "latest_order_per_customer" -> (latestOrderPerCustomer _),
     "running_lineitem_total" -> (runningLineitemTotal _),
     "user_sessions" -> (userSessions _),
+    "session_bot_scores" -> (sessionBotScores _),
+    "stock_balance_parts" -> (stockBalanceParts _),
     "cube_lineitem" -> (cubeLineitem _),
     "grouping_sets_lineitem" -> (groupingSetsLineitem _),
     "watermark_lateness_events" -> (watermarkLatenessEvents _),
@@ -3092,6 +3129,74 @@ object SparkEntry {
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // same two-scan clamp identity (spec-proven ≡ the sequential
+    // recursion), same lost-demand formula
+    "stock_balance_parts" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS part, l_orderkey AS okey, l_linenumber AS ln,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey < 50
+        |), mv AS (
+        |  SELECT part, CAST(o_orderdate AS DATE) AS dt, 0 AS kind, okey, ln,
+        |         qty AS delta FROM li
+        |  UNION ALL
+        |  SELECT part, CAST(l_shipdate AS DATE) AS dt, 1 AS kind, okey, ln,
+        |         -qty AS delta FROM li
+        |), pf0 AS (
+        |  SELECT *, CAST(sum(delta) OVER w AS BIGINT) AS p
+        |  FROM mv
+        |  WINDOW w AS (PARTITION BY part ORDER BY dt, kind, okey, ln
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), sc AS (
+        |  SELECT *,
+        |         least(0, CAST(min(p) OVER w AS BIGINT)) AS f,
+        |         least(0, COALESCE(CAST(min(p) OVER wp AS BIGINT), 0)) AS pf
+        |  FROM pf0
+        |  WINDOW w AS (PARTITION BY part ORDER BY dt, kind, okey, ln
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wp AS (PARTITION BY part ORDER BY dt, kind, okey, ln
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT part, dt, kind, okey, ln, delta,
+        |       p - f AS balance,
+        |       greatest(0, pf - p) AS lost_units
+        |FROM sc ORDER BY part, dt, kind, okey, ln""".stripMargin,
+    // same session boundaries, same floored-second gap moments
+    "session_bot_scores" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap0
+        |  FROM events WHERE user_id < 300
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *,
+        |         sum(CASE WHEN gap0 IS NULL OR gap0 > 1800 THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), sg AS (
+        |  SELECT user_id, session_id, sec,
+        |         sec - lag(sec) OVER (PARTITION BY user_id, session_id
+        |                              ORDER BY ts, event_id) AS gap
+        |  FROM s
+        |), agg AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec,
+        |         CAST(count(gap) AS BIGINT) AS ng,
+        |         CAST(COALESCE(sum(gap), 0) AS BIGINT) AS sg2,
+        |         CAST(COALESCE(sum(gap * gap), 0) AS BIGINT) AS sgg
+        |  FROM sg GROUP BY 1, 2
+        |)
+        |SELECT user_id, session_id, n_events, duration_sec,
+        |       CASE WHEN duration_sec > 0
+        |            THEN round(CAST(n_events AS DOUBLE) * 60.0
+        |                       / CAST(duration_sec AS DOUBLE), 6) END AS events_per_min,
+        |       CASE WHEN ng > 1 THEN ng * sgg - sg2 * sg2 END AS gap_var_n2
+        |FROM agg ORDER BY user_id, session_id""".stripMargin,
     "cube_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,

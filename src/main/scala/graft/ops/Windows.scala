@@ -160,6 +160,48 @@ object Windows {
     late.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Session-grain behavior stats — the bot/abuse screening table: per
+    * [[sessionize]]d session, the event count, duration, rate, and the
+    * inter-arrival regularity (n·Σg²−(Σg)² over integer-second gaps).
+    * Humans are bursty (high gap variance at a modest rate); scripted
+    * traffic is fast AND metronomic (high rate, near-zero variance) —
+    * the two columns a reviewer thresholds jointly.
+    *
+    * Exactness: gaps are floored-epoch second diffs, moments exact
+    * longs, the rate one rounded division. Shape: the sessionize
+    * window plus one session-grain aggregate — same shuffle as any
+    * sessionization.
+    *
+    * @return (key, session_id, n_events, duration_sec, events_per_min,
+    *         gap_var_n2) — gap_var_n2 is the n²-scaled variance
+    *         n·Σg²−(Σg)² (exact; 0 for metronomic, null if < 2 gaps)
+    */
+  def sessionStats(df: DataFrame, key: String, ts: String,
+                   order: Seq[Column], gapSeconds: Long): DataFrame = {
+    val sess = sessionize(df, key, ts, order, gapSeconds)
+    val w = Window.partitionBy(col(key), col("session_id"))
+      .orderBy(order: _*)
+    // unix_timestamp ≡ floor(epoch): the repo-wide second-floor rule
+    // for sub-second event timestamps
+    val sec = unix_timestamp(col(ts))
+    val gap = sec - unix_timestamp(lag(col(ts), 1).over(w))
+    sess.withColumn("__sec", sec).withColumn("__gap", gap)
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("__sec")) - min(col("__sec"))).as("duration_sec"),
+        count(col("__gap")).as("__ng"),
+        coalesce(sum(col("__gap")), lit(0L)).as("__sg"),
+        coalesce(sum(col("__gap") * col("__gap")), lit(0L)).as("__sgg"))
+      .select(col(key), col("session_id"), col("n_events"),
+        col("duration_sec"),
+        when(col("duration_sec") > 0L,
+          round(col("n_events").cast("double") * 60.0 /
+            col("duration_sec").cast("double"), 6)).as("events_per_min"),
+        when(col("__ng") > 1L,
+          col("__ng") * col("__sgg") - col("__sg") * col("__sg"))
+          .as("gap_var_n2"))
+  }
+
   /** Rolling Pearson correlation of two integer measures over the
     * trailing `nRows`-row frame per key — time-varying dependence
     * ("are quantity and price moving together THIS quarter"), where

@@ -120,6 +120,26 @@ class FrontierOpsSpec extends AnyFunSuite {
     (s, b)
   }
 
+  test("clampedBalance: two-scan identity equals the sequential max(0,·) recursion") {
+    // deterministic pseudo-random movements, including deep deficits
+    val deltas = (0 until 60).map(i => ((i * 2654435761L) % 21) - 10L)
+    val rows = deltas.zipWithIndex.map { case (d, i) => ("p", i, d) } ++
+      Seq(("q", 0, -5L), ("q", 1, 3L), ("q", 2, -1L)) // starts in deficit
+    val got = graft.ops.Inventory.clampedBalance(
+        rows.toDF("k", "t", "d"), Seq("k"), Seq(col("t")), "d")
+      .orderBy(col("k"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    def sequential(ds: Seq[Long]): Seq[(Long, Long)] =
+      ds.scanLeft((0L, 0L)) { case ((b, _), d) =>
+        val cand = b + d
+        (math.max(0L, cand), math.max(0L, -cand))
+      }.tail
+    assert(got.filter(_._1 == "p").map(t => (t._2, t._3)).toSeq ===
+      sequential(deltas))
+    assert(got.filter(_._1 == "q").map(t => (t._2, t._3)).toSeq ===
+      Seq((0L, 5L), (3L, 0L), (2L, 0L)))
+  }
+
   test("holtLinear matches the integer replica; declining series go negative-trend") {
     // rising series for key r, steadily declining for key d (the
     // negative-trend path exercises FLOOR division, where truncation
