@@ -660,6 +660,35 @@ object SparkEntry {
       .orderBy(col("c_nationkey"), col("yyyymm"))
   }
 
+  /** Binned numeric mutual information
+    * ([[graft.ops.Eval.mutualInformation]] over integer bin grids):
+    * does quantity carry information about price band — the
+    * dependence measure correlation misses when the relationship is
+    * non-monotone.
+    */
+  private def qtyPriceMiBinned(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem").select(
+      expr("(CAST(l_quantity AS BIGINT) - 1L) div 5L").as("qbin"),
+      expr("least(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT) div 1000000L, 9L)").as("pbin"))
+    graft.ops.Eval.mutualInformation(src, col("qbin"), col("pbin"))
+  }
+
+  /** Revenue concentration per nation ([[graft.ops.Stats.gini]]):
+    * Gini over each nation's per-customer order totals — exact
+    * rank-weighted long sums, one rounded division.
+    */
+  private def giniRevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    graft.ops.Stats.gini(perCust, "c_nationkey", "cents")
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Rolling 6-month quantity↔revenue correlation per returnflag
     * ([[graft.ops.Windows.rollingCorr]]): exact integer frame moments,
     * one closed-form double per row — the time-varying dependence the
@@ -2053,6 +2082,8 @@ object SparkEntry {
     "mom_revenue_change" -> (momRevenueChange _),
     "revenue_drawdown_supplier" -> (revenueDrawdownSupplier _),
     "rolling_qty_price_corr" -> (rollingQtyPriceCorr _),
+    "qty_price_mi_binned" -> (qtyPriceMiBinned _),
+    "gini_revenue_by_nation" -> (giniRevenueByNation _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -3417,6 +3448,58 @@ object SparkEntry {
         |            THEN round(CAST(rev_cents - prev_cents AS DOUBLE)
         |                       / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
         |FROM lg ORDER BY c_nationkey, yyyymm""".stripMargin,
+    // same bin grids, same entropy/MI expression tree as lang_source_mi
+    "qty_price_mi_binned" ->
+      """WITH cm AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS a,
+        |         least(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000, 9) AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), rt AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cm GROUP BY 1
+        |), ct AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1
+        |), t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cm
+        |), ha AS (
+        |  SELECT sum(-(CAST(ra AS DOUBLE) / CAST(tt AS DOUBLE))
+        |             * ln(CAST(ra AS DOUBLE) / CAST(tt AS DOUBLE))) AS ha
+        |  FROM rt, t
+        |), hb AS (
+        |  SELECT sum(-(CAST(cb AS DOUBLE) / CAST(tt AS DOUBLE))
+        |             * ln(CAST(cb AS DOUBLE) / CAST(tt AS DOUBLE))) AS hb
+        |  FROM ct, t
+        |), mi AS (
+        |  SELECT max(tt) AS n,
+        |         sum((CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+        |             * ln(CAST(c AS DOUBLE) * CAST(tt AS DOUBLE)
+        |                  / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))) AS mi
+        |  FROM cm JOIN rt USING (a) JOIN ct USING (b), t
+        |)
+        |SELECT n, round(mi, 6) AS mi,
+        |       CASE WHEN ha > 0 AND hb > 0
+        |            THEN round(mi / sqrt(ha * hb), 6) END AS nmi
+        |FROM mi, ha, hb""".stripMargin,
+    // same sorted-rank identity, exact rank-weighted sums
+    "gini_revenue_by_nation" ->
+      """WITH pc AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT c_nationkey, cents,
+        |         CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY cents) AS BIGINT) AS i
+        |  FROM pc
+        |), a AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS total_cents,
+        |         CAST(sum(i * cents) AS BIGINT) AS t
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT c_nationkey, n, total_cents,
+        |       CASE WHEN total_cents > 0
+        |            THEN round(2.0 * CAST(t AS DOUBLE)
+        |                       / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+        |                       - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS gini
+        |FROM a ORDER BY c_nationkey""".stripMargin,
     // same trailing-6 frame moments, same closed-form double per row
     "rolling_qty_price_corr" ->
       """WITH m AS (

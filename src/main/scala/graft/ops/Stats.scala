@@ -142,6 +142,37 @@ object Stats {
       .agg(round(sum(col("__term")), 6).as("chi2"))
   }
 
+  /** Per-group Gini coefficient of an integer (cents) measure — the
+    * concentration number behind "the top customers are 80% of
+    * revenue": 0 = perfectly even, →1 = one member holds everything.
+    * Computed from the sorted-rank identity
+    * {{{ G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n }}}
+    * with ranks from a per-GROUP window (group sizes are the bound,
+    * never the table) and Σ i·x as an exact long — tied values make
+    * the rank order ambiguous but leave Σ i·x invariant (a tied block
+    * contributes its fixed position-sum × the common value), so the
+    * result is deterministic without a tiebreak. One rounded division
+    * at the end; zero-total groups null.
+    *
+    * Overflow envelope: `rank·x` sums must fit int64 — cent-scale
+    * members up to ~10⁵ rows per group; pre-scale past that.
+    */
+  def gini(df: DataFrame, groupCol: String, centsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x").asc)
+    df.select(col(groupCol), col(centsCol).cast("long").as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total_cents"),
+        sum(col("__i") * col("__x")).as("__t"))
+      .select(col(groupCol), col("n"), col("total_cents"),
+        when(col("total_cents") > 0L,
+          round(lit(2.0) * col("__t").cast("double") /
+            (col("n").cast("double") * col("total_cents").cast("double")) -
+            (col("n") + 1L).cast("double") / col("n").cast("double"), 6))
+          .as("gini"))
+  }
+
   /** Two-proportion z-test — the A/B experiment readout: did variant A
     * convert at a different rate than variant B, and by how many
     * pooled standard errors. One aggregation pass collects the four

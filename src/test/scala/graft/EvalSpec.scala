@@ -93,6 +93,29 @@ class EvalSpec extends AnyFunSuite {
     assert(auc(Seq((5L, true), (6L, true))) === null)
   }
 
+  test("gini: uniform is 0, concentrated approaches 1, tie-order invariant") {
+    import graft.ops.Stats
+    val df = Seq(
+      ("even", 10L), ("even", 10L), ("even", 10L), ("even", 10L),
+      ("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 100L),
+      ("zero", 0L), ("zero", 0L))
+      .toDF("g", "cents")
+    val got = Stats.gini(df, "g", "cents")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3).asInstanceOf[AnyRef]))
+      .toMap
+    assert(got("even") === 0.0)
+    // one of four holds all: G = 2·(4·100)/(4·100) − 5/4 = 0.75
+    assert(got("conc") === 0.75)
+    assert(got("zero") === null)
+    // ties: any rank order of equal values gives the same Σi·x
+    val shuffled = Stats.gini(df.orderBy(rand(7)), "g", "cents")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3).asInstanceOf[AnyRef]))
+      .toMap
+    assert(shuffled === got)
+  }
+
   test("calibrationCurve: width bins, clamps, exact counts, both rates") {
     val rows = Seq(
       (50000L, false), (150000L, false), (150000L, true),
