@@ -660,6 +660,60 @@ object SparkEntry {
       .orderBy(col("c_nationkey"), col("yyyymm"))
   }
 
+  /** 80/20 concentration: the smallest set of brands covering 80% of
+    * revenue (the nucleus crossing rule at brand grain) plus their
+    * count and combined share — the one-row "how top-heavy is this
+    * dimension" readout.
+    */
+  private def pareto8020Brands(s: SparkSession, dir: String): DataFrame = {
+    val byBrand = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val kept = graft.llm.Curation.nucleusSelect(
+      byBrand.withColumn("__all", lit(1)), "__all", "p_brand", "cents",
+      pMicro = 800000L)
+    val keptAgg = kept.agg(count(lit(1)).as("n_top"),
+      sum(col("cents")).as("top_cents"))
+    val totals = byBrand.agg(count(lit(1)).as("n_brands"),
+      sum(col("cents")).as("total_cents"))
+    totals.crossJoin(broadcast(keptAgg))
+      .select(col("n_brands"), col("n_top"), col("total_cents"),
+        col("top_cents"),
+        round(col("top_cents").cast("double") /
+          col("total_cents").cast("double"), 6).as("top_share"))
+  }
+
+  /** Composition shift: order-priority mix share in the first vs last
+    * order year, with exact counts and rounded share deltas — the
+    * "did the mix move" audit between two periods.
+    */
+  private def priorityMixShift(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
+    val bounds = o.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+    val tagged = o.crossJoin(broadcast(bounds))
+      .where(col("yr") === col("y0") || col("yr") === col("y1"))
+      .select(col("o_orderpriority").as("priority"),
+        when(col("yr") === col("y0"), "first").otherwise("last").as("period"))
+    val counts = tagged.groupBy(col("priority"))
+      .agg(sum(when(col("period") === "first", 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("period") === "last", 1L).otherwise(0L)).as("n_last"))
+    val totals = counts.agg(sum(col("n_first")).as("__tf"),
+      sum(col("n_last")).as("__tl"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("priority"), col("n_first"), col("n_last"),
+        round(col("n_first").cast("double") / col("__tf").cast("double"), 6)
+          .as("share_first"),
+        round(col("n_last").cast("double") / col("__tl").cast("double"), 6)
+          .as("share_last"),
+        round(col("n_last").cast("double") / col("__tl").cast("double") -
+          col("n_first").cast("double") / col("__tf").cast("double"), 6)
+          .as("share_delta"))
+      .orderBy(col("priority"))
+  }
+
   /** Binned numeric mutual information
     * ([[graft.ops.Eval.mutualInformation]] over integer bin grids):
     * does quantity carry information about price band — the
@@ -2084,6 +2138,8 @@ object SparkEntry {
     "rolling_qty_price_corr" -> (rollingQtyPriceCorr _),
     "qty_price_mi_binned" -> (qtyPriceMiBinned _),
     "gini_revenue_by_nation" -> (giniRevenueByNation _),
+    "pareto_80_20_brands" -> (pareto8020Brands _),
+    "priority_mix_shift" -> (priorityMixShift _),
     "quantile_quantity" -> (quantileQuantity _),
     "heavy_hitter_brands" -> (heavyHitterBrands _),
     "zorder_locality" -> (zorderLocality _),
@@ -3448,6 +3504,50 @@ object SparkEntry {
         |            THEN round(CAST(rev_cents - prev_cents AS DOUBLE)
         |                       / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
         |FROM lg ORDER BY c_nationkey, yyyymm""".stripMargin,
+    // same nucleus crossing rule at brand grain, same rounded share
+    "pareto_80_20_brands" ->
+      """WITH b AS (
+        |  SELECT p_brand,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+        |), w AS (
+        |  SELECT p_brand, cents,
+        |         COALESCE(CAST(sum(cents) OVER (ORDER BY cents DESC, p_brand
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before,
+        |         CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM b
+        |), k AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_top,
+        |         CAST(sum(cents) AS BIGINT) AS top_cents
+        |  FROM w WHERE before * 1000000 < 800000 * total
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_brands,
+        |         CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM b
+        |)
+        |SELECT n_brands, n_top, total_cents, top_cents,
+        |       round(CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) AS top_share
+        |FROM t CROSS JOIN k""".stripMargin,
+    // same first/last-year tagging, same exact counts + share deltas
+    "priority_mix_shift" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority, year(o_orderdate) AS yr FROM orders
+        |), bd AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM o),
+        |c AS (
+        |  SELECT priority,
+        |         CAST(sum(CASE WHEN yr = (SELECT y0 FROM bd) THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |         CAST(sum(CASE WHEN yr = (SELECT y1 FROM bd) THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+        |  FROM o WHERE yr IN (SELECT y0 FROM bd) OR yr IN (SELECT y1 FROM bd)
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_first) AS BIGINT) AS tf,
+        |         CAST(sum(n_last) AS BIGINT) AS tl FROM c
+        |)
+        |SELECT priority, n_first, n_last,
+        |       round(CAST(n_first AS DOUBLE) / tf, 6) AS share_first,
+        |       round(CAST(n_last AS DOUBLE) / tl, 6) AS share_last,
+        |       round(CAST(n_last AS DOUBLE) / tl - CAST(n_first AS DOUBLE) / tf, 6) AS share_delta
+        |FROM c CROSS JOIN t ORDER BY priority""".stripMargin,
     // same bin grids, same entropy/MI expression tree as lang_source_mi
     "qty_price_mi_binned" ->
       """WITH cm AS (
