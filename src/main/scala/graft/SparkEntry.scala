@@ -1803,7 +1803,11 @@ object SparkEntry {
         (lit(1000000L) + col("l_suppkey")).as("b"))
     val edges = base.select(col("a").as("src"), col("b").as("dst"))
       .union(base.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
+    // every-5th-supplier seed cohort: present at every scale factor
+    // (a nation-keyed cohort vanishes from tiny fixtures, and a
+    // zero-seed graph degrades to the empty frame by contract)
+    val seeds = t(s, dir, "supplier")
+      .where(pmod(col("s_suppkey"), lit(5)) === 0)
       .select((lit(1000000L) + col("s_suppkey")).as("id"))
     graft.ops.PageRank.ranksPersonalizedFixedPoint(edges, "src", "dst",
         seeds, "id", iters = 3)
@@ -2630,7 +2634,7 @@ object SparkEntry {
           |         CAST(o_custkey AS BIGINT) AS dst
           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin,
         """SELECT CAST(1000000 + s_suppkey AS BIGINT) AS id
-          |FROM supplier WHERE s_nationkey = 0""".stripMargin,
+          |FROM supplier WHERE s_suppkey % 5 = 0""".stripMargin,
         iters = 3),
     // same capped-neighbor contract, same floored micro-Jaccard
     "supplier_neighbor_jaccard" ->

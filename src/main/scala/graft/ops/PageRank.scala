@@ -195,7 +195,19 @@ object PageRank {
         coalesce(col("__seed"), lit(0L)).as("__seed"))
       .localCheckpoint(true)
     val nSeeds = base.agg(sum(col("__seed"))).head().getLong(0)
-    require(nSeeds > 0, "no seed appears in the graph")
+    if (nSeeds == 0) {
+      // no seed intersects the graph → zero trust everywhere. Return
+      // the empty frame rather than throwing: a throwing query builder
+      // poisons every all-query sweep (the r6 as-of lesson), and small
+      // fixtures legitimately miss a seed cohort.
+      CheckpointBridge.release(e)
+      CheckpointBridge.release(base)
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("rank_fp", LongType))))
+    }
     val basePart = ((dampDen - dampNum) * unit / dampDen) / nSeeds
     var cur = base.withColumn("rank",
         col("__seed") * lit(unit / nSeeds)).localCheckpoint(true)

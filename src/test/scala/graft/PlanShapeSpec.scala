@@ -100,7 +100,12 @@ class PlanShapeSpec extends AnyFunSuite {
             // 1-row max-renormalizer broadcasts over the dims-grain grid
             "pca_top_component",
             // 1-row (N, G) totals broadcast onto the category grain
-            "target_encode_brand")(name))
+            "target_encode_brand",
+            // 1-row totals/bounds broadcasts onto bounded grains: the
+            // bin grid (MI), the source table (quota), the brand table
+            // (pareto), the year-bounds + priority mix (shift)
+            "qty_price_mi_binned", "quota_alloc_sources",
+            "pareto_80_20_brands", "priority_mix_shift")(name))
     }
     assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
   }
