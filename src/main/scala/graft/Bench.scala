@@ -81,65 +81,52 @@ object Bench {
       s"\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
     val total = best.values.flatten.sum
-    // The 49 s baseline (BASELINE.md) was recorded over the round-1/2
-    // query set; queries added since are broken out so the baseline
-    // comparison stays apples-to-apples as the surface grows.
-    val addedSinceBaseline = Set(
-      "pii_scrub_stats", "benchmark_contamination", "stratified_sample_stats",
-      "repetition_stats", "weighted_mix_stats", "packing_plan",
-      "curated_corpus_stats", "events_asof_orders_native",
-      "lineitem_in_order_window", "near_dedup_survivors",
-      "near_dup_clusters", "doc_chunks", "frame_sample_plan",
-      "profile_lineitem", "resize_plan", "near_dup_clusters_logstar",
-      "lineitem_in_order_window_native", "packing_plan_global",
-      "knn_cosine_multiprobe", "heavy_hitter_brands", "knn_cosine_ivf",
-      "winnow_fingerprints", "topk_docs_per_lang", "zorder_locality",
-      "rollup_quarterly_from_monthly", "distinct_sketch_customers",
-      "winnow_dup_pairs", "bloom_pruned_revenue", "token_entropy",
-      "quantile_sketch_quantity", "snowflake_region_revenue",
-      "pivot_returnflag_qty", "unpivot_order_metrics",
-      "rollup_flag_status", "ntile_customers",
-      "trailing_revenue_90d", "order_gap_days",
-      "near_dedup_survivors_exact", "audio_window_plan",
-      "curation_funnel_near", "winnow_dup_clusters", "ngram_repetition",
-      "source_cap_stats", "edit_sim_pairs", "boilerplate_strip_stats",
-      "semantic_dedup_stats", "scd2_customer_history",
-      "snapshot_diff_customers", "order_interval_stats",
-      "part_triangle_counts", "order_price_outliers", "pps_sample_orders",
-      "funnel_view_click_purchase", "cohort_retention_daily",
-      "densified_customer_months", "price_drift_psi",
-      "event_transitions", "winsorized_order_totals",
-      "supplier_revenue_trend", "attribution_last_touch",
-      "attribution_linear", "qty_price_correlation", "chi2_priority_status",
-      "unicode_fingerprint_stats", "containment_pairs", "cms_brand_counts",
-      "table_fingerprint_orders", "lm_quality_score",
-      "source_overlap_sketch", "weighted_reservoir_docs",
-      "price_histogram", "cms_join_size", "k_anonymity_customers",
-      "ks_price_drift", "incremental_rollup_orders", "pagerank_trade_graph",
-      "dataset_split_stats", "setsim_prefix_pairs", "setsim_snm_pairs",
-      "sparse_cosine_pairs", "zipf_fit", "linkage_snm_scores",
-      "hilbert_locality", "bm25_top_docs", "log_odds_terms",
-      "equi_depth_hist_orders",
-      // round 7
-      "grouping_sets_lineitem", "watermark_lateness_events",
-      "orc_roundtrip", "l_diversity_customers", "dp_noisy_counts_nation",
-      "token_count_model", "substring_dup_spans", "substring_dup_stats",
-      "temperature_mix_langs", "flesch_by_lang", "url_domain_stats",
-      "benford_order_totals", "fd_audit_orders", "seasonal_indices_orders",
-      "market_basket_brands", "time_weighted_value", "decayed_brand_counts",
-      "jw_name_similarity", "purchase_value_auc", "changepoint_event_volume",
-      "collocations_pmi", "lang_id_eval", "lang_id_kappa",
-      "user_sequence_likelihood", "qty_price_spearman",
-      "lang_source_mi", "length_pctl_by_source",
-      "order_volume_acf", "rolling_median_supplier", "pareto_parts",
-      "golden_customer_records", "knn_cosine_pq", "ann_rbo_eval",
-      "jl_projection_pairs", "pca_top_component", "expectations_orders",
-      "running_distinct_users", "attribution_time_decay",
-      "phrase_match_docs", "funnel_time_to_convert",
-      "top_brands_with_other", "nation_revenue_share",
-      "weighted_median_price", "label_scatter_embeddings")
+    // The 49 s baseline (BASELINE.md) was recorded over EXACTLY these
+    // 38 round-1/2 queries. An ALLOWLIST, not a since-baseline denylist:
+    // a denylist silently rots every time a round adds queries (it
+    // inflated the subset in r6 AND again in r7) - a fixed allowlist
+    // cannot.
+    val baselineQueries = Set(
+      "cube_lineitem",
+      "curated_upsert",
+      "dedup_exact_stats",
+      "dim_customer",
+      "distinct_counts",
+      "dq_non_negative",
+      "dq_unique_keys",
+      "dsv_roundtrip",
+      "dup_groups_events",
+      "embedding_near_dups",
+      "events_asof_orders",
+      "fact_orders_monthly",
+      "knn_cosine_brute",
+      "knn_cosine_bucketed",
+      "knn_cosine_lsh",
+      "lang_id_pred",
+      "latest_order_per_customer",
+      "minhash_dup_pairs",
+      "minhash_signatures",
+      "minhash_signatures_agg",
+      "multimodal_features",
+      "ngram_jaccard_pairs",
+      "orders_without_lineitem",
+      "quantile_quantity",
+      "raw_roundtrip",
+      "rollup_reconcile",
+      "rollup_supplier",
+      "rollup_supplier_salted",
+      "running_lineitem_total",
+      "simhash_fingerprints",
+      "staging_events_monthly",
+      "star_join_revenue",
+      "text_stats",
+      "tfidf_top_terms",
+      "tolerant_casts_probe",
+      "top_brands_by_revenue",
+      "user_sessions",
+      "vocab_stats")
     val baselineSubsetTotal =
-      best.filterNot(kv => addedSinceBaseline(kv._1)).values.flatten.sum
+      best.filter(kv => baselineQueries(kv._1)).values.flatten.sum
     val passTotals = allPasses.map(_.values.map(_._1).sum)
       .mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
