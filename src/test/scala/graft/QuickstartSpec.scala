@@ -440,4 +440,37 @@ class QuickstartSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(spark.read.parquet(s"$root/drift_metrics").count() === 1)
   }
+
+  test("quickstart: graph scores, curation cuts, compaction planning") {
+    import graft.ops.{Bfs, Communities, Compaction, Hits}
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (3L, 12L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    // README: hub/authority, communities, hop depths
+    val ha = Hits.scoresFixedPoint(edges, "src", "dst", iters = 3)
+    assert(ha.columns.toSeq === Seq("id", "hub_fp", "auth_fp"))
+    assert(ha.count() === 6)
+    val comm = Communities.labelPropagation(edges, "src", "dst", iters = 3)
+    assert(comm.count() === 6)
+    val depths = Bfs.depths(edges, "src", "dst", seeds, "id", maxDepth = 3)
+    assert(depths.where(col("depth") === 1L).count() === 2) // 10 and 11
+
+    import graft.llm.Curation
+    val docs = Seq(("s1", 1L, 60L), ("s1", 2L, 30L), ("s1", 3L, 10L),
+      ("s2", 4L, 5L)).toDF("source", "doc_id", "n_chars")
+    // README: nucleus cut + exact quotas
+    val best = Curation.nucleusSelect(docs, "source", "doc_id", "n_chars",
+      pMicro = 500000L)
+    assert(best.where(col("source") === "s1").count() === 1) // 60 covers half
+    val quotas = Curation.quotaAllocate(docs, "source", "n_chars",
+      budget = 100000L)
+    assert(quotas.agg(sum(col("alloc"))).head().getLong(0) === 100000L)
+
+    // README: compaction planning
+    val inventory = Seq(("p", "a", 100L), ("p", "b", 100L), ("p", "c", 50L))
+      .toDF("part", "file", "bytes")
+    val bins = Compaction.planSummary(inventory, "part", "file", "bytes",
+      targetBytes = 134217728L)
+    assert(bins.count() === 1) // everything fits one target bin
+  }
 }
