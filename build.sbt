@@ -51,7 +51,10 @@ val suiteWeights: Map[String, Double] = Map(
   // directionally right); streaming restart suites dominate
   "graft.DedupStreamSpec" -> 40, "graft.LlmSpec" -> 40,
   "graft.CurationSpec" -> 35, "graft.QuickstartSpec" -> 34,
-  "graft.PlanShapeSpec" -> 26, "graft.PageRankSpec" -> 22,
+  // PlanShapeSpec and ContractSpec sweep ALL contract queries; their
+  // cost tracks the (now 200-query) surface, not their test count
+  "graft.PlanShapeSpec" -> 220, "graft.ContractSpec" -> 200,
+  "graft.PageRankSpec" -> 22,
   "graft.ScaleStressSpec" -> 20, "graft.SessionizeStreamSpec" -> 20,
   "graft.SetSimSpec" -> 28,
   "graft.RangeJoinSpec" -> 18, "graft.MlCrossCheckSpec" -> 15,
@@ -62,8 +65,9 @@ val suiteWeights: Map[String, Double] = Map(
   "graft.AsOfSpec" -> 9, "graft.LayoutSpec" -> 9,
   "graft.DsvSpec" -> 9, "graft.RocksDbStateSpec" -> 8,
   "graft.BoilerplateSpec" -> 7, "graft.SinksSpec" -> 6,
-  "graft.CastsSpec" -> 6, "graft.ContractSpec" -> 5,
+  "graft.CastsSpec" -> 6,
   "graft.SequenceOpsSpec" -> 5, "graft.WindowsSaltSpec" -> 5,
+  "graft.QuotaStreamSpec" -> 12, "graft.GraphSimSpec" -> 10,
   "graft.StreamJoinSpec" -> 5, "graft.StreamingSpec" -> 3,
 )
 Test / testGrouping := {
