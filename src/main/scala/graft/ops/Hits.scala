@@ -52,6 +52,9 @@ object Hits {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    require(n <= unit,
+      s"$n nodes exceed unit=$unit: the per-node init floor would zero " +
+        "out all mass (raise unit)")
     // init h = unit div n per node so Σh ≤ unit from round one — the
     // invariant the overflow bound rests on
     var hubs = nodes.withColumn("h", lit(unit / n)).localCheckpoint(true)

@@ -76,7 +76,11 @@ object Normalize {
       .agg(count(col(centsCol)).as("__n"), sum(col(centsCol)).as("__s"),
         sum(col(centsCol) * col(centsCol)).as("__ss"))
     val varn = col("__n") * col("__ss") - col("__s") * col("__s")
-    df.join(broadcast(stats), col(groupCol) === col("__g"), "left")
+    // no broadcast HINT: group cardinality is caller-controlled and a
+    // forced broadcast of a high-cardinality stats table would OOM the
+    // driver — Catalyst/AQE broadcasts on its own when the side is
+    // actually small
+    df.join(stats, col(groupCol) === col("__g"), "left")
       .withColumn("z",
         when(col("__n") > 1L && varn > 0L,
           round((col("__n") * col(centsCol) - col("__s")).cast("double") /
