@@ -582,6 +582,40 @@ object LlmQueries {
       .orderBy(col("bin"))
   }
 
+  /** Cross-source duplication matrix at SPAN grain: for every source
+    * pair, how many winnow span-fingerprints they share, with the
+    * Jaccard of their span sets — the dedup diagnostic that says which
+    * feeds copy each other's CONTENT (mirrors, syndication, shared
+    * boilerplate) even when no whole document matches byte-for-byte,
+    * and therefore which pair a mixing plan double-counts. Exact
+    * complement to the HLL `source_overlap_sketch`: fingerprint-grain
+    * join (never doc pairs; per-fp fanout ≤ C(|sources|, 2)),
+    * source-pair output — |sources|² rows at most.
+    */
+  private def sourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val fp = TextStats.winnowFingerprints(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("fp").as("f"), col("source"))
+      .distinct()
+    val sizes = fp.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val shared = fp.select(col("f"), col("source").as("source_a"))
+      .join(fp.select(col("f").as("__f2"), col("source").as("source_b")),
+        col("f") === col("__f2") && col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("source").as("__sa"), col("__n").as("__na")),
+        col("source_a") === col("__sa"))
+      .join(sizes.select(col("source").as("__sb"), col("__n").as("__nb")),
+        col("source_b") === col("__sb"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        expr("(shared * 1000000L) div (__na + __nb - shared)")
+          .as("jaccard_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Largest-remainder sampling quotas ([[Curation.quotaAllocate]]):
     * 100k-doc budget split across sources by character mass — floored
     * proportional shares topped up by remainder rank so the quotas
@@ -1171,6 +1205,7 @@ object LlmQueries {
     "calibration_curve_langid" -> (calibrationCurveLangid _),
     "nucleus_docs_by_source" -> (nucleusDocsBySource _),
     "quota_alloc_sources" -> (quotaAllocSources _),
+    "source_dup_matrix" -> (sourceDupMatrix _),
     "knn_cosine_pq" -> (knnCosinePq _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
@@ -2488,6 +2523,26 @@ object LlmQueries {
          |)
          |SELECT doc_id, $SimhashSql AS simhash
          |FROM base ORDER BY doc_id""".stripMargin,
+    // same winnow span grain, same pair join, same floored Jaccard
+    "source_dup_matrix" ->
+      s"""WITH $WinnowCtes,
+         |fp AS (
+         |  SELECT DISTINCT w.fp AS f, d.source
+         |  FROM wfp w JOIN documents d ON d.doc_id = w.doc_id
+         |), sz AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY 1
+         |), sh AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT source_a, source_b, shared,
+         |       na.n AS n_a, nb.n AS n_b,
+         |       (shared * 1000000) // (na.n + nb.n - shared) AS jaccard_micro
+         |FROM sh JOIN sz na ON na.source = sh.source_a
+         |JOIN sz nb ON nb.source = sh.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     // same floored shares, same remainder rank, exact budget
     "quota_alloc_sources" ->
       """WITH g AS (
