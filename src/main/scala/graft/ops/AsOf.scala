@@ -24,11 +24,27 @@ import org.apache.spark.sql.functions._
   * no per-key driver loop — linear at 100 TB. Right side must be unique
   * per (key, rightTs); dedupe first ([[Windows.latestPerKey]]) or the
   * carried value is order-nondeterministic.
+  *
+  * NULL-key contract (all three entry points, matching the DuckDB
+  * `ASOF LEFT JOIN` oracle's equi-join semantics): a NULL in any join
+  * key matches nothing. Right rows with a NULL key are dropped before
+  * the join; left rows with a NULL key are KEPT, with null right values
+  * (left-outer semantics). Without the right-side filter the window
+  * form would group null-key rows into their own partition and carry
+  * null-key right values onto null-key left rows — equality that no
+  * equi-join performs.
   */
 object AsOf {
 
-  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+  /** `col IS NOT NULL` over every join key — the pre-join filter that
+    * enforces the NULL-key contract on the right side.
+    */
+  private def keysNotNull(keys: Seq[String]): Column =
+    keys.map(col(_).isNotNull).reduce(_ && _)
+
+  def asofJoin(left: DataFrame, right0: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String): DataFrame = {
+    val right = right0.where(keysNotNull(keys))
     val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == leftTs)
     val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
     require(leftCols.intersect(rightCols).isEmpty,
@@ -66,8 +82,9 @@ object AsOf {
     * keeps `>=` inclusive. Identical one-shuffle scale shape; same
     * unique-right-per-(key, ts) requirement.
     */
-  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def asofJoinForward(left: DataFrame, right0: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String): DataFrame = {
+    val right = right0.where(keysNotNull(keys))
     val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == leftTs)
     val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
     require(leftCols.intersect(rightCols).isEmpty,
@@ -105,10 +122,15 @@ object AsOf {
     * column names must be disjoint. Result rows are identical to
     * [[asofJoin]] restricted to the same columns.
     */
-  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+  def asofJoinNative(left: DataFrame, right0: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String): DataFrame = {
     import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
     import org.apache.spark.sql.graftbridge.PlanBridge
+    // NULL-key contract: the exec's natural key ordering treats NULL as
+    // equal to NULL, so null-key right rows must be dropped up front —
+    // left null-key rows then merge against an empty right run and emit
+    // nulls, identical to the composed forms above.
+    val right = right0.where(keysNotNull(keys))
     val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
     require(left.columns.intersect(rightCols).isEmpty,
       s"overlapping non-key columns: ${left.columns.intersect(rightCols).mkString(",")}")

@@ -53,6 +53,11 @@ object Bfs {
       frontier = next
     }
     CheckpointBridge.release(e)
+    // the final frontier is already unioned into `visited` — release it
+    // (unless the loop never advanced, in which case frontier IS the
+    // seed checkpoint that `visited` still aliases) so one invocation
+    // leaves exactly one cached generation behind, not two
+    if (!(frontier eq visited)) CheckpointBridge.release(frontier)
     visited
   }
 

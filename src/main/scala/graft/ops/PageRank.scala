@@ -80,11 +80,18 @@ object PageRank {
       ckpt = next
       iter += 1
     }
-    if (delta > tol)
+    if (delta > tol) {
+      // release the shared leaves (and the last generation) BEFORE
+      // throwing — a non-converged call must not strand cached blocks
+      CheckpointBridge.release(e)
+      CheckpointBridge.release(nodes)
+      CheckpointBridge.release(base)
+      CheckpointBridge.release(ckpt)
       throw new IllegalStateException(
         s"PageRank did not converge within maxIter=$maxIter (L1 delta $delta" +
           s" > tol $tol) — half-converged ranks would silently misweight" +
           " documents; raise maxIter or tol")
+    }
     CheckpointBridge.release(e)
     CheckpointBridge.release(nodes)
     CheckpointBridge.release(base)
@@ -194,7 +201,8 @@ object PageRank {
       .select(col("id"), col("__deg"),
         coalesce(col("__seed"), lit(0L)).as("__seed"))
       .localCheckpoint(true)
-    val nSeeds = base.agg(sum(col("__seed"))).head().getLong(0)
+    val nSeeds =
+      base.agg(coalesce(sum(col("__seed")), lit(0L))).head().getLong(0)
     if (nSeeds == 0) {
       // no seed intersects the graph → zero trust everywhere. Return
       // the empty frame rather than throwing: a throwing query builder
@@ -236,7 +244,10 @@ object PageRank {
 
   /** ANSI-SQL twin of [[ranksPersonalizedFixedPoint]]; `edgesSql`
     * yields distinct (src, dst), `seedsSql` yields (id). Keep in
-    * lockstep.
+    * lockstep — including the zero-seed edge: the final select is
+    * guarded by `ns > 0`, so when no seed intersects the graph both
+    * engines return zero rows (the Scala side's empty-frame early
+    * return) instead of the twin erroring on `x // 0`.
     */
   def personalizedFixedPointSql(edgesSql: String, seedsSql: String,
                                 iters: Int,
@@ -268,7 +279,8 @@ object PageRank {
        |r0 AS (SELECT id, deg, seed,
        |              seed * (SELECT $unit // ns FROM scnt) AS rank FROM base),
        |$rounds
-       |SELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters ORDER BY id""".stripMargin
+       |SELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters
+       |WHERE (SELECT ns FROM scnt) > 0 ORDER BY id""".stripMargin
   }
 
   /** ANSI-SQL twin of [[ranksFixedPoint]] (unrolled CTE per iteration);

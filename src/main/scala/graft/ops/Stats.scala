@@ -181,17 +181,25 @@ object Stats {
     * engine, rounded at 6 decimals. Degenerate pools (all-success,
     * all-failure, an empty arm) yield null z.
     *
+    * Degenerate-input contract: rows with a NULL outcome are EXCLUDED
+    * entirely (they must not inflate an arm's n while never counting as
+    * a conversion); rows with a NULL variant flag belong to neither arm
+    * and are likewise excluded; an empty (or fully-excluded) input
+    * returns one row of ZERO counts and null rates/z, not NULL counts.
+    *
     * @param variantA boolean: row belongs to arm A
     * @param success boolean outcome
     * @return one row: (n_a, conv_a, n_b, conv_b, rate_a, rate_b, z)
     */
   def twoProportionZ(df: DataFrame, variantA: Column,
                      success: Column): DataFrame = {
-    val agg = df.agg(
-      sum(when(variantA, 1L).otherwise(0L)).as("n_a"),
-      sum(when(variantA && success, 1L).otherwise(0L)).as("conv_a"),
-      sum(when(!variantA, 1L).otherwise(0L)).as("n_b"),
-      sum(when(!variantA && success, 1L).otherwise(0L)).as("conv_b"))
+    val agg = df.where(variantA.isNotNull && success.isNotNull).agg(
+      coalesce(sum(when(variantA, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(variantA && success, 1L).otherwise(0L)), lit(0L))
+        .as("conv_a"),
+      coalesce(sum(when(!variantA, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(!variantA && success, 1L).otherwise(0L)), lit(0L))
+        .as("conv_b"))
     def dd(c: String) = col(c).cast("double")
     val p1 = dd("conv_a") / dd("n_a")
     val p2 = dd("conv_b") / dd("n_b")

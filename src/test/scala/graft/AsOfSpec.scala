@@ -40,6 +40,32 @@ class AsOfSpec extends AnyFunSuite {
     assert(native.toSeq === out.toSeq)
   }
 
+  test("null join keys match nothing on all three paths (equi-join null semantics)") {
+    // left null-key rows are KEPT with null right values (left-outer);
+    // right null-key rows can never be carried onto anything — matching
+    // the DuckDB ASOF LEFT JOIN oracle, where NULL = NULL is not a match
+    val left = Seq(
+      (Some(1), "2024-01-10 00:00:00", "k1"),
+      (None, "2024-01-10 00:00:00", "knull")
+    ).toDF("k", "lts_s", "ev")
+      .select(col("k"), to_timestamp(col("lts_s")).as("lts"), col("ev"))
+    val right = Seq(
+      (Some(1), "2024-01-01 00:00:00", 100),
+      (None, "2024-01-01 00:00:00", 999) // must never surface
+    ).toDF("k", "rts_s", "snap")
+      .select(col("k"), to_timestamp(col("rts_s")).as("rts"), col("snap"))
+    def run(f: => org.apache.spark.sql.DataFrame): Seq[(String, Int)] =
+      f.select("ev", "snap").collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toSeq.sorted
+    val expected = Seq(("k1", 100), ("knull", -1))
+    assert(run(AsOf.asofJoin(left, right, Seq("k"), "lts", "rts")) === expected)
+    assert(run(AsOf.asofJoinNative(left, right, Seq("k"), "lts", "rts")) === expected)
+    // forward variant: right row after the left ts, same null-key contract
+    val expectedFwd = Seq(("k1", -1), ("knull", -1))
+    assert(run(AsOf.asofJoinForward(left, right, Seq("k"), "lts", "rts")) === expectedFwd)
+  }
+
   test("forward as-of picks earliest right >= left ts; inclusive; null after last") {
     val left = Seq(
       (1, "2024-01-10 00:00:00", "e1"), // equal ts → counts (inclusive)

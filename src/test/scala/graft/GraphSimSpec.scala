@@ -108,6 +108,20 @@ class GraphSimSpec extends AnyFunSuite {
     assert(oneRound(1L) === 85L * 1000000000000L / 100L)
   }
 
+  test("personalized PageRank: zero-seed edge degrades to zero rows; SQL twin guarded") {
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("s", "d")
+    val noSeeds = Seq(42L).toDF("id") // not in the graph
+    val out = graft.ops.PageRank
+      .ranksPersonalizedFixedPoint(e, "s", "d", noSeeds, "id", iters = 2)
+    assert(out.columns.toSeq === Seq("id", "rank_fp"))
+    assert(out.count() === 0L)
+    // the ANSI twin must degrade identically: its final select carries
+    // the ns > 0 guard so a seedless graph yields zero rows, not x // 0
+    val sql = graft.ops.PageRank.personalizedFixedPointSql(
+      "SELECT 0 AS src, 1 AS dst", "SELECT 42 AS id", iters = 2)
+    assert(sql.contains("WHERE (SELECT ns FROM scnt) > 0"))
+  }
+
   test("BFS depths: shortest hop counts, budget bound, isolated seeds kept") {
     // path 1→2→3→4→5, plus a shortcut 1→4 (so 4 is depth 1, 5 depth 2)
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))

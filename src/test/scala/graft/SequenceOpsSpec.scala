@@ -218,6 +218,19 @@ class SequenceOpsSpec extends AnyFunSuite {
     assert(z(Seq((true, true), (true, false), (false, true),
       (false, false))) === 0.0)
     assert(z(Seq((true, true), (false, true))) === null)
+
+    // degenerate-input contract: empty input → ZERO counts (not NULLs),
+    // null rates/z; null-outcome rows are excluded from their arm's n
+    import graft.ops.Stats
+    val empty = Stats.twoProportionZ(
+      Seq.empty[(Boolean, Boolean)].toDF("a", "y"), col("a"), col("y")).head()
+    assert((0 to 3).map(empty.getLong) === Seq(0L, 0L, 0L, 0L))
+    assert((4 to 6).forall(empty.isNullAt))
+    val withNulls = Stats.twoProportionZ(
+      Seq((Some(true), Some(true)), (Some(true), None), (None, Some(true)),
+        (Some(false), Some(false))).toDF("a", "y"), col("a"), col("y")).head()
+    // the (true, null) and (null, true) rows count nowhere
+    assert((0 to 3).map(withNulls.getLong) === Seq(1L, 1L, 1L, 0L))
   }
 
   test("topPaths: prefix order, tiebreaks, truncation at maxLen") {
