@@ -17,11 +17,27 @@ object PlanProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries(query)
-    if (mode == "plan") {
-      println(fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    if (mode == "bnlj") {
+      // sweep EVERY query: print each BroadcastNestedLoopJoin's
+      // build-side root chain (dev aid for PlanShapeSpec's shape sweep)
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        val sp = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+        sp.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+          val build = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          val chain = build.collect { case n => n.nodeName }.mkString(" <- ")
+          println(s"[bnlj] $name :: $chain")
+        }
+      }
+    } else if (mode == "plan") {
+      println(SparkEntry.queries(query)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode))
     } else {
+      val fn = SparkEntry.queries(query)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -688,28 +688,33 @@ object SparkEntry {
 
   /** Composition shift: order-priority mix share in the first vs last
     * order year, with exact counts and rounded share deltas — the
-    * "did the mix move" audit between two periods.
+    * "did the mix move" audit between two periods. A row counts toward
+    * EACH bound year it falls in, so a single-year span (y0 = y1)
+    * degrades identically on both engines to n_first = n_last, shares
+    * 1.0/1.0, delta 0.0 — never a 0/0 NaN; the share divisions are
+    * additionally guarded for the empty-input case.
     */
   private def priorityMixShift(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
     val bounds = o.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
-    val tagged = o.crossJoin(broadcast(bounds))
+    val counts = o.crossJoin(broadcast(bounds))
       .where(col("yr") === col("y0") || col("yr") === col("y1"))
-      .select(col("o_orderpriority").as("priority"),
-        when(col("yr") === col("y0"), "first").otherwise("last").as("period"))
-    val counts = tagged.groupBy(col("priority"))
-      .agg(sum(when(col("period") === "first", 1L).otherwise(0L)).as("n_first"),
-        sum(when(col("period") === "last", 1L).otherwise(0L)).as("n_last"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(when(col("yr") === col("y0"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("yr") === col("y1"), 1L).otherwise(0L)).as("n_last"))
     val totals = counts.agg(sum(col("n_first")).as("__tf"),
       sum(col("n_last")).as("__tl"))
     counts.crossJoin(broadcast(totals))
       .select(col("priority"), col("n_first"), col("n_last"),
-        round(col("n_first").cast("double") / col("__tf").cast("double"), 6)
+        when(col("__tf") > 0L,
+          round(col("n_first").cast("double") / col("__tf").cast("double"), 6))
           .as("share_first"),
-        round(col("n_last").cast("double") / col("__tl").cast("double"), 6)
+        when(col("__tl") > 0L,
+          round(col("n_last").cast("double") / col("__tl").cast("double"), 6))
           .as("share_last"),
-        round(col("n_last").cast("double") / col("__tl").cast("double") -
-          col("n_first").cast("double") / col("__tf").cast("double"), 6)
+        when(col("__tf") > 0L && col("__tl") > 0L,
+          round(col("n_last").cast("double") / col("__tl").cast("double") -
+            col("n_first").cast("double") / col("__tf").cast("double"), 6))
           .as("share_delta"))
       .orderBy(col("priority"))
   }
@@ -1706,6 +1711,45 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Memoized distinct (customer, supplier) trade-pair frame — the one
+    * orders⋈lineitem build every graph-family query derives its edges
+    * from (the [[graft.llm.Similarity.kMeansCentroidsCached]] pattern).
+    * Six queries previously each re-joined, re-deduped, and
+    * re-checkpointed the same pair set; now the join+distinct runs once
+    * per (session, dir) per JVM and later queries read the cached
+    * blocks. Derivations below are narrow (select/union), and each
+    * graph op still takes its own internal checkpoint, so op-level
+    * release never touches the shared frame. Bounded: one small
+    * pair-grain frame per fixture dir.
+    */
+  private val tradePairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def tradePairs(s: SparkSession, dir: String): DataFrame =
+    tradePairsMemo.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      _ => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct().localCheckpoint(true))
+
+  /** Directed customer→supplier edges (supplier ids offset by 1,000,000
+    * to disjoin the key spaces), derived from [[tradePairs]].
+    */
+  private def tradeEdgesDirected(s: SparkSession, dir: String): DataFrame =
+    tradePairs(s, dir).select(col("cust").as("src"),
+      (lit(1000000L) + col("supp")).as("dst"))
+
+  /** Symmetrized trade edges (both directions), derived from
+    * [[tradePairs]].
+    */
+  private def tradeEdgesSymmetric(s: SparkSession, dir: String): DataFrame = {
+    val base = tradePairs(s, dir).select(col("cust").as("a"),
+      (lit(1000000L) + col("supp")).as("b"))
+    base.select(col("a").as("src"), col("b").as("dst"))
+      .union(base.select(col("b").as("src"), col("a").as("dst")))
+  }
+
   /** Fixed-point PageRank ([[graft.ops.PageRank.ranksFixedPoint]]) over
     * the customer→supplier trade graph (supplier node ids offset by
     * 1,000,000 to disjoin the key spaces) — 3 power iterations in exact
@@ -1713,11 +1757,8 @@ object SparkEntry {
     * the iterative graph family gets an exact-hash oracle.
     */
   private def pagerankCustomerSupplier(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"))
-    graft.ops.PageRank.ranksFixedPoint(edges, "src", "dst", iters = 3)
+    graft.ops.PageRank.ranksFixedPoint(tradeEdgesDirected(s, dir),
+        "src", "dst", iters = 3)
       .orderBy(col("id"))
   }
 
@@ -1730,11 +1771,8 @@ object SparkEntry {
     * unrolled SQL twin.
     */
   private def hitsTradeGraph(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"))
-    graft.ops.Hits.scoresFixedPoint(edges, "src", "dst", iters = 3)
+    graft.ops.Hits.scoresFixedPoint(tradeEdgesDirected(s, dir),
+        "src", "dst", iters = 3)
       .orderBy(col("id"))
   }
 
@@ -1747,9 +1785,8 @@ object SparkEntry {
     * source-affinity or seller-clustering pass runs on.
     */
   private def supplierNeighborJaccard(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+    val edges = tradePairs(s, dir)
+      .select(col("supp").as("src"), col("cust").as("dst"))
     graft.ops.GraphSim.neighborJaccard(edges, "src", "dst",
         maxDegree = 500, minInter = 3L)
       .orderBy(col("id_a"), col("id_b"))
@@ -1763,11 +1800,8 @@ object SparkEntry {
     * lumps together.
     */
   private def communitiesTradeGraph(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (lit(1000000L) + col("l_suppkey")).as("dst"))
-    graft.ops.Communities.labelPropagation(edges, "src", "dst", iters = 3)
+    graft.ops.Communities.labelPropagation(tradeEdgesDirected(s, dir),
+        "src", "dst", iters = 3)
       .orderBy(col("id"))
   }
 
@@ -1778,12 +1812,7 @@ object SparkEntry {
     * graph ops skip.
     */
   private def bfsDepthTradeGraph(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("a"),
-        (lit(1000000L) + col("l_suppkey")).as("b"))
-    val edges = base.select(col("a").as("src"), col("b").as("dst"))
-      .union(base.select(col("b").as("src"), col("a").as("dst")))
+    val edges = tradeEdgesSymmetric(s, dir)
     val seeds = t(s, dir, "customer").where(col("c_nationkey") === 0)
       .select(col("c_custkey").as("id"))
     graft.ops.Bfs.depths(edges, "src", "dst", seeds, "id", maxDepth = 3)
@@ -1797,12 +1826,7 @@ object SparkEntry {
     * same exact fixed-point integer discipline as the uniform variant.
     */
   private def trustrankTradeGraph(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("a"),
-        (lit(1000000L) + col("l_suppkey")).as("b"))
-    val edges = base.select(col("a").as("src"), col("b").as("dst"))
-      .union(base.select(col("b").as("src"), col("a").as("dst")))
+    val edges = tradeEdgesSymmetric(s, dir)
     // every-5th-supplier seed cohort: present at every scale factor
     // (a nation-keyed cohort vanishes from tiny fixtures, and a
     // zero-seed graph degrades to the empty frame by contract)
@@ -3548,9 +3572,10 @@ object SparkEntry {
         |         CAST(sum(n_last) AS BIGINT) AS tl FROM c
         |)
         |SELECT priority, n_first, n_last,
-        |       round(CAST(n_first AS DOUBLE) / tf, 6) AS share_first,
-        |       round(CAST(n_last AS DOUBLE) / tl, 6) AS share_last,
-        |       round(CAST(n_last AS DOUBLE) / tl - CAST(n_first AS DOUBLE) / tf, 6) AS share_delta
+        |       CASE WHEN tf > 0 THEN round(CAST(n_first AS DOUBLE) / tf, 6) END AS share_first,
+        |       CASE WHEN tl > 0 THEN round(CAST(n_last AS DOUBLE) / tl, 6) END AS share_last,
+        |       CASE WHEN tf > 0 AND tl > 0
+        |            THEN round(CAST(n_last AS DOUBLE) / tl - CAST(n_first AS DOUBLE) / tf, 6) END AS share_delta
         |FROM c CROSS JOIN t ORDER BY priority""".stripMargin,
     // same bin grids, same entropy/MI expression tree as lang_source_mi
     "qty_price_mi_binned" ->

@@ -62,23 +62,30 @@ object Hits {
     (1 to iters).foreach { _ =>
       val prevH = hubs
       val prevA = auths
-      // authority half-round: pull hub mass along edges, renormalize
+      // authority half-round: pull hub mass along edges, renormalize.
+      // The L1 total rides the plan as a broadcast-joined 1-row
+      // aggregate (PageRank's own discipline) instead of a driver
+      // `.head()` — one job per half-round, not two. The total is
+      // always ≥ 1: e is non-empty (n > 0 requires it) and every
+      // generation's scores sum to ~unit, so the div is safe.
       val araw = e.join(prevH.select(col("id").as("__s"), col("h")),
           col("src") === col("__s"))
         .groupBy(col("dst")).agg(sum(col("h")).as("__araw"))
-      val aTot = araw.agg(sum(col("__araw"))).head().getLong(0)
+      val aTotF = araw.agg(sum(col("__araw")).as("__atot"))
       val nextA = nodes.join(araw, nodes("id") === araw("dst"), "left")
+        .crossJoin(broadcast(aTotF))
         .select(col("id"),
-          expr(s"(coalesce(__araw, 0L) * ${unit}L) div ${aTot}L").as("a"))
+          expr(s"(coalesce(__araw, 0L) * ${unit}L) div __atot").as("a"))
         .localCheckpoint(true)
       // hub half-round: pull the NEW authority mass back, renormalize
       val hraw = e.join(nextA.select(col("id").as("__d"), col("a")),
           col("dst") === col("__d"))
         .groupBy(col("src")).agg(sum(col("a")).as("__hraw"))
-      val hTot = hraw.agg(sum(col("__hraw"))).head().getLong(0)
+      val hTotF = hraw.agg(sum(col("__hraw")).as("__htot"))
       val nextH = nodes.join(hraw, nodes("id") === hraw("src"), "left")
+        .crossJoin(broadcast(hTotF))
         .select(col("id"),
-          expr(s"(coalesce(__hraw, 0L) * ${unit}L) div ${hTot}L").as("h"))
+          expr(s"(coalesce(__hraw, 0L) * ${unit}L) div __htot").as("h"))
         .localCheckpoint(true)
       CheckpointBridge.release(prevH)
       if (prevA != null) CheckpointBridge.release(prevA)

@@ -67,46 +67,108 @@ class PlanShapeSpec extends AnyFunSuite {
       "interval native query lost its custom exec")
   }
 
-  test("the only cartesian-shaped joins are the documented ones") {
-    // brute-force kNN (exactness baseline); single-row broadcast totals
-    // in tfidf (corpus doc count), PSI/KS drift (grid totals), chi-square
-    // (marginals), cms (the 1-row sketch+N frame), and the LM model's
-    // corpus totals; bm25 (1-row corpus stats) and log-odds (1-row
-    // side totals); and the sketch-overlap pair join (non-equi over the
-    // |sources|-row SKETCH frame, never data grain). Anything else is a
-    // regression.
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val p = plan(name)
-      p.contains("CartesianProduct") ||
-        (p.contains("BroadcastNestedLoopJoin") &&
-          !Set("knn_cosine_brute", "tfidf_top_terms", "price_drift_psi",
-            "chi2_priority_status", "cms_brand_counts", "lm_quality_score",
-            "source_overlap_sketch", "cms_join_size", "ks_price_drift",
-            "sparse_cosine_pairs", "bm25_top_docs", "log_odds_terms",
-            // 1-row totals broadcasts: Benford's digit total, the
-            // temperature mixture's corpus totals, the basket count
-            "benford_order_totals", "temperature_mix_langs",
-            "market_basket_brands", "lang_id_kappa",
-            "changepoint_event_volume", "collocations_pmi",
-            // V×V state-grid build + 1-row V broadcast — never data grain
-            "user_sequence_likelihood",
-            // 1-row total/entropy broadcasts over the confusion grid
-            "lang_source_mi",
-            // bounded eval slices of the embeddings table, never corpus
-            // grain: PQ scores broadcast queries against coded rows,
-            // RBO builds the brute baseline, JL pairs the 32-vector
-            // eval slice
-            "knn_cosine_pq", "ann_rbo_eval", "jl_projection_pairs",
-            // 1-row max-renormalizer broadcasts over the dims-grain grid
-            "pca_top_component",
-            // 1-row (N, G) totals broadcast onto the category grain
-            "target_encode_brand",
-            // 1-row totals/bounds broadcasts onto bounded grains: the
-            // bin grid (MI), the source table (quota), the brand table
-            // (pareto), the year-bounds + priority mix (shift)
-            "qty_price_mi_binned", "quota_alloc_sources",
-            "pareto_80_20_brands", "priority_mix_shift")(name))
+  // ---- cartesian sweep: SHAPE-based, not name-based -------------------
+  //
+  // Every BroadcastNestedLoopJoin in every query plan must broadcast a
+  // BOUNDED subtree — one whose row count is set by a grain reduction or
+  // a literal slice, never by the data volume:
+  //
+  //   (a) aggregate-topped: the build side's root (descending through
+  //       Project/Filter/Sort/Window/Exchange wrappers) is an Aggregate
+  //       (1-row totals, bounded grids/marginals), a LocalTableScan
+  //       (literal grid), or a Limit — broadcast size is bounded by the
+  //       key domain / limit, independent of input rows; or
+  //   (b) a literal eval slice: Project/Filter/Exchange over a parquet
+  //       scan whose PUSHED data filter compares against a literal (the
+  //       `vec_id < 16/32` query slices of the ANN eval family). Shape
+  //       (b) is additionally restricted to the four queries that
+  //       document it — a filtered data-grain scan elsewhere must fail.
+  //
+  // This replaces the round-≤7 query-name allowlist: a refactor inside a
+  // formerly-allowlisted query that broadcasts a data-grain frame now
+  // fails the sweep (proven by the deliberately-broken fixture below).
+
+  private val sliceQueries =
+    Set("knn_cosine_brute", "knn_cosine_pq", "ann_rbo_eval",
+      "jl_projection_pairs")
+
+  import org.apache.spark.sql.execution.SparkPlan
+
+  /** True iff the BNLJ build-side subtree is bounded per the rules
+    * above. `allowSlice` gates shape (b).
+    */
+  private def boundedBuild(p: SparkPlan, allowSlice: Boolean): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Literal}
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.window.WindowExec
+    p match {
+      case _: BaseAggregateExec => true
+      case _: LocalTableScanExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case pr: ProjectExec => boundedBuild(pr.child, allowSlice)
+      case f: FilterExec => boundedBuild(f.child, allowSlice)
+      case s: SortExec => boundedBuild(s.child, allowSlice)
+      case w: WindowExec => boundedBuild(w.child, allowSlice)
+      case e: Exchange => boundedBuild(e.child, allowSlice)
+      case scan: FileSourceScanExec if allowSlice =>
+        // the slice must be pushed INTO the scan and compare a literal —
+        // IsNotNull alone (or no pushed filter) is data grain
+        scan.dataFilters.exists(_.exists {
+          case b: BinaryComparison =>
+            b.left.isInstanceOf[Literal] || b.right.isInstanceOf[Literal]
+          case _ => false
+        })
+      case _ => false
     }
-    assert(offenders.isEmpty, s"unexpected cartesian in: $offenders")
+  }
+
+  /** (buildSide, queryName) of every offending BNLJ/cartesian node. */
+  private def unboundedJoins(sp: SparkPlan, name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val cart = sp.collect { case c: CartesianProductExec => c }
+      .map(_ => s"$name: CartesianProduct")
+    val bnlj = sp.collect { case j: BroadcastNestedLoopJoinExec => j }
+      .filterNot { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        boundedBuild(build, allowSlice = sliceQueries(name))
+      }
+      .map(j => s"$name: BNLJ with unbounded build (${j.buildSide})")
+    cart ++ bnlj
+  }
+
+  test("every cartesian-shaped join broadcasts a bounded build side") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      unboundedJoins(
+        SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan, name)
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian shapes:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("the bounded-build sweep rejects a data-grain broadcast (broken fixture)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // deliberately wrong: broadcast the full lineitem scan (data grain,
+    // no aggregate, no literal slice) into a nested-loop join — the
+    // exact regression the sweep exists to catch
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val totals = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy().count()
+    val broken = totals.join(broadcast(li.select(col("l_orderkey"))),
+      totals("count") > col("l_orderkey"), "inner")
+    val flagged = unboundedJoins(broken.queryExecution.sparkPlan, "fixture")
+    assert(flagged.nonEmpty,
+      "sweep failed to flag a broadcast data-grain scan")
+    // and the same shape is ACCEPTED when named as a slice query only if
+    // the scan carries a pushed literal slice — full scans still fail
+    val brokenAsSlice = unboundedJoins(
+      broken.queryExecution.sparkPlan, "knn_cosine_brute")
+    assert(brokenAsSlice.nonEmpty,
+      "slice allowance must not admit an unfiltered data-grain scan")
   }
 }
