@@ -497,6 +497,26 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Learned BPE merge table ([[Bpe.learnMerges]]): 20 merge rounds
+    * over the lowercase-word frequency table of the documents corpus —
+    * the op that LEARNS the subword vocabulary the word-piece
+    * heuristics ([[TextStats.nWordPieces]]) only approximate. One
+    * corpus pass builds the vocab-grain word table; every training
+    * round then runs at vocab grain (pair explode+agg, 1-row argmax,
+    * map-only merge application). Words capped at 16 chars with
+    * passes = 8 ⇒ the iterated-replace greedy is exact, and the
+    * unrolled-CTE oracle nests the identical replace count — lockstep
+    * by construction.
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = tPar(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "" && length(col("word")) <= 16)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    Bpe.learnMerges(words, "word", "cnt", numMerges = 20, passes = 8)
+      .orderBy(col("rank"))
+  }
+
   // ----- similarity search ----------------------------------------------
 
   private def knnCosineBrute(s: SparkSession, dir: String): DataFrame = {
@@ -1194,6 +1214,7 @@ object LlmQueries {
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats" -> (vocabStats _),
+    "bpe_merges" -> (bpeMerges _),
     "knn_cosine_brute" -> (knnCosineBrute _),
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
     "knn_cosine_lsh" -> (knnCosineLsh _),
@@ -2762,6 +2783,15 @@ object LlmQueries {
          |       CAST(sum(tf) AS BIGINT) AS total_tf
          |FROM tf GROUP BY 1
          |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    // identical tokenizer, 20 unrolled merge rounds, the same 8 nested
+    // single-pass replaces per round as the Scala side
+    "bpe_merges" -> graft.llm.Bpe.learnMergesSql(
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |                            x -> x <> '' AND length(x) <= 16)) AS word
+        |  FROM documents
+        |) GROUP BY 1""".stripMargin,
+      numMerges = 20, passes = 8),
     "knn_cosine_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
          |s AS (

@@ -354,10 +354,18 @@ object SparkEntry {
       col("l_shipdate").cast("date").as("dt"), lit(1).as("kind"),
       col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
       (-qty).as("delta"))
+    // delta joins the replay order as the last tiebreak: the synthetic
+    // fixtures carry duplicate (l_orderkey, l_linenumber) rows with
+    // DIFFERENT quantities (sf0.001 has 106 such keys under this
+    // filter), and without it the prefix scan is tie-order-dependent —
+    // rows identical in every ordering column are interchangeable, so
+    // the scan is then fully deterministic on both engines
     graft.ops.Inventory.clampedBalance(receipts.unionByName(issues),
-        Seq("part"), Seq(col("dt"), col("kind"), col("okey"), col("ln")),
+        Seq("part"),
+        Seq(col("dt"), col("kind"), col("okey"), col("ln"), col("delta")),
         "delta")
-      .orderBy(col("part"), col("dt"), col("kind"), col("okey"), col("ln"))
+      .orderBy(col("part"), col("dt"), col("kind"), col("okey"), col("ln"),
+        col("delta"))
   }
 
   /** Watermark-sizing audit ([[graft.ops.Windows.latenessStats]]):
@@ -3261,22 +3269,22 @@ object SparkEntry {
         |), pf0 AS (
         |  SELECT *, CAST(sum(delta) OVER w AS BIGINT) AS p
         |  FROM mv
-        |  WINDOW w AS (PARTITION BY part ORDER BY dt, kind, okey, ln
+        |  WINDOW w AS (PARTITION BY part ORDER BY dt, kind, okey, ln, delta
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |), sc AS (
         |  SELECT *,
         |         least(0, CAST(min(p) OVER w AS BIGINT)) AS f,
         |         least(0, COALESCE(CAST(min(p) OVER wp AS BIGINT), 0)) AS pf
         |  FROM pf0
-        |  WINDOW w AS (PARTITION BY part ORDER BY dt, kind, okey, ln
+        |  WINDOW w AS (PARTITION BY part ORDER BY dt, kind, okey, ln, delta
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |         wp AS (PARTITION BY part ORDER BY dt, kind, okey, ln
+        |         wp AS (PARTITION BY part ORDER BY dt, kind, okey, ln, delta
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |)
         |SELECT part, dt, kind, okey, ln, delta,
         |       p - f AS balance,
         |       greatest(0, pf - p) AS lost_units
-        |FROM sc ORDER BY part, dt, kind, okey, ln""".stripMargin,
+        |FROM sc ORDER BY part, dt, kind, okey, ln, delta""".stripMargin,
     // same session boundaries, same floored-second gap moments
     "session_bot_scores" ->
       """WITH g AS (

@@ -1,0 +1,229 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** BPE merge-table training (Sennrich, Haddow & Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * weekly-run op of a large-corpus pipeline that LEARNS a subword
+  * vocabulary instead of counting word pieces heuristically
+  * ([[TextStats.nWordPieces]]).
+  *
+  * Spark-first shape, chosen for the 100 TB case:
+  *
+  *  - the CORPUS is touched exactly once, by the caller, to build a
+  *    word-frequency table (tokenize → explode → groupBy word). All
+  *    training rounds run on that VOCAB-GRAIN table — bounded by
+  *    distinct-word count, independent of corpus rows — exactly how the
+  *    reference subword-nmt implementation trains from a word-count
+  *    dict rather than raw text;
+  *  - each round is ONE explode+aggregate (adjacent-pair counts,
+  *    weighted by word frequency) + one bounded `limit(1).collect()`
+  *    (the argmax pair — 1 row, the same bounded-driver-read pattern as
+  *    [[Similarity.kMeansCentroids]]) + one map-only merge application,
+  *    checkpointed per generation with immediate release of the
+  *    superseded one ([[graft.ops.PageRank]]'s discipline);
+  *  - words are SPACE-JOINED SYMBOL STRINGS and a merge is applied by
+  *    ITERATED `replace(' a b ' → ' ab ')` — `passes` single-pass
+  *    string replaces reach the greedy leftmost-first fixpoint
+  *    (`replace` resumes scanning after each substitution, so a
+  *    boundary-sharing chain like `a a a a` needs one extra pass per
+  *    missed overlap). The SQL twin nests the SAME replace the SAME
+  *    number of times, so both engines compute bit-identical states
+  *    even for pathological words — cross-engine lockstep by
+  *    construction, not by hoping two different greedy scanners agree.
+  *
+  * Contract: a word with more than `2·passes` symbols may under-merge
+  * within one round relative to pure greedy BPE (identically on both
+  * engines); cap word length at the tokenizer (the shipped queries use
+  * ≤ 16 chars with passes = 8, which is exact). Ties in pair frequency
+  * break deterministically by (count desc, left asc, right asc) —
+  * binary string order, identical in Spark and DuckDB for the
+  * lowercase-ASCII token alphabet.
+  */
+object Bpe {
+
+  /** One round's argmax pair. */
+  final case class Merge(rank: Long, lft: String, rgt: String,
+                         pairCount: Long)
+
+  private val mergeSchema = StructType(Seq(
+    StructField("rank", LongType, nullable = false),
+    StructField("lft", StringType, nullable = false),
+    StructField("rgt", StringType, nullable = false),
+    StructField("pair_count", LongType, nullable = false)))
+
+  /** Space-join a word into its initial character symbols. */
+  def initialSymbols(word: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    array_join(split(word, ""), " ")
+
+  /** Adjacent symbol pairs of a space-joined symbol string, weighted by
+    * `cntCol`, aggregated to (l, r, pc). One explode + one aggregate.
+    */
+  private def pairCounts(state: DataFrame): DataFrame = {
+    // slice(a, 2, size-1) of a 1-element array has length 0 → empty
+    // zip → explode drops the row (single-symbol words have no pairs)
+    val withPairs = state
+      .select(col("cnt"), split(col("syms"), " ").as("__a"))
+      .select(col("cnt"), explode(expr(
+        "zip_with(slice(__a, 1, size(__a) - 1), slice(__a, 2, size(__a) - 1)," +
+          " (x, y) -> struct(x AS l, y AS r))")).as("__p"))
+    withPairs.groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+      .agg(sum(col("cnt")).as("pc"))
+  }
+
+  /** Apply ONE merge (l, r) to the symbol column: `passes` iterated
+    * single-pass replaces of `' l r '` with `' lr '` over the
+    * space-padded string. Map-only; literal needles ride the functions
+    * API (no SQL-string escaping of corpus symbols).
+    */
+  private def applyOne(syms: org.apache.spark.sql.Column, l: String,
+                       r: String, passes: Int)
+    : org.apache.spark.sql.Column = {
+    val needle = lit(s" $l $r ")
+    val merged = lit(s" ${l}${r} ")
+    var cur = concat(lit(" "), syms, lit(" "))
+    (1 to passes).foreach { _ => cur = replace(cur, needle, merged) }
+    trim(cur)
+  }
+
+  /** Learn `numMerges` ordered merges from a word-frequency table.
+    *
+    * @param words    (word, count) — VOCAB grain; build it with one
+    *                 corpus pass (tokenize → explode → groupBy)
+    * @param numMerges merge budget; training stops early when no
+    *                 adjacent pair reaches `minCount`
+    * @param passes   replace passes per round (exactness bound: words
+    *                 of ≤ 2·passes symbols merge exactly greedily)
+    * @return (rank, lft, rgt, pair_count) ordered by rank — the merge
+    *         table, ready to drive [[applyMerges]] / a tokenizer
+    */
+  def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
+                  numMerges: Int, passes: Int = 8,
+                  minCount: Long = 1L): DataFrame = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    require(passes >= 1, s"passes=$passes")
+    val spark = words.sparkSession
+    var state = words
+      .select(initialSymbols(col(wordCol)).as("syms"),
+        col(cntCol).cast("long").as("cnt"))
+      .groupBy(col("syms")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    var rank = 0L
+    while (rank < numMerges && !exhausted) {
+      val top = pairCounts(state)
+        .orderBy(desc("pc"), asc("l"), asc("r")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) {
+        exhausted = true
+      } else {
+        rank += 1
+        val (l, r, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, pc)
+        val prev = state
+        state = prev
+          .select(applyOne(col("syms"), l, r, passes).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        CheckpointBridge.release(prev)
+      }
+    }
+    CheckpointBridge.release(state)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.map(m => Row(m.rank, m.lft, m.rgt, m.pairCount)).toSeq, 1),
+      mergeSchema)
+  }
+
+  /** The final trained state alongside the merges — exposed so a spec
+    * can assert the re-tokenization round-trip ([[applyMerges]] over
+    * the raw words reproduces exactly this frame).
+    */
+  def learnMergesWithState(words: DataFrame, wordCol: String,
+                           cntCol: String, numMerges: Int,
+                           passes: Int = 8, minCount: Long = 1L)
+    : (Seq[Merge], DataFrame) = {
+    val mergeRows = learnMerges(words, wordCol, cntCol, numMerges, passes,
+        minCount)
+      .collect()
+      .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toSeq
+    (mergeRows,
+      applyMerges(words, wordCol, mergeRows.map(m => (m.lft, m.rgt)), passes)
+        .select(col("syms"), col(cntCol).cast("long").as("cnt"))
+        .groupBy(col("syms")).agg(sum(col("cnt")).as("cnt")))
+  }
+
+  /** Tokenize words with a LEARNED merge table: apply every merge in
+    * rank order with the same iterated-replace semantics as training
+    * (so training state and re-tokenization agree bit-for-bit). Adds a
+    * `syms` column; map-only over the input, merge list folded into
+    * ONE projection per `checkpointEvery` merges (plan depth stays
+    * bounded without materializing per-merge).
+    */
+  def applyMerges(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)], passes: Int = 8,
+                  checkpointEvery: Int = 32): DataFrame = {
+    require(passes >= 1 && checkpointEvery >= 1)
+    var out = words.withColumn("syms", initialSymbols(col(wordCol)))
+    merges.grouped(checkpointEvery).foreach { group =>
+      var c = col("syms")
+      group.foreach { case (l, r) => c = applyOne(c, l, r, passes) }
+      val prev = out
+      out = prev.withColumn("syms", c).localCheckpoint(true)
+      CheckpointBridge.release(prev)
+    }
+    out
+  }
+
+  /** ANSI-SQL twin of [[learnMerges]] for DuckDB (unrolled CTE per
+    * round; the SAME nested-replace count as the Scala side — keep in
+    * lockstep). `wordsSql` must yield (word, cnt).
+    *
+    * Every per-round CTE is `AS MATERIALIZED`: each `w_i` is referenced
+    * twice (pair counts + the next state) and each `t_i` twice (the
+    * merge application + the final union), so inlining would expand the
+    * plan ~2^rounds — at 20 rounds that is a million scans of the base
+    * table and an fd-exhaustion crash, the SQL mirror of why the Scala
+    * side checkpoints each generation. Materialization bounds each CTE
+    * to one evaluation of a vocab-grain table.
+    */
+  def learnMergesSql(wordsSql: String, numMerges: Int,
+                     passes: Int = 8): String = {
+    def nestedReplace(inner: String): String =
+      (1 to passes).foldLeft(inner) { (acc, _) =>
+        s"REPLACE($acc, n.ndl, n.rpl)"
+      }
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT sl[g] AS l, sl[g + 1] AS r, cnt
+         |    FROM (SELECT string_split(syms, ' ') AS sl, cnt FROM w${i - 1}) t,
+         |         UNNEST(range(1, len(sl))) AS u(g)
+         |  ) GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT trim(${nestedReplace("' ' || w.syms || ' '")}) AS syms, w.cnt
+         |  FROM w${i - 1} w CROSS JOIN
+         |    (SELECT ' ' || l || ' ' || r || ' ' AS ndl,
+         |            ' ' || l || r || ' ' AS rpl FROM t$i) n
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to numMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lft, r AS rgt, pc AS pair_count FROM t$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS syms,
+       |         CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM ($wordsSql) GROUP BY 1
+       |),
+       |$rounds
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY rank""".stripMargin
+  }
+}

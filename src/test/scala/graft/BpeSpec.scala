@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Bpe
+
+/** BPE merge-table training: the distributed iterated-replace trainer
+  * must agree bit-for-bit with an independent in-memory greedy BPE
+  * reference, and re-tokenizing with the learned table must round-trip
+  * to the exact training state.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Independent reference: plain in-memory greedy BPE (single
+    * left-to-right scan per merge application, argmax pair by
+    * (count desc, left asc, right asc)) — the semantics the
+    * iterated-replace implementation must reproduce.
+    */
+  private def refBpe(words: Map[String, Long], numMerges: Int)
+    : (Seq[(String, String, Long)], Map[String, Long]) = {
+    var state: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    while (merges.size < numMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, c) =>
+        syms.iterator.sliding(2).withPartial(false).foreach { p =>
+          counts((p.head, p(1))) = counts.getOrElse((p.head, p(1)), 0L) + c
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), pc) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        merges += ((l, r, pc))
+        state = state.map { case (syms, c) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              buf += (l + r); i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.result(), c)
+        }
+      }
+    }
+    (merges.toSeq,
+      state.groupMapReduce(_._1.mkString(" "))(_._2)(_ + _))
+  }
+
+  private def learn(words: Map[String, Long], n: Int) =
+    Bpe.learnMerges(words.toSeq.toDF("word", "cnt"), "word", "cnt",
+        numMerges = n)
+      .collect().map(r =>
+        (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("classic corpus: merges match the in-memory greedy reference") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val (expected, _) = refBpe(words, 8)
+    assert(learn(words, 8) === expected)
+  }
+
+  test("boundary-sharing runs merge greedily left-to-right, same as the reference") {
+    // 'aaaa' under merge (a,a): greedy gives (aa)(aa), never a(aa)a —
+    // the case the iterated replace exists to get right
+    val words = Map("aaaa" -> 4L, "aaa" -> 3L, "baab" -> 2L)
+    val (expected, expectedState) = refBpe(words, 5)
+    assert(learn(words, 5) === expected)
+    val (got, stateDf) = Bpe.learnMergesWithState(
+      words.toSeq.toDF("word", "cnt"), "word", "cnt", numMerges = 5)
+    assert(got.map(m => (m.lft, m.rgt, m.pairCount)) === expected)
+    val gotState = stateDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotState === expectedState)
+  }
+
+  test("re-tokenization round-trip: applyMerges reproduces the training state and loses no characters") {
+    val words = Map("low" -> 5L, "lowest" -> 1L, "newest" -> 6L,
+      "wider" -> 3L, "new" -> 2L)
+    val (merges, state) = Bpe.learnMergesWithState(
+      words.toSeq.toDF("word", "cnt"), "word", "cnt", numMerges = 10)
+    val (_, expectedState) = refBpe(words, 10)
+    assert(state.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === expectedState)
+    // no character loss: stripping spaces from the segmentation gives
+    // back the original word, for every word
+    val retok = Bpe.applyMerges(words.toSeq.toDF("word", "cnt"), "word",
+      merges.map(m => (m.lft, m.rgt)))
+    assert(retok.where(
+      regexp_replace(col("syms"), " ", "") =!= col("word")).count() === 0L)
+  }
+
+  test("early exhaustion: a single-symbol vocab yields zero merges") {
+    assert(learn(Map("a" -> 10L, "b" -> 3L), 4) === Seq.empty)
+  }
+
+  test("tie break is (count desc, left asc, right asc)") {
+    // 'ab' and 'ba' both appear 3 times → (a,b) must win
+    val words = Map("ab" -> 3L, "ba" -> 3L)
+    assert(learn(words, 1).head._1 === "a")
+  }
+}
