@@ -508,14 +508,39 @@ object LlmQueries {
     * unrolled-CTE oracle nests the identical replace count — lockstep
     * by construction.
     */
-  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val words = tPar(s, dir, "documents")
+  /** The BPE word-frequency table: lowercase a-z words ≤ 16 chars
+    * (passes = 8 ⇒ the iterated-replace greedy is exact on them).
+    */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    tPar(s, dir, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .where(col("word") =!= "" && length(col("word")) <= 16)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    Bpe.learnMerges(words, "word", "cnt", numMerges = 20, passes = 8)
+
+  private def bpeTag(dir: String) = s"bpe:$dir:m20:p8"
+
+  /** DuckDB twin of [[bpeWords]] — identical tokenizer and caps. */
+  private val BpeWordsSql =
+    """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                            x -> x <> '' AND length(x) <= 16)) AS word
+      |  FROM documents
+      |) GROUP BY 1""".stripMargin
+
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.mergesFrame(s, Bpe.learnMergesCached(bpeTag(dir),
+        bpeWords(s, dir), "word", "cnt", numMerges = 20, passes = 8))
       .orderBy(col("rank"))
-  }
+
+  /** Corpus tokenization stats under the SAME learned merge table (the
+    * memo guarantees one training per JVM): word forms, total subword
+    * tokens, distinct subword vocabulary — certifying
+    * [[Bpe.applyMerges]] against the twin's final training state.
+    */
+  private def bpeTokenizeStats(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenizeStats(bpeWords(s, dir), "word", "cnt",
+      Bpe.learnMergesCached(bpeTag(dir), bpeWords(s, dir), "word", "cnt",
+        numMerges = 20, passes = 8))
 
   // ----- similarity search ----------------------------------------------
 
@@ -1215,6 +1240,7 @@ object LlmQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats" -> (vocabStats _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_tokenize_stats" -> (bpeTokenizeStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
     "knn_cosine_lsh" -> (knnCosineLsh _),
@@ -2786,12 +2812,11 @@ object LlmQueries {
     // identical tokenizer, 20 unrolled merge rounds, the same 8 nested
     // single-pass replaces per round as the Scala side
     "bpe_merges" -> graft.llm.Bpe.learnMergesSql(
-      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-        |                            x -> x <> '' AND length(x) <= 16)) AS word
-        |  FROM documents
-        |) GROUP BY 1""".stripMargin,
-      numMerges = 20, passes = 8),
+      BpeWordsSql, numMerges = 20, passes = 8),
+    // the stats read the final unrolled training state w20, so one hash
+    // certifies training AND applyMerges re-tokenization together
+    "bpe_tokenize_stats" -> graft.llm.Bpe.tokenizeStatsSql(
+      BpeWordsSql, numMerges = 20, passes = 8),
     "knn_cosine_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
          |s AS (

@@ -139,6 +139,58 @@ object Bpe {
       mergeSchema)
   }
 
+  /** Memo for trained merge tables, keyed by a caller-chosen tag
+    * (usually data dir + hyperparameters) — the
+    * [[Similarity.kMeansCentroidsCached]] pattern: BPE training is a
+    * multi-round driver loop, so two queries over the same corpus
+    * (the merge-table dump and the tokenization stats) must not each
+    * pay for it, and an oracle emitter must see the EXACT merges the
+    * query trained.
+    */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+
+  /** [[learnMerges]] through the memo: at most one training per tag per
+    * JVM; later callers get the same merge list.
+    */
+  def learnMergesCached(tag: String, words: => DataFrame, wordCol: String,
+                        cntCol: String, numMerges: Int, passes: Int = 8,
+                        minCount: Long = 1L): Seq[Merge] =
+    mergeMemo.computeIfAbsent(tag,
+      _ => learnMerges(words, wordCol, cntCol, numMerges, passes, minCount)
+        .collect()
+        .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+        .toSeq)
+
+  /** The cached merges as a frame (rank, lft, rgt, pair_count). */
+  def mergesFrame(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[Merge]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.map(m => Row(m.rank, m.lft, m.rgt, m.pairCount)), 1),
+      mergeSchema)
+
+  /** Corpus tokenization stats under a learned merge table: word-form
+    * count, total subword tokens (frequency-weighted), and distinct
+    * subword vocabulary — the "how much did BPE compress the corpus"
+    * readout. One [[applyMerges]] pass + two bounded aggregates
+    * (the 1-row × 1-row combine is an agg-topped broadcast).
+    */
+  def tokenizeStats(words: DataFrame, wordCol: String, cntCol: String,
+                    merges: Seq[Merge], passes: Int = 8): DataFrame = {
+    val applied = applyMerges(words, wordCol,
+        merges.map(m => (m.lft, m.rgt)), passes)
+      .select(col("syms"), col(cntCol).cast("long").as("__cnt"))
+    val base = applied.agg(
+      count(lit(1)).as("n_word_forms"),
+      sum(col("__cnt") * size(split(col("syms"), " ")).cast("long"))
+        .as("total_tokens"))
+    val vocab = applied.select(explode(split(col("syms"), " ")).as("__s"))
+      .agg(countDistinct(col("__s")).as("distinct_subwords"))
+    base.crossJoin(broadcast(vocab))
+  }
+
   /** The final trained state alongside the merges — exposed so a spec
     * can assert the re-tokenization round-trip ([[applyMerges]] over
     * the raw words reproduces exactly this frame).
@@ -195,6 +247,35 @@ object Bpe {
     */
   def learnMergesSql(wordsSql: String, numMerges: Int,
                      passes: Int = 8): String = {
+    val unions = (1 to numMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lft, r AS rgt, pc AS pair_count FROM t$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${cteChain(wordsSql, numMerges, passes)}
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** ANSI-SQL twin of [[tokenizeStats]] over the SAME unrolled training
+    * chain: the stats read the final state `w_numMerges`, so the twin
+    * certifies training AND re-tokenization in one hash.
+    */
+  def tokenizeStatsSql(wordsSql: String, numMerges: Int,
+                       passes: Int = 8): String =
+    s"""WITH ${cteChain(wordsSql, numMerges, passes)}
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM w$numMerges) AS n_word_forms,
+       |  (SELECT CAST(sum(cnt * len(string_split(syms, ' '))) AS BIGINT)
+       |   FROM w$numMerges) AS total_tokens,
+       |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM
+       |    (SELECT unnest(string_split(syms, ' ')) AS s FROM w$numMerges))
+       |    AS distinct_subwords""".stripMargin
+
+  /** The shared per-round CTE chain (w0 + p/t/w per round), all
+    * MATERIALIZED — see [[learnMergesSql]] for why.
+    */
+  private def cteChain(wordsSql: String, numMerges: Int,
+                       passes: Int): String = {
     def nestedReplace(inner: String): String =
       (1 to passes).foldLeft(inner) { (acc, _) =>
         s"REPLACE($acc, n.ndl, n.rpl)"
@@ -213,17 +294,11 @@ object Bpe {
          |            ' ' || l || r || ' ' AS rpl FROM t$i) n
          |)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to numMerges).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, l AS lft, r AS rgt, pc AS pair_count FROM t$i"
-    }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS syms,
        |         CAST(sum(cnt) AS BIGINT) AS cnt
        |  FROM ($wordsSql) GROUP BY 1
        |),
-       |$rounds
-       |SELECT * FROM (
-       |$unions
-       |) ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
   }
 }

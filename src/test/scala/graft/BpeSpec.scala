@@ -95,6 +95,22 @@ class BpeSpec extends AnyFunSuite {
       regexp_replace(col("syms"), " ", "") =!= col("word")).count() === 0L)
   }
 
+  test("tokenizeStats agrees with the reference final state") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val (_, state) = refBpe(words, 6)
+    val merges = Bpe.learnMergesCached("bpespec:classic6",
+      words.toSeq.toDF("word", "cnt"), "word", "cnt", numMerges = 6)
+    val got = Bpe.tokenizeStats(words.toSeq.toDF("word", "cnt"),
+      "word", "cnt", merges).head()
+    val expTokens = state.map { case (syms, c) =>
+      syms.split(" ").length * c }.sum
+    val expVocab = state.keys.flatMap(_.split(" ")).toSet.size
+    assert(got.getLong(0) === words.size.toLong)
+    assert(got.getLong(1) === expTokens)
+    assert(got.getLong(2) === expVocab.toLong)
+  }
+
   test("early exhaustion: a single-symbol vocab yields zero merges") {
     assert(learn(Map("a" -> 10L, "b" -> 3L), 4) === Seq.empty)
   }

@@ -5,11 +5,16 @@ Runs after `graft.Verify` has dumped query results + oracle_sql.json:
 for each query, executes the oracle SQL in DuckDB over the same parquet
 tables, sorts columns by name, sorts rows, and compares values exactly.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a CORRECTNESS-style JSON artifact:
+{query: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+         err, oracle_sec}}.
 """
 import json
 import sys
 import glob
+import time
 
 import duckdb
 import pandas as pd
@@ -44,37 +49,54 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    report = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None, "oracle_sec": None}
+        report[name] = rec
+        t0 = time.time()
         try:
             expect = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            rec["err"] = f"oracle SQL error: {e}"
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
+        rec["oracle_sec"] = round(time.time() - t0, 3)
+        rec["oracle_rows"] = len(expect)
         got = load_spark_result(con, f"{out_dir}/{name}")
         if got is None:
+            rec["err"] = "no spark result written"
             print(f"FAIL {name}: no spark result written")
             n_fail += 1
             continue
+        rec["spark_rows"] = len(got)
         if sorted(got.columns) != sorted(expect.columns):
-            print(f"FAIL {name}: columns differ spark={sorted(got.columns)} "
-                  f"oracle={sorted(expect.columns)}")
+            rec["err"] = (f"columns differ spark={sorted(got.columns)} "
+                          f"oracle={sorted(expect.columns)}")
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
+        rec["schema_match"] = True
         g, e = normalize(got), normalize(expect)
+        rec["rows_match"] = len(g) == len(e)
         if len(g) != len(e):
-            print(f"FAIL {name}: row count spark={len(g)} oracle={len(e)}")
+            rec["err"] = f"row count spark={len(g)} oracle={len(e)}"
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
         if g.equals(e):
+            rec["hash_match"] = True
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         else:
             neq = (g != e).any(axis=1)
             idx = list(g.index[neq])[:5]
-            print(f"FAIL {name}: {int(neq.sum())}/{len(g)} rows differ; "
-                  f"first diffs:")
+            rec["err"] = f"{int(neq.sum())}/{len(g)} rows differ"
+            print(f"FAIL {name}: {rec['err']}; first diffs:")
             for i in idx:
                 for c in g.columns:
                     if g.at[i, c] != e.at[i, c]:
@@ -82,6 +104,8 @@ def main():
                               f"spark={g.at[i, c]!r} oracle={e.at[i, c]!r}")
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        json.dump(report, open(json_out, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
 
 
