@@ -2872,11 +2872,11 @@ object LlmQueries {
         s"CAST((($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b) AS BIGINT)"
       val steps = (1 to 5).map { t =>
         val pv = if (t == 1) "v0" else s"v${t - 1}"
-        s"""w$t AS (
+        s"""w$t AS MATERIALIZED (
            |  SELECT c.i, CAST(sum(CAST(c.c AS HUGEINT) * $pv.v) AS BIGINT) AS w
            |  FROM c JOIN $pv ON c.j = $pv.j GROUP BY 1
-           |), m$t AS (SELECT max(abs(w)) AS m FROM w$t),
-           |v$t AS (
+           |), m$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$t),
+           |v$t AS MATERIALIZED (
            |  SELECT w$t.i AS j,
            |         CASE WHEN m$t.m > 0
            |              THEN ${fdiv("w$T.w".replace("$T", t.toString), fdiv("m$T.m".replace("$T", t.toString), "10000") + " + 1")}
@@ -2884,21 +2884,21 @@ object LlmQueries {
            |  FROM w$t, m$t
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH q AS (
+      s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id, i - 1 AS i,
          |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4) AS BIGINT) AS e
          |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
-         |), gram AS (
+         |), gram AS MATERIALIZED (
          |  SELECT a.i, b.i AS j, CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS BIGINT) AS g
          |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
-         |), s AS (
+         |), s AS MATERIALIZED (
          |  SELECT i, CAST(sum(e) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
          |  FROM q GROUP BY 1
-         |), c AS (
+         |), c AS MATERIALIZED (
          |  SELECT g.i, g.j,
          |         ${fdiv("si.n * g.g - si.s * sj.s", "1000000")} AS c
          |  FROM gram g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j
-         |), v0 AS (
+         |), v0 AS MATERIALIZED (
          |  SELECT DISTINCT i AS j, CAST(10000 AS BIGINT) AS v FROM q
          |),
          |$steps,

@@ -3808,7 +3808,7 @@ object SparkEntry {
              |  CASE WHEN (x & ${s}) > 0 THEN 1 ELSE 0 END AS rx,
              |  CASE WHEN (y & ${s}) > 0 THEN 1 ELSE 0 END AS ry FROM $prev),
              |h${i + 1} AS (SELECT l_suppkey,
-             |  d + ${s * s} * xor(3 * rx, ry) AS d,
+             |  d + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS d,
              |  CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN ${s - 1} - y ELSE y END AS x,
              |  CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN ${s - 1} - x ELSE x END AS y
              |  FROM p${i + 1})""".stripMargin

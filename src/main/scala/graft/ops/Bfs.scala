@@ -67,18 +67,18 @@ object Bfs {
     */
   def depthsSql(edgesSql: String, seedsSql: String, maxDepth: Int): String = {
     val rounds = (1 to maxDepth).map { i =>
-      s"""f$i AS (
+      s"""f$i AS MATERIALIZED (
          |  SELECT DISTINCT e.dst AS id FROM e JOIN f${i - 1} f ON e.src = f.id
          |  WHERE e.dst NOT IN (SELECT id FROM v${i - 1})
          |),
-         |v$i AS (
+         |v$i AS MATERIALIZED (
          |  SELECT id, depth FROM v${i - 1}
          |  UNION ALL SELECT id, $i AS depth FROM f$i
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
-       |f0 AS (SELECT DISTINCT id FROM ($seedsSql)),
-       |v0 AS (SELECT id, 0 AS depth FROM f0),
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |f0 AS MATERIALIZED (SELECT DISTINCT id FROM ($seedsSql)),
+       |v0 AS MATERIALIZED (SELECT id, 0 AS depth FROM f0),
        |$rounds
        |SELECT id, CAST(depth AS BIGINT) AS depth
        |FROM v$maxDepth ORDER BY id""".stripMargin

@@ -71,24 +71,24 @@ object Communities {
     */
   def labelPropagationSql(edgesSql: String, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.src, l.label, count(*) AS c
          |  FROM e JOIN l${i - 1} l ON l.id = e.dst GROUP BY 1, 2
          |),
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT src AS id, label FROM (
          |    SELECT src, label,
          |           row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
          |    FROM c$i) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH raw AS ($edgesSql),
-       |e AS (
+    s"""WITH raw AS MATERIALIZED ($edgesSql),
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
        |  WHERE src <> dst
        |),
-       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
        |$rounds
        |SELECT id, CAST(label AS BIGINT) AS label
        |FROM l$iters ORDER BY id""".stripMargin

@@ -107,21 +107,21 @@ object Hits {
   def fixedPointSql(edgesSql: String, iters: Int,
                     unit: Long = 1000000000L): String = {
     val rounds = (1 to iters).map { i =>
-      s"""ar$i AS (SELECT e.dst AS id, sum(h.h) AS araw
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, sum(h.h) AS araw
          |         FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1),
-         |a$i AS (SELECT n.id,
+         |a$i AS MATERIALIZED (SELECT n.id,
          |          (COALESCE(ar.araw, 0) * $unit) // (SELECT sum(araw) FROM ar$i) AS a
          |        FROM nodes n LEFT JOIN ar$i ar ON ar.id = n.id),
-         |hr$i AS (SELECT e.src AS id, sum(a.a) AS hraw
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, sum(a.a) AS hraw
          |         FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1),
-         |h$i AS (SELECT n.id,
+         |h$i AS MATERIALIZED (SELECT n.id,
          |          (COALESCE(hr.hraw, 0) * $unit) // (SELECT sum(hraw) FROM hr$i) AS h
          |        FROM nodes n LEFT JOIN hr$i hr ON hr.id = n.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |h0 AS (SELECT id, (SELECT $unit // n FROM cnt) AS h FROM nodes),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT id, (SELECT $unit // n FROM cnt) AS h FROM nodes),
        |$rounds
        |SELECT h.id, CAST(h.h AS BIGINT) AS hub_fp, CAST(a.a AS BIGINT) AS auth_fp
        |FROM h$iters h JOIN a$iters a ON a.id = h.id ORDER BY h.id""".stripMargin

@@ -255,28 +255,28 @@ object PageRank {
                                 dampNum: Long = 85L,
                                 dampDen: Long = 100L): String = {
     val rounds = (1 to iters).map { i =>
-      s"""d$i AS (SELECT COALESCE(sum(rank), 0) // (SELECT ns FROM scnt) AS dps
+      s"""d$i AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) // (SELECT ns FROM scnt) AS dps
          |        FROM r${i - 1} WHERE deg IS NULL),
-         |c$i AS (SELECT e.dst AS id, sum(r.rank // r.deg) AS insum
+         |c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank // r.deg) AS insum
          |        FROM e JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
-         |r$i AS (SELECT b.id, b.deg, b.seed,
+         |r$i AS MATERIALIZED (SELECT b.id, b.deg, b.seed,
          |          b.seed * ((($dampDen - $dampNum) * $unit // $dampDen) // (SELECT ns FROM scnt))
          |          + ($dampNum * (COALESCE(c.insum, 0)
          |                         + b.seed * (SELECT dps FROM d$i))) // $dampDen AS rank
          |        FROM base b LEFT JOIN c$i c ON c.id = b.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-       |sd AS (SELECT DISTINCT id FROM ($seedsSql)),
-       |base AS (
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |sd AS MATERIALIZED (SELECT DISTINCT id FROM ($seedsSql)),
+       |base AS MATERIALIZED (
        |  SELECT n.id, d.deg,
        |         CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS seed
        |  FROM nodes n LEFT JOIN deg d ON d.src = n.id
        |  LEFT JOIN sd ON sd.id = n.id
        |),
-       |scnt AS (SELECT CAST(sum(seed) AS BIGINT) AS ns FROM base),
-       |r0 AS (SELECT id, deg, seed,
+       |scnt AS MATERIALIZED (SELECT CAST(sum(seed) AS BIGINT) AS ns FROM base),
+       |r0 AS MATERIALIZED (SELECT id, deg, seed,
        |              seed * (SELECT $unit // ns FROM scnt) AS rank FROM base),
        |$rounds
        |SELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters
@@ -290,21 +290,21 @@ object PageRank {
                     unit: Long = 1000000000000L, dampNum: Long = 85L,
                     dampDen: Long = 100L): String = {
     val rounds = (1 to iters).map { i =>
-      s"""d$i AS (SELECT COALESCE(sum(rank), 0) AS dang FROM r${i - 1} WHERE deg IS NULL),
-         |c$i AS (SELECT e.dst AS id, sum(r.rank // r.deg) AS insum
+      s"""d$i AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dang FROM r${i - 1} WHERE deg IS NULL),
+         |c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank // r.deg) AS insum
          |        FROM e JOIN r${i - 1} r ON r.id = e.src GROUP BY 1),
-         |r$i AS (SELECT b.id, b.deg,
+         |r$i AS MATERIALIZED (SELECT b.id, b.deg,
          |          ((($dampDen - $dampNum) * $unit // $dampDen) // (SELECT n FROM cnt))
          |          + ($dampNum * (COALESCE(c.insum, 0)
          |                         + ((SELECT dang FROM d$i) // (SELECT n FROM cnt)))) // $dampDen AS rank
          |        FROM base b LEFT JOIN c$i c ON c.id = b.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-       |base AS (SELECT n.id, d.deg FROM nodes n LEFT JOIN deg d ON d.src = n.id),
-       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |r0 AS (SELECT b.id, b.deg, (SELECT $unit // n FROM cnt) AS rank FROM base b),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |base AS MATERIALIZED (SELECT n.id, d.deg FROM nodes n LEFT JOIN deg d ON d.src = n.id),
+       |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT b.id, b.deg, (SELECT $unit // n FROM cnt) AS rank FROM base b),
        |$rounds
        |SELECT id, CAST(rank AS BIGINT) AS rank_fp FROM r$iters ORDER BY id""".stripMargin
   }

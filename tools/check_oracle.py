@@ -10,10 +10,20 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 With jsonOut, also writes a CORRECTNESS-style JSON artifact:
 {query: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
          err, oracle_sec}}.
+
+Environment knobs for scale-ladder runs (sf1+), where a handful of
+deliberately-brute oracle twins are infeasible by design:
+- CHECK_ORACLE_SKIP: comma-separated query names to record as
+  "skipped" (e.g. an O(n^2) all-pairs equality proof certified at
+  smaller scale factors) without running them;
+- CHECK_ORACLE_TIMEOUT: per-oracle wall budget in seconds; a DuckDB
+  query past it is interrupted and recorded as timed out.
 """
 import json
+import os
 import sys
 import glob
+import threading
 import time
 
 import duckdb
@@ -50,21 +60,42 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    skip = set(filter(None,
+        os.environ.get("CHECK_ORACLE_SKIP", "").split(",")))
+    budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT", "0")) or None
     report = {}
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
                "oracle_rows": None, "err": None, "oracle_sec": None}
         report[name] = rec
+        if name in skip:
+            rec["err"] = ("skipped: oracle marked infeasible at this "
+                          "scale (see CHECK_ORACLE_SKIP)")
+            print(f"SKIP {name}")
+            n_skip += 1
+            continue
         t0 = time.time()
+        timer = None
+        if budget:
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         try:
             expect = con.execute(sql).df()
         except Exception as e:
-            rec["err"] = f"oracle SQL error: {e}"
+            took = time.time() - t0
+            if budget and took >= budget:
+                rec["err"] = (f"oracle timed out after {int(took)}s "
+                              f"(budget {int(budget)}s)")
+            else:
+                rec["err"] = f"oracle SQL error: {e}"
             print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         rec["oracle_sec"] = round(time.time() - t0, 3)
         rec["oracle_rows"] = len(expect)
         got = load_spark_result(con, f"{out_dir}/{name}")
@@ -103,7 +134,8 @@ def main():
                         print(f"  row {i} col {c}: "
                               f"spark={g.at[i, c]!r} oracle={e.at[i, c]!r}")
             n_fail += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    print(f"== {n_pass} pass / {n_fail} fail"
+          + (f" / {n_skip} skip" if n_skip else "") + " ==")
     if json_out:
         json.dump(report, open(json_out, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
