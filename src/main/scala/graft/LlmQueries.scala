@@ -2623,7 +2623,7 @@ object LlmQueries {
         |  FROM documents
         |)
         |SELECT source, doc_id, n_chars, "rank" FROM w
-        |WHERE before * 1000000 < 500000 * total
+        |WHERE CAST(before AS HUGEINT) * 1000000 < CAST(500000 AS HUGEINT) * total
         |ORDER BY source, "rank"""".stripMargin,
     // same exact integer score grid, same width bins, same two rounded
     // rates

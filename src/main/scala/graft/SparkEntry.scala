@@ -3028,27 +3028,27 @@ object SparkEntry {
         |FROM cnt JOIN peak ON cnt.q = peak.q JOIN uni ON cnt.q = uni.q
         |ORDER BY q""".stripMargin,
     "part_triangle_counts" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v FROM (
         |    SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
         |    FROM lineitem a JOIN lineitem b
         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
         |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |), deg AS (
+        |), deg AS MATERIALIZED (
         |  SELECT node, count(*) AS deg FROM (
         |    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
         |  GROUP BY 1
-        |), rk AS (
+        |), rk AS MATERIALIZED (
         |  SELECT node, deg * 1099511627776 + node AS rnk FROM deg
-        |), o AS (
+        |), o AS MATERIALIZED (
         |  SELECT CASE WHEN ru.rnk < rv.rnk THEN u ELSE v END AS lo,
         |         CASE WHEN ru.rnk < rv.rnk THEN v ELSE u END AS hi,
         |         CASE WHEN ru.rnk < rv.rnk THEN rv.rnk ELSE ru.rnk END AS rhi
         |  FROM pairs JOIN rk ru ON ru.node = pairs.u JOIN rk rv ON rv.node = pairs.v
-        |), w AS (
+        |), w AS MATERIALIZED (
         |  SELECT l.lo AS c, l.hi AS b, r.hi AS e
         |  FROM o l JOIN o r ON l.lo = r.lo AND l.rhi < r.rhi
-        |), tri AS (
+        |), tri AS MATERIALIZED (
         |  SELECT c, b, e FROM w JOIN o ON o.lo = w.b AND o.hi = w.e
         |), nodes AS (
         |  SELECT c AS node FROM tri
@@ -3510,9 +3510,9 @@ object SparkEntry {
         |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
         |  FROM customer
         |), st AS (
-        |  SELECT c_nationkey AS g, CAST(count(bal_cents) AS BIGINT) AS n,
-        |         CAST(sum(bal_cents) AS BIGINT) AS s,
-        |         CAST(sum(bal_cents * bal_cents) AS BIGINT) AS ss
+        |  SELECT c_nationkey AS g, CAST(count(bal_cents) AS HUGEINT) AS n,
+        |         CAST(sum(CAST(bal_cents AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(bal_cents AS HUGEINT) * bal_cents) AS HUGEINT) AS ss
         |  FROM src GROUP BY 1
         |)
         |SELECT src.c_custkey, src.c_nationkey, src.bal_cents,
@@ -3555,7 +3555,7 @@ object SparkEntry {
         |), k AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_top,
         |         CAST(sum(cents) AS BIGINT) AS top_cents
-        |  FROM w WHERE before * 1000000 < 800000 * total
+        |  FROM w WHERE CAST(before AS HUGEINT) * 1000000 < CAST(800000 AS HUGEINT) * total
         |), t AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_brands,
         |         CAST(sum(cents) AS BIGINT) AS total_cents
@@ -3647,12 +3647,12 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1, 2
         |), wm AS (
         |  SELECT *,
-        |         CAST(count(*) OVER w AS BIGINT) AS n,
-        |         CAST(sum(qty) OVER w AS BIGINT) AS sx,
-        |         CAST(sum(rev_usd) OVER w AS BIGINT) AS sy,
-        |         CAST(sum(qty * rev_usd) OVER w AS BIGINT) AS sxy,
-        |         CAST(sum(qty * qty) OVER w AS BIGINT) AS sxx,
-        |         CAST(sum(rev_usd * rev_usd) OVER w AS BIGINT) AS syy
+        |         CAST(count(*) OVER w AS HUGEINT) AS n,
+        |         CAST(sum(CAST(qty AS HUGEINT)) OVER w AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(rev_usd AS HUGEINT)) OVER w AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(qty AS HUGEINT) * rev_usd) OVER w AS HUGEINT) AS sxy,
+        |         CAST(sum(CAST(qty AS HUGEINT) * qty) OVER w AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(rev_usd AS HUGEINT) * rev_usd) OVER w AS HUGEINT) AS syy
         |  FROM m
         |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY yyyymm
         |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)

@@ -586,7 +586,11 @@ object Curation {
         coalesce(sum(col(scoreCol)).over(before), lit(0L)))
       .withColumn("__total", sum(col(scoreCol)).over(whole))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("__before") * 1000000L < lit(pMicro) * col("__total"))
+      // decimal(38,0) cross-multiply: a long `before * 1e6` wraps past
+      // ~9.2e12 score units (hit at the sf1 certification — cents-grain
+      // totals at 10x scale), and with ANSI off the wrap is SILENT
+      .where(col("__before").cast("decimal(38,0)") * lit(1000000L) <
+        lit(pMicro) * col("__total").cast("decimal(38,0)"))
       .drop("__before", "__total")
   }
 }

@@ -62,19 +62,22 @@ object Normalize {
     * accumulation order to disagree on. Degenerate groups (n = 1 or
     * zero variance) yield null.
     *
-    * Overflow envelope: `n·Σx²` must fit int64 — with cent-scale
-    * values ≤ 10⁶ that holds through ~10⁵-row groups; larger groups
-    * should pre-scale the column (the [[graft.ops.Trend]] rebasing
-    * note applies).
+    * The moments accumulate in decimal(38,0): with long arithmetic the
+    * cross-multiply `n·Σx²` wraps SILENTLY past 2⁶³ — hit at the sf1
+    * certification, where cent-scale balances over 6k-row nation
+    * groups put n·Σx² at ~1.2e19. Decimal keeps every step exact; the
+    * only floating point remains the final sqrt + division.
     *
     * Shape: one group-grain aggregate broadcast back onto the rows —
     * map-only after the stats join; never a window over the data.
     */
   def zScale(df: DataFrame, groupCol: String, centsCol: String)
     : DataFrame = {
+    val cd = col(centsCol).cast("decimal(38,0)")
     val stats = df.groupBy(col(groupCol).as("__g"))
-      .agg(count(col(centsCol)).as("__n"), sum(col(centsCol)).as("__s"),
-        sum(col(centsCol) * col(centsCol)).as("__ss"))
+      .agg(count(col(centsCol)).cast("decimal(38,0)").as("__n"),
+        sum(cd).as("__s"),
+        sum((cd * cd).cast("decimal(38,0)")).as("__ss"))
     val varn = col("__n") * col("__ss") - col("__s") * col("__s")
     // no broadcast HINT: group cardinality is caller-controlled and a
     // forced broadcast of a high-cardinality stats table would OOM the

@@ -207,9 +207,12 @@ object Windows {
     * ("are quantity and price moving together THIS quarter"), where
     * the global [[graft.ops.Stats.pearson]] gives one number for all
     * history. The five frame moments (n, Σx, Σy, Σxy, Σx², Σy²)
-    * accumulate as EXACT integer window sums; the correlation is one
-    * closed-form double per row over those longs — the same
-    * engine-stable discipline as the global op, applied per frame.
+    * accumulate as EXACT decimal(38,0) window sums — x·y products are
+    * formed in decimal BEFORE summation, because long moments wrap
+    * silently once Σy² passes 2⁶³ (hit at the sf1 certification:
+    * month-grain revenue squared at 10× scale crosses ~1e19) — the
+    * correlation is one closed-form double per row over those exact
+    * integers, the same engine-stable discipline as the global op.
     * Degenerate frames (fewer than 2 rows, zero variance) yield null.
     * Same single-shuffle partitioned-window shape as [[runningTotal]].
     */
@@ -219,12 +222,14 @@ object Windows {
     require(nRows >= 2, s"nRows=$nRows")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(-(nRows - 1), Window.currentRow)
-    val n = count(lit(1)).over(w)
-    val sx = sum(x).over(w)
-    val sy = sum(y).over(w)
-    val sxy = sum(x * y).over(w)
-    val sxx = sum(x * x).over(w)
-    val syy = sum(y * y).over(w)
+    val xd = x.cast("decimal(38,0)")
+    val yd = y.cast("decimal(38,0)")
+    val n = count(lit(1)).over(w).cast("decimal(38,0)")
+    val sx = sum(xd).over(w)
+    val sy = sum(yd).over(w)
+    val sxy = sum((xd * yd).cast("decimal(38,0)")).over(w)
+    val sxx = sum((xd * xd).cast("decimal(38,0)")).over(w)
+    val syy = sum((yd * yd).cast("decimal(38,0)")).over(w)
     val covn = n * sxy - sx * sy
     val vxn = n * sxx - sx * sx
     val vyn = n * syy - sy * sy

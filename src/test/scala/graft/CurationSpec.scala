@@ -364,6 +364,19 @@ class CurationSpec extends AnyFunSuite {
     assert(tiny === Set(("s1", 1L), ("s2", 4L)))
   }
 
+  test("nucleusSelect survives totals past the long micro-unit envelope") {
+    // before * 1e6 wraps int64 once the running prefix passes ~9.2e12
+    // score units (the sf1-certification catch); the decimal(38,0)
+    // cross-multiply must keep the crossing rule exact. Scores 4e12
+    // each, p=0.5: prefix 0, 4e12, 8e12 vs 0.5·12e12=6e12 → keep 2.
+    val big = 4_000_000_000_000L
+    val df = Seq(("s", 1L, big), ("s", 2L, big), ("s", 3L, big))
+      .toDF("src", "id", "score")
+    val kept = Curation.nucleusSelect(df, "src", "id", "score", 500000L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("quotaAllocate: exact budget, largest-remainder top-ups, tiebreak") {
     // weights 3:3:4 over budget 11 → floors 3,3,4 (sum 10), remainders
     // 3/10, 3/10, 4/10 scaled: 33%10=3, 33%10=3, 44%10=4 → one unit
