@@ -45,12 +45,21 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Optional subset (SPARK_GRAFT_BENCH_ONLY = comma-separated names):
+    // scale-ladder runs time the expensive families without paying for
+    // the full surface at 10x data. Absent -> the full surface.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val bench = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+
     // elapsed seconds, plus whether the query actually succeeded: a pass
     // where a query fails fast (transient OOM, missing file) must NOT
     // feed its small failure time into the min-over-passes below — that
     // would silently deflate the headline total.
     def runPass(): Map[String, (Double, Boolean)] =
-      SparkEntry.queries.map { case (name, fn) =>
+      bench.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune projection-only plans).
@@ -72,7 +81,7 @@ object Bench {
     // and a timeout-ish failure overstate it — so it contributes null to
     // `queries` and nothing to the headline `value`; `failures` /
     // `failed_queries` carry the incompleteness signal.
-    val best: Map[String, Option[Double]] = SparkEntry.queries.keys.map { name =>
+    val best: Map[String, Option[Double]] = bench.keys.map { name =>
       val good = allPasses.flatMap(_.get(name)).collect { case (t, true) => t }
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }.toMap
