@@ -1527,23 +1527,23 @@ object LlmQueries {
        |  SELECT doc_id, $Toks AS toks FROM $src
        |), nsh AS (
        |  SELECT doc_id, $Shingles AS shingles FROM nbase
-       |), nsigs AS (
+       |), nsigs AS MATERIALIZED (
        |  SELECT doc_id,
        |       $SigExprs
        |  FROM nsh
-       |), nbands AS (
+       |), nbands AS MATERIALIZED (
        |  SELECT doc_id, u.b AS band_idx,
        |         CASE u.b WHEN 0 THEN sig_0 || '|' || sig_1
        |                  WHEN 1 THEN sig_2 || '|' || sig_3
        |                  WHEN 2 THEN sig_4 || '|' || sig_5
        |                  ELSE sig_6 || '|' || sig_7 END AS band_val
        |  FROM nsigs, (SELECT unnest([0,1,2,3]) AS b) u
-       |), ncand AS (
+       |), ncand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM nbands a JOIN nbands b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.doc_id < b.doc_id
-       |), npairs AS (
+       |), npairs AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b
        |  FROM ncand c JOIN nsigs sa ON c.id_a = sa.doc_id
        |               JOIN nsigs sb ON c.id_b = sb.doc_id
@@ -1552,7 +1552,7 @@ object LlmQueries {
   }
 
   private def nearDupClosureCtes(src: String): String = {
-    s"""${minhashPairCtes(src)}, nedges AS (
+    s"""${minhashPairCtes(src)}, nedges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM npairs
        |  UNION SELECT id_b, id_a FROM npairs
        |), reach AS (
@@ -2179,18 +2179,18 @@ object LlmQueries {
     // closure composes with a second candidate generator
     "winnow_dup_clusters" ->
       s"""WITH RECURSIVE $WinnowCtes,
-         |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
-         |keepfp AS (
+         |dfp AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wfp),
+         |keepfp AS MATERIALIZED (
          |  SELECT fp FROM dfp GROUP BY fp
          |  HAVING count(*) > 1 AND count(*) <= 100
          |),
-         |filtered AS (SELECT d.doc_id, d.fp FROM dfp d JOIN keepfp USING (fp)),
-         |wpairs AS (
+         |filtered AS MATERIALIZED (SELECT d.doc_id, d.fp FROM dfp d JOIN keepfp USING (fp)),
+         |wpairs AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM filtered a JOIN filtered b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 2
          |),
-         |wedges AS (
+         |wedges AS MATERIALIZED (
          |  SELECT id_a AS a, id_b AS b FROM wpairs
          |  UNION SELECT id_b, id_a FROM wpairs
          |),
