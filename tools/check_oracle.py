@@ -78,8 +78,17 @@ def main():
             continue
         t0 = time.time()
         timer = None
+        # done-flag guard: if the timer fires between execute() returning
+        # and cancel(), an unguarded interrupt() would cancel the NEXT
+        # oracle (spurious failure near the budget boundary)
+        done = [False]
+
+        def _interrupt():
+            if not done[0]:
+                con.interrupt()
+
         if budget:
-            timer = threading.Timer(budget, con.interrupt)
+            timer = threading.Timer(budget, _interrupt)
             timer.start()
         try:
             expect = con.execute(sql).df()
@@ -94,6 +103,7 @@ def main():
             n_fail += 1
             continue
         finally:
+            done[0] = True
             if timer:
                 timer.cancel()
         rec["oracle_sec"] = round(time.time() - t0, 3)
