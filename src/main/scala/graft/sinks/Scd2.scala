@@ -112,6 +112,67 @@ object Scd2 {
     folded
   }
 
+  /** Batch derivation of the SAME history [[foldSnapshots]] builds, in
+    * ONE key-grain shuffle instead of one full-outer join per snapshot.
+    *
+    * All snapshots are tagged with their effective point and unioned
+    * into a tall (key, attrs, eff) frame; version opens are the rows
+    * where the attr tuple IS DISTINCT FROM the key's previous present
+    * snapshot (null-safe, first appearance always opens), and each
+    * version closes at the key's next open (`lead` over the same
+    * partitioning, so the second window reuses the first's
+    * sort/exchange — no second shuffle). Equivalent to the fold for any
+    * snapshot sequence with strictly increasing effective points per
+    * key (the fold's own sensible-input envelope: two merges at the
+    * SAME point produce a degenerate `[at, at)` version the batch form
+    * deliberately collapses); partial snapshots behave identically —
+    * an absent key simply contributes no row at that point, so its
+    * open version persists, and a reappearance with unchanged attrs
+    * opens nothing.
+    *
+    * Use this for backfills (N snapshots at once): the fold re-shuffles
+    * the whole current slice per snapshot — O(N) key-grain shuffles and
+    * a plan that needs periodic checkpoints — where this derivation is
+    * one shuffle total regardless of N, the shape you want for a
+    * 100-snapshot backfill at 100× data. Keep [[mergeSnapshot]] for
+    * true incremental merges into an EXISTING history.
+    */
+  def fromSnapshots(snaps: Seq[(DataFrame, Column)],
+                    keys: Seq[String], attrs: Seq[String]): DataFrame = {
+    require(snaps.nonEmpty, "at least one snapshot required")
+    require(keys.nonEmpty && attrs.nonEmpty, "keys and attrs required")
+    val tall = snaps.map { case (snap, at) =>
+      snap.select(keys.map(col) ++ attrs.map(col): _*)
+        .withColumn("__eff", at)
+    }.reduce(_ unionByName _)
+    fromTall(tall, keys, attrs, "__eff")
+  }
+
+  /** [[fromSnapshots]] over an already-tall frame carrying its own
+    * effective-point column `effCol` — skips the union when the
+    * snapshots are slices of one source (e.g. a period-keyed aggregate).
+    */
+  def fromTall(tall: DataFrame, keys: Seq[String], attrs: Seq[String],
+               effCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(effCol))
+    // lag over a constant marker distinguishes "no previous row" from a
+    // previous row whose lagged attr happens to be null
+    val isFirst = lag(lit(1), 1).over(w).isNull
+    val unchanged = attrs.map(c => col(c) <=> lag(col(c), 1).over(w))
+      .reduce(_ && _)
+    val opens = tall
+      .withColumn("__open", isFirst || !unchanged)
+      .where(col("__open"))
+    // lead over the SAME (partition, order): the filter preserves the
+    // first window's distribution and ordering, so Catalyst plans no
+    // second exchange or sort
+    opens.select(keys.map(col) ++ attrs.map(col) :+
+        col(effCol).as("valid_from") :+
+        lead(col(effCol), 1).over(w).as("valid_to"): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Time-travel read: the version of each key valid at `at`. */
   def asOf(history: DataFrame, at: Column): DataFrame =
     history.where(col("valid_from") <= at &&

@@ -52,6 +52,33 @@ class Scd2Spec extends AnyFunSuite {
     assert(tiers(5) === Map.empty)
   }
 
+  test("fromSnapshots ≡ foldSnapshots on a 12-snapshot stress sequence") {
+    // 40 keys x 12 monthly partial snapshots: key k is present in month m
+    // iff (k + m) % 5 != 0 (absences exercise the untouched-key path),
+    // attr changes whenever (k * m) % 3 == 0, and every 4th present point
+    // carries a NULL attr (null-safe change detection on both paths)
+    def attr(k: Int, m: Int): Option[String] =
+      if ((k + m) % 4 == 0) None else Some(s"v${(k * m) % 3}")
+    val months = (1 to 12).map { m =>
+      val rows = (1 to 40).filter(k => (k + m) % 5 != 0)
+        .map(k => (k.toLong, attr(k, m)))
+      (rows.toDF("k", "a"), lit(m))
+    }
+    val fold = Scd2.foldSnapshots(
+      Scd2.init(months.head._1, months.head._2),
+      months.tail, Seq("k"), Seq("a"), checkpointEvery = 3)
+    val batch = Scd2.fromSnapshots(months, Seq("k"), Seq("a"))
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("k", "a", "valid_from", "valid_to", "is_current")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(norm(batch) === norm(fold))
+    // sanity on the shape itself: opens exist past month 1, exactly one
+    // current version per key that ever appeared
+    val cur = batch.where(col("is_current")).count()
+    assert(cur === 40)
+    assert(batch.count() > 40)
+  }
+
   test("null-safe attribute comparison: null->value and value->null are changes") {
     val s1 = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("k", "a")
     val s2 = Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("k", "a")
