@@ -1037,6 +1037,37 @@ object LlmQueries {
         winSamples = 2048, hopSamples = 1024)
       .orderBy(col("media_id"), col("win_idx"))
 
+  /** Byte-exact image-header contract (r9): the first L header bytes of
+    * every image-like payload as hex ALONGSIDE the codegen'd parse of
+    * those same bytes. The DuckDB twin CONSTRUCTS the identical header
+    * hex from the fixture formulas and re-derives every field by hex
+    * slicing + bit arithmetic, so a hash match proves (a) the builder's
+    * bytes are what the formulas say, byte for byte, and (b)
+    * [[graft.functions.MediaHeaderSniff]]'s byte-walk extracts exactly
+    * the spec fields from them. L covers the parsed fields and stops
+    * before the first CRC (PNG 28 = signature..filter byte, JPEG 30 =
+    * SOI..SOF0 component count, GIF 13 = header + logical screen
+    * descriptor).
+    */
+  private def imageHeaderStats(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.MediaHeaderSniff.sniff(col("payload"))
+    Multimodal.mediaFromDocuments(tPar(s, dir, "documents"))
+      .select(col("media_id"), col("payload"), m.as("m"))
+      .select(col("media_id"),
+        col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"), col("m.channels").as("channels"),
+        col("payload"))
+      .where(col("format").isin("png", "jpeg", "gif"))
+      .withColumn("header_hex",
+        hex(col("payload").substr(lit(1),
+          when(col("format") === "png", lit(28))
+            .when(col("format") === "jpeg", lit(30))
+            .otherwise(lit(13)))))
+      .drop("payload")
+      .orderBy(col("media_id"))
+  }
+
   /** Domain-cap curation: at most 10 docs per source, kept in
     * deterministic hash order via the bounded-heap top-k (the oracle is
     * the `row_number` window form — equality proves the heap path).
@@ -1261,6 +1292,7 @@ object LlmQueries {
     "label_scatter_embeddings" -> (labelScatterEmbeddings _),
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
+    "image_header_stats" -> (imageHeaderStats _),
     "frame_sample_plan" -> (frameSamplePlan _),
     "resize_plan" -> (resizePlan _),
     "pii_scrub_stats" -> (piiScrubStats _),
@@ -1382,7 +1414,9 @@ object LlmQueries {
       |         CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1
       |                        WHEN 2 THEN 1 + d % 12
       |                        ELSE 64 + n % 4096 END AS INTEGER) AS n_frames,
-      |         CAST(CASE WHEN kind = 3 THEN 1 + d % 2 END AS INTEGER) AS channels,
+      |         CAST(CASE WHEN kind = 0 THEN 3 -- PNG truecolor (color type 2)
+      |                   WHEN kind = 1 THEN 3 -- JPEG 3-component SOF0
+      |                   WHEN kind = 3 THEN 1 + d % 2 END AS INTEGER) AS channels,
       |         CAST(CASE WHEN kind = 3
       |              THEN ([8000,16000,44100])[CAST(d % 3 AS INTEGER) + 1]
       |              END AS INTEGER) AS sample_rate
@@ -3065,6 +3099,60 @@ object LlmQueries {
          |SELECT media_id, media_type, n_bytes, format, width, height,
          |       n_frames, channels, sample_rate
          |FROM feat ORDER BY media_id""".stripMargin,
+    // byte-exact twin: CONSTRUCT the same header hex the fixture builder
+    // emits (PNG signature+IHDR through the filter byte, JPEG
+    // SOI+APP0+SOF0 through Nf, GIF header+LSD), then re-derive every
+    // parsed field from that hex by slicing + bit arithmetic — never by
+    // echoing the dimension formulas
+    "image_header_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 4 AS INTEGER) AS kind,
+        |         CAST(doc_id AS BIGINT) AS d,
+        |         CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 4 < 3
+        |), hx AS (
+        |  SELECT media_id, kind,
+        |         CASE kind
+        |           WHEN 0 THEN '89504E470D0A1A0A0000000D49484452'
+        |                       || printf('%08X', 1 + d % 512)
+        |                       || printf('%08X', 1 + n % 512) || '08020000'
+        |           WHEN 1 THEN 'FFD8FFE000104A46494600010100000100010000FFC0001108'
+        |                       || printf('%04X', 16 + n % 1000)
+        |                       || printf('%04X', 16 + d % 1000) || '03'
+        |           ELSE '474946383961'
+        |                || printf('%02X%02X', (1 + d % 256) % 256, (1 + d % 256) // 256)
+        |                || printf('%02X%02X', (1 + n % 256) % 256, (1 + n % 256) // 256)
+        |                || '000000'
+        |         END AS header_hex
+        |  FROM m
+        |)
+        |SELECT media_id,
+        |       CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |       CAST(CASE kind
+        |         WHEN 0 THEN ('0x' || substr(header_hex, 33, 8))::BIGINT
+        |         WHEN 1 THEN ('0x' || substr(header_hex, 55, 4))::BIGINT
+        |         ELSE ('0x' || substr(header_hex, 15, 2))::BIGINT * 256
+        |              + ('0x' || substr(header_hex, 13, 2))::BIGINT
+        |       END AS INTEGER) AS width,
+        |       CAST(CASE kind
+        |         WHEN 0 THEN ('0x' || substr(header_hex, 41, 8))::BIGINT
+        |         WHEN 1 THEN ('0x' || substr(header_hex, 51, 4))::BIGINT
+        |         ELSE ('0x' || substr(header_hex, 19, 2))::BIGINT * 256
+        |              + ('0x' || substr(header_hex, 17, 2))::BIGINT
+        |       END AS INTEGER) AS height,
+        |       CAST(CASE kind
+        |         WHEN 2 THEN (('0x' || substr(header_hex, 21, 2))::BIGINT // 16) % 8 + 1
+        |         ELSE ('0x' || substr(header_hex, 49, 2))::BIGINT
+        |       END AS INTEGER) AS bit_depth,
+        |       CAST(CASE kind
+        |         WHEN 0 THEN CASE ('0x' || substr(header_hex, 51, 2))::BIGINT
+        |                       WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+        |                       WHEN 4 THEN 2 WHEN 6 THEN 4 END
+        |         WHEN 1 THEN ('0x' || substr(header_hex, 59, 2))::BIGINT
+        |       END AS INTEGER) AS channels,
+        |       header_hex
+        |FROM hx ORDER BY media_id""".stripMargin,
     "resize_plan" ->
       s"""WITH $MediaFeatureCtes,
          |f AS (

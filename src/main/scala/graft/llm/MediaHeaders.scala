@@ -19,6 +19,10 @@ object MediaHeaders {
   /** Parsed container metadata. Image-like formats set width/height and
     * `frames` (1 for stills, image-descriptor count for GIF); WAV sets
     * `frames` = PCM sample frames plus `channels`/`sampleRate`.
+    * `channels` is the component count wherever the container declares
+    * one (PNG color type, JPEG SOF Nf, WAV fmt; GIF is palette-indexed
+    * — None); `bitDepth` is bits per sample/component (PNG IHDR depth,
+    * JPEG SOF precision, GIF color resolution, WAV bits-per-sample).
     */
   final case class MediaMeta(
       format: String,
@@ -26,7 +30,8 @@ object MediaHeaders {
       height: Option[Int],
       frames: Option[Int],
       channels: Option[Int],
-      sampleRate: Option[Int])
+      sampleRate: Option[Int],
+      bitDepth: Option[Int])
 
   /** Dispatch on magic bytes; `None` for null/unknown/corrupt payloads. */
   def sniff(payload: Array[Byte]): Option[MediaMeta] = {
@@ -49,15 +54,23 @@ object MediaHeaders {
 
   /** PNG: 8-byte signature, then the IHDR chunk MUST come first
     * (13 data bytes; width/height are the first two big-endian u32s,
-    * i.e. payload bytes 16-19 / 20-23).
+    * i.e. payload bytes 16-19 / 20-23, then bit depth at 24 and color
+    * type at 25 — channels = {gray:1, rgb:3, palette:1, gray+α:2,
+    * rgba:4} per the spec's color-type table).
     */
   private def parsePng(p: Array[Byte]): Option[MediaMeta] = {
-    if (p.length < 24 || !hasPngSignature(p)) return None
+    if (p.length < 26 || !hasPngSignature(p)) return None
     if (ascii(p, 12, 4) != "IHDR" || be32(p, 8) != 13) return None
     val w = be32(p, 16)
     val h = be32(p, 20)
+    val depth = p(24) & 0xff
+    val channels = (p(25) & 0xff) match {
+      case 0 => Some(1); case 2 => Some(3); case 3 => Some(1)
+      case 4 => Some(2); case 6 => Some(4); case _ => None
+    }
     if (w <= 0 || h <= 0) None
-    else Some(MediaMeta("png", Some(w), Some(h), Some(1), None, None))
+    else Some(MediaMeta("png", Some(w), Some(h), Some(1), channels, None,
+      Some(depth)))
   }
 
   // ---- JPEG --------------------------------------------------------------
@@ -84,11 +97,16 @@ object MediaHeaders {
         val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
           m != 0xcc
         if (isSof) {
-          if (i + 9 > p.length || segLen < 7) return None
+          // SOF payload: precision(1) height(2) width(2) Nf(1) — 8 bytes
+          // of segment minimum including the length field itself
+          if (i + 10 > p.length || segLen < 8) return None
+          val depth = p(i + 4) & 0xff
           val h = be16(p, i + 5)
           val w = be16(p, i + 7)
-          return if (w <= 0 || h <= 0) None
-          else Some(MediaMeta("jpeg", Some(w), Some(h), Some(1), None, None))
+          val nf = p(i + 9) & 0xff
+          return if (w <= 0 || h <= 0 || nf <= 0) None
+          else Some(MediaMeta("jpeg", Some(w), Some(h), Some(1), Some(nf),
+            None, Some(depth)))
         }
         i += 2 + segLen
       }
@@ -113,13 +131,16 @@ object MediaHeaders {
     val h = le16(p, 8)
     if (w <= 0 || h <= 0) return None
     val flags = p(10) & 0xff
+    // color resolution: bits per primary of the ORIGINAL palette
+    val colorRes = ((flags >> 4) & 7) + 1
     var i = 13 + (if ((flags & 0x80) != 0) 3 * (2 << (flags & 7)) else 0)
     var frames = 0
     while (i < p.length) {
       (p(i) & 0xff) match {
         case 0x3b =>
           return if (frames > 0)
-            Some(MediaMeta("gif", Some(w), Some(h), Some(frames), None, None))
+            Some(MediaMeta("gif", Some(w), Some(h), Some(frames), None, None,
+              Some(colorRes)))
           else None
         case 0x21 => // extension: introducer + label, then sub-blocks
           i = skipSubBlocks(p, i + 2)
@@ -160,6 +181,7 @@ object MediaHeaders {
     var channels = -1
     var rate = -1
     var block = -1
+    var bits = -1
     var samples = -1
     while (i + 8 <= p.length && (channels < 0 || samples < 0)) {
       val id = ascii(p, i, 4)
@@ -170,6 +192,7 @@ object MediaHeaders {
         channels = le16(p, i + 8 + 2)
         rate = le32(p, i + 8 + 4)
         block = le16(p, i + 8 + 12)
+        bits = le16(p, i + 8 + 14)
       } else if (id == "data") {
         if (block <= 0) return None // fmt must precede data
         samples = size / block
@@ -178,7 +201,7 @@ object MediaHeaders {
     }
     if (channels <= 0 || rate <= 0 || samples < 0) None
     else Some(MediaMeta("wav", None, None, Some(samples), Some(channels),
-      Some(rate)))
+      Some(rate), if (bits > 0) Some(bits) else None))
   }
 
   // ---- byte readers ------------------------------------------------------

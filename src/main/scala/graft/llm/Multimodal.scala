@@ -1,19 +1,22 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with
-  * typed metadata, processed per-partition in batches.
+  * typed metadata.
   *
   * Feature extraction parses REAL container headers byte-by-byte
   * ([[MediaHeaders]] — PNG IHDR, JPEG SOF scan, GIF block walk, WAV
-  * RIFF chunks); no codec library is needed for the metadata surface,
-  * and unrecognized/truncated payloads yield nulls, never fabricated
-  * dimensions. Pixel/sample DECODE (the part that does need libjpeg
-  * etc.) stays behind the same `mapPartitions` seam: swapping the
-  * header reader for a full decoder changes nothing about the plan.
+  * RIFF chunks) through the codegen'd
+  * [[graft.functions.MediaHeaderSniff]] expression — no codec library
+  * is needed for the metadata surface, no `mapPartitions` seam breaks
+  * whole-stage codegen, and unrecognized/truncated payloads yield
+  * nulls, never fabricated dimensions. A FULL pixel/sample decoder
+  * (the part that does need libjpeg etc.) would slot in the same way:
+  * another expression (or `mapInPandas` stage for library-backed
+  * codecs) over the same `payload` column, changing nothing upstream.
   */
 object Multimodal {
 
@@ -39,30 +42,23 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true)))
 
-  /** Batch feature extraction over media records: per-partition iterator
-    * (the `mapPartitions` seam where a full decoder would amortize
-    * per-batch setup), no shuffle, output schema fixed. Header parsing
-    * is [[MediaHeaders.sniff]] — real bytes in, real dimensions out.
+  /** Batch feature extraction over media records: one codegen'd
+    * projection — [[graft.functions.MediaHeaderSniff]] parses the real
+    * container bytes inline (Catalyst CSE evaluates the sniff once per
+    * row even though every field reads the same struct), map-only, no
+    * shuffle, output schema = [[featureSchema]].
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
-    // positional access: rows arriving from an upstream mapPartitions
-    // carry no schema, so fieldIndex lookups would throw — the select
-    // above pins the ordinal layout instead
-    media.select("media_id", "media_type", "payload").mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.get(2).asInstanceOf[Array[Byte]]
-        val n = if (payload == null) 0L else payload.length.toLong
-        val meta = MediaHeaders.sniff(payload)
-        Row(r.getLong(0), r.getString(1), n,
-          meta.map(_.format).orNull,
-          meta.flatMap(_.width).map(Int.box).orNull,
-          meta.flatMap(_.height).map(Int.box).orNull,
-          meta.flatMap(_.frames).map(Int.box).orNull,
-          meta.flatMap(_.channels).map(Int.box).orNull,
-          meta.flatMap(_.sampleRate).map(Int.box).orNull)
-      }
-    }(enc)
+    val m = graft.functions.MediaHeaderSniff.sniff(col("payload"))
+    media.select(
+      col("media_id"), col("media_type"),
+      coalesce(octet_length(col("payload")), lit(0)).cast("long").as("n_bytes"),
+      m.getField("format").as("format"),
+      m.getField("width").as("width"),
+      m.getField("height").as("height"),
+      m.getField("n_frames").as("n_frames"),
+      m.getField("channels").as("channels"),
+      m.getField("sample_rate").as("sample_rate"))
   }
 
   /** Frame-sampling plan over decoded video/audio features: up to
@@ -152,29 +148,14 @@ object Multimodal {
     *  - doc_id%4==3 → WAV   ch=1+doc_id%2, rate∈{8000,16000,44100} by
     *                        doc_id%3, samples=64+n%4096
     */
-  def mediaFromDocuments(documents: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+  def mediaFromDocuments(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id").cast("long").as("doc_id"),
+      .select(col("doc_id").cast("long").as("media_id"),
         coalesce(octet_length(col("text")), lit(0)).cast("long").as("n"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val d = r.getLong(0)
-          val n = r.getLong(1)
-          val (mediaType, payload) = (d % 4) match {
-            case 0 => ("image", MediaFixtures.pngBytes(
-              (1 + d % 512).toInt, (1 + n % 512).toInt, (8 + n % 32).toInt))
-            case 1 => ("image", MediaFixtures.jpegBytes(
-              (16 + d % 1000).toInt, (16 + n % 1000).toInt))
-            case 2 => ("video", MediaFixtures.gifBytes(
-              (1 + d % 256).toInt, (1 + n % 256).toInt, (1 + d % 12).toInt))
-            case _ => ("audio", MediaFixtures.wavBytes(
-              (1 + d % 2).toInt,
-              Array(8000, 16000, 44100)((d % 3).toInt),
-              (64 + n % 4096).toInt))
-          }
-          Row(d, mediaType, payload)
-        }
-      }(enc)
-  }
+      .select(col("media_id"),
+        when(col("media_id") % 4 < 2, lit("image"))
+          .when(col("media_id") % 4 === 2, lit("video"))
+          .otherwise(lit("audio")).as("media_type"),
+        graft.functions.MediaFixturePayload
+          .payload(col("media_id"), col("n")).as("payload"))
 }

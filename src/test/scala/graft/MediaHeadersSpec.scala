@@ -68,22 +68,31 @@ class MediaHeadersSpec extends AnyFunSuite {
   }
 
   test("ImageIO PNG round-trips through the parser") {
+    // ImageIO writes TYPE_INT_RGB as 8-bit truecolor (color type 2)
     assert(MediaHeaders.sniff(realPng(17, 23)) ===
-      Some(MediaMeta("png", Some(17), Some(23), Some(1), None, None)))
+      Some(MediaMeta("png", Some(17), Some(23), Some(1), Some(3), None, Some(8))))
     assert(MediaHeaders.sniff(realPng(1, 1)) ===
-      Some(MediaMeta("png", Some(1), Some(1), Some(1), None, None)))
+      Some(MediaMeta("png", Some(1), Some(1), Some(1), Some(3), None, Some(8))))
   }
 
   test("ImageIO JPEG round-trips through the parser (SOF scan past APP/DQT/DHT)") {
+    // baseline JFIF: 8-bit precision, 3 components (YCbCr)
     assert(MediaHeaders.sniff(realJpeg(640, 481)) ===
-      Some(MediaMeta("jpeg", Some(640), Some(481), Some(1), None, None)))
+      Some(MediaMeta("jpeg", Some(640), Some(481), Some(1), Some(3), None, Some(8))))
     assert(MediaHeaders.sniff(realJpeg(3, 2)) ===
-      Some(MediaMeta("jpeg", Some(3), Some(2), Some(1), None, None)))
+      Some(MediaMeta("jpeg", Some(3), Some(2), Some(1), Some(3), None, Some(8))))
   }
 
   test("ImageIO GIF: single frame and animated sequence frame counts") {
-    assert(MediaHeaders.sniff(realGif(12, 9, 1)) ===
-      Some(MediaMeta("gif", Some(12), Some(9), Some(1), None, None)))
+    // ImageIO's logical-screen color resolution varies by writer
+    // version, so the GIF assertions check the parsed fields, not the
+    // whole meta
+    val still = MediaHeaders.sniff(realGif(12, 9, 1))
+    assert(still.map(_.format) === Some("gif"))
+    assert(still.flatMap(_.width) === Some(12))
+    assert(still.flatMap(_.height) === Some(9))
+    assert(still.flatMap(_.frames) === Some(1))
+    assert(still.flatMap(_.bitDepth).exists(b => b >= 1 && b <= 8))
     val anim = MediaHeaders.sniff(realGif(12, 9, 4))
     assert(anim.map(_.format) === Some("gif"))
     assert(anim.flatMap(_.frames) === Some(4))
@@ -91,9 +100,9 @@ class MediaHeadersSpec extends AnyFunSuite {
 
   test("AudioSystem WAV round-trips channels / rate / sample frames") {
     assert(MediaHeaders.sniff(realWav(2, 16000, 777)) ===
-      Some(MediaMeta("wav", None, None, Some(777), Some(2), Some(16000))))
+      Some(MediaMeta("wav", None, None, Some(777), Some(2), Some(16000), Some(16))))
     assert(MediaHeaders.sniff(realWav(1, 44100, 1)) ===
-      Some(MediaMeta("wav", None, None, Some(1), Some(1), Some(44100))))
+      Some(MediaMeta("wav", None, None, Some(1), Some(1), Some(44100), Some(16))))
   }
 
   test("fixture builders parse back to their formulas with closed-form sizes") {
@@ -101,26 +110,26 @@ class MediaHeadersSpec extends AnyFunSuite {
       val png = MediaFixtures.pngBytes(w, h, extra)
       assert(png.length === 57 + extra)
       assert(MediaHeaders.sniff(png) ===
-        Some(MediaMeta("png", Some(w), Some(h), Some(1), None, None)))
+        Some(MediaMeta("png", Some(w), Some(h), Some(1), Some(3), None, Some(8))))
     }
     for (w <- Seq(16, 641, 1015); h <- Seq(16, 480, 1015)) {
       val jpg = MediaFixtures.jpegBytes(w, h)
       assert(jpg.length === 59)
       assert(MediaHeaders.sniff(jpg) ===
-        Some(MediaMeta("jpeg", Some(w), Some(h), Some(1), None, None)))
+        Some(MediaMeta("jpeg", Some(w), Some(h), Some(1), Some(3), None, Some(8))))
     }
     for (w <- Seq(1, 128, 256); f <- Seq(1, 7, 12)) {
       val gif = MediaFixtures.gifBytes(w, w, f)
       assert(gif.length === 14 + 17 * f)
       assert(MediaHeaders.sniff(gif) ===
-        Some(MediaMeta("gif", Some(w), Some(w), Some(f), None, None)))
+        Some(MediaMeta("gif", Some(w), Some(w), Some(f), None, None, Some(1))))
     }
     for (ch <- Seq(1, 2); rate <- Seq(8000, 16000, 44100);
          n <- Seq(0, 64, 4159)) {
       val wav = MediaFixtures.wavBytes(ch, rate, n)
       assert(wav.length === 44 + n * ch * 2)
       assert(MediaHeaders.sniff(wav) ===
-        Some(MediaMeta("wav", None, None, Some(n), Some(ch), Some(rate))))
+        Some(MediaMeta("wav", None, None, Some(n), Some(ch), Some(rate), Some(16))))
     }
   }
 
