@@ -542,6 +542,38 @@ object LlmQueries {
       Bpe.learnMergesCached(bpeTag(dir), bpeWords(s, dir), "word", "cnt",
         numMerges = 20, passes = 8))
 
+  /** Doc-grain tokenization under the SAME learned table (r9): every
+    * word occurrence mapped to its subword sequence — merges applied
+    * once per DISTINCT form, occurrences mapped by a key-grain join
+    * ([[Bpe.tokenizeDocWords]]) — then re-assembled per document in
+    * word order. The full subword stream is hashed, so the contract
+    * covers the `</w>`-terminated alphabet applied to (here same-corpus)
+    * text end to end, not just aggregate token counts.
+    */
+  private def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+    val words = tPar(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "word")))
+      .where(col("word") =!= "" && length(col("word")) <= 16)
+    val merges = Bpe.learnMergesCached(bpeTag(dir), bpeWords(s, dir),
+      "word", "cnt", numMerges = 20, passes = 8)
+    Bpe.tokenizeDocWords(words, "word", merges.map(m => (m.lft, m.rgt)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("syms"), " ")).cast("long")).as("n_subwords"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, syms))), x -> x.syms)"),
+          " ").as("subword_stream"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct word forms for the keyed SQL apply chain. */
+  private val BpeFormsSql =
+    """SELECT DISTINCT word FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                            x -> x <> '' AND length(x) <= 16)) AS word
+      |  FROM documents)""".stripMargin
+
   // ----- similarity search ----------------------------------------------
 
   private def knnCosineBrute(s: SparkSession, dir: String): DataFrame = {
@@ -1271,6 +1303,7 @@ object LlmQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats" -> (vocabStats _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_doc_tokens" -> (bpeDocTokens _),
     "bpe_tokenize_stats" -> (bpeTokenizeStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
@@ -2851,6 +2884,25 @@ object LlmQueries {
     // certifies training AND applyMerges re-tokenization together
     "bpe_tokenize_stats" -> graft.llm.Bpe.tokenizeStatsSql(
       BpeWordsSql, numMerges = 20, passes = 8),
+    // the training chain PLUS the keyed v0..v20 apply chain: each
+    // distinct word form walks the same per-round needles, then doc
+    // occurrences join their final subword sequence and re-assemble in
+    // word order (0-based g matches Spark's posexplode positions)
+    "bpe_doc_tokens" ->
+      s"""WITH ${graft.llm.Bpe.learnAndApplyChainSql(
+               BpeWordsSql, BpeFormsSql, numMerges = 20, passes = 8)},
+         |dw AS (
+         |  SELECT doc_id, g AS pos, a[g + 1] AS word
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS a
+         |        FROM documents) t,
+         |       unnest(range(0, len(a))) AS u(g)
+         |  WHERE a[g + 1] <> '' AND length(a[g + 1]) <= 16
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(string_split(v.syms, ' '))) AS BIGINT) AS n_subwords,
+         |       string_agg(v.syms, ' ' ORDER BY dw.pos) AS subword_stream
+         |FROM dw JOIN v20 v USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "knn_cosine_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
          |s AS (

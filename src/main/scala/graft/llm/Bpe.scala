@@ -55,10 +55,23 @@ object Bpe {
     StructField("rgt", StringType, nullable = false),
     StructField("pair_count", LongType, nullable = false)))
 
-  /** Space-join a word into its initial character symbols. */
+  /** The end-of-word terminal marker (Sennrich '16 §3.2): fused onto a
+    * word's FINAL character symbol, so a merge learned at a word-final
+    * position can never apply word-internally and detokenization is
+    * unambiguous (`concat tokens, split at `</w>``). The marker glyphs
+    * are outside the `[a-z]` token alphabet of the shipped queries, so
+    * it cannot collide with corpus symbols there; callers tokenizing a
+    * richer alphabet must exclude `<`, `/`, `>` from words (subword-nmt
+    * carries the identical caveat).
+    */
+  val EndOfWord = "</w>"
+
+  /** Space-join a word into its initial character symbols, the last
+    * carrying [[EndOfWord]]: "low" → "l o w</w>".
+    */
   def initialSymbols(word: org.apache.spark.sql.Column)
     : org.apache.spark.sql.Column =
-    array_join(split(word, ""), " ")
+    concat(array_join(split(word, ""), " "), lit(EndOfWord))
 
   /** Adjacent symbol pairs of a space-joined symbol string, weighted by
     * `cntCol`, aggregated to (l, r, pc). One explode + one aggregate.
@@ -233,6 +246,60 @@ object Bpe {
     out
   }
 
+  /** Tokenize document word occurrences with a learned table: merges
+    * apply ONCE per DISTINCT word form ([[applyMerges]] over the form
+    * table), then one key-grain join maps every occurrence — corpus
+    * cost is a distinct + a join, never per-occurrence replace chains.
+    * `docWords` is occurrence grain (any id/position columns + the word
+    * column); output keeps every input column and adds `syms`.
+    */
+  def tokenizeDocWords(docWords: DataFrame, wordCol: String,
+                       merges: Seq[(String, String)],
+                       passes: Int = 8): DataFrame = {
+    val forms = docWords.select(col(wordCol)).distinct()
+    docWords.join(applyMerges(forms, wordCol, merges, passes), Seq(wordCol))
+  }
+
+  /** The keyed SQL apply chain for [[tokenizeDocWords]]' twin: `v0..vN`
+    * CTEs mapping each distinct word form through the SAME per-round
+    * needle as the training chain (`t_i` from [[cteChain]] — compose
+    * the two with [[learnAndApplyChainSql]]), ending in
+    * `v$numMerges(word, syms)`. Same MATERIALIZED + empty-round
+    * fallback discipline as the training chain.
+    */
+  private def applyChain(formsSql: String, numMerges: Int,
+                         passes: Int): String = {
+    def nestedReplace(inner: String): String =
+      (1 to passes).foldLeft(inner) { (acc, _) =>
+        s"REPLACE($acc, n.ndl, n.rpl)"
+      }
+    val rounds = (1 to numMerges).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT v.word,
+         |         coalesce(trim(${nestedReplace("' ' || v.syms || ' '")}), v.syms) AS syms
+         |  FROM v${i - 1} v LEFT JOIN
+         |    (SELECT ' ' || l || ' ' || r || ' ' AS ndl,
+         |            ' ' || l || r || ' ' AS rpl FROM t$i) n ON TRUE
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT word,
+       |         array_to_string(regexp_split_to_array(word, ''), ' ') || '$EndOfWord' AS syms
+       |  FROM ($formsSql)
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** Training chain + keyed apply chain in one WITH body: `w0..wN`,
+    * `t1..tN` (training over `wordsSql`) and `v0..vN` (each distinct
+    * form of `formsSql` mapped through the learned merges). The caller
+    * appends its own CTEs/SELECT reading `v$numMerges(word, syms)`.
+    */
+  def learnAndApplyChainSql(wordsSql: String, formsSql: String,
+                            numMerges: Int, passes: Int = 8): String =
+    s"""${cteChain(wordsSql, numMerges, passes)},
+       |${applyChain(formsSql, numMerges, passes)}""".stripMargin
+
   /** ANSI-SQL twin of [[learnMerges]] for DuckDB (unrolled CTE per
     * round; the SAME nested-replace count as the Scala side — keep in
     * lockstep). `wordsSql` must yield (word, cnt).
@@ -288,14 +355,19 @@ object Bpe {
          |  ) GROUP BY 1, 2),
          |t$i AS MATERIALIZED (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT trim(${nestedReplace("' ' || w.syms || ' '")}) AS syms, w.cnt
-         |  FROM w${i - 1} w CROSS JOIN
+         |  SELECT coalesce(trim(${nestedReplace("' ' || w.syms || ' '")}), w.syms) AS syms, w.cnt
+         |  FROM w${i - 1} w LEFT JOIN
          |    (SELECT ' ' || l || ' ' || r || ' ' AS ndl,
-         |            ' ' || l || r || ' ' AS rpl FROM t$i) n
+         |            ' ' || l || r || ' ' AS rpl FROM t$i) n ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
+    // LEFT JOIN ON TRUE + coalesce: when a round's t_i is EMPTY (merge
+    // exhaustion — every word a single symbol), w_i falls back to
+    // w_{i-1} instead of going empty, matching the Scala side's early
+    // stop (round-8 ADVICE: the CROSS JOIN form broke lockstep on
+    // degenerate vocabularies)
     s"""w0 AS MATERIALIZED (
-       |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS syms,
+       |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') || '$EndOfWord' AS syms,
        |         CAST(sum(cnt) AS BIGINT) AS cnt
        |  FROM ($wordsSql) GROUP BY 1
        |),

@@ -20,8 +20,13 @@ class BpeSpec extends AnyFunSuite {
     */
   private def refBpe(words: Map[String, Long], numMerges: Int)
     : (Seq[(String, String, Long)], Map[String, Long]) = {
+    // Sennrich '16 initial alphabet: the final character carries the
+    // end-of-word marker, same as Bpe.initialSymbols
     var state: Seq[(Vector[String], Long)] =
-      words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      words.toSeq.map { case (w, c) =>
+        val cs = w.map(_.toString).toVector
+        (cs.init :+ (cs.last + Bpe.EndOfWord), c)
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var stop = false
     while (merges.size < numMerges && !stop) {
@@ -87,12 +92,45 @@ class BpeSpec extends AnyFunSuite {
     val (_, expectedState) = refBpe(words, 10)
     assert(state.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       === expectedState)
-    // no character loss: stripping spaces from the segmentation gives
-    // back the original word, for every word
+    // no character loss: stripping spaces AND the terminal marker from
+    // the segmentation gives back the original word, for every word
     val retok = Bpe.applyMerges(words.toSeq.toDF("word", "cnt"), "word",
       merges.map(m => (m.lft, m.rgt)))
     assert(retok.where(
-      regexp_replace(col("syms"), " ", "") =!= col("word")).count() === 0L)
+      regexp_replace(replace(col("syms"), lit(Bpe.EndOfWord), lit("")),
+        " ", "") =!= col("word")).count() === 0L)
+    // the marker appears exactly once per word, as a token SUFFIX — a
+    // merge can therefore never span what detokenization treats as a
+    // word boundary
+    retok.collect().foreach { r =>
+      val toks = r.getAs[String]("syms").split(" ")
+      assert(toks.count(_.contains(Bpe.EndOfWord)) === 1, r)
+      assert(toks.last.endsWith(Bpe.EndOfWord), r)
+      toks.foreach(t =>
+        assert(t.indexOf(Bpe.EndOfWord) ===
+          (if (t.contains(Bpe.EndOfWord)) t.length - 4 else -1), r))
+    }
+  }
+
+  test("tokenizeDocWords maps occurrences through the per-form table") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val merges = Bpe.learnMergesCached("bpespec:docwords8",
+      words.toSeq.toDF("word", "cnt"), "word", "cnt", numMerges = 8)
+    val occurrences = Seq((1L, 0, "low"), (1L, 1, "newest"),
+      (2L, 0, "lower"), (2L, 1, "low"), (2L, 2, "widest"))
+      .toDF("doc_id", "pos", "word")
+    val got = Bpe.tokenizeDocWords(occurrences, "word",
+        merges.map(m => (m.lft, m.rgt)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+        r.getAs[String]("word"), r.getAs[String]("syms"))).toSet
+    val perForm = Bpe.applyMerges(words.keys.toSeq.toDF("word"), "word",
+        merges.map(m => (m.lft, m.rgt)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Set((1L, 0, "low", perForm("low")),
+      (1L, 1, "newest", perForm("newest")),
+      (2L, 0, "lower", perForm("lower")), (2L, 1, "low", perForm("low")),
+      (2L, 2, "widest", perForm("widest"))))
   }
 
   test("tokenizeStats agrees with the reference final state") {
