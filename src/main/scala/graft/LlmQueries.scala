@@ -1671,6 +1671,46 @@ object LlmQueries {
        |)""".stripMargin
   }
 
+  /** Round budget for [[minLabelRoundsSql]]. Each round shortcuts label
+    * chains geometrically (neighbor-min then pointer-jump — hash-to-min's
+    * O(log diameter) schedule): round r closes label distance 2^(r+1)-2,
+    * so 10 rounds cover components of diameter up to 2046 — ~7x beyond
+    * the adversarial 300-node path `ScaleStressSpec` certifies, itself
+    * far beyond any real dup-cluster's diameter. An insufficient budget
+    * fails LOUD (label ≠ component min ⇒ hash mismatch at the gate),
+    * never silently.
+    */
+  private[graft] val MinLabelRounds = 10
+
+  /** Bounded-round min-label twin of
+    * [[graft.ops.ConnectedComponents.componentsAlternating]]'s result
+    * (labels = component MIN id): `lab0..labN` CTEs over a symmetric
+    * edge relation `edgesCte(a, b)`; per round, every node takes the
+    * min label over itself + neighbors (`nm_i`), then jumps through its
+    * own label's label (`lab_i`) — linear in edges per round, all
+    * MATERIALIZED (DuckDB would otherwise inline the chain
+    * multiplicatively). Mirrored 1:1 by `ScaleStressSpec`'s in-memory
+    * model, which certifies the round budget.
+    */
+  private[graft] def minLabelRoundsSql(edgesCte: String, rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      s"""nm$i AS MATERIALIZED (
+         |  SELECT v.id, least(v.l, min(u.l)) AS l
+         |  FROM lab${i - 1} v JOIN $edgesCte e ON v.id = e.a
+         |                     JOIN lab${i - 1} u ON e.b = u.id
+         |  GROUP BY v.id, v.l
+         |),
+         |lab$i AS MATERIALIZED (
+         |  SELECT n.id, least(n.l, coalesce(n2.l, n.l)) AS l
+         |  FROM nm$i n LEFT JOIN nm$i n2 ON n.l = n2.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""lab0 AS MATERIALIZED (
+       |  SELECT a AS id, a AS l FROM (SELECT DISTINCT a FROM $edgesCte)
+       |),
+       |$chain""".stripMargin
+  }
+
   private val NearDupClustersSql: String =
     s"""WITH RECURSIVE ${nearDupClosureCtes("documents")}
        |SELECT id AS doc_id, min(r) AS cluster_id
@@ -2243,9 +2283,14 @@ object LlmQueries {
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     // the winnow candidate graph closed transitively — proves the
-    // closure composes with a second candidate generator
+    // closure composes with a second candidate generator. The twin is
+    // the bounded-round min-label chain ([[minLabelRoundsSql]]), NOT a
+    // full-reachability recursive CTE: reachability materializes a
+    // quadratic pair set per cluster and blew the 1-hour sf1 budget
+    // (round-8 verdict #4), while the label chain is linear in edges
+    // per round and lands on the identical min-id components
     "winnow_dup_clusters" ->
-      s"""WITH RECURSIVE $WinnowCtes,
+      s"""WITH $WinnowCtes,
          |dfp AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wfp),
          |keepfp AS MATERIALIZED (
          |  SELECT fp FROM dfp GROUP BY fp
@@ -2261,13 +2306,9 @@ object LlmQueries {
          |  SELECT id_a AS a, id_b AS b FROM wpairs
          |  UNION SELECT id_b, id_a FROM wpairs
          |),
-         |wreach AS (
-         |  SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM wedges)
-         |  UNION
-         |  SELECT wreach.id, e.b FROM wreach JOIN wedges e ON wreach.r = e.a
-         |)
-         |SELECT id AS doc_id, min(r) AS cluster_id
-         |FROM wreach GROUP BY 1
+         |${minLabelRoundsSql("wedges", rounds = MinLabelRounds)}
+         |SELECT id AS doc_id, l AS cluster_id
+         |FROM lab$MinLabelRounds
          |ORDER BY cluster_id, doc_id""".stripMargin,
     // fingerprint-grain self-join (the Spark side is Dedup.winnowDupPairs
     // with the same minShared/maxDocsPerFp)

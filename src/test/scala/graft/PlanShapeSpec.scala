@@ -151,6 +151,79 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected cartesian shapes:\n  ${offenders.mkString("\n  ")}")
   }
 
+  // ---- AQE skew-join: the 100 TB story leans on OptimizeSkewedJoin for
+  // skew the salting helpers don't cover (rollup_reconcile, scd2 run
+  // sort-merge joins on business keys whose hot-key distribution is
+  // data-dependent). Nothing in the static plans proves the mechanism
+  // engages, so this plants a hot key and asserts the ADAPTIVE final
+  // plan both flags the join (isSkewJoin) and physically splits the hot
+  // partition (PartialReducerPartitionSpec in the shuffle read).
+  // Thresholds are lowered because detection is size-based (default
+  // 256 MB per partition — a unit test can't shuffle that); factor and
+  // shape are the production path, only the byte floor moves.
+  test("AQE splits a planted-skew sort-merge join (the rollup/scd2 shuffle path)") {
+    import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    // collect() that descends into materialized AQE query stages (they
+    // are leaf nodes to the vanilla traversal — Spark 4 wraps even the
+    // result in a ResultQueryStage, hiding the whole plan)
+    def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++
+        kids.flatMap(deepCollect(_)(pf))
+    }
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // hot key 0 carries half the probe side; the payload is an md5
+      // digest so the hot partition's shuffle blocks can't compress away
+      // below the detection threshold (skew detection reads COMPRESSED
+      // map-output sizes — 150k identical longs LZ4 to a few KB)
+      val left = spark.range(0, 300000).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(0, 300000).select(
+        col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+        .groupBy().agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("sp"))
+      joined.collect() // AQE finalizes the plan only on execution
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a
+      }.getOrElse(fail("no adaptive plan — AQE disabled?"))
+      val finalPlan = adaptive.executedPlan
+      val smjs = deepCollect(finalPlan) { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"join did not stay sort-merge:\n$finalPlan")
+      assert(smjs.exists(_.isSkewJoin),
+        s"OptimizeSkewedJoin did not flag the hot key:\n$finalPlan")
+      val split = deepCollect(finalPlan) {
+        case r: AQEShuffleReadExec if r.partitionSpecs.exists(
+          _.isInstanceOf[PartialReducerPartitionSpec]) => r.partitionSpecs.count(
+          _.isInstanceOf[PartialReducerPartitionSpec])
+      }
+      assert(split.nonEmpty && split.max > 1,
+        s"hot partition was not physically split:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the bounded-build sweep rejects a data-grain broadcast (broken fixture)") {
     import org.apache.spark.sql.functions.{broadcast, col}
     // deliberately wrong: broadcast the full lineitem scan (data grain,

@@ -45,6 +45,52 @@ class ScaleStressSpec extends AnyFunSuite {
       s"$r640 rounds exceeds the 2·log2(n) envelope")
   }
 
+  /** In-memory model of `LlmQueries.minLabelRoundsSql`, statement for
+    * statement: per round every node takes the min label over itself +
+    * neighbors (nm), then jumps through its own label's label (lab).
+    * Returns the labels after `rounds`.
+    */
+  private def minLabelModel(edges: Seq[(Long, Long)], rounds: Int)
+    : Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val nbrs = sym.groupMap(_._1)(_._2)
+    var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    (1 to rounds).foreach { _ =>
+      val nm = lab.map { case (v, l) =>
+        v -> math.min(l, nbrs(v).map(lab).min)
+      }
+      lab = nm.map { case (v, l) => v -> math.min(l, nm.getOrElse(l, l)) }
+    }
+    lab
+  }
+
+  test("min-label SQL-twin round budget: 10 rounds close a 300-node path (sf1 oracle bound)") {
+    // the winnow_dup_clusters oracle unrolls LlmQueries.MinLabelRounds
+    // rounds of this exact schedule; a path is the worst diameter per
+    // edge, and 300 is far beyond any real dup-cluster's diameter. The
+    // model must land on component MIN ids — the same labels
+    // componentsAlternating (the Spark side) produces.
+    val path = (0L until 299L).map(i => (i + 1000L, i + 1001L))
+    val got = minLabelModel(path, rounds = 10)
+    assert(got.size === 300 && got.values.forall(_ === 1000L))
+    // two cliques bridged by one edge + a disjoint pair — mixed shapes
+    val cliqueA = for (i <- 0 until 20; j <- i + 1 until 20)
+      yield (100L + i, 100L + j)
+    val cliqueB = for (i <- 0 until 20; j <- i + 1 until 20)
+      yield (200L + i, 200L + j)
+    val mixed = cliqueA ++ cliqueB ++ Seq((119L, 200L), (900L, 901L))
+    val gotMixed = minLabelModel(mixed, rounds = 10)
+    assert(gotMixed.filter(_._1 < 300).values.toSet === Set(100L))
+    assert(gotMixed(900L) === 900L && gotMixed(901L) === 900L)
+    // round r closes label distance 2^(r+1)-2 on a path (neighbor-min
+    // advances 1, pointer-jump doubles), so 8 rounds cover 510 ≥ 299:
+    // the 10-round budget carries a 2-round / ~7x-diameter margin...
+    assert(minLabelModel(path, rounds = 8).values.forall(_ === 1000L))
+    // ...and the check is sensitive: 6 rounds (distance 126) must NOT
+    // close a 299-edge path, proving the model isn't trivially passing
+    assert(!minLabelModel(path, rounds = 6).values.forall(_ === 1000L))
+  }
+
   test("alternating closure: a hot LSH band (giant star + satellites) converges in O(1) rounds") {
     // one hot band: 2000 docs all sharing a band bucket pair-join into a
     // hub-and-spoke candidate graph (pair generation is bucket-keyed, so
