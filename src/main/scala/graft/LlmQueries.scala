@@ -842,6 +842,18 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[knnCosinePq]] with the exact-cosine refine step over an ADC
+    * shortlist 4× the output size; see [[Similarity.knnPqRefined]].
+    */
+  private def knnCosinePqRefined(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    val books = Similarity.pqCodebooksCached(pqTag(dir), emb, "vec_id",
+      "embedding", dims = 64, m = 4, k = 8, iters = 2)
+    Similarity.knnPqRefined(emb.where(col("vec_id") < 16), emb, "vec_id",
+        "vec_id", "embedding", books, k = 5, refine = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Rank-biased overlap@10 ([[graft.ops.Eval.rbo]], p = 0.9) between
     * the exact cosine ranking and the label-bucketed ANN ranking, per
     * query — the top-weighted agreement score an index rollout gates
@@ -1318,6 +1330,7 @@ object LlmQueries {
     "quota_alloc_sources" -> (quotaAllocSources _),
     "source_dup_matrix" -> (sourceDupMatrix _),
     "knn_cosine_pq" -> (knnCosinePq _),
+    "knn_cosine_pq_refined" -> (knnCosinePqRefined _),
     "ann_rbo_eval" -> (annRboEval _),
     "jl_projection_pairs" -> (jlProjectionPairs _),
     "pca_top_component" -> (pcaTopComponent _),
@@ -1671,16 +1684,23 @@ object LlmQueries {
        |)""".stripMargin
   }
 
-  /** Round budget for [[minLabelRoundsSql]]. Each round shortcuts label
-    * chains geometrically (neighbor-min then pointer-jump — hash-to-min's
-    * O(log diameter) schedule): round r closes label distance 2^(r+1)-2,
-    * so 10 rounds cover components of diameter up to 2046 — ~7x beyond
-    * the adversarial 300-node path `ScaleStressSpec` certifies, itself
-    * far beyond any real dup-cluster's diameter. An insufficient budget
-    * fails LOUD (label ≠ component min ⇒ hash mismatch at the gate),
-    * never silently.
+  /** Round budget for [[minLabelRoundsSql]]. The GUARANTEED coverage is
+    * one hop per round (the neighbor-min step alone): after r rounds
+    * every node within BFS distance r of its component's min id carries
+    * the min. The pointer-jump step accelerates that geometrically on
+    * id-aligned chains (a monotone-id path closes in O(log d) rounds)
+    * but gives NO general guarantee: when intermediate labels don't
+    * point toward the min — ids shuffled along the path, or the tangled
+    * dup blobs a 10-copy corpus produces — the jump degrades to ~1.4
+    * hops/round (`ScaleStressSpec`'s permuted-path case is the
+    * deterministic counterexample; the sf1 winnow giant component of
+    * 21,200 docs, eccentricity 19 from its min, was the live one: 10
+    * rounds left 1,140 labels unconverged). 24 rounds therefore certify
+    * any component of eccentricity ≤ 24 unconditionally — the sf1 bound
+    * plus a 26% margin. An insufficient budget fails LOUD (label ≠
+    * component min ⇒ hash mismatch at the gate), never silently.
     */
-  private[graft] val MinLabelRounds = 10
+  private[graft] val MinLabelRounds = 24
 
   /** Bounded-round min-label twin of
     * [[graft.ops.ConnectedComponents.componentsAlternating]]'s result
@@ -1774,13 +1794,13 @@ object LlmQueries {
         }
       }
     }
-    val pqEntries = booksOpt.toSeq.map { books =>
+    val pqEntries = booksOpt.toSeq.flatMap { books =>
       val rows = books.zipWithIndex.flatMap { case (cb, s) =>
         cb.zipWithIndex.map { case (c, i) =>
           c.map(fLit).mkString(s"    ($s, $i, list_value(", ", ", "))")
         }
       }.mkString(",\n")
-      pqEntry(rows)
+      Seq(pqEntry(rows), pqRefinedEntry(rows))
     }.toMap
     ivfEntries ++ pqEntries
   }
@@ -1790,13 +1810,51 @@ object LlmQueries {
     * column per subspace so the 4-term sums fold left-to-right exactly
     * like the Spark expression; exact re-rank replicated on survivors.
     */
-  private def pqEntry(rows: String): (String, String) = {
+  private def pqEntry(rows: String): (String, String) =
+    "knn_cosine_pq" ->
+      s"""WITH ${pqCtes(rows)}
+         |SELECT r.query_id, r.rank, r.neighbor_id, r.approx_sim,
+         |       round(${cosineSql("q.qe", "e.embedding")}, 6) AS true_sim
+         |FROM r JOIN q ON q.query_id = r.query_id
+         |JOIN e ON e.vec_id = r.neighbor_id
+         |WHERE r.rank <= 5
+         |ORDER BY r.query_id, r.rank""".stripMargin
+
+  /** Refined-PQ twin: the SAME codebook/encode/ADC chain shortlists the
+    * ADC top-20 (k=5 · refine=4), exact cosine is computed on that
+    * shortlist only, and the final rank re-orders by (true_sim desc,
+    * neighbor_id) — replicating [[Similarity.knnPqRefined]]'s window
+    * statement for statement.
+    */
+  private def pqRefinedEntry(rows: String): (String, String) =
+    "knn_cosine_pq_refined" ->
+      s"""WITH ${pqCtes(rows)},
+         |cand AS (
+         |  SELECT r.query_id, r.neighbor_id, r.approx_sim,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS true_sim
+         |  FROM r JOIN q ON q.query_id = r.query_id
+         |  JOIN e ON e.vec_id = r.neighbor_id
+         |  WHERE r.rank <= 20
+         |)
+         |SELECT query_id, rank, neighbor_id, approx_sim, true_sim FROM (
+         |  SELECT query_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY true_sim DESC, neighbor_id) AS INTEGER) AS rank,
+         |         neighbor_id, approx_sim, true_sim
+         |  FROM cand)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** The shared PQ chain (codebook literals → per-subspace encode →
+    * ADC terms → pivoted exact-order sums → `r(query_id, rank,
+    * neighbor_id, approx_sim)`), ending ready for a final SELECT that
+    * joins `q`/`e` back for exact re-rank columns.
+    */
+  private def pqCtes(rows: String): String = {
     val sub = 16
     def slAt(v: String, sRef: String) =
       s"$v[$sRef * $sub + 1 : $sRef * $sub + $sub]"
-    def sl(v: String) = slAt(v, "s")
-    "knn_cosine_pq" ->
-      s"""WITH cb AS (
+    s"""cb AS (
          |  SELECT * FROM (VALUES
          |$rows
          |  ) AS t(s, ci, cv)
@@ -1840,13 +1898,7 @@ object LlmQueries {
          |           ORDER BY approx_sim DESC, neighbor_id) AS INTEGER) AS rank,
          |         neighbor_id, approx_sim
          |  FROM sims
-         |)
-         |SELECT r.query_id, r.rank, r.neighbor_id, r.approx_sim,
-         |       round(${cosineSql("q.qe", "e.embedding")}, 6) AS true_sim
-         |FROM r JOIN q ON q.query_id = r.query_id
-         |JOIN e ON e.vec_id = r.neighbor_id
-         |WHERE r.rank <= 5
-         |ORDER BY r.query_id, r.rank""".stripMargin
+         |)""".stripMargin
   }
 
   /** SemDeDup twin over the same trained centroids: assignment argmax,

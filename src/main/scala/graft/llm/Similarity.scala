@@ -328,6 +328,36 @@ object Similarity {
         col("approx_sim"), col("true_sim"))
   }
 
+  /** PQ ADC with an exact-cosine REFINE step (the "+R" of IVFADC+R,
+    * Jégou et al., "Searching in one billion vectors", ICASSP'11): the
+    * ADC ranking shortlists `k·refine` candidates per query from the
+    * codes alone, then exact cosine — already emitted by [[knnPqAdc]]
+    * as `true_sim` on survivors — re-orders ONLY that shortlist and
+    * keeps the top k. Recall lost to quantization comes back at the
+    * cost of `|Q|·k·refine` exact distances instead of `|Q|·|corpus|`:
+    * the corpus-grain scan still reads m codes per row, and the refine
+    * is a window over an already-tiny frame, so the 100 TB shape is
+    * unchanged from [[knnPqAdc]].
+    *
+    * Output contract matches [[knnPqAdc]] — (query_id, rank,
+    * neighbor_id, approx_sim, true_sim) — with `rank` now the
+    * exact-cosine rank (ties broken by neighbor_id, total order).
+    */
+  def knnPqRefined(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                   idCol: String, vecCol: String,
+                   codebooks: Array[Array[Array[Float]]], k: Int = 10,
+                   refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine=$refine")
+    val shortlist = knnPqAdc(queries, corpus, qidCol, idCol, vecCol,
+      codebooks, k = k * refine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("true_sim").desc, col("neighbor_id"))
+    shortlist.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_sim"), col("true_sim"))
+  }
+
   /** IVF top-k: train (or reuse) centroids, assign the corpus once, then
     * probe the `nProbes` centroids nearest to each query — candidates =
     * the union of those buckets, still an equi-join keyed on the bucket

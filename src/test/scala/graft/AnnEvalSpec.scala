@@ -63,6 +63,37 @@ class AnnEvalSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.forall { case (a, t) => a === t })
   }
 
+  test("knnPqRefined recovers the true order ADC quantization loses") {
+    // m=1, k=2, iters=0 → the codebook is the first two vectors, so
+    // (0.8,0.2) and (0.9,0.1) BOTH encode to centroid (1,0): identical
+    // codes, identical approx_sim. Plain ADC ranking must then fall to
+    // the neighbor_id tie-break and put vec 2 above the truly-closer
+    // vec 3 — the quantization-loss case refine exists for. The refined
+    // ranking re-orders the shortlist by exact cosine and recovers it.
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.8f, 0.2f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooksCached("test-pq-refine", corpus,
+      "vec_id", "embedding", dims = 2, m = 1, k = 2, iters = 0)
+    def top2(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val plain = top2(Similarity.knnPqAdc(q, corpus, "vec_id", "vec_id",
+      "embedding", books, k = 2))
+    val refined = top2(Similarity.knnPqRefined(q, corpus, "vec_id",
+      "vec_id", "embedding", books, k = 2, refine = 2))
+    assert(plain === Seq(0L, 2L),
+      "ADC ties must fall to the id tie-break (the loss being tested)")
+    assert(refined === Seq(0L, 3L),
+      "refine must re-rank the shortlist by exact cosine")
+    // contract shape: true_sim is non-increasing down the refined ranks
+    val sims = Similarity.knnPqRefined(q, corpus, "vec_id", "vec_id",
+        "embedding", books, k = 4, refine = 1)
+      .orderBy("rank").select("true_sim").as[Double].collect()
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("pq codebooks memoize per subspace tag") {
     val df = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")

@@ -64,12 +64,14 @@ class ScaleStressSpec extends AnyFunSuite {
     lab
   }
 
-  test("min-label SQL-twin round budget: 10 rounds close a 300-node path (sf1 oracle bound)") {
+  test("min-label SQL-twin round budget: guaranteed 1 hop/round; jump is NOT geometric off-path") {
     // the winnow_dup_clusters oracle unrolls LlmQueries.MinLabelRounds
-    // rounds of this exact schedule; a path is the worst diameter per
-    // edge, and 300 is far beyond any real dup-cluster's diameter. The
-    // model must land on component MIN ids — the same labels
-    // componentsAlternating (the Spark side) produces.
+    // rounds of this exact schedule. The model must land on component
+    // MIN ids — the same labels componentsAlternating (the Spark side)
+    // produces.
+    //
+    // On a MONOTONE-id path the pointer-jump is geometric (each label
+    // already points toward the min), so 10 rounds close 299 edges:
     val path = (0L until 299L).map(i => (i + 1000L, i + 1001L))
     val got = minLabelModel(path, rounds = 10)
     assert(got.size === 300 && got.values.forall(_ === 1000L))
@@ -82,13 +84,32 @@ class ScaleStressSpec extends AnyFunSuite {
     val gotMixed = minLabelModel(mixed, rounds = 10)
     assert(gotMixed.filter(_._1 < 300).values.toSet === Set(100L))
     assert(gotMixed(900L) === 900L && gotMixed(901L) === 900L)
-    // round r closes label distance 2^(r+1)-2 on a path (neighbor-min
-    // advances 1, pointer-jump doubles), so 8 rounds cover 510 ≥ 299:
-    // the 10-round budget carries a 2-round / ~7x-diameter margin...
-    assert(minLabelModel(path, rounds = 8).values.forall(_ === 1000L))
-    // ...and the check is sensitive: 6 rounds (distance 126) must NOT
-    // close a 299-edge path, proving the model isn't trivially passing
-    assert(!minLabelModel(path, rounds = 6).values.forall(_ === 1000L))
+
+    // ADVERSARIAL: the same 60-node path with ids PERMUTED (×7 mod 61)
+    // breaks jump alignment — intermediate labels no longer point toward
+    // the min, so the old "round r closes 2^(r+1)-2" claim is false: 10
+    // rounds leave 27 of 60 labels unconverged on a diameter-59 graph
+    // (the in-vivo version was the sf1 winnow giant component: 21,200
+    // docs, ecc 19, 1,140 labels wrong after 10 rounds).
+    val permIds = (0 until 60).map(i => (7 * i) % 61 + 1000L)
+    val permPath = (0 until 59).map(i => (permIds(i), permIds(i + 1)))
+    val permMin = permIds.min
+    assert(!minLabelModel(permPath, rounds = 10).values.forall(_ === permMin),
+      "10 rounds unexpectedly closed the permuted path — if the jump " +
+        "became geometric off-path, the budget analysis can tighten")
+    // the honest guarantee: rounds >= eccentricity always converges
+    // (neighbor-min alone moves the min one hop per round)
+    assert(minLabelModel(permPath, rounds = 59).values.forall(_ === permMin))
+    // the shipped budget must hold the certified sf1 bound with margin:
+    // sf1 winnow giant component eccentricity 19 <= MinLabelRounds
+    assert(LlmQueries.MinLabelRounds >= 24,
+      "MinLabelRounds below the sf1-certified eccentricity+margin bound")
+    // and the budget closes the permuted path up to its own guarantee:
+    // a diameter-24 permuted segment must converge in 24 rounds
+    val seg = (0 until 24).map(i => (permIds(i), permIds(i + 1)))
+    val segMin = (0 to 24).map(permIds).min
+    assert(minLabelModel(seg, rounds = LlmQueries.MinLabelRounds)
+      .values.forall(_ === segMin))
   }
 
   test("alternating closure: a hot LSH band (giant star + satellites) converges in O(1) rounds") {
