@@ -993,9 +993,23 @@ object SparkEntry {
         sketchQuantile(col("sk"), 0.9).as("est90"))
     val v = li.select(col("l_returnflag").as("f"),
       col("l_quantity").cast("double").as("q"))
-    val ranked = v.select(col("f"), col("q"),
-      row_number().over(Window.partitionBy(col("f")).orderBy(col("q"))).as("rk"),
-      count(lit(1)).over(Window.partitionBy(col("f"))).as("n"))
+    // Exact value-at-rank WITHOUT a per-flag global sort: a
+    // row_number window over 3 returnflag partitions caps parallelism
+    // at 3 and sorts the full fact table — the one plan shape that
+    // cannot survive a 100× fact. l_quantity is low-cardinality, so
+    // run the selection at (flag, value) grain instead: map-side
+    // combine collapses the scan to ~50 rows per flag, the cumulative
+    // window runs over those tiny groups, and the value at rank k is
+    // the unique q whose [cumPrev+1, cum] interval contains k —
+    // identical to row_number semantics (ties share one value, so the
+    // tie order row_number would pick is immaterial).
+    val vc = v.groupBy(col("f"), col("q")).agg(count(lit(1)).as("c"))
+    val wq = Window.partitionBy(col("f")).orderBy(col("q"))
+    val wf = Window.partitionBy(col("f"))
+    val cum = vc.select(col("f"), col("q"), col("c"),
+      sum(col("c")).over(wq).as("cum"),
+      sum(col("c")).over(wf).as("n"))
+      .withColumn("cumPrev", col("cum") - col("c"))
     // 1-indexed rank-window edges; (p ∓ 2ε)·n in DOUBLE, floored, with
     // a +2 slack on the upper edge (the conservative envelope
     // QuantileSketchSpec pins) — mirrored verbatim in the oracle
@@ -1003,12 +1017,14 @@ object SparkEntry {
       least(col("n"), floor((lit(p) - lit(0.02)) * col("n"))))
     def rhi(p: Double) = greatest(lit(1L),
       least(col("n"), floor((lit(p) + lit(0.02)) * col("n")) + 2))
-    val bounds = ranked.groupBy(col("f"))
+    def valAt(edge: Column) =
+      max(when(edge > col("cumPrev") && edge <= col("cum"), col("q")))
+    val bounds = cum.groupBy(col("f"))
       .agg(max(col("n")).as("n"),
-        max(when(col("rk") === rlo(0.5), col("q"))).as("p50_lo"),
-        max(when(col("rk") === rhi(0.5), col("q"))).as("p50_hi"),
-        max(when(col("rk") === rlo(0.9), col("q"))).as("p90_lo"),
-        max(when(col("rk") === rhi(0.9), col("q"))).as("p90_hi"))
+        valAt(rlo(0.5)).as("p50_lo"),
+        valAt(rhi(0.5)).as("p50_hi"),
+        valAt(rlo(0.9)).as("p90_lo"),
+        valAt(rhi(0.9)).as("p90_hi"))
     bounds.join(ests, col("f") === col("l_returnflag"))
       .select(col("l_returnflag"), col("n"),
         col("p50_lo"), col("p50_hi"),

@@ -89,8 +89,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // fails the sweep (proven by the deliberately-broken fixture below).
 
   private val sliceQueries =
-    Set("knn_cosine_brute", "knn_cosine_pq", "ann_rbo_eval",
-      "jl_projection_pairs")
+    Set("knn_cosine_brute", "knn_cosine_pq", "knn_cosine_pq_refined",
+      "ann_rbo_eval", "jl_projection_pairs")
 
   import org.apache.spark.sql.execution.SparkPlan
 
