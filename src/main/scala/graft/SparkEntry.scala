@@ -1689,9 +1689,12 @@ object SparkEntry {
     * boost threshold, the ≤4 prefix cap.
     */
   private def jwNameSimilarity(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("p_partkey"))
-    t(s, dir, "part").select(col("p_partkey"), col("p_name"))
-      .withColumn("__next", lead(col("p_name"), 1).over(w))
+    // consecutive pairing via the two-phase ranged lead — a bare
+    // Window.orderBy(p_partkey) would funnel the whole part table
+    // through ONE task (see [[graft.ops.Windows.leadRanged]])
+    graft.ops.Windows.leadRanged(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", "__next")
       .where(col("__next").isNotNull)
       .select(col("p_partkey"),
         round(graft.functions.JaroWinklerSim.jaroWinkler(
@@ -2107,7 +2110,8 @@ object SparkEntry {
     * or after it; percentiles are RANK statistics (the order statistic
     * at ⌊(n−1)p⌋+1), not interpolated — interpolation arithmetic is an
     * engine-ulp trap, an order statistic is an exact long. The ranking
-    * window runs over CONVERTING USERS (eval grain), not events.
+    * runs at the DELTA-VALUE grid (bounded distinct integer seconds),
+    * not user or event grain.
     */
   private def funnelTimeToConvert(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2121,21 +2125,32 @@ object SparkEntry {
     val d = fp.select(col("user_id"),
       (unix_timestamp(col("p_ts")) - unix_timestamp(col("view_ts")))
         .as("delta"))
-    val w = Window.orderBy(col("delta"), col("user_id"))
-    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = d
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(all))
-    def rankStat(p: Double) = max(when(
-      col("rn") === (floor((col("n") - 1L) * lit(p)) + 1L).cast("long"),
-      col("delta")))
-    ranked.agg(
+    // rank statistics at the DELTA-VALUE grid, not user grain: the old
+    // row_number ranking sorted every converting user through one
+    // partition; deltas are integer seconds with a bounded distinct
+    // range, so the value at rank k is the delta whose cumulative-count
+    // interval [cumPrev+1, cum] contains k — identical to row_number
+    // semantics (ties share one delta value). Same selection shape as
+    // quantile_sketch_quantity's certification half.
+    val grid = d.groupBy(col("delta")).agg(count(lit(1)).as("c"))
+    val wg = Window.orderBy(col("delta"))
+    val allg = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid
+      .withColumn("cum", sum(col("c")).over(wg))
+      .withColumn("n", sum(col("c")).over(allg))
+      .withColumn("cumPrev", col("cum") - col("c"))
+    def rankStat(p: Double) = {
+      val k = (floor((col("n") - 1L) * lit(p)) + 1L).cast("long")
+      max(when(k > col("cumPrev") && k <= col("cum"), col("delta")))
+    }
+    cum.agg(
       max(col("n")).as("n_converted"),
       min(col("delta")).as("min_sec"),
       rankStat(0.5).as("p50_sec"),
       rankStat(0.9).as("p90_sec"),
       max(col("delta")).as("max_sec"),
-      round(sum(col("delta")).cast("double") / count(lit(1)), 6).as("mean_sec"))
+      round(sum(col("delta") * col("c")).cast("double") / sum(col("c")), 6)
+        .as("mean_sec"))
   }
 
   /** Top-N-plus-OTHER report rollup: the five highest-revenue brands

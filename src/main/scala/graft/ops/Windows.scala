@@ -246,6 +246,46 @@ object Windows {
     * is one rounded division (null until a positive peak exists).
     * Same single-shuffle partitioned-window shape as [[runningTotal]].
     */
+  /** Global-order `lead(value)` WITHOUT the single-partition sort a bare
+    * `Window.orderBy(key)` plans (Spark warns "No Partition Defined",
+    * then funnels the whole input through one task — the shape that
+    * cannot survive a 100× input). Two-phase instead:
+    *
+    *  1. range-partition on `key` so each task holds a contiguous key
+    *     range, and `lead` runs per-range in parallel;
+    *  2. stitch: each range's LAST row pairs with the first row of the
+    *     next non-empty range — derived from a per-range firsts table
+    *     (`numRanges` rows), broadcast back.
+    *
+    * Output is byte-identical to the global window: within a range the
+    * local lead IS the global successor, and across the boundary the
+    * stitch row is it. The final row overall has no successor and keeps
+    * a null `asCol`, exactly like the global form. Rows are returned
+    * range-partitioned (not globally sorted) — callers wanting a total
+    * output order still own their final `orderBy`.
+    *
+    * `key` must be unique per row (it is the total order); `numRanges`
+    * bounds the firsts table, default matches the shuffle width.
+    */
+  def leadRanged(df: DataFrame, keyCol: String, valueCol: String,
+                 asCol: String, numRanges: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(numRanges, col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    val wl = Window.partitionBy(col("__pid")).orderBy(col(keyCol))
+    val local = ranged.withColumn(asCol, lead(col(valueCol), 1).over(wl))
+    // one row per NON-EMPTY range; lead over this tiny frame skips
+    // empty ranges, so the stitch target is the true global successor
+    val firsts = ranged.groupBy(col("__pid"))
+      .agg(min(col(keyCol)).as("__fkey"),
+        min_by(col(valueCol), col(keyCol)).as("__fval"))
+    val wt = Window.orderBy(col("__fkey")) // numRanges rows — driver-safe
+    val nexts = firsts.select(col("__pid"),
+      lead(col("__fval"), 1).over(wt).as("__nextFirst"))
+    local.join(broadcast(nexts), Seq("__pid"), "left")
+      .withColumn(asCol, coalesce(col(asCol), col("__nextFirst")))
+      .drop("__pid", "__nextFirst")
+  }
+
   def drawdown(df: DataFrame, keys: Seq[String], tickCol: String,
                centsCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tickCol))

@@ -20,6 +20,27 @@ class WindowsSaltSpec extends AnyFunSuite {
       Seq((1, 20.0), (2, 5.0)))
   }
 
+  test("leadRanged is byte-identical to the single-partition global lead") {
+    import org.apache.spark.sql.expressions.Window
+    // non-contiguous keys with gaps, deliberately unsorted input
+    val rows = (0 until 997).map(i => ((i * 37) % 9973, s"v$i"))
+    val df = rows.toDF("k", "v")
+    val global = df
+      .withColumn("nxt", lead(col("v"), 1).over(Window.orderBy(col("k"))))
+      .select("k", "v", "nxt")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(r =>
+        (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSeq
+    val expected = norm(global)
+    // numRanges below, at, and far above the row count (the last forces
+    // empty ranges — the stitch must skip them to the true successor)
+    for (nr <- Seq(4, 32, 2048)) {
+      val got = norm(Windows.leadRanged(df, "k", "v", "nxt", numRanges = nr)
+        .select("k", "v", "nxt"))
+      assert(got === expected, s"numRanges=$nr diverged from global lead")
+    }
+  }
+
   test("runningTotal accumulates in window order") {
     val df = Seq((1, 1, 10.0), (1, 2, 5.0), (1, 3, 1.0), (2, 1, 7.0))
       .toDF("k", "seq", "v")

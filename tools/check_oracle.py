@@ -54,6 +54,11 @@ def normalize(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # in-memory connections have out-of-core spilling DISABLED unless a
+    # temp_directory is set; scale-ladder twins (sf1/sf10 closures over
+    # tens of millions of edges) legitimately exceed RAM and must spill,
+    # not die -- an sf10 run OOM'd here and took the whole gate down
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
