@@ -59,6 +59,14 @@ def main():
     # tens of millions of edges) legitimately exceed RAM and must spill,
     # not die -- an sf10 run OOM'd here and took the whole gate down
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    # CHECK_ORACLE_MEM caps DuckDB's reservation below the default 80%
+    # of RAM: an allocation failure at the default leaves the PROCESS so
+    # starved that pthread_create fails and the whole gate dies mid-run
+    # (observed at sf10 on a list-typed twin) -- a lower cap turns that
+    # into a clean per-query error instead
+    mem = os.environ.get("CHECK_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
@@ -94,7 +102,15 @@ def main():
 
         if budget:
             timer = threading.Timer(budget, _interrupt)
-            timer.start()
+            try:
+                timer.start()
+            except RuntimeError:
+                # after a DuckDB OOM the process can be too starved to
+                # spawn a thread -- run the query un-budgeted rather
+                # than killing the whole gate (the OS OOM killer is the
+                # backstop); the prior query's failure is already
+                # recorded
+                timer = None
         try:
             expect = con.execute(sql).df()
         except Exception as e:
