@@ -251,39 +251,69 @@ object Windows {
     * then funnels the whole input through one task — the shape that
     * cannot survive a 100× input). Two-phase instead:
     *
-    *  1. range-partition on `key` so each task holds a contiguous key
-    *     range, and `lead` runs per-range in parallel;
+    *  1. bucket on `key` into `numRanges` contiguous key ranges, so
+    *     `lead` runs per-range in parallel. Boundaries are DETERMINISTIC
+    *     in-plan values — one `percentile_approx` aggregate of the key,
+    *     broadcast back and counted against each row — never
+    *     `repartitionByRange`'s sampled `RangePartitioner` boundaries:
+    *     those depend on an RDD-id-derived sample seed, so two plan
+    *     branches consuming the same range exchange agree only while
+    *     `ReuseExchange` deduplicates them. Here every branch computes
+    *     the same bucket id from the same deterministic aggregate, so
+    *     the stitch join below cannot mis-align even with reuse off;
     *  2. stitch: each range's LAST row pairs with the first row of the
     *     next non-empty range — derived from a per-range firsts table
-    *     (`numRanges` rows), broadcast back.
+    *     (`numRanges` rows), broadcast back. Both the local lead and the
+    *     firsts carry `(key, value)` STRUCTS, and end-of-range is
+    *     detected on the struct's KEY — a null `valueCol` on the
+    *     successor row therefore stays null instead of being conflated
+    *     with "no successor in this range" (a bare
+    *     `coalesce(lead, nextFirst)` would substitute the next range's
+    *     first value for a legitimate null lead).
     *
-    * Output is byte-identical to the global window: within a range the
-    * local lead IS the global successor, and across the boundary the
-    * stitch row is it. The final row overall has no successor and keeps
-    * a null `asCol`, exactly like the global form. Rows are returned
-    * range-partitioned (not globally sorted) — callers wanting a total
-    * output order still own their final `orderBy`.
+    * Output is byte-identical to the global window, including null
+    * `valueCol` runs: within a range the local lead IS the global
+    * successor, and across the boundary the stitch row is it. The final
+    * row overall has no successor and keeps a null `asCol`, exactly
+    * like the global form. Rows are returned range-bucketed (not
+    * globally sorted) — callers wanting a total output order still own
+    * their final `orderBy`.
     *
-    * `key` must be unique per row (it is the total order); `numRanges`
-    * bounds the firsts table, default matches the shuffle width.
+    * `key` must be NUMERIC (the boundary aggregate is a percentile),
+    * non-null, and unique per row (it is the total order); `valueCol`
+    * may be null. `numRanges` bounds the firsts table, default matches
+    * the shuffle width.
     */
   def leadRanged(df: DataFrame, keyCol: String, valueCol: String,
                  asCol: String, numRanges: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(numRanges, col(keyCol))
-      .withColumn("__pid", spark_partition_id())
+    require(numRanges >= 2, s"numRanges=$numRanges (need >= 2)")
+    // deterministic range boundaries: percentile_approx is a
+    // deterministic aggregate of the data (no sample seed), so every
+    // branch that recomputes it lands on identical cut points
+    val cuts = df.agg(percentile_approx(col(keyCol),
+      lit((1 until numRanges).map(_.toDouble / numRanges).toArray),
+      lit(10000)).as("__cuts"))
+    val bucketed = df.crossJoin(broadcast(cuts))
+      .withColumn("__pid",
+        size(filter(col("__cuts"), c => c <= col(keyCol))))
+      .drop("__cuts")
+      .repartition(numRanges, col("__pid"))
+    val kv = struct(col(keyCol).as("k"), col(valueCol).as("v"))
     val wl = Window.partitionBy(col("__pid")).orderBy(col(keyCol))
-    val local = ranged.withColumn(asCol, lead(col(valueCol), 1).over(wl))
+    val local = bucketed.withColumn("__ld", lead(kv, 1).over(wl))
     // one row per NON-EMPTY range; lead over this tiny frame skips
-    // empty ranges, so the stitch target is the true global successor
-    val firsts = ranged.groupBy(col("__pid"))
-      .agg(min(col(keyCol)).as("__fkey"),
-        min_by(col(valueCol), col(keyCol)).as("__fval"))
-    val wt = Window.orderBy(col("__fkey")) // numRanges rows — driver-safe
+    // empty ranges, so the stitch target is the true global successor.
+    // min over the struct picks the range's first row (keys unique, so
+    // the value field is never compared).
+    val firsts = local.groupBy(col("__pid")).agg(min(kv).as("__first"))
+    val wt = Window.orderBy(col("__first.k")) // numRanges rows — driver-safe
     val nexts = firsts.select(col("__pid"),
-      lead(col("__fval"), 1).over(wt).as("__nextFirst"))
+      lead(col("__first"), 1).over(wt).as("__nf"))
     local.join(broadcast(nexts), Seq("__pid"), "left")
-      .withColumn(asCol, coalesce(col(asCol), col("__nextFirst")))
-      .drop("__pid", "__nextFirst")
+      .withColumn(asCol,
+        when(col("__ld.k").isNotNull, col("__ld.v"))
+          .when(col("__nf.k").isNotNull, col("__nf.v")))
+      .drop("__pid", "__ld", "__nf")
   }
 
   def drawdown(df: DataFrame, keys: Seq[String], tickCol: String,

@@ -41,6 +41,29 @@ class WindowsSaltSpec extends AnyFunSuite {
     }
   }
 
+  test("leadRanged keeps a successor's legitimate null value (incl. at range boundaries)") {
+    import org.apache.spark.sql.expressions.Window
+    // every third value null — with few ranges over many rows, null
+    // values land both mid-range and as a range's FIRST row, so a
+    // value-coalescing stitch would wrongly substitute the next range's
+    // first value for a null lead (round-9 ADVICE medium)
+    val rows = (0 until 300).map(i =>
+      (i * 7 % 2999, if (i % 3 == 0) null else s"v$i"))
+    val df = rows.toDF("k", "v")
+    val expected = df
+      .withColumn("nxt", lead(col("v"), 1).over(Window.orderBy(col("k"))))
+      .select("k", "v", "nxt").orderBy("k").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSeq
+    for (nr <- Seq(2, 7, 64)) {
+      val got = Windows.leadRanged(df, "k", "v", "nxt", numRanges = nr)
+        .select("k", "v", "nxt").orderBy("k").collect()
+        .map(r => (r.getInt(0), Option(r.getString(1)), Option(r.getString(2))))
+        .toSeq
+      assert(got === expected, s"numRanges=$nr diverged on null values")
+    }
+  }
+
   test("runningTotal accumulates in window order") {
     val df = Seq((1, 1, 10.0), (1, 2, 5.0), (1, 3, 1.0), (2, 1, 7.0))
       .toDF("k", "seq", "v")
