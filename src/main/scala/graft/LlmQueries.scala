@@ -532,6 +532,21 @@ object LlmQueries {
         bpeWords(s, dir), "word", "cnt", numMerges = 20, passes = 8))
       .orderBy(col("rank"))
 
+  /** The SAME 20 merges via the batched trainer
+    * ([[Bpe.learnMergesBatched]], top-K symbol-disjoint merges per
+    * round): the oracle is bpe_merges' sequential-greedy chain
+    * verbatim, so the hash certifies the batch selection rules
+    * (extended-symbol disjointness, self-pair cut, 2·M barrier)
+    * reproduce one-at-a-time greedy on real corpus data — while
+    * running ~batchK× fewer Spark rounds, the cure for the sequential
+    * trainer's 32k-round cap at production vocabulary sizes.
+    */
+  private def bpeMergesBatched(s: SparkSession, dir: String): DataFrame =
+    Bpe.mergesFrame(s, Bpe.learnMergesBatchedCached(s"bpeb:$dir:m20:p8:k8",
+        bpeWords(s, dir), "word", "cnt", numMerges = 20, passes = 8,
+        batchK = 8))
+      .orderBy(col("rank"))
+
   /** Corpus tokenization stats under the SAME learned merge table (the
     * memo guarantees one training per JVM): word forms, total subword
     * tokens, distinct subword vocabulary — certifying
@@ -1315,6 +1330,7 @@ object LlmQueries {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_stats" -> (vocabStats _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_merges_batched" -> (bpeMergesBatched _),
     "bpe_doc_tokens" -> (bpeDocTokens _),
     "bpe_tokenize_stats" -> (bpeTokenizeStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
@@ -2972,6 +2988,11 @@ object LlmQueries {
     // identical tokenizer, 20 unrolled merge rounds, the same 8 nested
     // single-pass replaces per round as the Scala side
     "bpe_merges" -> graft.llm.Bpe.learnMergesSql(
+      BpeWordsSql, numMerges = 20, passes = 8),
+    // the batched trainer certifies against the SEQUENTIAL chain: its
+    // selection rules guarantee batch ≡ one-at-a-time greedy, and this
+    // hash proves it on the real corpus
+    "bpe_merges_batched" -> graft.llm.Bpe.learnMergesSql(
       BpeWordsSql, numMerges = 20, passes = 8),
     // the stats read the final unrolled training state w20, so one hash
     // certifies training AND applyMerges re-tokenization together

@@ -152,6 +152,152 @@ object Bpe {
       mergeSchema)
   }
 
+  /** Batched greedy BPE: per training round, select the TOP-K
+    * symbol-disjoint merges and apply them together — provably equal to
+    * [[learnMerges]]' one-at-a-time greedy, in ~K× fewer Spark rounds.
+    * A realistic 32k-merge vocabulary is 32k SEQUENTIAL rounds for the
+    * sequential trainer (its only scale cap — each round is vocab-grain
+    * cheap but the rounds can't overlap); this form cuts that to
+    * hundreds while certifying against the same oracle.
+    *
+    * Equality with sequential greedy (including its (count desc, l, r)
+    * tie-break) is guaranteed by three selection rules over the round's
+    * sorted candidate list, all checked before anything is applied:
+    *
+    *  1. **extended-symbol disjointness**: a batch member may not share
+    *     a symbol with any earlier member's EXTENDED set {l, r, lr} —
+    *     sharing l/r means its count changes when the earlier merge
+    *     applies; sharing lr means the earlier merge mints more of a
+    *     symbol it contains. Selection stops at the first conflict (the
+    *     batch must stay a contiguous prefix of the sorted candidates,
+    *     or a skipped candidate could be sequential's true next pick);
+    *  2. **self-pair cut**: after a member with l == r the batch stops —
+    *     overlapping occurrences ("a a a") leave unmerged residue whose
+    *     boundary pair (aa, a) derives its count from the SELECTED
+    *     pair's own (unbounded by rule 3's barrier);
+    *  3. **2·M barrier**: M = the round's max count over NON-selected
+    *     pairs touching any selected extended symbol. Any pair a batch
+    *     member's application can create or grow is bounded by
+    *     old + minted ≤ 2·M (each post-batch occurrence of a pair (A, B)
+    *     maps injectively to a pre-batch occurrence of the boundary pair
+    *     (last(A), first(B)), which touches a selected symbol whenever
+    *     (A, B) does). Members after the first with count ≤ 2·M are
+    *     dropped — sequential might have re-ranked past them.
+    *
+    * Under these rules every kept member is exactly what sequential
+    * greedy would pick next, with the same recorded count. Per round:
+    * one pair aggregate, one bounded top-C collect, one 1-row barrier
+    * aggregate, one map-only multi-merge application.
+    */
+  def learnMergesBatched(words: DataFrame, wordCol: String, cntCol: String,
+                         numMerges: Int, passes: Int = 8,
+                         minCount: Long = 1L, batchK: Int = 8): DataFrame = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    require(passes >= 1, s"passes=$passes")
+    require(batchK >= 1, s"batchK=$batchK")
+    val spark = words.sparkSession
+    var state = words
+      .select(initialSymbols(col(wordCol)).as("syms"),
+        col(cntCol).cast("long").as("cnt"))
+      .groupBy(col("syms")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val budget = math.min(batchK, numMerges - merges.size)
+      val topC = pairCounts(state)
+        .orderBy(desc("pc"), asc("l"), asc("r"))
+        .limit(math.max(4 * batchK, 64)).collect() // bounded driver read
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (topC.isEmpty || topC(0)._3 < minCount) {
+        exhausted = true
+      } else {
+        // rule 1 + 2: contiguous disjoint prefix, cut after a self-pair
+        val tentative =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val symbols = scala.collection.mutable.Set.empty[String]
+        var open = true
+        topC.iterator.takeWhile(_ => open).foreach { case c @ (l, r, pc) =>
+          if (pc < minCount || tentative.size >= budget) open = false
+          else if (symbols.contains(l) || symbols.contains(r) ||
+            symbols.contains(l + r)) open = false
+          else {
+            tentative += c
+            symbols ++= Seq(l, r, l + r)
+            if (l == r) open = false
+          }
+        }
+        // rule 3: barrier from the FULL pair table (affected pairs may
+        // sit below the collected top-C)
+        val kept =
+          if (tentative.size <= 1) tentative.toSeq
+          else {
+            val extSyms = symbols.toSeq
+            val selKeys = tentative.map(c => s"${c._1} ${c._2}").toSeq
+            val m = pairCounts(state)
+              .where((col("l").isin(extSyms: _*) ||
+                col("r").isin(extSyms: _*)) &&
+                !concat_ws(" ", col("l"), col("r")).isin(selKeys: _*))
+              .agg(max(col("pc"))).collect()(0)
+            val barrier = if (m.isNullAt(0)) 0L else m.getLong(0)
+            tentative.head +: tentative.tail.takeWhile(_._3 > 2 * barrier)
+              .toSeq
+          }
+        kept.foreach { case (l, r, pc) =>
+          merges += Merge(merges.size + 1L, l, r, pc)
+        }
+        val prev = state
+        var c: org.apache.spark.sql.Column = col("syms")
+        kept.foreach { case (l, r, _) => c = applyOne(c, l, r, passes) }
+        state = prev.select(c.as("syms"), col("cnt")).localCheckpoint(true)
+        CheckpointBridge.release(prev)
+      }
+    }
+    CheckpointBridge.release(state)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.map(m => Row(m.rank, m.lft, m.rgt, m.pairCount)).toSeq, 1),
+      mergeSchema)
+  }
+
+  /** Write a learned merge table in the standard ordered text format
+    * (subword-nmt-style: one `l r` line per merge, rank order, symbols
+    * carrying the [[EndOfWord]] marker inline), so the trained artifact
+    * is consumable outside the engine:
+    *
+    * {{{
+    * #graft bpe v1 end-of-word=</w>
+    * e s</w>
+    * t h
+    * }}}
+    *
+    * Driver-side by design — a merge table is ≤ vocab rows (the same
+    * bounded envelope as [[learnMergesCached]]'s collect).
+    * Round-trips through [[importMerges]] to identical tokenization.
+    */
+  def exportMerges(merges: Seq[Merge], path: String): Unit = {
+    val body = merges.sortBy(_.rank)
+      .map(m => s"${m.lft} ${m.rgt}").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (s"#graft bpe v1 end-of-word=$EndOfWord\n" + body + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read a merge table written by [[exportMerges]] (or any
+    * subword-nmt-style file: `#`-comment lines skipped, one
+    * space-separated `l r` pair per line, file order = rank order).
+    */
+  def importMerges(path: String): Seq[(String, String)] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8)).asScala
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && i < l.length - 1, s"malformed merge line: '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+
   /** Memo for trained merge tables, keyed by a caller-chosen tag
     * (usually data dir + hyperparameters) — the
     * [[Similarity.kMeansCentroidsCached]] pattern: BPE training is a
@@ -171,6 +317,23 @@ object Bpe {
                         minCount: Long = 1L): Seq[Merge] =
     mergeMemo.computeIfAbsent(tag,
       _ => learnMerges(words, wordCol, cntCol, numMerges, passes, minCount)
+        .collect()
+        .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+        .toSeq)
+
+  /** [[learnMergesBatched]] through the same memo (distinct tag —
+    * the batched trainer must actually run to be certified, not read
+    * the sequential trainer's cache).
+    */
+  def learnMergesBatchedCached(tag: String, words: => DataFrame,
+                               wordCol: String, cntCol: String,
+                               numMerges: Int, passes: Int = 8,
+                               minCount: Long = 1L, batchK: Int = 8)
+    : Seq[Merge] =
+    mergeMemo.computeIfAbsent(tag,
+      _ => learnMergesBatched(words, wordCol, cntCol, numMerges, passes,
+        minCount, batchK)
         .collect()
         .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3)))

@@ -158,4 +158,96 @@ class BpeSpec extends AnyFunSuite {
     val words = Map("ab" -> 3L, "ba" -> 3L)
     assert(learn(words, 1).head._1 === "a")
   }
+
+  private def learnBatched(words: Map[String, Long], n: Int, k: Int) =
+    Bpe.learnMergesBatched(words.toSeq.toDF("word", "cnt"), "word", "cnt",
+        numMerges = n, batchK = k)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  private def learnSeq(words: Map[String, Long], n: Int) =
+    Bpe.learnMerges(words.toSeq.toDF("word", "cnt"), "word", "cnt",
+        numMerges = n)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("batched trainer equals sequential greedy on the classic corpus, all batch widths") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val expected = learnSeq(words, 12)
+    for (k <- Seq(1, 2, 4, 8, 64))
+      assert(learnBatched(words, 12, k) === expected, s"batchK=$k diverged")
+  }
+
+  test("batched trainer equals sequential on a pseudo-random corpus") {
+    // deterministic LCG corpus: ~200 words over a small alphabet, so
+    // rounds hit dense pair interactions, exhaustion tails, and ties
+    var s = 12345L
+    def next(m: Int) = { s = (s * 6364136223846793005L + 1442695040888963407L); (((s >>> 33) % m) + m) % m }
+    val alpha = "abcde"
+    val words = (0 until 200).map { _ =>
+      val len = 1 + next(8).toInt
+      (0 until len).map(_ => alpha(next(5).toInt)).mkString
+    }.groupBy(identity).map { case (w, g) => w -> (g.size * (1 + next(7))) }
+    val expected = learnSeq(words, 30)
+    for (k <- Seq(4, 16))
+      assert(learnBatched(words, 30, k) === expected, s"batchK=$k diverged")
+  }
+
+  test("batched interaction case: top-2 pairs share a symbol, batch must take one and re-rank") {
+    // (a,b) 10 and (b,c) 8 share 'b': a naive top-2 batch would apply
+    // both against stale counts ((b,c) drops to 0 once (a,b) merges
+    // first in 'x a b c'); the disjointness rule takes only (a,b), and
+    // the next round re-ranks — matching sequential exactly
+    val words = Map("abc" -> 8L, "ab" -> 2L, "dd" -> 3L)
+    val expected = learnSeq(words, 6)
+    for (k <- Seq(2, 8))
+      assert(learnBatched(words, 6, k) === expected, s"batchK=$k diverged")
+  }
+
+  test("batched self-pair cut: overlapping-run residue can't poison the batch") {
+    // (a,a) dominates with overlapping runs ('aaaa' → '(aa)(aa)',
+    // 'aaa' → '(aa)a' residue): the minted (aa, a) pair derives its
+    // count from the selected pair itself, so the batch must stop at
+    // the self-pair instead of trusting stale counts for later picks
+    val words = Map("aaaa" -> 6L, "aaa" -> 5L, "bc" -> 4L, "de" -> 3L)
+    val expected = learnSeq(words, 8)
+    for (k <- Seq(2, 4, 8))
+      assert(learnBatched(words, 8, k) === expected, s"batchK=$k diverged")
+  }
+
+  test("batched 2·M barrier: a minted pair that ties the next pick forces truncation, not divergence") {
+    // after (a,b) merges, the minted (x, ab</w>) pair ties (c,d) at 6;
+    // sequential tie-breaks between them by symbol order — the barrier
+    // (affected max = 6, so 2M ≥ any tentative tail) truncates the
+    // batch to (a,b) alone and lets the re-count decide, keeping
+    // bit-equality
+    val words = Map("xab" -> 6L, "ab" -> 4L, "cd" -> 6L, "xa" -> 1L)
+    val expected = learnSeq(words, 6)
+    for (k <- Seq(2, 8))
+      assert(learnBatched(words, 6, k) === expected, s"batchK=$k diverged")
+  }
+
+  test("export/import round-trip: re-imported merges tokenize identically") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val merges = Bpe.learnMergesCached("bpespec:export8",
+      words.toSeq.toDF("word", "cnt"), "word", "cnt", numMerges = 8)
+    val path = java.nio.file.Files.createTempFile("graft_bpe_", ".txt")
+    try {
+      Bpe.exportMerges(merges, path.toString)
+      val lines = java.nio.file.Files.readAllLines(path)
+      assert(lines.get(0).startsWith("#graft bpe v1"))
+      assert(lines.size === merges.size + 1)
+      val imported = Bpe.importMerges(path.toString)
+      assert(imported === merges.map(m => (m.lft, m.rgt)))
+      val before = Bpe.applyMerges(words.keys.toSeq.toDF("word"), "word",
+        merges.map(m => (m.lft, m.rgt)))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val after = Bpe.applyMerges(words.keys.toSeq.toDF("word"), "word",
+        imported)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(after === before)
+    } finally java.nio.file.Files.deleteIfExists(path)
+  }
 }
