@@ -1828,26 +1828,36 @@ object SparkEntry {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct().localCheckpoint(true))
 
-  /** Directed customer→supplier edges (supplier ids offset by 1,000,000
-    * to disjoin the key spaces), derived from [[tradePairs]].
+  /** Supplier node-id offset for the trade graph: disjoins supplier ids
+    * from customer ids for any customer key space below 1e9 — wide
+    * enough for 100-copy key-offset scale fixtures (sf10 custkeys reach
+    * ~1e7; the old 1e6 offset collided there) while staying 9 decades
+    * under int64. Every SQL twin hardcodes the same literal.
+    */
+  private val SupplierNodeOffset = 1000000000L
+
+  /** Directed customer→supplier edges (supplier ids offset by
+    * [[SupplierNodeOffset]] to disjoin the key spaces), derived from
+    * [[tradePairs]].
     */
   private def tradeEdgesDirected(s: SparkSession, dir: String): DataFrame =
     tradePairs(s, dir).select(col("cust").as("src"),
-      (lit(1000000L) + col("supp")).as("dst"))
+      (lit(SupplierNodeOffset) + col("supp")).as("dst"))
 
   /** Symmetrized trade edges (both directions), derived from
     * [[tradePairs]].
     */
   private def tradeEdgesSymmetric(s: SparkSession, dir: String): DataFrame = {
     val base = tradePairs(s, dir).select(col("cust").as("a"),
-      (lit(1000000L) + col("supp")).as("b"))
+      (lit(SupplierNodeOffset) + col("supp")).as("b"))
     base.select(col("a").as("src"), col("b").as("dst"))
       .union(base.select(col("b").as("src"), col("a").as("dst")))
   }
 
   /** Fixed-point PageRank ([[graft.ops.PageRank.ranksFixedPoint]]) over
     * the customer→supplier trade graph (supplier node ids offset by
-    * 1,000,000 to disjoin the key spaces) — 3 power iterations in exact
+    * [[SupplierNodeOffset]] to disjoin the key spaces) — 3 power
+    * iterations in exact
     * integer micro-units, bit-identical to the unrolled SQL twin, so
     * the iterative graph family gets an exact-hash oracle.
     */
@@ -1927,7 +1937,7 @@ object SparkEntry {
     // zero-seed graph degrades to the empty frame by contract)
     val seeds = t(s, dir, "supplier")
       .where(pmod(col("s_suppkey"), lit(5)) === 0)
-      .select((lit(1000000L) + col("s_suppkey")).as("id"))
+      .select((lit(SupplierNodeOffset) + col("s_suppkey")).as("id"))
     graft.ops.PageRank.ranksPersonalizedFixedPoint(edges, "src", "dst",
         seeds, "id", iters = 3)
       .orderBy(col("id"))
@@ -2722,7 +2732,7 @@ object SparkEntry {
     "pagerank_trade_graph" ->
       graft.ops.PageRank.fixedPointSql(
         """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-          |                CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |                CAST(1000000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         iters = 3),
     // the unrolled integer HITS twin (Hits.fixedPointSql): identical
@@ -2730,7 +2740,7 @@ object SparkEntry {
     "hits_trade_graph" ->
       graft.ops.Hits.fixedPointSql(
         """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-          |                CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |                CAST(1000000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         iters = 3),
     // same symmetrize + unrolled majority rounds, same (count desc,
@@ -2738,17 +2748,17 @@ object SparkEntry {
     "communities_trade_graph" ->
       graft.ops.Communities.labelPropagationSql(
         """SELECT CAST(o_custkey AS BIGINT) AS src,
-          |       CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |       CAST(1000000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         iters = 3),
     // same unrolled frontier rounds, same NOT-IN visited anti-join
     "bfs_depth_trade_graph" ->
       graft.ops.Bfs.depthsSql(
         """SELECT CAST(o_custkey AS BIGINT) AS src,
-          |       CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |       CAST(1000000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
           |UNION ALL
-          |SELECT CAST(1000000 + l_suppkey AS BIGINT) AS src,
+          |SELECT CAST(1000000000 + l_suppkey AS BIGINT) AS src,
           |       CAST(o_custkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         """SELECT CAST(c_custkey AS BIGINT) AS id
@@ -2759,13 +2769,13 @@ object SparkEntry {
       graft.ops.PageRank.personalizedFixedPointSql(
         """SELECT DISTINCT src, dst FROM (
           |  SELECT CAST(o_custkey AS BIGINT) AS src,
-          |         CAST(1000000 + l_suppkey AS BIGINT) AS dst
+          |         CAST(1000000000 + l_suppkey AS BIGINT) AS dst
           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
           |  UNION ALL
-          |  SELECT CAST(1000000 + l_suppkey AS BIGINT) AS src,
+          |  SELECT CAST(1000000000 + l_suppkey AS BIGINT) AS src,
           |         CAST(o_custkey AS BIGINT) AS dst
           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin,
-        """SELECT CAST(1000000 + s_suppkey AS BIGINT) AS id
+        """SELECT CAST(1000000000 + s_suppkey AS BIGINT) AS id
           |FROM supplier WHERE s_suppkey % 5 = 0""".stripMargin,
         iters = 3),
     // same capped-neighbor contract, same floored micro-Jaccard

@@ -93,12 +93,18 @@ def main():
         timer = None
         # done-flag guard: if the timer fires between execute() returning
         # and cancel(), an unguarded interrupt() would cancel the NEXT
-        # oracle (spurious failure near the budget boundary)
+        # oracle (spurious failure near the budget boundary). The lock
+        # makes the flag-check-then-interrupt atomic against the
+        # finally-block update — without it the timer can still sneak an
+        # interrupt() onto an idle connection in the window between
+        # execute() returning and done[0]=True
         done = [False]
+        done_lock = threading.Lock()
 
         def _interrupt():
-            if not done[0]:
-                con.interrupt()
+            with done_lock:
+                if not done[0]:
+                    con.interrupt()
 
         if budget:
             timer = threading.Timer(budget, _interrupt)
@@ -124,7 +130,8 @@ def main():
             n_fail += 1
             continue
         finally:
-            done[0] = True
+            with done_lock:
+                done[0] = True
             if timer:
                 timer.cancel()
         rec["oracle_sec"] = round(time.time() - t0, 3)

@@ -46,6 +46,15 @@ def main():
         print(t, '(straight copy)')
     for t in ['documents', 'embeddings']:
         tab = pq.read_table(f'{src}/{t}.parquet')
+        # offset copies are disjoint ONLY while base ids stay below the
+        # stride; a grown fixture would otherwise silently alias ids
+        # across copies and corrupt every dedup/closure certification
+        for name in tab.column_names:
+            if name in STRIDE:
+                mx = pc.max(tab[name]).as_py()
+                assert mx < STRIDE[name], (
+                    f'{t}.{name} max {mx} >= stride {STRIDE[name]}: '
+                    f'offset copies would overlap — raise STRIDE')
         pieces = []
         for i in range(COPIES):
             cols = []
