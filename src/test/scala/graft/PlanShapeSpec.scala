@@ -244,4 +244,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(brokenAsSlice.nonEmpty,
       "slice allowance must not admit an unfiltered data-grain scan")
   }
+
+  test("the committed plan audit covers exactly the shipped query surface") {
+    // round-close invariant (round-9 verdict #3): the human-readable
+    // plan-audit artifact (PLANS_r*.md, graft.Explain output) must be
+    // regenerated in the same change that lands any new query — a
+    // stale audit silently trails the surface. The NEWEST audit file's
+    // `## name` set must equal SparkEntry.queries' key set.
+    val files = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("PLANS_r\\d+\\.md"))
+    assert(files.nonEmpty, "no PLANS_r*.md plan-audit artifact in repo root")
+    val newest = files.maxBy(f =>
+      f.getName.stripPrefix("PLANS_r").stripSuffix(".md").toInt)
+    val audited = scala.io.Source.fromFile(newest)(scala.io.Codec.UTF8)
+      .getLines().filter(_.startsWith("## ")).map(_.drop(3).trim).toSet
+    val shipped = SparkEntry.queries.keySet
+    val missing = shipped -- audited
+    val stale = audited -- shipped
+    assert(missing.isEmpty && stale.isEmpty,
+      s"plan audit ${newest.getName} drifted from the query surface — " +
+        s"regenerate with `runMain graft.Explain <sfDir> ${newest.getName}`" +
+        s"; missing=${missing.toSeq.sorted.take(10)} " +
+        s"stale=${stale.toSeq.sorted.take(10)}")
+  }
 }

@@ -17,7 +17,11 @@ deliberately-brute oracle twins are infeasible by design:
   "skipped" (e.g. an O(n^2) all-pairs equality proof certified at
   smaller scale factors) without running them;
 - CHECK_ORACLE_TIMEOUT: per-oracle wall budget in seconds; a DuckDB
-  query past it is interrupted and recorded as timed out.
+  query past it is interrupted and recorded as timed out;
+- CHECK_ORACLE_ONLY: comma-separated query names — run ONLY these.
+  The scale gates run each heavy twin in its OWN process with this
+  (a heavy list-CTE query's DuckDB buffer state poisons later queries
+  on a shared connection).
 """
 import json
 import os
@@ -67,6 +71,11 @@ def main():
     mem = os.environ.get("CHECK_ORACLE_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+    # result order is irrelevant (normalize() sorts rows before compare)
+    # and insertion-order preservation forces DuckDB to buffer entire
+    # intermediate pipelines in memory — the difference between a heavy
+    # scale-ladder twin spilling and dying
+    con.execute("SET preserve_insertion_order=false")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
@@ -75,6 +84,10 @@ def main():
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     skip = set(filter(None,
         os.environ.get("CHECK_ORACLE_SKIP", "").split(",")))
+    only = set(filter(None,
+        os.environ.get("CHECK_ORACLE_ONLY", "").split(",")))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT", "0")) or None
     report = {}
     n_pass = n_fail = n_skip = 0
