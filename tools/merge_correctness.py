@@ -20,12 +20,14 @@ def main():
             if k not in merged or v.get("hash_match") or \
                     not merged[k].get("hash_match"):
                 merged[k] = v
+    merged.pop("__meta__", None)
     n_pass = sum(1 for v in merged.values() if v.get("hash_match"))
+    n_queries = len(merged)
     if note:
         merged["__meta__"] = {"summary": note,
-                              "n_pass": n_pass, "n_queries": len(merged)}
+                              "n_pass": n_pass, "n_queries": n_queries}
     json.dump(merged, open(out, "w"), indent=1, sort_keys=True)
-    print(f"{n_pass}/{len(merged)} pass -> {out}")
+    print(f"{n_pass}/{n_queries} pass -> {out}")
 
 
 if __name__ == "__main__":
