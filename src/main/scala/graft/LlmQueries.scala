@@ -547,6 +547,23 @@ object LlmQueries {
         batchK = 8))
       .orderBy(col("rank"))
 
+  /** The SAME 20 merges via the hybrid trainer
+    * ([[Bpe.learnMergesLocal]]: distributed corpus pass + bounded
+    * vocab-grain collect + in-memory exact greedy — the subword-nmt /
+    * HF-tokenizers production shape). The oracle is bpe_merges'
+    * sequential chain verbatim, so the hash certifies the in-memory
+    * argmax AND the local replica of the `passes`-bounded replace
+    * semantics against an independent engine. This is the trainer that
+    * removes the one-Spark-round-per-merge cap entirely (measured in
+    * BENCH_BPE_SF1.json: 512 merges in ~3.5 s end-to-end vs 140 s
+    * distributed, 38.6×), so certifying it is what makes realistic
+    * 32k-merge vocabularies practical.
+    */
+  private def bpeMergesLocal(s: SparkSession, dir: String): DataFrame =
+    Bpe.mergesFrame(s, Bpe.learnMergesLocalCached(s"bpel:$dir:m20:p8",
+        bpeWords(s, dir), "word", "cnt", numMerges = 20, passes = 8))
+      .orderBy(col("rank"))
+
   /** Corpus tokenization stats under the SAME learned merge table (the
     * memo guarantees one training per JVM): word forms, total subword
     * tokens, distinct subword vocabulary — certifying
@@ -1331,6 +1348,7 @@ object LlmQueries {
     "vocab_stats" -> (vocabStats _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_merges_batched" -> (bpeMergesBatched _),
+    "bpe_merges_local" -> (bpeMergesLocal _),
     "bpe_doc_tokens" -> (bpeDocTokens _),
     "bpe_tokenize_stats" -> (bpeTokenizeStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
@@ -2993,6 +3011,11 @@ object LlmQueries {
     // selection rules guarantee batch ≡ one-at-a-time greedy, and this
     // hash proves it on the real corpus
     "bpe_merges_batched" -> graft.llm.Bpe.learnMergesSql(
+      BpeWordsSql, numMerges = 20, passes = 8),
+    // the hybrid (driver-side vocab-grain) trainer certifies against
+    // the SAME sequential chain: same argmax, same passes-bounded
+    // replace semantics, zero Spark rounds in the training loop
+    "bpe_merges_local" -> graft.llm.Bpe.learnMergesSql(
       BpeWordsSql, numMerges = 20, passes = 8),
     // the stats read the final unrolled training state w20, so one hash
     // certifies training AND applyMerges re-tokenization together

@@ -49,6 +49,16 @@ object Bpe {
   final case class Merge(rank: Long, lft: String, rgt: String,
                          pairCount: Long)
 
+  /** Spark rounds executed by this thread's LAST [[learnMerges]] /
+    * [[learnMergesBatched]] call — bench telemetry only (the round
+    * count is the quantity the batched trainer exists to cut; the
+    * merge table stays the correctness artifact). Thread-local so
+    * parallel test suites can't race each other's readouts.
+    */
+  private val lastRoundsTl =
+    ThreadLocal.withInitial[Integer](() => Integer.valueOf(0))
+  def lastTrainRounds: Int = lastRoundsTl.get()
+
   private val mergeSchema = StructType(Seq(
     StructField("rank", LongType, nullable = false),
     StructField("lft", StringType, nullable = false),
@@ -127,8 +137,10 @@ object Bpe {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
+    var rounds = 0
     var rank = 0L
     while (rank < numMerges && !exhausted) {
+      rounds += 1
       val top = pairCounts(state)
         .orderBy(desc("pc"), asc("l"), asc("r")).limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < minCount) {
@@ -146,6 +158,7 @@ object Bpe {
       }
     }
     CheckpointBridge.release(state)
+    lastRoundsTl.set(rounds)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.map(m => Row(m.rank, m.lft, m.rgt, m.pairCount)).toSeq, 1),
@@ -154,11 +167,18 @@ object Bpe {
 
   /** Batched greedy BPE: per training round, select the TOP-K
     * symbol-disjoint merges and apply them together — provably equal to
-    * [[learnMerges]]' one-at-a-time greedy, in ~K× fewer Spark rounds.
-    * A realistic 32k-merge vocabulary is 32k SEQUENTIAL rounds for the
-    * sequential trainer (its only scale cap — each round is vocab-grain
-    * cheap but the rounds can't overlap); this form cuts that to
-    * hundreds while certifying against the same oracle.
+    * [[learnMerges]]' one-at-a-time greedy, in up to K× fewer Spark
+    * rounds WHEN THE DATA ALLOWS. Honest measured caveat
+    * (BENCH_BPE_SF1.json): on a zipfian 27k-form corpus the 2·M
+    * equality barrier truncates almost every batch to one merge (507
+    * rounds for 512 merges) and the extra barrier aggregate makes it
+    * NET SLOWER than [[learnMerges]] — exactness-preserving batching
+    * only wins when successive top pairs are comfortably
+    * count-separated. The production cure for the
+    * one-Spark-round-per-merge cap is [[learnMergesLocal]] (distributed
+    * corpus pass, bounded vocab-grain collect, in-memory exact greedy);
+    * this batched form remains the fully-distributed option for word
+    * tables too large to collect.
     *
     * Equality with sequential greedy (including its (count desc, l, r)
     * tie-break) is guaranteed by three selection rules over the round's
@@ -203,7 +223,9 @@ object Bpe {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
+    var rounds = 0
     while (merges.size < numMerges && !exhausted) {
+      rounds += 1
       val budget = math.min(batchK, numMerges - merges.size)
       val topC = pairCounts(state)
         .orderBy(desc("pc"), asc("l"), asc("r"))
@@ -254,10 +276,168 @@ object Bpe {
       }
     }
     CheckpointBridge.release(state)
+    lastRoundsTl.set(rounds)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.map(m => Row(m.rank, m.lft, m.rgt, m.pairCount)).toSeq, 1),
       mergeSchema)
+  }
+
+  /** One left-to-right merge pass over a symbol vector, replicating the
+    * `replace(' l r ' → ' lr ')` single-pass semantics of [[applyOne]]
+    * EXACTLY — including the non-obvious consequence of space
+    * consumption: the symbol immediately after a merged occurrence
+    * cannot begin a match within the same pass, because the replacement
+    * consumed its leading space (`" a b a b ".replace(" a b ", " ab ")`
+    * is `" ab a b "`, not `" ab ab "`; the second occurrence merges on
+    * the NEXT pass). Bit-for-bit lockstep with the distributed form is
+    * what makes [[learnMergesLocal]] ≡ [[learnMerges]] provable.
+    */
+  private def onePassLocal(syms: Vector[String], l: String, r: String)
+    : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val n = syms.length
+    val lr = l + r
+    var i = 0
+    var changed = false
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) {
+        out += lr
+        changed = true
+        if (i + 2 < n) out += syms(i + 2) // leading space consumed: this
+        i += 3                            // position can't start a match
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    if (changed) out.result() else syms
+  }
+
+  /** [[applyOne]]'s iterated-replace loop, locally: exactly `passes`
+    * single passes (a pass with no occurrence is the identity, so early
+    * exit on fixpoint is equivalence-preserving).
+    */
+  private def applyOneLocal(syms: Vector[String], l: String, r: String,
+                            passes: Int): Vector[String] = {
+    var cur = syms
+    var p = 0
+    var done = false
+    while (p < passes && !done) {
+      val nxt = onePassLocal(cur, l, r)
+      if (nxt eq cur) done = true else cur = nxt
+      p += 1
+    }
+    cur
+  }
+
+  /** Driver-side exact greedy trainer over a COLLECTED word table — the
+    * production-scale shape (subword-nmt and HF tokenizers train from a
+    * word-count dict in memory): the corpus pass that BUILDS the word
+    * table and the final tokenization stay distributed; the TRAINING
+    * loop — vocab-grain and inherently sequential (round N+1's pair
+    * table depends on round N's merge) — runs where a round is
+    * microseconds instead of a Spark job. Measured on the sf1 corpus
+    * with a 27k-form vocabulary (BENCH_BPE_SF1.json): the distributed
+    * sequential trainer pays ~0.27 s/round × one round per merge, and
+    * the exact-batching variant cannot help on zipfian data (its 2·M
+    * equality barrier truncates almost every batch to one merge — 507
+    * rounds for 512 merges when measured); this hybrid trains the same
+    * 512 merges in ~3.5 s end-to-end (collect + training, 38.6×) —
+    * and the gap compounds at 32k merges, where the distributed form
+    * would take hours.
+    *
+    * Bit-identical to [[learnMerges]] BY CONSTRUCTION: the same
+    * (count desc, l asc, r asc) argmax over the same
+    * every-adjacent-position pair counts (lowercase-ASCII + `</w>`
+    * symbols order identically as UTF-8 bytes and UTF-16 code units),
+    * and [[applyOneLocal]] replicates the `passes`-bounded iterated
+    * replace — so words longer than 2·passes symbols under-merge
+    * IDENTICALLY on both paths. Spec-certified equal on the shipped
+    * corpus and on constructed over-length/tie/overlap cases.
+    *
+    * The collect is the repo's bounded-driver-read pattern
+    * ([[Similarity]]'s k×dims centroids, [[learnMergesCached]]'s
+    * ≤vocab merge table): a word table is vocab-grain — 1e6..1e8 forms
+    * even at 100 TB corpus scale under the shipped ≤16-char word cap —
+    * and `maxForms` makes the envelope explicit and its violation loud
+    * (fail, never silently truncate).
+    */
+  def learnMergesLocal(words: DataFrame, wordCol: String, cntCol: String,
+                       numMerges: Int, passes: Int = 8,
+                       minCount: Long = 1L,
+                       maxForms: Int = 4000000): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    require(passes >= 1, s"passes=$passes")
+    require(maxForms >= 1, s"maxForms=$maxForms")
+    val rows = words
+      .select(col(wordCol).cast("string"), col(cntCol).cast("long"))
+      .limit(maxForms + 1).collect()
+    require(rows.length <= maxForms,
+      s"word table exceeds maxForms=$maxForms — this trainer's collect " +
+        "is bounded by contract; raise the cap explicitly or use " +
+        "learnMerges")
+    // state: symbol-sequence → summed count (identical sequences fold,
+    // mirroring the distributed groupBy(syms))
+    val state = new java.util.HashMap[Vector[String], Long]()
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val cs = w.split("")
+      val syms =
+        (cs.dropRight(1) :+ (cs.last + EndOfWord)).toVector
+      state.merge(syms, r.getLong(1), (a, b) => a + b)
+    }
+    // pair totals, maintained incrementally as states transform
+    val pc = new java.util.HashMap[(String, String), Long]()
+    def addPairs(syms: Vector[String], c: Long): Unit = {
+      var i = 0
+      while (i + 1 < syms.length) {
+        pc.merge((syms(i), syms(i + 1)), c, (a, b) => a + b)
+        i += 1
+      }
+    }
+    state.forEach((syms, c) => addPairs(syms, c))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    var rounds = 0
+    while (merges.size < numMerges && !exhausted) {
+      rounds += 1
+      // argmax by (count desc, l asc, r asc) — the distributed orderBy
+      var best: ((String, String), Long) = null
+      pc.forEach { (k, v) =>
+        if (v > 0 && (best == null || v > best._2 ||
+          (v == best._2 && (k._1 < best._1._1 ||
+            (k._1 == best._1._1 && k._2 < best._1._2))))) best = (k, v)
+      }
+      if (best == null || best._2 < minCount) {
+        exhausted = true
+      } else {
+        val ((l, r), cnt) = best
+        merges += Merge(merges.size + 1L, l, r, cnt)
+        // transform only the states containing the pair adjacently
+        val changed = scala.collection.mutable
+          .ArrayBuffer.empty[(Vector[String], Vector[String], Long)]
+        state.forEach { (syms, c) =>
+          var hit = false
+          var i = 0
+          while (!hit && i + 1 < syms.length) {
+            hit = syms(i) == l && syms(i + 1) == r
+            i += 1
+          }
+          if (hit) changed += ((syms, applyOneLocal(syms, l, r, passes), c))
+        }
+        changed.foreach { case (oldSyms, newSyms, c) =>
+          if (newSyms != oldSyms) {
+            state.remove(oldSyms)
+            addPairs(oldSyms, -c)
+            state.merge(newSyms, c, (a, b) => a + b)
+            addPairs(newSyms, c)
+          }
+        }
+      }
+    }
+    lastRoundsTl.set(rounds)
+    merges.toSeq
   }
 
   /** Write a learned merge table in the standard ordered text format
@@ -338,6 +518,19 @@ object Bpe {
         .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3)))
         .toSeq)
+
+  /** [[learnMergesLocal]] through the same memo (distinct tag — the
+    * local trainer must actually run to be certified, not read a
+    * distributed trainer's cache).
+    */
+  def learnMergesLocalCached(tag: String, words: => DataFrame,
+                             wordCol: String, cntCol: String,
+                             numMerges: Int, passes: Int = 8,
+                             minCount: Long = 1L,
+                             maxForms: Int = 4000000): Seq[Merge] =
+    mergeMemo.computeIfAbsent(tag,
+      _ => learnMergesLocal(words, wordCol, cntCol, numMerges, passes,
+        minCount, maxForms))
 
   /** The cached merges as a frame (rank, lft, rgt, pair_count). */
   def mergesFrame(spark: org.apache.spark.sql.SparkSession,

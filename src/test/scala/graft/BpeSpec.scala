@@ -228,6 +228,61 @@ class BpeSpec extends AnyFunSuite {
       assert(learnBatched(words, 6, k) === expected, s"batchK=$k diverged")
   }
 
+  private def learnLocal(words: Map[String, Long], n: Int,
+                         passes: Int = 8) =
+    Bpe.learnMergesLocal(words.toSeq.toDF("word", "cnt"), "word", "cnt",
+        numMerges = n, passes = passes)
+      .map(m => (m.rank, m.lft, m.rgt, m.pairCount))
+
+  private def learnSeqP(words: Map[String, Long], n: Int, passes: Int) =
+    Bpe.learnMerges(words.toSeq.toDF("word", "cnt"), "word", "cnt",
+        numMerges = n, passes = passes)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("local trainer equals distributed sequential on the classic corpus") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    assert(learnLocal(words, 12) === learnSeq(words, 12))
+  }
+
+  test("local trainer equals distributed on a pseudo-random corpus, ties included") {
+    var s = 98765L
+    def next(m: Int) = { s = (s * 6364136223846793005L + 1442695040888963407L); (((s >>> 33) % m) + m) % m }
+    val alpha = "abcde"
+    val words = (0 until 200).map { _ =>
+      val len = 1 + next(8).toInt
+      (0 until len).map(_ => alpha(next(5).toInt)).mkString
+    }.groupBy(identity).map { case (w, g) => w -> (g.size * (1 + next(7))) }
+    assert(learnLocal(words, 30) === learnSeq(words, 30))
+  }
+
+  test("local trainer mirrors the passes-bounded replace on over-length words") {
+    // 22-symbol boundary-sharing words with passes=1 and 2: a single
+    // replace pass CANNOT merge the occurrence right after a merged one
+    // (its leading space was consumed), so the round's state — and with
+    // it every later pair count — depends on that subtlety. The local
+    // trainer must under-merge IDENTICALLY, not 'more correctly'.
+    val words = Map("ababababababababababab" -> 7L,
+      "aaaaaaaaaaaaaaaaaaaaaa" -> 5L, "abab" -> 3L, "cd" -> 2L)
+    for (p <- Seq(1, 2, 8))
+      assert(learnLocal(words, 10, passes = p) ===
+        learnSeqP(words, 10, passes = p), s"passes=$p diverged")
+  }
+
+  test("local trainer exhausts like distributed on a single-symbol vocab") {
+    assert(learnLocal(Map("a" -> 10L, "b" -> 3L), 4) === Seq.empty)
+  }
+
+  test("local trainer maxForms bound fails loud, never truncates") {
+    val words = Map("ab" -> 2L, "cd" -> 1L, "ef" -> 1L)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learnMergesLocal(words.toSeq.toDF("word", "cnt"), "word", "cnt",
+        numMerges = 2, maxForms = 2)
+    }
+    assert(e.getMessage.contains("maxForms"))
+  }
+
   test("export/import round-trip: re-imported merges tokenize identically") {
     val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
       "widest" -> 3L)
