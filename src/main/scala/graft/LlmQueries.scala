@@ -615,6 +615,24 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Diversity-aware retrieval re-rank ([[Similarity.mmrRerank]]):
+    * maximal-marginal-relevance selection of 10 from each query's
+    * cosine top-20 pool at λ = 0.7 — the post-ANN step that spends a
+    * RAG context budget on coverage instead of near-duplicates. Corpus
+    * touched once (the broadcast pool build); the 10 selection rounds
+    * run at selection grain (|Q|·20 rows). The oracle unrolls the SAME
+    * 10 rounds as MATERIALIZED CTEs (DuckDB would otherwise inline the
+    * multi-referenced round states multiplicatively), so every pick,
+    * tie-break, and 6-rounded score is cross-engine lockstep.
+    */
+  private def mmrRerankDocs(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    Similarity.mmrRerank(emb.where(col("vec_id") < 4), emb,
+        "vec_id", "vec_id", "embedding", poolK = 20, selectK = 10,
+        lambda = 0.7, mu = 0.3)
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   private def knnCosineBucketed(s: SparkSession, dir: String): DataFrame = {
     val emb = tPar(s, dir, "embeddings")
     Similarity.knnBucketed(
@@ -1352,6 +1370,7 @@ object LlmQueries {
     "bpe_doc_tokens" -> (bpeDocTokens _),
     "bpe_tokenize_stats" -> (bpeTokenizeStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
+    "mmr_rerank_docs" -> (mmrRerankDocs _),
     "knn_cosine_bucketed" -> (knnCosineBucketed _),
     "knn_cosine_lsh" -> (knnCosineLsh _),
     "knn_cosine_multiprobe" -> (knnCosineMultiprobe _),
@@ -1569,6 +1588,79 @@ object LlmQueries {
     s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) > 0
        | THEN ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
        | ELSE 0.0 END""".stripMargin
+
+  /** Spark's `round(x, 6)` on doubles rounds the SHORTEST DECIMAL REPR
+    * of the value (`BigDecimal.valueOf` → `Double.toString`) with
+    * HALF_UP — NOT the binary value. DuckDB's `round()` rounds the
+    * binary value, so a raw double just below a repr boundary (e.g.
+    * 0.26003949999999997, repr "0.2600395") rounds to 0.260039 in
+    * DuckDB but 0.260040 in Spark. VARCHAR→DECIMAL reproduces the repr
+    * semantics: DuckDB prints shortest round-trip reprs too, and its
+    * DECIMAL round is HALF_UP (away from zero), matching Java. Same
+    * quirk the semantic-dedup second oracle replicates in python
+    * (tools/check_semdedup.py). Operand domain must fit DECIMAL(30,18)
+    * (|x| < 1e12 — similarity scores are in [-1, 1]).
+    */
+  private def sround6(e: String) =
+    s"CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(30,18)), 6) AS DOUBLE)"
+
+  /** Unrolled MMR selection twin: the pool build, then `selectK`
+    * selection rounds, each one a MATERIALIZED pick CTE (per-query
+    * argmax of the 6-rounded score, neighbor_id tiebreak) + a
+    * MATERIALIZED remaining-candidates CTE with the running max
+    * pairwise similarity — the same per-round states
+    * [[Similarity.mmrRerank]] checkpoints. λ and μ are printed
+    * literals CAST to DOUBLE on both engines (`1.0 - 0.7` would be
+    * decimal-exact 0.3 in DuckDB but 0.30000000000000004 in the JVM),
+    * and every 6-round is the repr-faithful [[sround6]].
+    */
+  private def mmrSql(poolK: Int, selectK: Int, lambda: Double,
+                     mu: Double): String = {
+    val score = sround6(s"CAST($lambda AS DOUBLE)*rel - " +
+      s"CAST($mu AS DOUBLE)*maxsim")
+    val rounds = (1 to selectK).map { t =>
+      val pick =
+        s"""p$t AS MATERIALIZED (
+           |  SELECT query_id, $t AS mmr_rank, neighbor_id, score, emb
+           |  FROM (SELECT query_id, neighbor_id, emb, $score AS score,
+           |               row_number() OVER (PARTITION BY query_id
+           |                 ORDER BY $score DESC, neighbor_id) AS rn
+           |        FROM c${t - 1})
+           |  WHERE rn = 1
+           |)""".stripMargin
+      val next =
+        if (t == selectK) ""
+        else
+          s""",
+             |c$t AS MATERIALIZED (
+             |  SELECT c.query_id, c.neighbor_id, c.rel, c.emb,
+             |         greatest(c.maxsim, ${sround6(cosineSql("c.emb", "p.emb"))}) AS maxsim
+             |  FROM c${t - 1} c JOIN p$t p USING (query_id)
+             |  WHERE c.neighbor_id <> p.neighbor_id
+             |)""".stripMargin
+      pick + next
+    }.mkString(",\n")
+    val unions = (1 to selectK)
+      .map(t => s"SELECT query_id, mmr_rank, neighbor_id, score FROM p$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rel, emb FROM (
+       |    SELECT query_id, neighbor_id, rel, emb,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |                 ${sround6(cosineSql("q.qe", "e.embedding"))} AS rel,
+       |                 e.embedding AS emb
+       |          FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |  ) WHERE rn <= $poolK
+       |),
+       |c0 AS MATERIALIZED (SELECT query_id, neighbor_id, rel, emb, 0.0 AS maxsim FROM pool),
+       |$rounds
+       |SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, neighbor_id, score
+       |FROM ($unions)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
 
   /** 32-bit simhash as generated SQL (bit j from md5 hex nibble j). */
   private val SimhashSql: String = {
@@ -3052,6 +3144,10 @@ object LlmQueries {
          |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // the 10 unrolled MMR selection rounds, MATERIALIZED per round —
+    // every pick/tie/score lockstep with Similarity.mmrRerank
+    "mmr_rerank_docs" -> mmrSql(poolK = 20, selectK = 10, lambda = 0.7,
+      mu = 0.3),
     // same quantization grid and n-scaled identity as the Spark side;
     // HUGEINT squares collapse back to BIGINT
     "label_scatter_embeddings" ->

@@ -457,4 +457,87 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * from each query's cosine top-`poolK` candidate pool, select
+    * `selectK` results in order of
+    * `score = λ·relevance − (1−λ)·max-similarity-to-already-selected` —
+    * the diversity-aware selection a RAG context builder or a diverse
+    * few-shot sampler runs after ANN retrieval (pure top-k hands back
+    * near-duplicates; MMR spends the budget on coverage).
+    *
+    * Execution shape at corpus scale: the ONLY corpus-grain work is the
+    * [[knnBrute]]-style pool build (broadcast query join, no corpus
+    * shuffle). Selection is inherently sequential in `selectK` — each
+    * pick changes the next round's scores — but every round runs at
+    * SELECTION grain (|Q|·poolK rows, bounded by contract), one
+    * window argmax + one 1-row-per-query broadcast join per round,
+    * checkpointed per generation with immediate release (the
+    * [[graft.ops.PageRank]] discipline).
+    *
+    * Determinism contract (cross-engine): relevance, pairwise
+    * similarity, and the score are each rounded to 6 places before any
+    * comparison; ties break by `neighbor_id` asc. The first pick (empty
+    * selected set) scores `λ·rel − μ·0`, i.e. argmax relevance. The
+    * diversity weight is an EXPLICIT `mu` rather than a computed
+    * `1 − λ`: a twin engine must multiply by the identical IEEE double,
+    * and `1.0 - 0.7` is decimal-exact 0.3 in DuckDB but
+    * 0.30000000000000004 in JVM double arithmetic — both sides parse
+    * the same printed literal instead.
+    *
+    * Output: (query_id, mmr_rank, neighbor_id, score).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, qidCol: String,
+                idCol: String, vecCol: String, poolK: Int = 20,
+                selectK: Int = 10, lambda: Double = 0.7,
+                mu: Double = 0.3): DataFrame = {
+    require(poolK >= selectK && selectK >= 1,
+      s"poolK=$poolK must be >= selectK=$selectK >= 1")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda=$lambda")
+    require(mu >= 0.0, s"mu=$mu")
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val poolW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    var cand = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("__rn", row_number().over(poolW))
+      .where(col("__rn") <= poolK)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("__cv"), lit(0.0).as("maxsim"))
+      .localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to selectK).foreach { t =>
+      val score = round(
+        lit(lambda) * col("rel") - lit(mu) * col("maxsim"), 6)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(score.desc, col("neighbor_id"))
+      val pick = cand
+        .withColumn("score", score)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("query_id"), lit(t).as("mmr_rank"),
+          col("neighbor_id"), col("score"), col("__cv"))
+        .localCheckpoint(true)
+      picks += pick
+      if (t < selectK) {
+        val prev = cand
+        cand = cand
+          .join(broadcast(pick.select(col("query_id"),
+            col("neighbor_id").as("__pid"), col("__cv").as("__pv"))),
+            Seq("query_id"))
+          .where(col("neighbor_id") =!= col("__pid"))
+          .withColumn("maxsim", greatest(col("maxsim"),
+            round(cosine(col("__cv"), col("__pv")), 6)))
+          .select(col("query_id"), col("neighbor_id"), col("rel"),
+            col("__cv"), col("maxsim"))
+          .localCheckpoint(true)
+        CheckpointBridge.release(prev)
+      } else CheckpointBridge.release(cand)
+    }
+    picks.reduce(_ union _)
+      .select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+        col("score"))
+  }
 }

@@ -167,4 +167,99 @@ class AnnEvalSpec extends AnyFunSuite {
       row.zip(v).foldLeft(0.0) { case (acc, (r, x)) => acc + r * x.toDouble })
     assert(got === want.toSeq)
   }
+
+  // --------------------------------------------------------------- mmr
+
+  /** In-memory MMR reference with the operator's exact contract:
+    * sequential-fold double cosine, HALF_UP 6-rounding before every
+    * comparison, (score desc, id asc) argmax per round.
+    */
+  private def refMmr(queries: Seq[(Long, Array[Float])],
+                     corpus: Seq[(Long, Array[Float])], poolK: Int,
+                     selectK: Int, lambda: Double, mu: Double)
+    : Seq[(Long, Int, Long, Double)] = {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      a.indices.foreach { i =>
+        dab += a(i).toDouble * b(i).toDouble
+        daa += a(i).toDouble * a(i).toDouble
+        dbb += b(i).toDouble * b(i).toDouble
+      }
+      val d = math.sqrt(daa) * math.sqrt(dbb)
+      if (d > 0) dab / d else 0.0
+    }
+    queries.flatMap { case (qid, qv) =>
+      var pool = corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, v, r6(cos(qv, v)), 0.0) }
+        .sortBy { case (id, _, rel, _) => (-rel, id) }
+        .take(poolK)
+      (1 to selectK).map { t =>
+        val pick = pool
+          .map { case (id, v, rel, ms) =>
+            (id, v, rel, ms, r6(lambda * rel - mu * ms)) }
+          .sortBy { case (id, _, _, _, sc) => (-sc, id) }.head
+        pool = pool.filter(_._1 != pick._1).map { case (id, v, rel, ms) =>
+          (id, v, rel, math.max(ms, r6(cos(v, pick._2))))
+        }
+        (qid, t, pick._1, pick._5)
+      }
+    }
+  }
+
+  private def mmrFixture: Seq[(Long, Array[Float])] = {
+    // a deterministic LCG cloud in 4 dims, plus planted near-dup pairs
+    var s = 4242L
+    def next() = { s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 1000).toInt / 500.0f - 1.0f }
+    val cloud = (10L until 40L).map(i =>
+      (i, Array.fill(4)(next())))
+    val dups = Seq(
+      (50L, Array(0.99f, 0.10f, 0f, 0f)), (51L, Array(0.98f, 0.12f, 0f, 0f)),
+      (52L, Array(0.97f, 0.14f, 0f, 0f)))
+    (0L, Array(1f, 0f, 0f, 0f)) +: (cloud ++ dups)
+  }
+
+  test("mmrRerank matches the in-memory reference on a mixed cloud") {
+    val df = mmrFixture.toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df.where(col("vec_id") < 1), df,
+        "vec_id", "vec_id", "embedding", poolK = 12, selectK = 6,
+        lambda = 0.7, mu = 0.3)
+      .orderBy("query_id", "mmr_rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val want = refMmr(mmrFixture.filter(_._1 < 1), mmrFixture,
+      poolK = 12, selectK = 6, lambda = 0.7, mu = 0.3)
+    assert(got === want)
+  }
+
+  test("mmr first pick is argmax relevance; a diversity-weighted second pick skips the near-dup") {
+    // query along e1; two near-identical high-relevance vectors and one
+    // diverse moderate-relevance vector: top-2 by cosine takes both
+    // near-dups, MMR with a diversity-heavy (λ=0.3, μ=0.7) weighting
+    // must take the diverse one second
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.10f, 0f, 0f)), (2L, Array(0.98f, 0.12f, 0f, 0f)),
+      (3L, Array(0.80f, 0.60f, 0f, 0f)))
+    val df = ((0L, Array(1f, 0f, 0f, 0f)) +: corpus).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df.where(col("vec_id") === 0), df,
+        "vec_id", "vec_id", "embedding", poolK = 3, selectK = 2,
+        lambda = 0.3, mu = 0.7)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L))
+    // and the pure-relevance top-2 WOULD have taken the near-dup
+    val brute = Similarity.knnBrute(df.where(col("vec_id") === 0), df,
+        "vec_id", "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(brute === Seq(1L, 2L))
+  }
+
+  test("mmr rejects a pool smaller than the selection budget") {
+    val df = mmrFixture.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(df, df, "vec_id", "vec_id", "embedding",
+        poolK = 5, selectK = 6)
+    }
+    assert(e.getMessage.contains("poolK"))
+  }
 }

@@ -28,7 +28,7 @@ mkdir -p "$JD"
 LIGHT="text_stats lm_quality_score ngram_repetition dedup_exact_stats \
 image_header_stats substring_dup_stats winnow_dup_pairs winnow_dup_clusters \
 knn_cosine_brute knn_cosine_ivf knn_cosine_pq knn_cosine_pq_refined"
-HEAVY="bpe_doc_tokens bpe_merges bpe_merges_batched"
+HEAVY="bpe_doc_tokens bpe_merges bpe_merges_batched bpe_merges_local"
 
 for q in $LIGHT; do
   CHECK_ORACLE_ONLY=$q CHECK_ORACLE_MEM=${CHECK_ORACLE_MEM:-48GB} \
