@@ -1295,6 +1295,37 @@ object LlmQueries {
     Retrieval.bm25TopDocs(tPar(s, dir, "documents"), "doc_id", "text",
       Bm25Query, k = 15)
 
+  /** Segment-grain CCNet dedup ([[graft.llm.SegmentDedup]]): 16-token
+    * non-overlapping segments, corpus-wide first-occurrence keep, one
+    * row per EDITED document (n_segs, n_removed, surviving-segment
+    * digest). The digest is order-sensitive, so the hash certifies the
+    * engines kept the same segments in the same positions.
+    */
+  private def segmentDedupDocs(s: SparkSession, dir: String): DataFrame =
+    SegmentDedup.docStats(tPar(s, dir, "documents"), "doc_id", "text",
+        w = 16)
+      .orderBy(col("doc_id"))
+
+  /** Hybrid retrieval: dense cosine top-20 ([[Similarity.knnBrute]])
+    * fused with lexical document-as-query BM25 top-20
+    * ([[Retrieval.bm25DocQueries]]) by reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]], kRrf = 60), top-10 per query. Queries are
+    * ids < 8 on both sides — vec_id and doc_id are the same id space
+    * by fixture construction, which is exactly the hybrid-retrieval
+    * setup (one corpus, a dense and a lexical index over it).
+    */
+  private def hybridRrfDocs(s: SparkSession, dir: String): DataFrame = {
+    val dense = Similarity.knnBrute(
+        tPar(s, dir, "embeddings").where(col("vec_id") < 8),
+        tPar(s, dir, "embeddings"), "vec_id", "vec_id", "embedding",
+        k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val lex = Retrieval.bm25DocQueries(tPar(s, dir, "documents"),
+        "doc_id", "text", col("doc_id") < 8, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    Retrieval.rrfFuse(dense, lex, "doc_id", k = 10)
+  }
+
   /** Monroe-style log-odds characteristic terms ([[graft.llm.LogOdds]])
     * of the English slice vs the rest, informative Dirichlet prior
     * alpha0 = 100.
@@ -1439,6 +1470,8 @@ object LlmQueries {
     "linkage_snm_scores" -> (linkageSnmScores _),
     "bm25_top_docs" -> (bm25TopDocs _),
     "log_odds_terms" -> (logOddsTerms _),
+    "segment_dedup_docs" -> (segmentDedupDocs _),
+    "hybrid_rrf_docs" -> (hybridRrfDocs _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -3683,6 +3716,106 @@ object LlmQueries {
          |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
          |FROM pick ORDER BY score_micro DESC, doc_id""".stripMargin
     },
+    // segment enumeration is the correlated-unnest shingle idiom at
+    // non-overlapping 16-token grain; "first writer wins" is a
+    // row_number over (doc, seg_idx) — the same total order as the
+    // Spark side's min(struct); the digest string_agg is ordered and
+    // null-skipping on both engines, with the all-removed document
+    // pinned to md5('') by the coalesce
+    "segment_dedup_docs" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), seg AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+         |         md5(array_to_string(toks[(i*16+1):(i*16+16)], ' ')) AS seg_fp
+         |  FROM b0, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS u(i)
+         |  WHERE len(toks) > 0
+         |), mark AS (
+         |  SELECT doc_id, seg_idx, seg_fp,
+         |         row_number() OVER (PARTITION BY seg_fp ORDER BY doc_id, seg_idx) = 1 AS kept
+         |  FROM seg
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |       md5(coalesce(string_agg(CASE WHEN kept THEN seg_fp END, ' '
+         |                               ORDER BY seg_idx), '')) AS kept_fp
+         |FROM mark GROUP BY 1
+         |HAVING sum(CASE WHEN kept THEN 0 ELSE 1 END) > 0
+         |ORDER BY doc_id""".stripMargin,
+    // dense CTE = the knn_cosine_brute shape at k=20; lex CTE = the
+    // bm25_top_docs expression tree with a per-query term table
+    // (distinct tokens of each query document, self-pairs excluded);
+    // fusion contributions are floor(1e9/(60+rank)) — ranks are small
+    // integers, so the rational is never within an ulp of an integer
+    // unless exact, and floor agrees bit-for-bit across engines
+    "hybrid_rrf_docs" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+         |), sims AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+         |), dense AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(row_number() OVER wd AS INTEGER) AS rank_dense
+         |  FROM sims
+         |  WINDOW wd AS (PARTITION BY query_id ORDER BY cosine_sim DESC, doc_id)
+         |  QUALIFY row_number() OVER wd <= 20
+         |), b0 AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), t AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM b0
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM b0
+         |), nn AS (
+         |  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         |         CAST((SELECT sum(len(toks)) FROM b0) AS BIGINT) AS total_len
+         |), qt AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+         |  FROM b0 WHERE doc_id < 8
+         |), qdf AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+         |), c AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |         CAST(round(
+         |           ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |           * (CAST(tf AS DOUBLE) * 2.2)
+         |           / (CAST(tf AS DOUBLE) + 1.2 *
+         |              (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         |               / CAST(total_len AS DOUBLE)))
+         |           * 1000000.0) AS BIGINT) AS c_micro
+         |  FROM tf JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.query_id
+         |  JOIN qdf ON qdf.term = tf.term
+         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN nn
+         |), lexs AS (
+         |  SELECT query_id, doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM c GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(row_number() OVER wl AS INTEGER) AS rank_lex
+         |  FROM lexs
+         |  WINDOW wl AS (PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
+         |  QUALIFY row_number() OVER wl <= 20
+         |), fused AS (
+         |  SELECT coalesce(d.query_id, l.query_id) AS query_id,
+         |         coalesce(d.doc_id, l.doc_id) AS doc_id,
+         |         coalesce(CAST(floor(1000000000.0 / (60.0 + rank_dense)) AS BIGINT), 0)
+         |         + coalesce(CAST(floor(1000000000.0 / (60.0 + rank_lex)) AS BIGINT), 0)
+         |           AS rrf_nano,
+         |         d.rank_dense, l.rank_lex
+         |  FROM dense d FULL OUTER JOIN lex l
+         |    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+         |)
+         |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank,
+         |       doc_id, rrf_nano, rank_dense, rank_lex
+         |FROM fused
+         |WINDOW w AS (PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id)
+         |QUALIFY row_number() OVER w <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // one conditional term-grain aggregate, the same prior/delta/sigma
     // expression tree from exact integer counts, micro-rounded z
     "log_odds_terms" -> {

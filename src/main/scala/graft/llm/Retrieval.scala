@@ -108,4 +108,109 @@ object Retrieval {
         round(col("score_micro").cast("double") / lit(1e6), 6).as("score"))
   }
 
+  /** Multi-query BM25 with document-as-query: each query is the
+    * DISTINCT token set of a selected document, every query scores the
+    * whole corpus in ONE postings join — the lexical half of hybrid
+    * retrieval ("find documents like this one, by words").
+    *
+    * Scale shape: the query-term table is |Q| documents' vocabularies
+    * (KBs — broadcast), so the corpus-wide (doc, term) tf table joins
+    * it term-keyed exactly once regardless of |Q|; df comes from one
+    * aggregate over that SAME filtered join (postings for non-query
+    * terms never shuffle); lengths and corpus totals are the map-only
+    * projections of [[bm25TopDocs]]. Per-(query, doc, term)
+    * contributions micro-round to integers before the (query, doc)
+    * sum, so ranks are bit-stable across engines and partitionings.
+    *
+    * Self-pairs (candidate == query document) are excluded — the
+    * retrieval convention, and what makes the ranking comparable to a
+    * kNN list over the same ids.
+    *
+    * @return (query_id, rank, idCol, score_micro) for the top `k`
+    *         candidates per query; ties break on candidate id.
+    */
+  def bm25DocQueries(documents: DataFrame, idCol: String, textCol: String,
+                     queryPred: org.apache.spark.sql.Column, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val tf = Tfidf.termFrequencies(documents, idCol, textCol)
+    val qterms = documents.where(queryPred)
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(TextStats.tokens(col(textCol)))).as("term"))
+    val dl = documents.select(col(idCol),
+      TextStats.nTokensOf(TextStats.tokens(col(textCol))).as("dl"))
+    val stats = documents.agg(count(lit(1)).as("n_docs"),
+      sum(TextStats.nTokensOf(TextStats.tokens(col(textCol))))
+        .as("total_len"))
+    val qvocab = qterms.select(col("term")).distinct()
+    val df = tf.join(broadcast(qvocab), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val idf = log((nd - col("df").cast("double") + 0.5)
+      / (col("df").cast("double") + 0.5) + 1.0)
+    val denom = col("tf").cast("double") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") * nd
+        / col("total_len").cast("double"))
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .where(col(idCol) =!= col("query_id"))
+      .join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        round(idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom
+          * lit(1e6)).cast("long").as("c_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol))
+    contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("c_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of a
+    * dense and a lexical ranking: `rrf(d) = Σ_lists 1/(kRrf + rank)`,
+    * the standard hybrid-retrieval combiner — rank-only, so the two
+    * systems' incomparable score scales never touch.
+    *
+    * Both inputs are per-query top-N lists (query_id, rank, id); the
+    * fuse is a full outer join at (query, candidate) grain — grain-true
+    * (≤ 2N rows per query enter), no corpus access. Contributions are
+    * computed as `floor(1e9 / (kRrf + rank))` nano-units: with ranks
+    * bounded by N ≪ 1e4 the true value is a rational with denominator
+    * < kRrf + N, so its double image is never within an ulp of an
+    * integer unless it IS one — floor is therefore engine-exact, and
+    * the fused score an exact integer sum.
+    *
+    * @return (query_id, rank, id, rrf_nano, rank_dense, rank_lex) — the
+    *         top `k` fused candidates per query, fused-score
+    *         descending, ties on candidate id; a candidate absent from
+    *         one list carries a null rank there.
+    */
+  def rrfFuse(dense: DataFrame, lex: DataFrame, idCol: String, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && kRrf >= 1, s"k=$k kRrf=$kRrf")
+    def nano(rank: org.apache.spark.sql.Column) =
+      coalesce(
+        floor(lit(1e9) / (lit(kRrf.toDouble) + rank.cast("double")))
+          .cast("long"),
+        lit(0L))
+    val d = dense.select(col("query_id"), col(idCol),
+      col("rank").as("rank_dense"))
+    val l = lex.select(col("query_id"), col(idCol),
+      col("rank").as("rank_lex"))
+    val fused = d.join(l, Seq("query_id", idCol), "full_outer")
+      .withColumn("rrf_nano",
+        nano(col("rank_dense")) + nano(col("rank_lex")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_nano").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("rrf_nano"),
+        col("rank_dense"), col("rank_lex"))
+  }
+
 }
