@@ -209,6 +209,29 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(secs < 60.0, f"substring spans took $secs%.1f s on 4000 docs")
   }
 
+  test("segment dedup: a segment duplicated 8000x stays aggregate-grain, never pairwise") {
+    // 8000 docs all opening with the SAME 4-token segment (plus a
+    // unique tail segment): pairwise that hot fingerprint would be
+    // ~32M doc pairs, but keepFirst's keeper is ONE min(struct)
+    // aggregate at fingerprint grain (partial-pushed map-side) and the
+    // mark join matches each occurrence to exactly one keeper row —
+    // output rows stay linear in docs, and only the first writer keeps
+    // the shared segment.
+    val docs = (0 until 8000).map { i =>
+      (i.toLong, s"h1 h2 h3 h4 t${i}a t${i}b t${i}c t${i}d")
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val stats = graft.llm.SegmentDedup.docStats(docs, "doc_id", "text", w = 4)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"8000-doc hot-segment dedup: ${stats.length} edited in $secs%.1f s")
+    // every doc except the first loses exactly the shared segment
+    assert(stats.length === 7999)
+    assert(stats.forall(r => r.getLong(1) === 2L && r.getLong(2) === 1L))
+    assert(!stats.exists(_.getLong(0) == 0L))
+    assert(secs < 60.0, f"hot-segment dedup took $secs%.1f s on 8000 docs")
+  }
+
   test("triangle counting: degree orientation collapses the hub's quadratic wedges") {
     import graft.ops.Triangles
     // hub-and-ring: node 0 touches 1..2000 (a hot key), nodes 1..50 also
