@@ -1379,6 +1379,99 @@ object LlmQueries {
       .orderBy(col("verdict"))
   }
 
+  // DSIR contract constants shared with the oracle twins
+  private val DsirDims = 256
+  private val DsirTarget = "src0"
+  private val DsirK = 100
+
+  /** Shared DSIR weight table ([[graft.llm.Dsir]]): hashed unigram+
+    * bigram features in [[DsirDims]] buckets, target model fit on the
+    * `source = src0` slice, raw model on the full pool; every document
+    * keeps a row (no-feature docs score 0). Feeds both DSIR queries.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val feats = Dsir.hashedNgramCounts(docs, "doc_id", "text", DsirDims)
+      .localCheckpoint(true) // featurization pays once: raw model + scoring
+    // the target model re-featurizes the FILTERED slice (map-only scan)
+    // rather than shuffling the corpus-wide feature table against a
+    // target-id list — at 100 TB a second map pass over the slice is
+    // cheaper than one doc-grain shuffle of everything
+    val tModel = Dsir.bucketModel(
+      Dsir.hashedNgramCounts(docs.where(col("source") === DsirTarget),
+        "doc_id", "text", DsirDims), DsirDims)
+    val rModel = Dsir.bucketModel(feats, DsirDims)
+    val w = Dsir.importanceWeights(feats, "doc_id", tModel, rModel)
+    docs.select(col("doc_id"), col("source"))
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_nano"), lit(0L)).as("logw_nano"))
+  }
+
+  /** Per-document DSIR log importance weights (exact nano-unit BIGINTs
+    * — see [[graft.llm.Dsir.importanceWeights]]).
+    */
+  private def dsirImportanceWeights(s: SparkSession,
+                                    dir: String): DataFrame =
+    dsirWeights(s, dir).orderBy(col("doc_id"))
+
+  /** DSIR Gumbel-top-k resample: [[DsirK]] documents drawn without
+    * replacement with probability ∝ importance weight, via the
+    * hash-deterministic Gumbel key ([[graft.llm.Dsir.gumbelTopK]]).
+    */
+  private def dsirGumbelSample(s: SparkSession, dir: String): DataFrame = {
+    val w = dsirWeights(s, dir)
+    Dsir.gumbelTopK(w, "doc_id", DsirK)
+      .join(tPar(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("sample_rank"), col("doc_id"), col("source"),
+        col("key_nano"))
+      .orderBy(col("sample_rank"))
+  }
+
+  /** CCNet perplexity partition ([[graft.llm.LangModel.tertileByGrid]]):
+    * score every document with the corpus char-bigram LM, floor the
+    * mean log-likelihood onto an exact integer milli-nat grid, and cut
+    * each language into head/middle/tail tertiles from the grid's
+    * cumulative counts — cutoff-then-map-only, never a per-language
+    * document sort. Output at (lang, bucket) grain.
+    */
+  private def ccnetPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val bg = LangModel.bigramTable(docs, "doc_id", "text")
+    val sums = LangModel.scoreSumsFromBigrams(bg,
+      LangModel.trainFromBigrams(bg))
+    // floor(mean_lp · 1000) as exact long arithmetic: a floordiv of
+    // lp_sum by n_bigrams·1e6 — |lp_sum| stays ≪ 2^53 for any document
+    // under ~4e5 bigrams, so the double steps are exact
+    val b = col("n_bigrams") * lit(1000000L)
+    val mMilli = ((col("lp_sum") - pmod(col("lp_sum"), b)) / b)
+      .cast("long")
+    val scored = sums
+      .select(col("__id").as("doc_id"), col("n_bigrams"),
+        mMilli.as("m_milli"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    LangModel.tertileByGrid(scored, "lang", "m_milli")
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("m_milli")).as("min_milli"),
+        max(col("m_milli")).as("max_milli"),
+        sum(col("n_bigrams")).as("n_bigrams"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Stupid Backoff held-out scoring ([[graft.llm.StupidBackoff]]):
+    * train the raw-count trigram model on the `pmod(doc_id,5) != 0`
+    * slice, score the held-out 20% per document — position count,
+    * per-level hit counts (how often the trigram/bigram/unigram level
+    * fired), and the exact BIGINT nano-unit log-score sum.
+    */
+  private def sboHeldoutScores(s: SparkSession, dir: String): DataFrame =
+    StupidBackoff.heldoutDocScores(tPar(s, dir, "documents"), "doc_id",
+        "text")
+      .orderBy(col("doc_id"))
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1472,6 +1565,9 @@ object LlmQueries {
     "log_odds_terms" -> (logOddsTerms _),
     "segment_dedup_docs" -> (segmentDedupDocs _),
     "hybrid_rrf_docs" -> (hybridRrfDocs _),
+    "dsir_importance_weights" -> (dsirImportanceWeights _),
+    "dsir_gumbel_sample" -> (dsirGumbelSample _),
+    "sbo_heldout_scores" -> (sboHeldoutScores _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -1480,6 +1576,53 @@ object LlmQueries {
   private val Ws = TextStats.WsRegex
   private val Toks =
     s"""list_filter(regexp_split_to_array(trim(text), '$Ws'), x -> x <> '')"""
+
+  /** Shared DSIR weight CTE chain (ends at `w(doc_id, n_feats,
+    * logw_nano)`): md5-hashed unigram+bigram buckets, 256-row add-one
+    * models on the `src0` target slice and the full pool, Δlp joined at
+    * bucket grain — the SQL mirror of [[LlmQueries.dsirWeights]]. Used
+    * by both DSIR oracles; keep in lockstep with [[graft.llm.Dsir]].
+    */
+  private lazy val DsirWeightCtes: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $Toks AS toks FROM documents
+       |), ng AS (
+       |  SELECT doc_id, unnest(toks) AS g FROM base
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |  FROM base WHERE len(toks) >= 2
+       |), f AS (
+       |  SELECT doc_id,
+       |         ((('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirDims) + $DsirDims) % $DsirDims AS bucket,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ng GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT range AS bucket FROM range(0, $DsirDims)
+       |), tcounts AS (
+       |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c FROM f
+       |  JOIN (SELECT doc_id FROM documents WHERE source = '$DsirTarget') t USING (doc_id)
+       |  GROUP BY 1
+       |), tmodel AS (
+       |  SELECT s.bucket,
+       |         CAST(round(ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 1.0) /
+       |           ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM tcounts) + ${DsirDims.toDouble})) * 1000000000.0) AS BIGINT) AS lp
+       |  FROM spine s LEFT JOIN tcounts tc USING (bucket)
+       |), rcounts AS (
+       |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c FROM f GROUP BY 1
+       |), rmodel AS (
+       |  SELECT s.bucket,
+       |         CAST(round(ln((CAST(coalesce(rc.c, 0) AS DOUBLE) + 1.0) /
+       |           ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM rcounts) + ${DsirDims.toDouble})) * 1000000000.0) AS BIGINT) AS lp
+       |  FROM spine s LEFT JOIN rcounts rc USING (bucket)
+       |), dlp AS (
+       |  SELECT t.bucket, t.lp - r.lp AS dlp
+       |  FROM tmodel t JOIN rmodel r USING (bucket)
+       |), w AS (
+       |  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+       |         CAST(sum(f.cnt * d.dlp) AS BIGINT) AS logw_nano
+       |  FROM f JOIN dlp d USING (bucket) GROUP BY 1
+       |)""".stripMargin
 
   /** Shared language-ID prediction CTEs (`base`, `h`, `pred`): the
     * stopword-hit argmax exactly as [[TextStats.langId]] computes it.
@@ -3816,6 +3959,109 @@ object LlmQueries {
          |WINDOW w AS (PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id)
          |QUALIFY row_number() OVER w <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // same md5-hashed unigram+bigram buckets, same 256-row smoothed
+    // models with the ONE ln rounding at bucket grain, so per-doc
+    // logw sums are BIGINT-exact in both engines (Dsir scaladoc)
+    "dsir_importance_weights" ->
+      s"""$DsirWeightCtes
+         |SELECT d.doc_id, d.source,
+         |       CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+         |       CAST(coalesce(w.logw_nano, 0) AS BIGINT) AS logw_nano
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // weights CTEs + the hash-deterministic Gumbel key: one md5-derived
+    // uniform and one ln pair per doc, rounded once to nano — the top-k
+    // is then pure BIGINT ordering on both engines
+    "dsir_gumbel_sample" ->
+      s"""$DsirWeightCtes,
+         |keyed AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(coalesce(w.logw_nano, 0) AS BIGINT) +
+         |         CAST(round(-ln(-ln(
+         |             (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 0.5)
+         |             / 1152921504606846976.0)) * 1000000000.0) AS BIGINT)
+         |           AS key_nano
+         |  FROM documents d LEFT JOIN w USING (doc_id)
+         |), ranked AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY key_nano DESC, doc_id) AS INTEGER) AS sample_rank,
+         |         doc_id, source, key_nano
+         |  FROM keyed
+         |)
+         |SELECT sample_rank, doc_id, source, key_nano FROM ranked
+         |WHERE sample_rank <= $DsirK ORDER BY sample_rank""".stripMargin,
+    // same 80/20 pmod split, same three raw-count tables, the same
+    // short double chain per position (decimal-literal penalty × one
+    // BIGINT/BIGINT division) rounded ONCE to nano — doc sums exact
+    "sbo_heldout_scores" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), pe0 AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, len(toks) + 1)) AS i,
+         |         unnest(toks) AS w,
+         |         unnest(list_transform(range(1, len(toks) + 1),
+         |           i -> CASE WHEN i >= 2 THEN toks[i - 1] END)) AS w1,
+         |         unnest(list_transform(range(1, len(toks) + 1),
+         |           i -> CASE WHEN i >= 3 THEN toks[i - 2] END)) AS w2
+         |  FROM base WHERE len(toks) >= 1
+         |), pe AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i, w, w1, w2 FROM pe0
+         |), tr AS (
+         |  SELECT * FROM pe WHERE ((doc_id % 5) + 5) % 5 <> 0
+         |), ho AS (
+         |  SELECT * FROM pe WHERE ((doc_id % 5) + 5) % 5 = 0
+         |), c1 AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY 1
+         |), c2 AS (
+         |  SELECT w1, w, CAST(count(*) AS BIGINT) AS c2 FROM tr
+         |  WHERE w1 IS NOT NULL GROUP BY 1, 2
+         |), c3 AS (
+         |  SELECT w2, w1, w, CAST(count(*) AS BIGINT) AS c3 FROM tr
+         |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+         |), nv AS (
+         |  SELECT CAST((SELECT count(*) FROM tr) AS DOUBLE) AS n,
+         |         CAST((SELECT count(*) FROM c1) AS DOUBLE) AS v
+         |), sc AS (
+         |  SELECT ho.doc_id, ho.i,
+         |         CASE WHEN ho.i >= 3 AND c3.c3 IS NOT NULL THEN 3
+         |              WHEN ho.i >= 2 AND c2.c2 IS NOT NULL THEN 2
+         |              ELSE 1 END AS lvl,
+         |         LEAST(ho.i, 3) AS strt,
+         |         c3.c3 AS c3, c2p.c2 AS c2p, c2.c2 AS c2,
+         |         c1p.c1 AS c1p, c1.c1 AS c1, nv.n AS n, nv.v AS v
+         |  FROM ho
+         |  LEFT JOIN c3 ON c3.w2 = ho.w2 AND c3.w1 = ho.w1 AND c3.w = ho.w
+         |  LEFT JOIN c2 c2p ON c2p.w1 = ho.w2 AND c2p.w = ho.w1
+         |  LEFT JOIN c2 ON c2.w1 = ho.w1 AND c2.w = ho.w
+         |  LEFT JOIN c1 c1p ON c1p.w = ho.w1
+         |  LEFT JOIN c1 ON c1.w = ho.w
+         |  CROSS JOIN nv
+         |), lp AS (
+         |  SELECT doc_id, lvl,
+         |         CAST(round(ln(
+         |           (CASE strt - lvl WHEN 0 THEN 1.0 WHEN 1 THEN 0.4 ELSE 0.16 END) *
+         |           (CASE WHEN lvl = 3 THEN CAST(c3 AS DOUBLE) / CAST(c2p AS DOUBLE)
+         |                 WHEN lvl = 2 THEN CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE)
+         |                 ELSE (CAST(coalesce(c1, 0) AS DOUBLE) + 1.0) / (n + v) END)
+         |         ) * 1000000000.0) AS BIGINT) AS lp_nano
+         |  FROM sc
+         |), agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+         |         CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+         |         CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+         |         CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+         |         CAST(sum(lp_nano) AS BIGINT) AS lp_nano_sum
+         |  FROM lp GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_pos, 0) AS BIGINT) AS n_pos,
+         |       CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+         |       CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+         |       CAST(coalesce(a.n_uni, 0) AS BIGINT) AS n_uni,
+         |       CAST(coalesce(a.lp_nano_sum, 0) AS BIGINT) AS lp_nano_sum
+         |FROM (SELECT doc_id FROM documents WHERE ((doc_id % 5) + 5) % 5 = 0) d
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // one conditional term-grain aggregate, the same prior/delta/sigma
     // expression tree from exact integer counts, micro-rounded z
     "log_odds_terms" -> {

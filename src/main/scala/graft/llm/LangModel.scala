@@ -107,7 +107,19 @@ object LangModel {
     * once for a train-then-score pass. Output id column is `__id`.
     */
   def scoreFromBigrams(bg: DataFrame, model: DataFrame,
-                       unseen: Option[Long] = None): DataFrame = {
+                       unseen: Option[Long] = None): DataFrame =
+    scoreSumsFromBigrams(bg, model, unseen)
+      .select(col("__id"), col("n_bigrams"),
+        round(col("lp_sum").cast("double") /
+          col("n_bigrams").cast("double") / lit(1e9), 6).as("score"))
+
+  /** The exact form under [[scoreFromBigrams]]: `(__id, n_bigrams,
+    * lp_sum)` with `lp_sum` the raw BIGINT nano-unit sum — for
+    * consumers that need to keep computing exactly (tertile cutoffs,
+    * rankings) instead of taking the 6dp display rounding.
+    */
+  def scoreSumsFromBigrams(bg: DataFrame, model: DataFrame,
+                           unseen: Option[Long] = None): DataFrame = {
     val m = broadcast(model.select(col("bigram"), col("lp_nano")))
     val joined = unseen match {
       case None => bg.join(m, Seq("bigram"))
@@ -115,9 +127,53 @@ object LangModel {
         .withColumn("lp_nano", coalesce(col("lp_nano"), lit(lp)))
     }
     joined.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_nano")).as("__lp"))
-      .select(col("__id"), col("n_bigrams"),
-        round(col("__lp").cast("double") /
-          col("n_bigrams").cast("double") / lit(1e9), 6).as("score"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_nano")).as("lp_sum"))
+  }
+
+  /** CCNet's head/middle/tail perplexity partition, per group (CCNet
+    * §4.3: score documents with a reference LM, split each language's
+    * corpus into three perplexity buckets — "head" the most fluent).
+    * Scale-first construction: the per-document mean log-likelihood is
+    * floored onto an integer MILLI-nat grid (exact long arithmetic —
+    * `floor(1000·lp_sum/n_bigrams/1e9)` computed as a floordiv, no
+    * doubles), tertile CUTOFF VALUES are selected from per-group
+    * cumulative counts over that bounded grid (a window over ≤ a few
+    * thousand grid cells per group, never over documents), and bucket
+    * assignment is one broadcast join + comparison — the
+    * train-cutoffs-then-map-only shape CCNet itself uses, instead of a
+    * corpus-wide ntile sort that would serialize a language into one
+    * task. Ties at a cutoff take the better bucket, so bucket sizes
+    * are ceil(n/3) up to tie inflation — the documented contract.
+    *
+    * @param scored (groupCol, m_milli) rows — one per document
+    * @return (groupCol, bucket 1|2|3) at document grain
+    */
+  def tertileByGrid(scored: DataFrame, groupCol: String,
+                    gridCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = scored.groupBy(col(groupCol), col(gridCol))
+      .agg(count(lit(1)).as("__n"))
+    // cumulative docs from the top of the grid (bounded per group)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(gridCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("__cum", sum(col("__n")).over(w))
+    val totals = grid.groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("__nl"))
+    // ceil(n/3) and ceil(2n/3) as exact small-int arithmetic
+    def ceil3(x: Column): Column = floor((x + lit(2)) / lit(3)).cast("long")
+    val cuts = cum.join(broadcast(totals), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("__cum") >= ceil3(col("__nl")), col(gridCol)))
+          .as("__cut1"),
+        max(when(col("__cum") >= ceil3(col("__nl") * 2), col(gridCol)))
+          .as("__cut2"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(gridCol) >= col("__cut1"), lit(1))
+          .when(col(gridCol) >= col("__cut2"), lit(2))
+          .otherwise(lit(3)))
+      .drop("__cut1", "__cut2")
   }
 }
