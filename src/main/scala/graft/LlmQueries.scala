@@ -1472,6 +1472,20 @@ object LlmQueries {
         "text")
       .orderBy(col("doc_id"))
 
+  // NB classifier contract: the language classes, sorted — shared by
+  // the Spark query and the generated oracle twin
+  private val NbLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Trained language-ID: multinomial Naive Bayes
+    * ([[graft.llm.NaiveBayes]]) on the 80% train split over `lang`,
+    * confusion matrix on the held-out 20% — the statistical
+    * counterpart of the stopword-heuristic `lang_id_*` family, and
+    * exact BIGINT end to end.
+    */
+  private def nbLangConfusion(s: SparkSession, dir: String): DataFrame =
+    NaiveBayes.confusion(tPar(s, dir, "documents"), "doc_id", "text",
+      "lang", NbLangs)
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1568,6 +1582,8 @@ object LlmQueries {
     "dsir_importance_weights" -> (dsirImportanceWeights _),
     "dsir_gumbel_sample" -> (dsirGumbelSample _),
     "sbo_heldout_scores" -> (sboHeldoutScores _),
+    "ccnet_ppl_buckets" -> (ccnetPplBuckets _),
+    "nb_lang_confusion" -> (nbLangConfusion _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -1623,6 +1639,90 @@ object LlmQueries {
        |         CAST(sum(f.cnt * d.dlp) AS BIGINT) AS logw_nano
        |  FROM f JOIN dlp d USING (bucket) GROUP BY 1
        |)""".stripMargin
+
+  /** Generated DuckDB twin of `nb_lang_confusion`: the conditional-
+    * aggregate wide layout, add-one smoothing, nano roundings and
+    * first-class-wins argmax cascade of [[graft.llm.NaiveBayes]],
+    * interpolated from the same [[NbLangs]] list so the class set and
+    * order can never drift between engines.
+    */
+  private lazy val NbConfusionSql: String = {
+    val cs = NbLangs
+    val n = cs.indices
+    val cnt = n.map(i =>
+      s"CAST(sum(CASE WHEN lang = '${cs(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS c_$i")
+      .mkString(",\n         ")
+    val ntot = n.map(i =>
+      s"CAST(sum(CASE WHEN lang = '${cs(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i")
+      .mkString(",\n         ")
+    val lp = n.map(i =>
+      s"CAST(round(ln((CAST(c_$i AS DOUBLE) + 1.0) / (CAST(n_$i AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lp_$i")
+      .mkString(",\n         ")
+    val oov = n.map(i =>
+      s"CAST(round(ln(1.0 / (CAST(n_$i AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS oov_$i")
+      .mkString(",\n         ")
+    val dcnt = n.map(i =>
+      s"CAST(sum(CASE WHEN lang = '${cs(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS d_$i")
+      .mkString(",\n         ")
+    val prior = n.map(i =>
+      s"CAST(round(ln((CAST(d_$i AS DOUBLE) + 1.0) / (CAST(docs AS DOUBLE) + ${cs.size}.0)) * 1000000000.0) AS BIGINT) AS prior_$i")
+      .mkString(",\n         ")
+    val ssum = n.map(i =>
+      s"CAST(sum(coalesce(lp_$i, oov_$i)) AS BIGINT) AS s_$i")
+      .mkString(",\n         ")
+    val score = n.map(i =>
+      s"coalesce(s_$i, 0) + prior_$i AS t_$i").mkString(",\n         ")
+    val cascade = n.init.map { i =>
+      val ge = n.drop(i + 1).map(j => s"t_$i >= t_$j").mkString(" AND ")
+      s"WHEN $ge THEN '${cs(i)}'"
+    }.mkString("\n              ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, $Toks AS toks FROM documents
+       |), tk AS (
+       |  SELECT doc_id, lang, unnest(toks) AS token FROM base
+       |), tr AS (
+       |  SELECT * FROM tk WHERE ((doc_id % 5) + 5) % 5 <> 0
+       |), ho AS (
+       |  SELECT * FROM tk WHERE ((doc_id % 5) + 5) % 5 = 0
+       |), tot AS (
+       |  SELECT $ntot,
+       |         CAST(count(DISTINCT token) AS BIGINT) AS v
+       |  FROM tr
+       |), cnts AS (
+       |  SELECT token,
+       |         $cnt
+       |  FROM tr GROUP BY 1
+       |), model AS (
+       |  SELECT token,
+       |         $lp
+       |  FROM cnts CROSS JOIN tot
+       |), oovs AS (
+       |  SELECT $oov
+       |  FROM tot
+       |), pri AS (
+       |  SELECT $prior
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS docs,
+       |         $dcnt
+       |        FROM documents WHERE ((doc_id % 5) + 5) % 5 <> 0)
+       |), sums AS (
+       |  SELECT ho.doc_id,
+       |         $ssum
+       |  FROM ho LEFT JOIN model USING (token) CROSS JOIN oovs
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT d.doc_id, d.lang AS actual,
+       |         $score
+       |  FROM (SELECT doc_id, lang FROM documents WHERE ((doc_id % 5) + 5) % 5 = 0) d
+       |  LEFT JOIN sums USING (doc_id) CROSS JOIN pri
+       |), pred AS (
+       |  SELECT actual,
+       |         CASE $cascade
+       |              ELSE '${cs.last}' END AS pred
+       |  FROM scored
+       |)
+       |SELECT actual, pred, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
+  }
 
   /** Shared language-ID prediction CTEs (`base`, `h`, `pred`): the
     * stopword-hit argmax exactly as [[TextStats.langId]] computes it.
@@ -4062,6 +4162,62 @@ object LlmQueries {
          |FROM (SELECT doc_id FROM documents WHERE ((doc_id % 5) + 5) % 5 = 0) d
          |LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // lm_quality_score's model CTEs kept verbatim, then the exact
+    // integer milli-nat grid (a pmod floordiv — divisible longs stay
+    // exact through the one double division), per-lang cumulative
+    // counts over the GRID, value cutoffs at ceil(n/3)/ceil(2n/3),
+    // threshold bucket assignment — identical arithmetic both engines
+    "ccnet_ppl_buckets" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '$Ws', ' ', 'g')) AS s
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, length(s)), i -> s[i:i+1])) AS bigram
+         |  FROM norm WHERE length(s) >= 2
+         |), model AS (
+         |  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v FROM model
+         |), lp AS (
+         |  SELECT bigram,
+         |         CAST(round(ln((CAST(cnt AS DOUBLE) + 1.0) / (total + v)) * 1000000000.0) AS BIGINT) AS lp_nano
+         |  FROM model CROSS JOIN tot
+         |), sums AS (
+         |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(lp_nano) AS BIGINT) AS lp_sum
+         |  FROM bg JOIN lp USING (bigram) GROUP BY 1
+         |), sc AS (
+         |  SELECT d.lang, s.doc_id, s.n_bigrams,
+         |         CAST((lp_sum - (((lp_sum % (n_bigrams * 1000000)) + (n_bigrams * 1000000)) % (n_bigrams * 1000000)))
+         |              / (n_bigrams * 1000000) AS BIGINT) AS m_milli
+         |  FROM sums s JOIN documents d USING (doc_id)
+         |), grid AS (
+         |  SELECT lang, m_milli, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT lang, m_milli,
+         |         sum(n) OVER (PARTITION BY lang ORDER BY m_milli DESC
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM grid
+         |), tot2 AS (
+         |  SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM grid GROUP BY 1
+         |), cuts AS (
+         |  SELECT c.lang,
+         |         max(CASE WHEN cum >= CAST(floor((nl + 2) / 3.0) AS BIGINT) THEN m_milli END) AS cut1,
+         |         max(CASE WHEN cum >= CAST(floor((nl * 2 + 2) / 3.0) AS BIGINT) THEN m_milli END) AS cut2
+         |  FROM cum c JOIN tot2 USING (lang) GROUP BY 1
+         |), bk AS (
+         |  SELECT sc.lang,
+         |         CASE WHEN m_milli >= cut1 THEN 1
+         |              WHEN m_milli >= cut2 THEN 2 ELSE 3 END AS bucket,
+         |         n_bigrams, m_milli
+         |  FROM sc JOIN cuts USING (lang)
+         |)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(min(m_milli) AS BIGINT) AS min_milli,
+         |       CAST(max(m_milli) AS BIGINT) AS max_milli,
+         |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+         |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    "nb_lang_confusion" -> NbConfusionSql,
     // one conditional term-grain aggregate, the same prior/delta/sigma
     // expression tree from exact integer counts, micro-rounded z
     "log_odds_terms" -> {

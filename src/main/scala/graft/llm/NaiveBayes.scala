@@ -16,74 +16,81 @@ import org.apache.spark.sql.functions._
   *
   * The class list is BOUNDED and passed as literals, so the model
   * lays out WIDE: one vocabulary-grain table with a `lp_<class>`
-  * column per class (inference = ONE token-grain equi-join, not C),
-  * plus a 1-row totals/priors/OOV frame broadcast everywhere.
-  * Vocabulary tables are data-grain at corpus scale — the scoring
-  * join is a plain equi-join the planner can SMJ or broadcast as
-  * stats dictate; nothing data-grain is ever collected or crossed.
+  * column per class (inference = ONE token-grain equi-join, not C).
+  * The smoothing denominators, priors and OOV defaults are 1-ROW
+  * aggregates collected to the driver and inlined as literals (the
+  * kMeans-centroid bounded-collect pattern) — no broadcast join
+  * whose build side a plan audit can't bound. Vocabulary tables are
+  * data-grain at corpus scale — the scoring join is a plain equi-join
+  * the planner can SMJ or broadcast as stats dictate; nothing
+  * data-grain is ever collected or crossed.
   *
   * Smoothing: add-one at the token level over the train vocabulary V
   * (`lp(t,c) = ln((cnt_tc + 1)/(N_c + V))`, OOV tokens get the
   * zero-count value), and add-one priors over the class count
   * (`ln((docs_c + 1)/(docs + C))`). Each log is rounded ONCE to
-  * integer nano-units at model grain (the [[LangModel]] discipline).
+  * integer nano-units at model grain; the driver-side constants use
+  * the same HALF_UP grid as engine `round()`
+  * ([[LangModel.unseenLpNano]]'s discipline — `math.round` would sit
+  * half a ULP off for negative logs).
   */
 object NaiveBayes {
 
-  private def nano(x: Column): Column = round(x * lit(1e9)).cast("long")
+  private def nanoCol(x: Column): Column = round(x * lit(1e9)).cast("long")
 
-  /** Wide per-token model: `(token, lp_0..lp_{C-1})` for the given
-    * ordered class labels, from a `(classCol, token)` training stream.
-    * `totals` must be [[tokenTotals]] of the same stream.
+  /** Driver-side nano rounding on the engine `round()` grid (HALF_UP,
+    * away from zero — NOT `math.round`'s half-toward-+∞).
     */
-  def tokenModel(trainToks: DataFrame, classCol: String,
-                 classes: Seq[String], totals: DataFrame): DataFrame = {
-    val counts = trainToks.groupBy(col("token"))
-      .agg(classes.zipWithIndex.map { case (c, i) =>
-        sum(when(col(classCol) === c, 1L).otherwise(0L)).as(s"__c_$i")
-      }: _*)
-    counts.join(broadcast(totals))
-      .select(col("token") +: classes.indices.map { i =>
-        nano(log((col(s"__c_$i").cast("double") + 1.0) /
-          (col(s"__n_$i").cast("double") + col("__v").cast("double"))))
-          .as(s"lp_$i")
-      }: _*)
+  private def nanoHalfUp(x: Double): Long =
+    BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Sufficient statistics, collected (TWO bounded 1-row collects):
+    * per-class token totals, train vocabulary size, per-class doc
+    * counts, train doc count.
+    */
+  final case class Stats(nTok: Seq[Long], v: Long, nDoc: Seq[Long],
+                         docs: Long) {
+    def oovNano(i: Int): Long =
+      nanoHalfUp(math.log(1.0 / (nTok(i).toDouble + v.toDouble)))
+    def priorNano(i: Int, c: Int): Long =
+      nanoHalfUp(math.log((nDoc(i).toDouble + 1.0) /
+        (docs.toDouble + c.toDouble)))
   }
 
-  /** 1-row token totals: per-class token counts `__n_i` and the train
-    * vocabulary size `__v` — the smoothing denominators.
+  /** Collect the sufficient statistics from the train streams —
+    * `(classCol, token)` rows and the train documents. One 1-row
+    * aggregate each.
     */
-  def tokenTotals(trainToks: DataFrame, classCol: String,
-                  classes: Seq[String]): DataFrame =
-    trainToks.agg(
-      classes.zipWithIndex.map { case (c, i) =>
-        sum(when(col(classCol) === c, 1L).otherwise(0L)).as(s"__n_$i")
-      } :+ countDistinct(col("token")).as("__v"): _*
-    ) match { case df =>
-      // aggregate needs head :: tail — rebuild with the first as anchor
-      df
-    }
+  def fitStats(trainToks: DataFrame, trainDocs: DataFrame,
+               classCol: String, classes: Seq[String]): Stats = {
+    val tokAggs = classes.zipWithIndex.map { case (c, i) =>
+      sum(when(col(classCol) === c, 1L).otherwise(0L)).as(s"__n_$i")
+    } :+ countDistinct(col("token")).as("__v")
+    val t = trainToks.agg(tokAggs.head, tokAggs.tail: _*).head()
+    val docAggs = classes.zipWithIndex.map { case (c, i) =>
+      sum(when(col(classCol) === c, 1L).otherwise(0L)).as(s"__d_$i")
+    } :+ count(lit(1)).as("__docs")
+    val d = trainDocs.agg(docAggs.head, docAggs.tail: _*).head()
+    def z(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    Stats(classes.indices.map(z(t, _)), z(t, classes.size),
+      classes.indices.map(z(d, _)), z(d, classes.size))
+  }
 
-  /** 1-row class priors and OOV defaults: `prior_i` =
-    * nano(ln((docs_i + 1)/(docs + C))), `oov_i` = the zero-count token
-    * lp under class i. Joined (broadcast) onto doc scores.
+  /** Wide per-token model `(token, lp_0..lp_{C-1})`: add-one smoothed
+    * log-probabilities with the collected denominators inlined — the
+    * engine computes one ln per (token, class) and rounds once.
     */
-  def priorsAndOov(trainDocs: DataFrame, classCol: String,
-                   classes: Seq[String], totals: DataFrame): DataFrame = {
-    val d = trainDocs.agg(
-      count(lit(1)).as("__docs"),
-      classes.zipWithIndex.map { case (c, i) =>
-        sum(when(col(classCol) === c, 1L).otherwise(0L)).as(s"__d_$i")
-      }: _*)
-    d.join(broadcast(totals))
-      .select(classes.indices.flatMap { i =>
-        Seq(
-          nano(log((col(s"__d_$i").cast("double") + 1.0) /
-            (col("__docs").cast("double") + lit(classes.size.toDouble))))
-            .as(s"prior_$i"),
-          nano(log(lit(1.0) /
-            (col(s"__n_$i").cast("double") + col("__v").cast("double"))))
-            .as(s"oov_$i"))
+  def tokenModel(trainToks: DataFrame, classCol: String,
+                 classes: Seq[String], stats: Stats): DataFrame = {
+    val countCols = classes.zipWithIndex.map { case (c, i) =>
+      sum(when(col(classCol) === c, 1L).otherwise(0L)).as(s"__c_$i")
+    }
+    trainToks.groupBy(col("token"))
+      .agg(countCols.head, countCols.tail: _*)
+      .select(col("token") +: classes.indices.map { i =>
+        nanoCol(log((col(s"__c_$i").cast("double") + 1.0) /
+          lit(stats.nTok(i).toDouble + stats.v.toDouble))).as(s"lp_$i")
       }: _*)
   }
 
@@ -92,36 +99,29 @@ object NaiveBayes {
     * winning ties. Documents with no tokens are classified by priors
     * alone. Input streams carry `(idCol, token)` (held) and
     * `(classCol, token)` (train).
-    * @return (idCol, `pred`) — plus one `score_<i>` BIGINT per class
+    * @return (idCol, score_0..score_{C-1}, `pred`)
     */
   def classify(heldDocs: DataFrame, heldToks: DataFrame, idCol: String,
                trainDocs: DataFrame, trainToks: DataFrame,
                classCol: String, classes: Seq[String]): DataFrame = {
-    val totals = tokenTotals(trainToks, classCol, classes)
-      .localCheckpoint(true) // tiny, feeds model + priors + scoring
-    val model = tokenModel(trainToks, classCol, classes, totals)
-    val po = priorsAndOov(trainDocs, classCol, classes, totals)
+    val stats = fitStats(trainToks, trainDocs, classCol, classes)
+    val model = tokenModel(trainToks, classCol, classes, stats)
 
-    val joined = heldToks.join(model, Seq("token"), "left")
-      .join(broadcast(po))
-    val sums = joined.groupBy(col(idCol))
-      .agg(classes.indices.map { i =>
-        sum(coalesce(col(s"lp_$i"), col(s"oov_$i"))).as(s"__s_$i")
-      }.head, classes.indices.map { i =>
-        sum(coalesce(col(s"lp_$i"), col(s"oov_$i"))).as(s"__s_$i")
-      }.tail: _*)
-      .dropDuplicates(idCol) // no-op: groupBy grain; keeps intent clear
+    val sumCols = classes.indices.map { i =>
+      sum(coalesce(col(s"lp_$i"), lit(stats.oovNano(i)))).as(s"__s_$i")
+    }
+    val sums = heldToks.join(model, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sumCols.head, sumCols.tail: _*)
 
     val withScores = heldDocs.select(col(idCol))
       .join(sums, Seq(idCol), "left")
-      .join(broadcast(po))
       .select(col(idCol) +: classes.indices.map { i =>
-        (coalesce(col(s"__s_$i"), lit(0L)) + col(s"prior_$i"))
-          .as(s"score_$i")
+        (coalesce(col(s"__s_$i"), lit(0L)) +
+          lit(stats.priorNano(i, classes.size))).as(s"score_$i")
       }: _*)
-    // argmax with first-class tie preference: class i wins when its
-    // score is >= every later class's and > none of the earlier need
-    // checking (the cascade tries classes in order)
+    // argmax with first-class tie preference — the cascade tries
+    // classes in order, each winning when >= every later class
     val pred = classes.indices.init.foldRight(
       lit(classes.last): Column) { (i, elseCol) =>
       val geAllLater = classes.indices.drop(i + 1)
