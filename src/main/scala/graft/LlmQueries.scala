@@ -1476,6 +1476,67 @@ object LlmQueries {
   // the Spark query and the generated oracle twin
   private val NbLangs = Seq("de", "en", "es", "fr", "zh")
 
+  /** Cross-language LM transfer matrix — the domain-similarity signal
+    * behind data-mixing decisions (score corpus A under corpus B's LM;
+    * low cross-entropy = transferable): one char-bigram model per
+    * language from the 80% train split ([[graft.llm.LangModel]]
+    * smoothing per model), every held-out document scored under ALL
+    * five models in one pass. The five models pivot WIDE at bigram
+    * grain (≤ 5·|alphabet|² rows, broadcast); per-model OOV defaults
+    * are 5 bounded driver-collected literals; per-document sums are
+    * BIGINT nano-units. Output long form at (actual_lang, model_lang)
+    * grain: 25 rows of exact integers.
+    */
+  private def langXentMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val isHeld = pmod(col("doc_id"), lit(5L)) === 0
+    val bg = docs.select(col("doc_id"), col("lang"),
+      explode(LangModel.charBigrams(col("text"))).as("bigram"))
+    val train = bg.where(!isHeld)
+    // per-lang counts, totals and add-one lp — all at model grain
+    val counts = train.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("__t"), count(lit(1)).as("__v"))
+    val model = counts.join(totals, Seq("lang"))
+      .select(col("lang"), col("bigram"),
+        round(log((col("cnt").cast("double") + 1.0) /
+          (col("__t").cast("double") + col("__v").cast("double"))) *
+          lit(1e9)).cast("long").as("lp_nano"))
+    // bounded collect: 5 rows -> per-model OOV literals on the same
+    // HALF_UP grid as engine round() (LangModel.unseenLpNano)
+    val tv = totals.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def oovNano(l: String): Long = {
+      val (t, v) = tv(l)
+      BigDecimal(math.log(1.0 / (t.toDouble + v.toDouble)) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // pivot the 5 models wide at bigram grain; score held-out bigrams
+    // with one equi-join
+    val wideCols = NbLangs.map(l =>
+      max(when(col("lang") === l, col("lp_nano"))).as(s"lp_$l"))
+    val wide = model.groupBy(col("bigram"))
+      .agg(wideCols.head, wideCols.tail: _*)
+    val sumCols = NbLangs.map(l =>
+      sum(coalesce(col(s"lp_$l"), lit(oovNano(l)))).as(s"s_$l"))
+    val aggCols = count(lit(1)).as("nb") +: sumCols
+    val perDoc = bg.where(isHeld)
+      .join(wide, Seq("bigram"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // long form: one row per (actual, model)
+    val stacked = perDoc.select(col("lang").as("actual_lang"), col("nb"),
+      expr(NbLangs.map(l => s"'$l', s_$l")
+        .mkString(s"stack(${NbLangs.size}, ", ", ", ")"))
+        .as(Seq("model_lang", "lp")))
+    stacked.groupBy(col("actual_lang"), col("model_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bigrams"),
+        sum(col("lp")).as("lp_nano_sum"))
+      .orderBy(col("actual_lang"), col("model_lang"))
+  }
+
   /** Trained language-ID: multinomial Naive Bayes
     * ([[graft.llm.NaiveBayes]]) on the 80% train split over `lang`,
     * confusion matrix on the held-out 20% — the statistical
@@ -1584,6 +1645,7 @@ object LlmQueries {
     "sbo_heldout_scores" -> (sboHeldoutScores _),
     "ccnet_ppl_buckets" -> (ccnetPplBuckets _),
     "nb_lang_confusion" -> (nbLangConfusion _),
+    "lang_xent_matrix" -> (langXentMatrix _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -1722,6 +1784,70 @@ object LlmQueries {
        |)
        |SELECT actual, pred, CAST(count(*) AS BIGINT) AS n_docs
        |FROM pred GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
+  }
+
+  /** Generated DuckDB twin of `lang_xent_matrix`: the same per-lang
+    * add-one models, nano roundings, wide pivot + OOV coalesce and
+    * (actual, model) aggregation, classes interpolated from
+    * [[NbLangs]].
+    */
+  private lazy val LangXentSql: String = {
+    val cs = NbLangs
+    val wide = cs.map(l =>
+      s"max(CASE WHEN lang = '$l' THEN lp END) AS lp_$l")
+      .mkString(",\n         ")
+    val ow = cs.map(l =>
+      s"max(CASE WHEN lang = '$l' THEN lp0 END) AS o_$l")
+      .mkString(",\n         ")
+    val ssum = cs.map(l =>
+      s"CAST(sum(coalesce(lp_$l, o_$l)) AS BIGINT) AS s_$l")
+      .mkString(",\n         ")
+    val longSel = cs.map(l =>
+      s"SELECT lang AS actual_lang, '$l' AS model_lang, nb, s_$l AS lp FROM perdoc")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang, trim(regexp_replace(lower(text), '$Ws', ' ', 'g')) AS s
+       |  FROM documents
+       |), bgall AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, length(s)), i -> s[i:i+1])) AS bigram
+       |  FROM norm WHERE length(s) >= 2
+       |), tr AS (
+       |  SELECT * FROM bgall WHERE ((doc_id % 5) + 5) % 5 <> 0
+       |), ho AS (
+       |  SELECT * FROM bgall WHERE ((doc_id % 5) + 5) % 5 = 0
+       |), counts AS (
+       |  SELECT lang, bigram, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+       |  FROM counts GROUP BY 1
+       |), model AS (
+       |  SELECT c.lang, c.bigram,
+       |         CAST(round(ln((CAST(cnt AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lp
+       |  FROM counts c JOIN tot USING (lang)
+       |), oov AS (
+       |  SELECT lang,
+       |         CAST(round(ln(1.0 / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lp0
+       |  FROM tot
+       |), wide AS (
+       |  SELECT bigram,
+       |         $wide
+       |  FROM model GROUP BY 1
+       |), o AS (
+       |  SELECT $ow
+       |  FROM oov
+       |), perdoc AS (
+       |  SELECT ho.doc_id, ho.lang, CAST(count(*) AS BIGINT) AS nb,
+       |         $ssum
+       |  FROM ho LEFT JOIN wide USING (bigram) CROSS JOIN o
+       |  GROUP BY 1, 2
+       |), longf AS (
+       |  $longSel
+       |)
+       |SELECT actual_lang, model_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(lp) AS BIGINT) AS lp_nano_sum
+       |FROM longf GROUP BY 1, 2 ORDER BY actual_lang, model_lang""".stripMargin
   }
 
   /** Shared language-ID prediction CTEs (`base`, `h`, `pred`): the
@@ -4218,6 +4344,7 @@ object LlmQueries {
          |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
          |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "nb_lang_confusion" -> NbConfusionSql,
+    "lang_xent_matrix" -> LangXentSql,
     // one conditional term-grain aggregate, the same prior/delta/sigma
     // expression tree from exact integer counts, micro-rounded z
     "log_odds_terms" -> {
