@@ -1547,6 +1547,16 @@ object LlmQueries {
     NaiveBayes.confusion(tPar(s, dir, "documents"), "doc_id", "text",
       "lang", NbLangs)
 
+  /** Unigram-LM (SentencePiece-style) Viterbi tokenization
+    * ([[graft.llm.UnigramLm]]): frequency-estimated piece vocabulary,
+    * maximum-likelihood segmentation per distinct word form, per-doc
+    * piece counts and exact likelihood sums.
+    */
+  private def unigramTokenizeStats(s: SparkSession,
+                                   dir: String): DataFrame =
+    UnigramLm.docStats(tPar(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1646,6 +1656,7 @@ object LlmQueries {
     "ccnet_ppl_buckets" -> (ccnetPplBuckets _),
     "nb_lang_confusion" -> (nbLangConfusion _),
     "lang_xent_matrix" -> (langXentMatrix _),
+    "unigram_tokenize_stats" -> (unigramTokenizeStats _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -1784,6 +1795,88 @@ object LlmQueries {
        |)
        |SELECT actual, pred, CAST(count(*) AS BIGINT) AS n_docs
        |FROM pred GROUP BY 1, 2 ORDER BY actual, pred""".stripMargin
+  }
+
+  /** DuckDB twin of `unigram_tokenize_stats`: the same piece
+    * vocabulary, the same packed-BIGINT Viterbi DP — as a recursive
+    * CTE advancing every word one position per iteration, the packed
+    * comparison via `greatest` over the four candidate splits (NULLs
+    * skipped on both engines). Keep the packing arithmetic in lockstep
+    * with [[graft.llm.UnigramLm]].
+    */
+  private lazy val UnigramSql: String = {
+    def cand(k: Int): String = {
+      val prev = s"dp.st[dp.i + 2 - $k]"
+      val r = s"((($prev % 512) + 512) % 512)"
+      s"""CASE WHEN dp.i + 1 >= $k AND c$k.lp IS NOT NULL THEN
+         |  (CAST(($prev - $r) / 512 AS BIGINT) + c$k.lp) * 512
+         |  + (CAST(($r - ($r % 8)) / 8 AS BIGINT) - 1) * 8 + $k
+         |END""".stripMargin
+    }
+    val joins = (1 to 4).map(k =>
+      s"LEFT JOIN cand c$k ON c$k.word = dp.word AND c$k.i = dp.i + 1 AND c$k.j = $k")
+      .mkString("\n  ")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, $Toks AS toks FROM documents
+       |), wocc AS (
+       |  SELECT doc_id, w AS word FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+       |  WHERE length(w) BETWEEN 1 AND 32
+       |), forms AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_occ FROM wocc GROUP BY 1
+       |), pcraw AS (
+       |  SELECT n_occ,
+       |         unnest(flatten(list_transform(range(1, length(word) + 1),
+       |           i -> list_transform(range(1, least(4, i) + 1),
+       |             j -> word[i - j + 1:i])))) AS piece
+       |  FROM forms
+       |), pc AS (
+       |  SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt FROM pcraw GROUP BY 1
+       |), kept AS (
+       |  SELECT piece, cnt FROM pc WHERE cnt >= 3 OR length(piece) = 1
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept
+       |), vocab AS (
+       |  SELECT piece,
+       |         CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT) AS lp
+       |  FROM kept CROSS JOIN tot
+       |), candraw AS (
+       |  SELECT word,
+       |         unnest(flatten(list_transform(range(1, length(word) + 1),
+       |           i -> list_transform(range(1, least(4, i) + 1),
+       |             j -> {'i': i, 'j': j, 'piece': word[i - j + 1:i]})))) AS c
+       |  FROM forms
+       |), cand AS (
+       |  SELECT r.word, CAST(r.c.i AS INTEGER) AS i, CAST(r.c.j AS INTEGER) AS j, v.lp
+       |  FROM candraw r JOIN vocab v ON v.piece = r.c.piece
+       |), dp AS (
+       |  SELECT word, CAST(length(word) AS INTEGER) AS n, 0 AS i,
+       |         [CAST(504 AS BIGINT)] AS st
+       |  FROM forms
+       |  UNION ALL
+       |  SELECT dp.word, dp.n, dp.i + 1,
+       |         list_append(dp.st, greatest(
+       |           ${(1 to 4).map(cand).mkString(",\n           ")}))
+       |  FROM dp
+       |  $joins
+       |  WHERE dp.i < dp.n
+       |), wres AS (
+       |  SELECT word,
+       |         CAST((st[n + 1] - (((st[n + 1] % 512) + 512) % 512)) / 512 AS BIGINT) AS score_nano,
+       |         63 - CAST(((((st[n + 1] % 512) + 512) % 512) - ((((st[n + 1] % 512) + 512) % 512) % 8)) / 8 AS BIGINT) AS n_pieces
+       |  FROM dp WHERE i = n
+       |), docstats AS (
+       |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |         CAST(sum(score_nano) AS BIGINT) AS lp_nano_sum
+       |  FROM wocc w JOIN wres USING (word) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(s.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |       CAST(coalesce(s.lp_nano_sum, 0) AS BIGINT) AS lp_nano_sum
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN docstats s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Generated DuckDB twin of `lang_xent_matrix`: the same per-lang
@@ -4345,6 +4438,7 @@ object LlmQueries {
          |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "nb_lang_confusion" -> NbConfusionSql,
     "lang_xent_matrix" -> LangXentSql,
+    "unigram_tokenize_stats" -> UnigramSql,
     // one conditional term-grain aggregate, the same prior/delta/sigma
     // expression tree from exact integer counts, micro-rounded z
     "log_odds_terms" -> {

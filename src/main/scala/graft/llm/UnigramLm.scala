@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword tokenization: build a
+  * substring vocabulary with corpus frequencies, then segment every
+  * word by VITERBI — the maximum-likelihood split under the unigram
+  * piece model (Kudo 2018's inference step, with frequency-estimated
+  * piece probabilities standing in for the EM loop). Complements the
+  * BPE family ([[Bpe]]): BPE segments by merge rank, unigram-LM by
+  * global likelihood — the two production tokenizer families.
+  *
+  * Scale shape: vocabulary building is one explode + one piece-grain
+  * aggregate over DISTINCT WORD FORMS (weighted by occurrence counts
+  * — the corpus text is never re-scanned per piece length); the DP
+  * runs once per distinct form (the [[Bpe.tokenizeDocWords]] key-grain
+  * discipline), map-only after one piece-grain equi-join; documents
+  * get their stats by one word-grain join. Nothing quadratic, nothing
+  * driver-side.
+  *
+  * Exactness: piece log-probs are rounded ONCE to nano-units at vocab
+  * grain; the DP state is a single packed BIGINT per position —
+  * `pk = score_nano·512 + (63 − n_pieces)·8 + last_piece_len` — so
+  * "maximize likelihood, tie → fewest pieces, tie → longest final
+  * piece" is ONE integer comparison identical in Spark and the
+  * recursive-CTE twin. Packing bounds (documented contract): words
+  * longer than [[MaxWordLen]] chars are excluded from both vocabulary
+  * and scoring, so n_pieces fits its 6-bit field and
+  * |score_nano·512| stays far below 2^53 — the extraction divisions
+  * are exact in double on both engines.
+  */
+object UnigramLm {
+
+  /** Longest candidate piece, chars. */
+  val MaxPieceLen = 4
+  /** Words longer than this are excluded (packing + cost bound). */
+  val MaxWordLen = 32
+  /** Pieces below this corpus count are dropped — except single chars,
+    * which are always kept so every word stays segmentable.
+    */
+  val MinCount = 3
+  /** Packed DP sentinel for position 0: score 0, 0 pieces, len 0. */
+  val Sentinel = 504L
+
+  /** Word occurrences `(idCol, word)` within the length contract. */
+  def wordOccurrences(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(TextStats.tokens(col(textCol))).as("word"))
+      .where(length(col("word")).between(1, MaxWordLen))
+
+  /** Distinct word forms with occurrence counts. */
+  def wordForms(wordOcc: DataFrame): DataFrame =
+    wordOcc.groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+
+  /** Substring piece counts over the corpus (each in-word position of
+    * each piece counts once per word occurrence), at piece grain.
+    */
+  def pieceCounts(forms: DataFrame): DataFrame =
+    forms.select(col("n_occ"), expr(
+        s"""explode(flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($MaxPieceLen, i)), j ->
+           |    substring(word, i - j + 1, j))))) AS piece""".stripMargin))
+      .groupBy(col("piece")).agg(sum(col("n_occ")).as("cnt"))
+
+  /** The vocabulary: pieces with `cnt >= MinCount` plus ALL single
+    * chars, `lp_nano = round(ln(cnt/total)·1e9)` normalized over the
+    * kept set.
+    */
+  def vocab(counts: DataFrame): DataFrame = {
+    val kept = counts
+      .where(col("cnt") >= MinCount || length(col("piece")) === 1)
+    val tot = kept.agg(sum(col("cnt")).as("__t"))
+    kept.join(broadcast(tot))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("__t").cast("double")) *
+          lit(1e9)).cast("long").as("lp_nano"))
+  }
+
+  // the packed-key DP, as a SQL expression over (word, m) where m maps
+  // candidate key i·8+j -> lp_nano. See the object scaladoc for the
+  // packing; CASE guards keep element_at indices valid and greatest()
+  // skips null candidates on both engines.
+  private def candSql(k: Int): String = {
+    val prev = s"element_at(acc, i - $k + 1)"
+    val lp = s"element_at(m, i * 8 + $k)"
+    s"""case when i >= $k and $lp is not null then
+       |  (cast((($prev) - pmod($prev, 512L)) / 512 as bigint) + $lp) * 512
+       |  + (cast((pmod($prev, 512L) - pmod(pmod($prev, 512L), 8L)) / 8 as bigint) - 1) * 8 + $k
+       |end""".stripMargin
+  }
+
+  private val DpSql: String =
+    s"""aggregate(sequence(1, length(word)), array(cast($Sentinel as bigint)),
+       |  (acc, i) -> concat(acc, array(greatest(
+       |    ${(1 to MaxPieceLen).map(candSql).mkString(",\n    ")}))),
+       |  acc -> element_at(acc, size(acc)))""".stripMargin
+
+  /** Viterbi-segment every distinct form: `(word, n_occ, n_pieces,
+    * score_nano)` — the likelihood-optimal segmentation's piece count
+    * and exact score.
+    */
+  def segmentForms(forms: DataFrame, vocabDf: DataFrame): DataFrame = {
+    val cand = forms.select(col("word"), expr(
+        s"""explode(flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($MaxPieceLen, i)), j ->
+           |    struct(i * 8 + j AS k,
+           |           substring(word, i - j + 1, j) AS piece))))) AS c"""
+          .stripMargin))
+      .select(col("word"), col("c.k").as("k"), col("c.piece").as("piece"))
+      .join(vocabDf, Seq("piece")) // absent pieces = no candidate
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("lp_nano"))))
+        .as("m"))
+    forms.join(cand, Seq("word")) // total: single chars are always kept
+      .withColumn("__pk", expr(DpSql))
+      .select(col("word"), col("n_occ"),
+        (lit(63L) - ((pmod(col("__pk"), lit(512L)) -
+          pmod(pmod(col("__pk"), lit(512L)), lit(8L))) / lit(8))
+          .cast("long")).as("n_pieces"),
+        ((col("__pk") - pmod(col("__pk"), lit(512L))) / lit(512))
+          .cast("long").as("score_nano"))
+  }
+
+  /** Per-document tokenization stats: `(idCol, n_words, n_pieces,
+    * lp_nano_sum)` — exact BIGINTs; documents with no in-contract
+    * words keep a zero row.
+    */
+  def docStats(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val occ = wordOccurrences(docs, idCol, textCol).localCheckpoint(true)
+    val forms = wordForms(occ)
+    val seg = segmentForms(forms, vocab(pieceCounts(forms)))
+    val per = occ.join(seg.select(col("word"), col("n_pieces"),
+        col("score_nano")), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("score_nano")).as("lp_nano_sum"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("lp_nano_sum"), lit(0L)).as("lp_nano_sum"))
+  }
+}
