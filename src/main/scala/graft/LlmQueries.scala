@@ -378,8 +378,9 @@ object LlmQueries {
     * integer-exact nano-units, so the score is partitioning-invariant.
     */
   private def lmQualityScore(s: SparkSession, dir: String): DataFrame = {
-    // train-then-score over the same corpus: build the exploded bigram
-    // stream ONCE (checkpointed), feed both stages
+    // train-then-score over the same corpus: one bigram-stream
+    // DEFINITION feeds both stages — recomputed per pass, never
+    // materialized (corpus-grain; see LangModel.bigramTable)
     val bg = LangModel.bigramTable(tPar(s, dir, "documents"), "doc_id",
       "text")
     LangModel.scoreFromBigrams(bg, LangModel.trainFromBigrams(bg))
@@ -1448,10 +1449,16 @@ object LlmQueries {
     val b = col("n_bigrams") * lit(1000000L)
     val mMilli = ((col("lp_sum") - pmod(col("lp_sum"), b)) / b)
       .cast("long")
+    // DOC-grain (one small row per document — scales with doc count,
+    // not corpus bytes), so unlike the bigram stream it is safe to
+    // checkpoint; the tertile machinery consumes it on three branches
+    // (grid, totals, bucket join) that would otherwise re-run the
+    // whole score pass each
     val scored = sums
       .select(col("__id").as("doc_id"), col("n_bigrams"),
         mMilli.as("m_milli"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(true)
     LangModel.tertileByGrid(scored, "lang", "m_milli")
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),

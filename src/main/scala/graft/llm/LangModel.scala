@@ -40,16 +40,21 @@ object LangModel {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** The exploded `(id, bigram)` stream, eagerly `localCheckpoint`ed —
-    * the normalize+bigram text pipeline is the expensive stage, and a
-    * train-then-score run over the same corpus should pay it ONCE:
-    * build this, then [[trainBigramModel]] and [[scoreDocs]] both
-    * accept it (same seam as `Dedup.winnowFingerprintTable`).
+  /** The exploded `(id, bigram)` stream — build once, feed
+    * [[trainFromBigrams]] and [[scoreFromBigrams]] so normalization is
+    * written once (same seam as `Dedup.winnowFingerprintTable`).
+    *
+    * Deliberately NOT checkpointed/persisted: this stream is
+    * CORPUS-GRAIN (≈ chars-per-doc × docs rows — materializing it at
+    * 100 TB means petabytes of checkpoint storage; the sf100 gate
+    * found exactly that, an OOM storing 7.5e9 exploded rows that no
+    * memory/disk budget holds). Train-then-score consumers recompute
+    * the map-only explode twice instead — two streaming passes over
+    * the scan, which is the shape that survives any scale.
     */
   def bigramTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
         explode(charBigrams(col(textCol))).as("bigram"))
-      .localCheckpoint(true)
 
   /** Train: `(bigram, cnt, lp_nano)` where `lp_nano` is the add-one
     * smoothed log-probability `ln((cnt+1)/(total+V))` in nano-units
