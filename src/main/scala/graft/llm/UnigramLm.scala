@@ -123,6 +123,29 @@ object UnigramLm {
           .cast("long").as("score_nano"))
   }
 
+  /** Write the vocabulary in the SentencePiece-style `.vocab` text
+    * shape — one `piece<TAB>lp_nano` line per piece — as a DISTRIBUTED
+    * text write (a unigram vocabulary is data-grain at corpus scale;
+    * a driver collect here would be the wrong bound). lp_nano is the
+    * exact integer, so the artifact round-trips bit-for-bit. Pieces
+    * are substrings of whitespace-split tokens, so they can contain
+    * neither tab nor newline — the format needs no escaping.
+    */
+  def exportVocab(vocabDf: DataFrame, path: String): Unit =
+    vocabDf.select(concat_ws("\t", col("piece"),
+        col("lp_nano").cast("string")))
+      .write.mode("overwrite").text(path)
+
+  /** Read a vocabulary written by [[exportVocab]] back into the
+    * `(piece, lp_nano)` shape [[segmentForms]] consumes.
+    */
+  def importVocab(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        substring_index(col("value"), "\t", 1).as("piece"),
+        substring_index(col("value"), "\t", -1).cast("long").as("lp_nano"))
+
   /** Per-document tokenization stats: `(idCol, n_words, n_pieces,
     * lp_nano_sum)` — exact BIGINTs; documents with no in-contract
     * words keep a zero row.

@@ -61,6 +61,24 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(got.getAs[Long]("score_nano") === -3000000000L)
   }
 
+  test("exportVocab round-trips bit-for-bit and reproduces segmentation") {
+    val docs = Seq((1L, "hello world hello held hell"), (2L, "low lower new newer"))
+      .toDF("doc_id", "text")
+    val occ = UnigramLm.wordOccurrences(docs, "doc_id", "text")
+    val forms = UnigramLm.wordForms(occ)
+    val vocab = UnigramLm.vocab(UnigramLm.pieceCounts(forms))
+    val dir = java.nio.file.Files.createTempDirectory("uni_vocab").toString
+    UnigramLm.exportVocab(vocab, s"$dir/v")
+    val back = UnigramLm.importVocab(spark, s"$dir/v")
+    assert(back.orderBy("piece").collect().map(_.toSeq).toSeq ===
+      vocab.orderBy("piece").collect().map(_.toSeq).toSeq)
+    val a = UnigramLm.segmentForms(forms, vocab).orderBy("word")
+      .collect().map(_.toSeq)
+    val b = UnigramLm.segmentForms(forms, back).orderBy("word")
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("docStats: zero row for wordless docs, over-length words excluded, partition-invariant") {
     val long = "x" * 40 // over MaxWordLen -> excluded everywhere
     val docs = Seq((1L, "aa aa bb"), (2L, ""), (3L, long))
