@@ -1554,6 +1554,27 @@ object LlmQueries {
     NaiveBayes.confusion(tPar(s, dir, "documents"), "doc_id", "text",
       "lang", NbLangs)
 
+  // hard-negative band, shared with the twin: above random cosine
+  // noise, below the near-duplicate zone
+  private val HardNegLo = 0.15
+  private val HardNegHi = 0.45
+
+  /** Hard-negative mining ([[graft.llm.Similarity.hardNegatives]]):
+    * per query, the top-10 corpus vectors in the [0.15, 0.45] cosine
+    * band with same-fingerprint (near-identical content) candidates
+    * excluded — the contrastive-training negative pool.
+    */
+  private def hardNegativePool(s: SparkSession, dir: String): DataFrame = {
+    val fp = tPar(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+    val emb = tPar(s, dir, "embeddings")
+    Similarity.hardNegatives(emb.where(col("vec_id") < 16), emb, fp,
+        "vec_id", "vec_id", "embedding", "fp", k = 10,
+        lo = HardNegLo, hi = HardNegHi)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Unigram-LM (SentencePiece-style) Viterbi tokenization
     * ([[graft.llm.UnigramLm]]): frequency-estimated piece vocabulary,
     * maximum-likelihood segmentation per distinct word form, per-doc
@@ -1664,6 +1685,7 @@ object LlmQueries {
     "nb_lang_confusion" -> (nbLangConfusion _),
     "lang_xent_matrix" -> (langXentMatrix _),
     "unigram_tokenize_stats" -> (unigramTokenizeStats _),
+    "hard_negative_pool" -> (hardNegativePool _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -4446,6 +4468,31 @@ object LlmQueries {
     "nb_lang_confusion" -> NbConfusionSql,
     "lang_xent_matrix" -> LangXentSql,
     "unigram_tokenize_stats" -> UnigramSql,
+    // knn_cosine_brute's exact-cosine shape plus the band filter on the
+    // ROUNDED similarity and the fingerprint-inequality exclusion
+    "hard_negative_pool" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, $Fingerprint AS f FROM documents
+         |), e AS (
+         |  SELECT vec_id, embedding, f FROM embeddings
+         |  JOIN fp ON vec_id = doc_id
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, f AS qf FROM e WHERE vec_id < 16
+         |), s AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS cosine_sim,
+         |         q.qf, e.f
+         |  FROM e, q WHERE e.vec_id <> q.query_id
+         |), b AS (
+         |  SELECT query_id, neighbor_id, cosine_sim FROM s
+         |  WHERE cosine_sim >= $HardNegLo AND cosine_sim <= $HardNegHi AND qf <> f
+         |)
+         |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank,
+         |       neighbor_id, cosine_sim
+         |FROM b
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // one conditional term-grain aggregate, the same prior/delta/sigma
     // expression tree from exact integer counts, micro-rounded z
     "log_odds_terms" -> {

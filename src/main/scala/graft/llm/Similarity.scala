@@ -76,6 +76,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k corpus vectors whose cosine lies in the
+    * [lo, hi] band — harder than random negatives, below the
+    * near-duplicate zone — with same-content candidates excluded by
+    * fingerprint inequality (a near-dup used as a negative would
+    * poison the contrastive loss). Band edges compare against the
+    * 6dp-ROUNDED similarity, so the band is the same set on every
+    * engine. Shape = [[knnBrute]]: the broadcast build stays a PURE
+    * SLICE of the vector table (the plan-audit bounded-build rule);
+    * fingerprints attach by two equi-joins AFTER the band filter, so
+    * the content lookup touches only band survivors.
+    *
+    * @param queries (qidCol, vecCol) frame — a broadcastable slice
+    * @param corpus  (idCol, vecCol)
+    * @param fps     (idCol, fpCol) content fingerprints for both sides
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    fps: DataFrame, qidCol: String, idCol: String,
+                    vecCol: String, fpCol: String, k: Int, lo: Double,
+                    hi: Double): DataFrame = {
+    require(lo <= hi, s"band [$lo, $hi]")
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val banded = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .where(col("cosine_sim") >= lo && col("cosine_sim") <= hi)
+    val sims = banded
+      .join(fps.select(col(idCol).as("query_id"), col(fpCol).as("__qfp")),
+        Seq("query_id"))
+      .join(fps.select(col(idCol).as("neighbor_id"),
+        col(fpCol).as("__cfp")), Seq("neighbor_id"))
+      .where(col("__qfp") =!= col("__cfp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine_sim"))
+  }
+
   /** Deterministic Lloyd's k-means over an embedding column — the
     * trainer that turns [[knnBucketed]] into a real IVF index (coarse
     * quantizer = learned centroids instead of sign bits or labels).

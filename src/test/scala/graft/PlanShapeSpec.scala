@@ -90,7 +90,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private val sliceQueries =
     Set("knn_cosine_brute", "knn_cosine_pq", "knn_cosine_pq_refined",
-      "ann_rbo_eval", "jl_projection_pairs", "hybrid_rrf_docs")
+      "ann_rbo_eval", "jl_projection_pairs", "hybrid_rrf_docs",
+      "hard_negative_pool")
 
   import org.apache.spark.sql.execution.SparkPlan
 
