@@ -1559,6 +1559,43 @@ object LlmQueries {
   private val HardNegLo = 0.15
   private val HardNegHi = 0.45
 
+  /** Leakage-safe dataset splits: assign near-dup CLUSTERS to
+    * train/val/test, not documents — a doc-hash split puts two
+    * near-duplicates on opposite sides of the train/test fence and the
+    * eval silently measures memorization (the C4/Pile dedup-then-split
+    * discipline). Both strategies computed side by side with the same
+    * certified split function ([[graft.llm.Curation.datasetSplit]]) —
+    * on `doc_id` (naive) and on the closure's `group_id` (singletons =
+    * their own group) — and the leak is MEASURED: a group is leaky
+    * under a strategy if its documents span >1 split. Cluster-hash
+    * rows must show zero by construction; the doc-hash rows show the
+    * damage the naive split would do.
+    */
+  private def leakageSafeSplits(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      minEstJaccard = 0.5, alternating = true)
+    val grouped = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    val both = grouped.select(col("doc_id"), col("group_id"),
+      Curation.datasetSplit(col("doc_id"), SplitWeights).as("naive"),
+      Curation.datasetSplit(col("group_id"), SplitWeights).as("grouped"))
+    val stacked = both.select(col("doc_id"), col("group_id"),
+      expr("stack(2, 'doc_hash', naive, 'cluster_hash', grouped)")
+        .as(Seq("strategy", "split")))
+    val gs = stacked.groupBy(col("strategy"), col("group_id"))
+      .agg(countDistinct(col("split")).as("__nsplits"))
+    stacked.join(gs, Seq("strategy", "group_id"))
+      .groupBy(col("strategy"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"),
+        countDistinct(when(col("__nsplits") > 1, col("group_id")))
+          .as("n_leaky_groups"))
+      .orderBy(col("strategy"), col("split"))
+  }
+
   /** Hard-negative mining ([[graft.llm.Similarity.hardNegatives]]):
     * per query, the top-10 corpus vectors in the [0.15, 0.45] cosine
     * band with same-fingerprint (near-identical content) candidates
@@ -1686,6 +1723,7 @@ object LlmQueries {
     "lang_xent_matrix" -> (langXentMatrix _),
     "unigram_tokenize_stats" -> (unigramTokenizeStats _),
     "hard_negative_pool" -> (hardNegativePool _),
+    "leakage_safe_splits" -> (leakageSafeSplits _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -4468,6 +4506,34 @@ object LlmQueries {
     "nb_lang_confusion" -> NbConfusionSql,
     "lang_xent_matrix" -> LangXentSql,
     "unigram_tokenize_stats" -> UnigramSql,
+    // the certified near-dup closure (reach CTE) + the certified split
+    // function applied to doc_id (naive) and group_id (cluster-safe),
+    // leak measured as groups spanning >1 split
+    "leakage_safe_splits" ->
+      s"""WITH RECURSIVE ${nearDupClosureCtes("documents")},
+         |cl AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+         |), g AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cl USING (doc_id)
+         |), b AS (
+         |  SELECT doc_id, group_id,
+         |         ${Curation.datasetSplitSql("doc_id", SplitWeights)} AS naive,
+         |         ${Curation.datasetSplitSql("group_id", SplitWeights)} AS grouped
+         |  FROM g
+         |), st AS (
+         |  SELECT doc_id, group_id, 'doc_hash' AS strategy, naive AS split FROM b
+         |  UNION ALL
+         |  SELECT doc_id, group_id, 'cluster_hash' AS strategy, grouped AS split FROM b
+         |), gs AS (
+         |  SELECT strategy, group_id, count(DISTINCT split) AS nsplits
+         |  FROM st GROUP BY 1, 2
+         |)
+         |SELECT st.strategy, st.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT st.group_id) AS BIGINT) AS n_groups,
+         |       CAST(count(DISTINCT CASE WHEN nsplits > 1 THEN st.group_id END) AS BIGINT) AS n_leaky_groups
+         |FROM st JOIN gs USING (strategy, group_id)
+         |GROUP BY 1, 2 ORDER BY strategy, split""".stripMargin,
     // knn_cosine_brute's exact-cosine shape plus the band filter on the
     // ROUNDED similarity and the fingerprint-inequality exclusion
     "hard_negative_pool" ->
