@@ -1612,6 +1612,36 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** N-gram novelty — the memorization-risk scan (Lee et al. '22's
+    * "novel n-grams" metric): for each held-out document, how many of
+    * its 8-gram occurrences already appear ANYWHERE in the train
+    * split. Shape: distinct train gram hashes (fingerprint grain,
+    * [[graft.llm.SubstringDedup.shingleHashes]]) left-joined onto the
+    * held-out gram stream — one fp-grain equi-join, then a doc-grain
+    * count. Exact BIGINTs; the novelty ratio is derivable as
+    * `1 − n_seen/n_grams`.
+    */
+  private def noveltyNgramStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val isHeld = pmod(col("doc_id"), lit(5L)) === 0
+    val train = SubstringDedup
+      .shingleHashes(docs.where(!isHeld), "doc_id", "text", w = 8)
+      .select(col("h")).distinct()
+    val held = SubstringDedup
+      .shingleHashes(docs.where(isHeld), "doc_id", "text", w = 8)
+    val per = held
+      .join(train.withColumn("__seen", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+    docs.where(isHeld).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram-LM (SentencePiece-style) Viterbi tokenization
     * ([[graft.llm.UnigramLm]]): frequency-estimated piece vocabulary,
     * maximum-likelihood segmentation per distinct word form, per-doc
@@ -1724,6 +1754,7 @@ object LlmQueries {
     "unigram_tokenize_stats" -> (unigramTokenizeStats _),
     "hard_negative_pool" -> (hardNegativePool _),
     "leakage_safe_splits" -> (leakageSafeSplits _),
+    "novelty_ngram_stats" -> (noveltyNgramStats _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -4506,6 +4537,31 @@ object LlmQueries {
     "nb_lang_confusion" -> NbConfusionSql,
     "lang_xent_matrix" -> LangXentSql,
     "unigram_tokenize_stats" -> UnigramSql,
+    // the SubstringDupCtes gram idiom at w=8, split by pmod, distinct
+    // train hashes left-joined onto the held-out occurrence stream
+    "novelty_ngram_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $Toks AS t FROM documents
+         |), tr AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS h
+         |  FROM base, unnest(range(1, len(t) - 6)) AS u(i)
+         |  WHERE ((doc_id % 5) + 5) % 5 <> 0 AND len(t) >= 8
+         |), ho AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS h
+         |  FROM base, unnest(range(1, len(t) - 6)) AS u(i)
+         |  WHERE ((doc_id % 5) + 5) % 5 = 0 AND len(t) >= 8
+         |), per AS (
+         |  SELECT ho.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         |  FROM ho LEFT JOIN tr USING (h) GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(p.n_seen, 0) AS BIGINT) AS n_seen
+         |FROM (SELECT doc_id FROM documents WHERE ((doc_id % 5) + 5) % 5 = 0) d
+         |LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // the certified near-dup closure (reach CTE) + the certified split
     // function applied to doc_id (naive) and group_id (cluster-safe),
     // leak measured as groups spanning >1 split
