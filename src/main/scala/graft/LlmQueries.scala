@@ -1652,6 +1652,108 @@ object LlmQueries {
     UnigramLm.docStats(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  // ----- suffix array (exact substring structure) -------------------------
+
+  private val saMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, SuffixArrayResult]()
+
+  /** One prefix-doubling build per (app, sfDir) — the three suffix
+    * queries read the same checkpointed rank structure (keyed like
+    * [[SparkEntry]]'s tradePairs memo: applicationId + startTime so a
+    * restarted session can never read a dead session's plans).
+    */
+  private def saFor(s: SparkSession, dir: String): SuffixArrayResult =
+    saMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
+      _ => SuffixArray.build(tPar(s, dir, "documents"), "doc_id", "text"))
+
+  private val saLcpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The adjacent-LCP lifting (≈2·levels joins) feeds both the LCP
+    * spectrum and the dup-position queries — computed once per (app,
+    * sfDir); [[SuffixArray.adjacentLcp]] checkpoints its result, so the
+    * memo hands back materialized blocks.
+    */
+  private def saLcpFor(s: SparkSession, dir: String): DataFrame =
+    saLcpMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
+      _ => SuffixArray.adjacentLcp(saFor(s, dir)))
+
+  /** The full suffix-rank permutation at token grain — certifying the
+    * entire distributed structure position-by-position against a twin
+    * that sorts materialized (LCP-bounded) suffix keys.
+    */
+  private def suffixRankDocs(s: SparkSession, dir: String): DataFrame = {
+    val res = saFor(s, dir)
+    res.seq.where(col("is_tok"))
+      .join(res.sa, Seq("g"))
+      .select(col("doc_id"), col("pos"), col("r").as("sa_rank"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Corpus LCP spectrum + the longest repeated substring (length,
+    * multiplicity, location, text) from [[SuffixArray.adjacentLcp]]'s
+    * binary lifting — every cross-join below broadcasts a 1-row
+    * aggregate.
+    */
+  private def suffixLcpStats(s: SparkSession, dir: String): DataFrame = {
+    val res = saFor(s, dir)
+    val lcp = saLcpFor(s, dir)
+    val agg1 = lcp.agg(
+      count(lit(1)).as("n_pairs"),
+      max(col("lcp")).as("lrs_len"),
+      sum(when(col("lcp") >= 5, 1L).otherwise(0L)).as("pairs_ge_5"),
+      sum(when(col("lcp") >= 10, 1L).otherwise(0L)).as("pairs_ge_10"),
+      sum(when(col("lcp") >= 25, 1L).otherwise(0L)).as("pairs_ge_25"),
+      sum(col("lcp")).as("sum_lcp"))
+    val achievers = lcp.crossJoin(broadcast(agg1.select(col("lrs_len"))))
+      .where(col("lcp") === col("lrs_len"))
+    val lrsCount = achievers.agg(count(lit(1)).as("lrs_count"))
+    // deterministic witness: the first achiever in suffix order
+    val winner = achievers
+      .agg(min(struct(col("rank_hi"), col("g_lo"))).as("__w"))
+      .select(col("__w.g_lo").as("g"))
+    val winPos = broadcast(winner).join(res.seq, Seq("g"))
+      .select(col("doc_id").as("lrs_doc_id"), col("pos").as("lrs_pos"))
+    val docToks = t(s, dir, "documents")
+      .select(col("doc_id").as("lrs_doc_id"),
+        TextStats.tokens(col("text")).as("__toks"))
+    // the trailing 1-row agg is load-bearing for plan auditing: it makes
+    // the cross-join build side PROVABLY bounded (an aggregate node)
+    // rather than a 1-row-by-construction join the static sweep cannot
+    // see through
+    val txt = broadcast(winPos).join(docToks, Seq("lrs_doc_id"))
+      .crossJoin(broadcast(agg1.select(col("lrs_len").as("__ll"))))
+      .select(col("lrs_doc_id"), col("lrs_pos"),
+        array_join(slice(col("__toks"), col("lrs_pos").cast("int"),
+          col("__ll").cast("int")), " ").as("lrs_text"))
+      .agg(min(col("lrs_doc_id")).as("lrs_doc_id"),
+        min(col("lrs_pos")).as("lrs_pos"),
+        min(col("lrs_text")).as("lrs_text"))
+    agg1.crossJoin(broadcast(lrsCount)).crossJoin(broadcast(txt))
+      .select(col("n_pairs"), col("lrs_len"), col("lrs_count"),
+        col("pairs_ge_5"), col("pairs_ge_10"), col("pairs_ge_25"),
+        col("sum_lcp"), col("lrs_doc_id"), col("lrs_pos"), col("lrs_text"))
+  }
+
+  /** Per-document duplicated 5-gram positions derived from the suffix
+    * array ([[SuffixArray.dupPositions]]) — the twin runs the INDEPENDENT
+    * shingle-count algorithm, so the hash certifies two different exact
+    * algorithms agreeing across two engines.
+    */
+  private def suffixDupPositions(s: SparkSession, dir: String): DataFrame = {
+    val res = saFor(s, dir)
+    val dup = SuffixArray.dupPositionsFrom(res, saLcpFor(s, dir), "doc_id", w = 5)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_w_pos"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.nTokens(col("text")).as("n_tokens"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_w_pos"), lit(0L)).as("dup_w_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1755,6 +1857,9 @@ object LlmQueries {
     "hard_negative_pool" -> (hardNegativePool _),
     "leakage_safe_splits" -> (leakageSafeSplits _),
     "novelty_ngram_stats" -> (noveltyNgramStats _),
+    "suffix_rank_docs" -> (suffixRankDocs _),
+    "suffix_lcp_stats" -> (suffixLcpStats _),
+    "suffix_dup_positions" -> (suffixDupPositions _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -2139,6 +2244,80 @@ object LlmQueries {
        |         sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |  FROM dpos
+       |)""".stripMargin
+
+  /** Suffix-array shared CTEs ending in `sar(doc_id, pos, is_tok, rem,
+    * g, sk, r)` — the DuckDB twin of [[graft.llm.SuffixArray.build]]:
+    * the same corpus sequence (per-doc tokens + one unique sentinel,
+    * vocabulary ranks by binary token order, sentinels below all
+    * tokens), each suffix ranked by SORTING a materialized fixed-width
+    * hex key. The key is the first `maxDocLen + 1` symbols only — exact
+    * because unique sentinels bound every pairwise LCP by the document
+    * length, so two suffixes always differ inside that window. 5 hex
+    * digits per symbol holds any key below 2^20 (docs + vocab); the
+    * corpus string is one `string_agg` scalar (5n chars), and each
+    * row's sort key is a bounded `substr` of it.
+    */
+  private val SuffixCtes: String =
+    s"""sadocs AS (
+       |  SELECT doc_id, $Toks AS toks,
+       |         row_number() OVER (ORDER BY doc_id) AS dseq
+       |  FROM documents
+       |), dcount AS (SELECT count(*) AS d FROM sadocs),
+       |klen AS (SELECT 5 * (max(len(toks)) + 1) AS kl FROM sadocs),
+       |pt AS (
+       |  SELECT doc_id, dseq, len(toks) AS n_tok,
+       |         CAST(i AS BIGINT) AS pos, toks[i] AS tok
+       |  FROM sadocs, unnest(range(1, len(toks) + 1)) AS u(i)
+       |), savocab AS (
+       |  SELECT tok, row_number() OVER (ORDER BY tok) AS vr
+       |  FROM (SELECT DISTINCT tok FROM pt)
+       |), saseq AS (
+       |  SELECT pt.doc_id, pt.dseq, pt.pos, TRUE AS is_tok,
+       |         pt.n_tok - pt.pos + 1 AS rem,
+       |         (SELECT d FROM dcount) + v.vr AS key
+       |  FROM pt JOIN savocab v USING (tok)
+       |  UNION ALL
+       |  SELECT doc_id, dseq, len(toks) + 1 AS pos, FALSE, 0 AS rem,
+       |         dseq AS key
+       |  FROM sadocs
+       |), gseq AS (
+       |  SELECT *, row_number() OVER (ORDER BY dseq, pos) AS g FROM saseq
+       |), sacorpus AS (
+       |  SELECT string_agg(printf('%05x', key), '' ORDER BY g) AS s FROM gseq
+       |), skey AS (
+       |  SELECT doc_id, pos, is_tok, rem, g,
+       |         substr((SELECT s FROM sacorpus), (g - 1) * 5 + 1,
+       |                (SELECT kl FROM klen)) AS sk
+       |  FROM gseq
+       |), sar AS (
+       |  SELECT doc_id, pos, is_tok, rem, g, sk,
+       |         rank() OVER (ORDER BY sk) AS r
+       |  FROM skey
+       |)""".stripMargin
+
+  /** Adjacent-pair LCP CTEs on top of [[SuffixCtes]], ending in
+    * `lc(g_lo, g_hi, rank_hi, lcp)`: rank-adjacent suffixes compared
+    * symbol-by-symbol over their bounded sort keys, scanning at most
+    * `least(rem_lo, rem_hi)` symbols (the sentinel caps every LCP).
+    */
+  private val SuffixLcpCtes: String =
+    s"""pr AS (
+       |  SELECT a.g AS g_lo, b.g AS g_hi, b.r AS rank_hi,
+       |         least(a.rem, b.rem) AS bnd, a.sk AS sk_lo, b.sk AS sk_hi
+       |  FROM sar a JOIN sar b ON b.r = a.r + 1
+       |), tt AS (
+       |  SELECT g_lo, bnd, sk_lo, sk_hi, CAST(t AS BIGINT) AS t
+       |  FROM pr, unnest(range(1, bnd + 1)) AS u(t)
+       |), bad AS (
+       |  SELECT g_lo, min(t) AS m FROM tt
+       |  WHERE substr(sk_lo, (t - 1) * 5 + 1, 5) <>
+       |        substr(sk_hi, (t - 1) * 5 + 1, 5)
+       |  GROUP BY g_lo
+       |), lc AS (
+       |  SELECT pr.g_lo, pr.g_hi, pr.rank_hi,
+       |         coalesce(bad.m, pr.bnd + 1) - 1 AS lcp
+       |  FROM pr LEFT JOIN bad USING (g_lo)
        |)""".stripMargin
 
   /** Winnowing (k=3, w=4) as shared CTEs ending in `wfp(doc_id, pos,
@@ -3052,6 +3231,62 @@ object LlmQueries {
          |       round(COALESCE(p.dup, 0) /
          |             CAST(greatest(len($Toks), 1) AS DOUBLE), 6) AS dup_ratio
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // the full distributed rank permutation vs a materialized suffix sort
+    "suffix_rank_docs" ->
+      s"""WITH $SuffixCtes
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(r AS BIGINT) AS sa_rank
+         |FROM sar WHERE is_tok
+         |ORDER BY doc_id, pos""".stripMargin,
+    // LCP spectrum + longest repeated substring, symbol-scan twin
+    "suffix_lcp_stats" ->
+      s"""WITH $SuffixCtes, $SuffixLcpCtes,
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(max(lcp) AS BIGINT) AS lrs_len,
+         |         CAST(sum(CASE WHEN lcp >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_5,
+         |         CAST(sum(CASE WHEN lcp >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_10,
+         |         CAST(sum(CASE WHEN lcp >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_ge_25,
+         |         CAST(sum(lcp) AS BIGINT) AS sum_lcp
+         |  FROM lc
+         |), lrc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS lrs_count FROM lc, ag
+         |  WHERE lc.lcp = ag.lrs_len
+         |), win AS (
+         |  SELECT lc.g_lo FROM lc, ag WHERE lc.lcp = ag.lrs_len
+         |  ORDER BY lc.rank_hi LIMIT 1
+         |), wpos AS (
+         |  SELECT gq.doc_id, gq.pos FROM gseq gq JOIN win ON gq.g = win.g_lo
+         |), txt AS (
+         |  SELECT d.doc_id AS lrs_doc_id, CAST(wpos.pos AS BIGINT) AS lrs_pos,
+         |         array_to_string(($Toks)[wpos.pos : wpos.pos + ag.lrs_len - 1],
+         |                         ' ') AS lrs_text
+         |  FROM documents d JOIN wpos ON d.doc_id = wpos.doc_id, ag
+         |)
+         |SELECT ag.n_pairs, ag.lrs_len, lrc.lrs_count, ag.pairs_ge_5,
+         |       ag.pairs_ge_10, ag.pairs_ge_25, ag.sum_lcp,
+         |       txt.lrs_doc_id, txt.lrs_pos, txt.lrs_text
+         |FROM ag, lrc, txt""".stripMargin,
+    // INDEPENDENT algorithm: exact 5-gram multiplicity (no suffix array,
+    // no hashes) — certifies the SA-derived neighbor-LCP dup positions
+    // by a structurally different computation
+    "suffix_dup_positions" ->
+      s"""WITH sdocs AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), pg AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(toks[i:i+4], ' ') AS gm
+         |  FROM sdocs, unnest(range(1, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 5
+         |), dupg AS (
+         |  SELECT gm FROM pg GROUP BY gm HAVING count(*) >= 2
+         |), dp AS (
+         |  SELECT doc_id, count(*) AS c FROM pg JOIN dupg USING (gm)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(dp.c, 0) AS BIGINT) AS dup_w_pos
+         |FROM documents d LEFT JOIN dp USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     // the winnow candidate graph closed transitively — proves the
     // closure composes with a second candidate generator. The twin is
