@@ -1652,6 +1652,16 @@ object LlmQueries {
     UnigramLm.docStats(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Content-defined chunking dedup profile ([[CdcChunks.dupStats]]):
+    * rolling-hash boundaries (k=3, modulus=8), corpus-wide chunk
+    * multiplicity — the shift-robust storage-dedup signal next to the
+    * fixed-segment CCNet path.
+    */
+  private def cdcChunkStats(s: SparkSession, dir: String): DataFrame =
+    CdcChunks.dupStats(tPar(s, dir, "documents"), "doc_id", "text",
+        k = 3, modulus = 8, minCount = 2)
+      .orderBy(col("doc_id"))
+
   // ----- suffix array (exact substring structure) -------------------------
 
   private val saMemo =
@@ -1860,6 +1870,7 @@ object LlmQueries {
     "suffix_rank_docs" -> (suffixRankDocs _),
     "suffix_lcp_stats" -> (suffixLcpStats _),
     "suffix_dup_positions" -> (suffixDupPositions _),
+    "cdc_chunk_stats" -> (cdcChunkStats _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -3267,6 +3278,46 @@ object LlmQueries {
          |       ag.pairs_ge_10, ag.pairs_ge_25, ag.sum_lcp,
          |       txt.lrs_doc_id, txt.lrs_pos, txt.lrs_text
          |FROM ag, lrc, txt""".stripMargin,
+    // same rolling-hash cut rule, same chunk fingerprint grouping
+    "cdc_chunk_stats" ->
+      s"""WITH ctoks AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents
+         |), cpos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         CASE WHEN i >= 3 THEN
+         |           (('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 15))::BIGINT % 8) = 0
+         |         ELSE FALSE END AS cut
+         |  FROM ctoks, unnest(range(1, len(toks) + 1)) AS u(i)
+         |  WHERE len(toks) >= 1
+         |), cidx AS (
+         |  SELECT doc_id, pos,
+         |         coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS chunk_idx
+         |  FROM cpos
+         |), cb AS (
+         |  SELECT doc_id, chunk_idx, min(pos) AS st, count(*) AS n
+         |  FROM cidx GROUP BY 1, 2
+         |), cfp AS (
+         |  SELECT cb.doc_id, cb.n,
+         |         md5(array_to_string(t.toks[cb.st : cb.st + cb.n - 1], ' ')) AS fp
+         |  FROM cb JOIN ctoks t ON t.doc_id = cb.doc_id
+         |), dupfp AS (
+         |  SELECT fp FROM cfp GROUP BY fp HAVING count(*) >= 2
+         |), pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_chunks,
+         |         CAST(sum(n) AS BIGINT) AS dup_chunk_tokens
+         |  FROM cfp JOIN dupfp USING (fp) GROUP BY doc_id
+         |), tcn AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |  FROM cfp GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(tcn.n_chunks, 0) AS n_chunks,
+         |       coalesce(pd.dup_chunks, 0) AS dup_chunks,
+         |       coalesce(pd.dup_chunk_tokens, 0) AS dup_chunk_tokens
+         |FROM documents d LEFT JOIN tcn USING (doc_id) LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // INDEPENDENT algorithm: exact 5-gram multiplicity (no suffix array,
     // no hashes) — certifies the SA-derived neighbor-LCP dup positions
     // by a structurally different computation

@@ -1924,6 +1924,31 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Exact-integer modularity of the 3-round LPA labeling over the
+    * trade graph ([[graft.ops.Communities.modularity]]) — the
+    * community-quality eval closing the graph family's find→score loop
+    * (PageRank scores nodes, LPA groups them, this says whether the
+    * grouping holds density).
+    */
+  private def modularityTradeCommunities(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Communities.modularity(tradeEdgesDirected(s, dir),
+        "src", "dst", iters = 3)
+      .orderBy(col("label"))
+
+  /** Deterministic hash-argmin walks ([[graft.ops.Walks.walks]]) from
+    * nation-0 customers over the symmetric trade graph — the
+    * DeepWalk/node2vec corpus generator, reproducible and exactly
+    * oracle-checkable because the neighbor choice is md5-argmin, not a
+    * seeded RNG.
+    */
+  private def graphWalksTrade(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdgesSymmetric(s, dir)
+    val seeds = t(s, dir, "customer").where(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+    graft.ops.Walks.walks(edges, "src", "dst", seeds, "id", steps = 4)
+      .orderBy(col("walk_id"), col("step"))
+  }
+
   /** Seeded (personalized) PageRank
     * ([[graft.ops.PageRank.ranksPersonalizedFixedPoint]]): teleport
     * restricted to nation-0 suppliers over the symmetrized trade
@@ -2346,6 +2371,8 @@ object SparkEntry {
     "hits_trade_graph" -> (hitsTradeGraph _),
     "supplier_neighbor_jaccard" -> (supplierNeighborJaccard _),
     "communities_trade_graph" -> (communitiesTradeGraph _),
+    "modularity_trade_communities" -> (modularityTradeCommunities _),
+    "graph_walks_trade" -> (graphWalksTrade _),
     "bfs_depth_trade_graph" -> (bfsDepthTradeGraph _),
     "trustrank_trade_graph" -> (trustrankTradeGraph _),
     "order_volume_acf" -> (orderVolumeAcf _),
@@ -2751,6 +2778,26 @@ object SparkEntry {
           |       CAST(1000000000 + l_suppkey AS BIGINT) AS dst
           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
         iters = 3),
+    // same unrolled LPA rounds, then the exact-integer decomposition
+    "modularity_trade_communities" ->
+      graft.ops.Communities.modularitySql(
+        """SELECT CAST(o_custkey AS BIGINT) AS src,
+          |       CAST(1000000000 + l_suppkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+        iters = 3),
+    // same md5-argmin step choice, same (hash, dst) tiebreak
+    "graph_walks_trade" ->
+      graft.ops.Walks.walksSql(
+        """SELECT CAST(o_custkey AS BIGINT) AS src,
+          |       CAST(1000000000 + l_suppkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |UNION ALL
+          |SELECT CAST(1000000000 + l_suppkey AS BIGINT) AS src,
+          |       CAST(o_custkey AS BIGINT) AS dst
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey""".stripMargin,
+        """SELECT CAST(c_custkey AS BIGINT) AS id
+          |FROM customer WHERE c_nationkey = 0""".stripMargin,
+        steps = 4),
     // same unrolled frontier rounds, same NOT-IN visited anti-join
     "bfs_depth_trade_graph" ->
       graft.ops.Bfs.depthsSql(

@@ -66,10 +66,53 @@ object Communities {
     labels
   }
 
-  /** ANSI-SQL twin of [[labelPropagation]] (unrolled CTE per round);
-    * `edgesSql` must yield (src, dst). Keep in lockstep.
+  /** Exact-integer modularity decomposition of the labeling
+    * [[labelPropagation]] produces after `iters` rounds — the standard
+    * "did the communities actually capture density?" eval (Newman 2006).
+    * With E = |directed symmetrized edges| = 2m, per community c:
+    * `q_num_part = E·intra_dir_c − degree_sum_c²`, so the global
+    * modularity is exactly `Σ q_num_part / E²` — every reported column
+    * is a BIGINT (E up to ~3e9 before int64 overflow in E·intra_dir;
+    * nine decades above the bench graph), the float is left to the
+    * reader. Shapes: the same symmetrize/distinct build, two label
+    * equi-joins at edge grain, one label-grain aggregate, and a 1-row
+    * total broadcast — nothing beyond the LPA pass itself.
+    *
+    * @return `label, n_nodes, intra_pairs, degree_sum, q_num_part`
     */
-  def labelPropagationSql(edgesSql: String, iters: Int): String = {
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 iters: Int = 3): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val labels = labelPropagation(edges, srcCol, dstCol, iters)
+    val tot = sym.agg(count(lit(1)).as("__E"))
+    val joined = sym
+      .join(labels.select(col("id").as("src"), col("label").as("__lsrc")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("label").as("__ldst")), Seq("dst"))
+    val perC = joined.groupBy(col("__lsrc").as("label"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("__lsrc") === col("__ldst"), 1L).otherwise(0L))
+          .as("__intra_dir"))
+    val nNodes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    perC.join(nNodes, Seq("label")).crossJoin(broadcast(tot))
+      .select(col("label"), col("n_nodes"),
+        // symmetric table ⇒ intra_dir is even; div keeps it BIGINT
+        expr("__intra_dir div 2").as("intra_pairs"),
+        col("degree_sum"),
+        (col("__E") * col("__intra_dir") -
+          col("degree_sum") * col("degree_sum")).as("q_num_part"))
+  }
+
+  /** Shared unrolled-CTE chain for the SQL twins, ending at
+    * `l<iters>(id, label)` over `e(src, dst)`. `AS MATERIALIZED`
+    * everywhere: DuckDB inlines multi-referenced CTEs, which turns an
+    * unrolled fixed point multiplicative.
+    */
+  private def lpCtes(edgesSql: String, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT e.src, l.label, count(*) AS c
@@ -82,15 +125,44 @@ object Communities {
          |    FROM c$i) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH raw AS MATERIALIZED ($edgesSql),
+    s"""raw AS MATERIALIZED ($edgesSql),
        |e AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
        |  WHERE src <> dst
        |),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** ANSI-SQL twin of [[labelPropagation]] (unrolled CTE per round);
+    * `edgesSql` must yield (src, dst). Keep in lockstep.
+    */
+  def labelPropagationSql(edgesSql: String, iters: Int): String =
+    s"""WITH ${lpCtes(edgesSql, iters)}
        |SELECT id, CAST(label AS BIGINT) AS label
        |FROM l$iters ORDER BY id""".stripMargin
-  }
+
+  /** ANSI-SQL twin of [[modularity]]. Keep in lockstep. */
+  def modularitySql(edgesSql: String, iters: Int): String =
+    s"""WITH ${lpCtes(edgesSql, iters)},
+       |lab AS MATERIALIZED (SELECT id, label FROM l$iters),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS E FROM e),
+       |j AS (
+       |  SELECT a.label AS lsrc, b.label AS ldst
+       |  FROM e JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst
+       |), perc AS (
+       |  SELECT lsrc AS label, CAST(count(*) AS BIGINT) AS degree_sum,
+       |         CAST(sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS intra_dir
+       |  FROM j GROUP BY 1
+       |), nn AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1
+       |)
+       |SELECT p.label, nn.n_nodes, p.intra_dir // 2 AS intra_pairs,
+       |       p.degree_sum,
+       |       (SELECT E FROM tot) * p.intra_dir -
+       |         p.degree_sum * p.degree_sum AS q_num_part
+       |FROM perc p JOIN nn USING (label)
+       |ORDER BY p.label""".stripMargin
 }
