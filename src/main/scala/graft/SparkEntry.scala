@@ -1904,11 +1904,22 @@ object SparkEntry {
     * "densely attached" grouping that splits what connected components
     * lumps together.
     */
-  private def communitiesTradeGraph(s: SparkSession, dir: String): DataFrame = {
-    graft.ops.Communities.labelPropagation(tradeEdgesDirected(s, dir),
-        "src", "dst", iters = 3)
-      .orderBy(col("id"))
-  }
+  private val lpLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** 3-round LPA labeling over the trade graph, shared by the
+    * communities query and the modularity eval (labelPropagation
+    * returns a checkpointed frame, so the memo hands back materialized
+    * blocks; keyed like [[tradePairsMemo]]).
+    */
+  private def lpTradeLabels(s: SparkSession, dir: String): DataFrame =
+    lpLabelsMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
+      _ => graft.ops.Communities.labelPropagation(tradeEdgesDirected(s, dir),
+        "src", "dst", iters = 3))
+
+  private def communitiesTradeGraph(s: SparkSession, dir: String): DataFrame =
+    lpTradeLabels(s, dir).orderBy(col("id"))
 
   /** Multi-source BFS depth ([[graft.ops.Bfs.depths]]) over the
     * symmetrized trade graph from nation-0 customers: frontier
@@ -1931,8 +1942,8 @@ object SparkEntry {
     * grouping holds density).
     */
   private def modularityTradeCommunities(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Communities.modularity(tradeEdgesDirected(s, dir),
-        "src", "dst", iters = 3)
+    graft.ops.Communities.modularityOf(tradeEdgesDirected(s, dir),
+        "src", "dst", lpTradeLabels(s, dir))
       .orderBy(col("label"))
 
   /** Deterministic hash-argmin walks ([[graft.ops.Walks.walks]]) from

@@ -81,14 +81,22 @@ object Communities {
     * @return `label, n_nodes, intra_pairs, degree_sum, q_num_part`
     */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
-                 iters: Int = 3): DataFrame = {
+                 iters: Int = 3): DataFrame =
+    modularityOf(edges, srcCol, dstCol,
+      labelPropagation(edges, srcCol, dstCol, iters))
+
+  /** [[modularity]] over a precomputed `(id, label)` labeling — callers
+    * that already ran [[labelPropagation]] (or any other labeler: CC,
+    * k-core shells) score it without paying the rounds again.
+    */
+  def modularityOf(edges: DataFrame, srcCol: String, dstCol: String,
+                   labels: DataFrame): DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val labels = labelPropagation(edges, srcCol, dstCol, iters)
     val tot = sym.agg(count(lit(1)).as("__E"))
     val joined = sym
       .join(labels.select(col("id").as("src"), col("label").as("__lsrc")), Seq("src"))
