@@ -1652,6 +1652,16 @@ object LlmQueries {
     UnigramLm.docStats(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The Lee et al. exact-substring EDIT
+    * ([[SubstringDedup.firstOccurrenceRebuild]]): later occurrences of
+    * repeated 5-gram spans removed, first kept, documents rebuilt —
+    * the md5 column pins every byte of the rebuilt corpus.
+    */
+  private def substringDedupRebuild(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.firstOccurrenceRebuild(tPar(s, dir, "documents"),
+        "doc_id", "text", w = 5)
+      .orderBy(col("doc_id"))
+
   /** Content-defined chunking dedup profile ([[CdcChunks.dupStats]]):
     * rolling-hash boundaries (k=3, modulus=8), corpus-wide chunk
     * multiplicity — the shift-robust storage-dedup signal next to the
@@ -1871,6 +1881,7 @@ object LlmQueries {
     "suffix_lcp_stats" -> (suffixLcpStats _),
     "suffix_dup_positions" -> (suffixDupPositions _),
     "cdc_chunk_stats" -> (cdcChunkStats _),
+    "substring_dedup_rebuild" -> (substringDedupRebuild _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -2258,77 +2269,76 @@ object LlmQueries {
        |)""".stripMargin
 
   /** Suffix-array shared CTEs ending in `sar(doc_id, pos, is_tok, rem,
-    * g, sk, r)` — the DuckDB twin of [[graft.llm.SuffixArray.build]]:
+    * sk, r)` — the DuckDB twin of [[graft.llm.SuffixArray.build]]:
     * the same corpus sequence (per-doc tokens + one unique sentinel,
     * vocabulary ranks by binary token order, sentinels below all
     * tokens), each suffix ranked by SORTING a materialized fixed-width
-    * hex key. The key is the first `maxDocLen + 1` symbols only — exact
-    * because unique sentinels bound every pairwise LCP by the document
-    * length, so two suffixes always differ inside that window. 5 hex
-    * digits per symbol holds any key below 2^20 (docs + vocab); the
-    * corpus string is one `string_agg` scalar (5n chars), and each
-    * row's sort key is a bounded `substr` of it.
+    * hex key. The key is PER-DOCUMENT — the suffix's own tokens plus
+    * the doc's sentinel code — which is exact because unique sentinels
+    * resolve every pairwise comparison within `min(rem)+1` symbols:
+    * equal tokens run out at someone's sentinel, and sentinels are
+    * mutually distinct and below all tokens. (An earlier corpus-scalar
+    * formulation was quadratic: 3M `substr`s each copying a 15 MB
+    * `string_agg` scalar.) 5 hex digits per symbol holds any key below
+    * 2^20 (docs + vocab); keys are ≤ 5·(maxDocLen+1) chars.
     */
   private val SuffixCtes: String =
-    s"""sadocs AS (
+    s"""sadocs AS MATERIALIZED (
        |  SELECT doc_id, $Toks AS toks,
        |         row_number() OVER (ORDER BY doc_id) AS dseq
        |  FROM documents
        |), dcount AS (SELECT count(*) AS d FROM sadocs),
-       |klen AS (SELECT 5 * (max(len(toks)) + 1) AS kl FROM sadocs),
        |pt AS (
        |  SELECT doc_id, dseq, len(toks) AS n_tok,
        |         CAST(i AS BIGINT) AS pos, toks[i] AS tok
        |  FROM sadocs, unnest(range(1, len(toks) + 1)) AS u(i)
-       |), savocab AS (
+       |), savocab AS MATERIALIZED (
        |  SELECT tok, row_number() OVER (ORDER BY tok) AS vr
        |  FROM (SELECT DISTINCT tok FROM pt)
-       |), saseq AS (
-       |  SELECT pt.doc_id, pt.dseq, pt.pos, TRUE AS is_tok,
-       |         pt.n_tok - pt.pos + 1 AS rem,
-       |         (SELECT d FROM dcount) + v.vr AS key
-       |  FROM pt JOIN savocab v USING (tok)
-       |  UNION ALL
-       |  SELECT doc_id, dseq, len(toks) + 1 AS pos, FALSE, 0 AS rem,
-       |         dseq AS key
-       |  FROM sadocs
-       |), gseq AS (
-       |  SELECT *, row_number() OVER (ORDER BY dseq, pos) AS g FROM saseq
-       |), sacorpus AS (
-       |  SELECT string_agg(printf('%05x', key), '' ORDER BY g) AS s FROM gseq
-       |), skey AS (
-       |  SELECT doc_id, pos, is_tok, rem, g,
-       |         substr((SELECT s FROM sacorpus), (g - 1) * 5 + 1,
-       |                (SELECT kl FROM klen)) AS sk
-       |  FROM gseq
-       |), sar AS (
-       |  SELECT doc_id, pos, is_tok, rem, g, sk,
-       |         rank() OVER (ORDER BY sk) AS r
-       |  FROM skey
+       |), dstr AS MATERIALIZED (
+       |  SELECT s.doc_id, s.dseq, len(s.toks) AS n_tok,
+       |         coalesce(tc.c, '') || printf('%05x', s.dseq) AS dc
+       |  FROM sadocs s LEFT JOIN (
+       |    SELECT pt.doc_id,
+       |           string_agg(printf('%05x', (SELECT d FROM dcount) + v.vr),
+       |                      '' ORDER BY pt.pos) AS c
+       |    FROM pt JOIN savocab v USING (tok) GROUP BY pt.doc_id) tc
+       |    USING (doc_id)
+       |), sar AS MATERIALIZED (
+       |  SELECT doc_id, pos, is_tok, rem, sk, rank() OVER (ORDER BY sk) AS r
+       |  FROM (
+       |    SELECT doc_id, CAST(i AS BIGINT) AS pos, TRUE AS is_tok,
+       |           n_tok - i + 1 AS rem, substr(dc, (i - 1) * 5 + 1) AS sk
+       |    FROM dstr, unnest(range(1, n_tok + 1)) AS u(i)
+       |    UNION ALL
+       |    SELECT doc_id, n_tok + 1 AS pos, FALSE, 0 AS rem,
+       |           substr(dc, n_tok * 5 + 1) AS sk
+       |    FROM dstr)
        |)""".stripMargin
 
   /** Adjacent-pair LCP CTEs on top of [[SuffixCtes]], ending in
-    * `lc(g_lo, g_hi, rank_hi, lcp)`: rank-adjacent suffixes compared
-    * symbol-by-symbol over their bounded sort keys, scanning at most
-    * `least(rem_lo, rem_hi)` symbols (the sentinel caps every LCP).
+    * `lc(lo_doc_id, lo_pos, rank_hi, lcp)`: rank-adjacent suffixes
+    * compared symbol-by-symbol over their bounded sort keys, scanning
+    * at most `least(rem_lo, rem_hi)` symbols (the sentinel caps every
+    * LCP).
     */
   private val SuffixLcpCtes: String =
     s"""pr AS (
-       |  SELECT a.g AS g_lo, b.g AS g_hi, b.r AS rank_hi,
+       |  SELECT a.doc_id AS lo_doc_id, a.pos AS lo_pos, b.r AS rank_hi,
        |         least(a.rem, b.rem) AS bnd, a.sk AS sk_lo, b.sk AS sk_hi
        |  FROM sar a JOIN sar b ON b.r = a.r + 1
        |), tt AS (
-       |  SELECT g_lo, bnd, sk_lo, sk_hi, CAST(t AS BIGINT) AS t
+       |  SELECT rank_hi, bnd, sk_lo, sk_hi, CAST(t AS BIGINT) AS t
        |  FROM pr, unnest(range(1, bnd + 1)) AS u(t)
        |), bad AS (
-       |  SELECT g_lo, min(t) AS m FROM tt
+       |  SELECT rank_hi, min(t) AS m FROM tt
        |  WHERE substr(sk_lo, (t - 1) * 5 + 1, 5) <>
        |        substr(sk_hi, (t - 1) * 5 + 1, 5)
-       |  GROUP BY g_lo
+       |  GROUP BY rank_hi
        |), lc AS (
-       |  SELECT pr.g_lo, pr.g_hi, pr.rank_hi,
+       |  SELECT pr.lo_doc_id, pr.lo_pos, pr.rank_hi,
        |         coalesce(bad.m, pr.bnd + 1) - 1 AS lcp
-       |  FROM pr LEFT JOIN bad USING (g_lo)
+       |  FROM pr LEFT JOIN bad USING (rank_hi)
        |)""".stripMargin
 
   /** Winnowing (k=3, w=4) as shared CTEs ending in `wfp(doc_id, pos,
@@ -3263,11 +3273,10 @@ object LlmQueries {
          |), lrc AS (
          |  SELECT CAST(count(*) AS BIGINT) AS lrs_count FROM lc, ag
          |  WHERE lc.lcp = ag.lrs_len
-         |), win AS (
-         |  SELECT lc.g_lo FROM lc, ag WHERE lc.lcp = ag.lrs_len
-         |  ORDER BY lc.rank_hi LIMIT 1
          |), wpos AS (
-         |  SELECT gq.doc_id, gq.pos FROM gseq gq JOIN win ON gq.g = win.g_lo
+         |  SELECT lc.lo_doc_id AS doc_id, lc.lo_pos AS pos
+         |  FROM lc, ag WHERE lc.lcp = ag.lrs_len
+         |  ORDER BY lc.rank_hi LIMIT 1
          |), txt AS (
          |  SELECT d.doc_id AS lrs_doc_id, CAST(wpos.pos AS BIGINT) AS lrs_pos,
          |         array_to_string(($Toks)[wpos.pos : wpos.pos + ag.lrs_len - 1],
@@ -3278,6 +3287,52 @@ object LlmQueries {
          |       ag.pairs_ge_10, ag.pairs_ge_25, ag.sum_lcp,
          |       txt.lrs_doc_id, txt.lrs_pos, txt.lrs_text
          |FROM ag, lrc, txt""".stripMargin,
+    // same gram hash, same first-writer-wins keeper, same island merge,
+    // and the rebuilt text certified byte-for-byte via md5
+    "substring_dedup_rebuild" ->
+      s"""WITH rtoks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents
+         |), rg AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+         |  FROM rtoks, unnest(range(1, len(t) - 3)) AS u(i)
+         |  WHERE len(t) >= 5
+         |), later AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |    FROM rg)
+         |  WHERE rn > 1
+         |), risl AS (
+         |  SELECT doc_id, pos,
+         |         sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM later)
+         |), rspan AS (
+         |  SELECT doc_id, min(pos) AS st, max(pos) + 4 AS en
+         |  FROM risl GROUP BY doc_id, island
+         |), rmark AS (
+         |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+         |  FROM rspan, unnest(range(st, en + 1)) AS u(p)
+         |), rpos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+         |  FROM rtoks, unnest(range(1, len(t) + 1)) AS u(i)
+         |), rkept AS (
+         |  SELECT r.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |         md5(string_agg(r.tok, ' ' ORDER BY r.pos)) AS kept_md5
+         |  FROM rpos r LEFT JOIN rmark m
+         |    ON r.doc_id = m.doc_id AND r.pos = m.pos
+         |  WHERE m.doc_id IS NULL
+         |  GROUP BY r.doc_id
+         |)
+         |SELECT d.doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens,
+         |       CAST(len($Toks) AS BIGINT) - coalesce(k.kept_tokens, 0) AS removed_tokens,
+         |       coalesce(k.kept_tokens, 0) AS kept_tokens,
+         |       coalesce(k.kept_md5, md5('')) AS kept_md5
+         |FROM documents d LEFT JOIN rkept k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // same rolling-hash cut rule, same chunk fingerprint grouping
     "cdc_chunk_stats" ->
       s"""WITH ctoks AS (

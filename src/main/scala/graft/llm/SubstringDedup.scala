@@ -93,6 +93,71 @@ object SubstringDedup {
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
   }
 
+  /** The Lee et al. EDIT itself — remove every LATER occurrence of a
+    * repeated w-gram span and keep the first, then rebuild the
+    * documents: the step beyond [[dupSpans]]'s marking, with the
+    * asymmetric first-writer-wins semantics of [[SegmentDedup]] applied
+    * at SLIDING-window grain (segments are non-overlapping and
+    * re-alignable; this removes the span wherever it re-appears,
+    * including inside the same document).
+    *
+    * Corpus order is `(idCol, pos)`; the keeper of a w-gram is its
+    * minimal `(idCol, pos)` occurrence — one partial-aggregatable
+    * `min(struct(...))` at gram-hash grain, never a window over
+    * occurrences. Later occurrences mark `[pos, pos+w)`; overlapping
+    * marks merge per document (gaps-and-islands); surviving tokens
+    * rebuild by position. Output is stats width — the rebuilt text is
+    * certified by md5 so the oracle hash pins every byte without
+    * shipping the text.
+    *
+    * @return `idCol, n_tokens, removed_tokens, kept_tokens, kept_md5`
+    *         (kept_md5 = md5 of the space-joined surviving tokens;
+    *         md5('') for fully-removed or empty docs)
+    */
+  def firstOccurrenceRebuild(df: DataFrame, idCol: String, textCol: String,
+                             w: Int = 5): DataFrame = {
+    val grams = shingleHashes(df, idCol, textCol, w)
+    val keepers = grams.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__k"))
+    // each occurrence matches exactly ONE keeper row (no fan-out); a
+    // later occurrence is any (doc, pos) above the keeper's
+    val later = grams.join(keepers, Seq("h"))
+      .where(struct(col(idCol), col("pos")) =!= col("__k"))
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = later
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") - col("__prev") > w, 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("__st"), (max(col("pos")) + lit(w - 1)).as("__en"))
+    val marked = spans.select(col(idCol),
+      explode(sequence(col("__st"), col("__en"))).as("pos"))
+    val toks = df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1L).as("pos"), col("__tok"))
+    val kept = toks.join(marked, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          x => x.getField("__tok")), " ")).as("kept_md5"))
+    df.select(col(idCol), TextStats.nTokens(col(textCol)).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_md5"), lit(md5Empty)).as("kept_md5"))
+  }
+
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+
   /** Per-document duplication profile over ALL documents (clean ones
     * included): `idCol, n_tokens, dup_tokens, dup_ratio` — the gating
     * column a curation pipeline thresholds on ("drop documents that are

@@ -62,4 +62,42 @@ class SubstringDedupSpec extends AnyFunSuite {
       "doc_id", "text", w = 3, minDocs = 3)
     assert(spans.count() === 0)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("firstOccurrenceRebuild keeps the first occurrence, removes later ones") {
+    val d = Seq(
+      (1L, "a b c d e f"),       // first occurrence of "a b c" — kept whole
+      (2L, "x a b c y z"),       // later occurrence → tokens 2..4 removed
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val got = SubstringDedup.firstOccurrenceRebuild(d, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got(0) === ((1L, 6L, 0L, 6L, md5hex("a b c d e f"))))
+    assert(got(1) === ((2L, 6L, 3L, 3L, md5hex("x y z"))))
+    assert(got(2) === ((3L, 6L, 0L, 6L, md5hex("p q r s t u"))))
+  }
+
+  test("firstOccurrenceRebuild removes IN-DOCUMENT repeats (unlike dupSpans)") {
+    val d = Seq((1L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val got = SubstringDedup.firstOccurrenceRebuild(d, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // first "m n o" (pos 1..3) kept; later 3-gram occurrences start at
+    // pos 4 and 7, marking 4..9 — merged into one span
+    assert(got.head === ((9L, 6L, 3L, md5hex("m n o"))))
+  }
+
+  test("firstOccurrenceRebuild: fully-removed doc digests md5('')") {
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d")).toDF("doc_id", "text") // doc 2 entirely a later copy
+    val got = SubstringDedup.firstOccurrenceRebuild(d, "doc_id", "text", w = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    assert(got(0) === ((1L, 4L, md5hex("a b c d"))))
+    assert(got(1) === ((2L, 0L, md5hex(""))))
+  }
 }
