@@ -2327,18 +2327,38 @@ object LlmQueries {
        |  SELECT a.doc_id AS lo_doc_id, a.pos AS lo_pos, b.r AS rank_hi,
        |         least(a.rem, b.rem) AS bnd, a.sk AS sk_lo, b.sk AS sk_hi
        |  FROM sar a JOIN sar b ON b.r = a.r + 1
-       |), tt AS (
-       |  SELECT rank_hi, bnd, sk_lo, sk_hi, CAST(t AS BIGINT) AS t
-       |  FROM pr, unnest(range(1, bnd + 1)) AS u(t)
-       |), bad AS (
-       |  SELECT rank_hi, min(t) AS m FROM tt
-       |  WHERE substr(sk_lo, (t - 1) * 5 + 1, 5) <>
-       |        substr(sk_hi, (t - 1) * 5 + 1, 5)
+       |), blk AS (
+       |  -- two-level scan: compare 8-symbol (40-char) BLOCKS first —
+       |  -- a symbol-grain explode carries O(pairs x bnd) rows and
+       |  -- OOM'd DuckDB at the 30M-token decade; blocks cut the
+       |  -- exploded row count 8x. Block b covers symbols
+       |  -- (b-1)*8+1 .. min(b*8, bnd); the substr length cap keeps the
+       |  -- compare inside bnd so sentinel bytes past the shorter
+       |  -- suffix never leak in.
+       |  SELECT rank_hi, CAST(b AS BIGINT) AS b,
+       |         substr(sk_lo, (b - 1) * 40 + 1,
+       |                CAST(least(8, bnd - (b - 1) * 8) * 5 AS BIGINT)) AS ca,
+       |         substr(sk_hi, (b - 1) * 40 + 1,
+       |                CAST(least(8, bnd - (b - 1) * 8) * 5 AS BIGINT)) AS cb
+       |  FROM pr, unnest(range(1, (bnd + 7) // 8 + 1)) AS u(b)
+       |), badblk AS (
+       |  SELECT rank_hi, min(b) AS mb FROM blk
+       |  WHERE ca <> cb
        |  GROUP BY rank_hi
+       |), fine AS (
+       |  -- fine scan ONLY inside the first differing block (<= 8
+       |  -- symbols per pair)
+       |  SELECT p.rank_hi, min(CAST(t AS BIGINT)) AS m
+       |  FROM pr p JOIN badblk k USING (rank_hi),
+       |       unnest(range((k.mb - 1) * 8 + 1,
+       |                    least(k.mb * 8, p.bnd) + 1)) AS u(t)
+       |  WHERE substr(p.sk_lo, (t - 1) * 5 + 1, 5) <>
+       |        substr(p.sk_hi, (t - 1) * 5 + 1, 5)
+       |  GROUP BY p.rank_hi
        |), lc AS (
        |  SELECT pr.lo_doc_id, pr.lo_pos, pr.rank_hi,
-       |         coalesce(bad.m, pr.bnd + 1) - 1 AS lcp
-       |  FROM pr LEFT JOIN bad USING (rank_hi)
+       |         coalesce(fine.m, pr.bnd + 1) - 1 AS lcp
+       |  FROM pr LEFT JOIN fine USING (rank_hi)
        |)""".stripMargin
 
   /** Winnowing (k=3, w=4) as shared CTEs ending in `wfp(doc_id, pos,
