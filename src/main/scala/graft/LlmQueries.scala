@@ -1652,6 +1652,17 @@ object LlmQueries {
     UnigramLm.docStats(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** SQ8 scalar-quantization top-k ([[Similarity.knnSq8]]) — the fifth
+    * ANN index variant; codes and scores are pure BIGINT on the 1e4
+    * grid, so the oracle needs no trained literals at all.
+    */
+  private def knnCosineSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    Similarity.knnSq8(emb.where(col("vec_id") < 16), emb,
+        "vec_id", "vec_id", "embedding", dims = 64, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The Lee et al. exact-substring EDIT
     * ([[SubstringDedup.firstOccurrenceRebuild]]): later occurrences of
     * repeated 5-gram spans removed, first kept, documents rebuilt —
@@ -1882,6 +1893,7 @@ object LlmQueries {
     "suffix_dup_positions" -> (suffixDupPositions _),
     "cdc_chunk_stats" -> (cdcChunkStats _),
     "substring_dedup_rebuild" -> (substringDedupRebuild _),
+    "knn_cosine_sq8" -> (knnCosineSq8 _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -3307,6 +3319,44 @@ object LlmQueries {
          |       ag.pairs_ge_10, ag.pairs_ge_25, ag.sum_lcp,
          |       txt.lrs_doc_id, txt.lrs_pos, txt.lrs_text
          |FROM ag, lrc, txt""".stripMargin,
+    // same 1e4 grid, same per-dim min/max, same integer codes and dot —
+    // zero trained literals
+    "knn_cosine_sq8" ->
+      s"""WITH eq AS (
+         |  SELECT vec_id, embedding,
+         |         list_transform(embedding,
+         |           v -> CAST(floor(CAST(v AS DOUBLE) * 1e4) AS BIGINT)) AS e
+         |  FROM embeddings
+         |), st AS (
+         |  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+         |  FROM eq, (SELECT unnest(range(1, 65)) AS i) ix GROUP BY i
+         |), stl AS (
+         |  SELECT list(mn ORDER BY i) AS mns,
+         |         list(greatest(mx - mn, 1) ORDER BY i) AS spans
+         |  FROM st
+         |), coded AS (
+         |  SELECT vec_id, embedding,
+         |         list_transform(range(1, 65),
+         |           i -> ((e[i] - mns[i]) * 255) // spans[i]) AS c
+         |  FROM eq, stl
+         |), recon AS (
+         |  SELECT vec_id, embedding,
+         |         list_transform(range(1, 65),
+         |           i -> mns[i] * 255 + c[i] * spans[i]) AS r
+         |  FROM coded, stl
+         |), sq AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         round(${cosineSql("q.r", "e.r")}, 6) AS approx_sim,
+         |         round(${cosineSql("q.embedding", "e.embedding")}, 6) AS true_sim
+         |  FROM recon e, (SELECT * FROM recon WHERE vec_id < 16) q
+         |  WHERE e.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank,
+         |       neighbor_id, approx_sim, true_sim
+         |FROM sq
+         |WINDOW w AS (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // same gram hash, same first-writer-wins keeper, same island merge,
     // and the rebuilt text certified byte-for-byte via md5
     "substring_dedup_rebuild" ->

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,51 @@ object CdcChunks {
         col("chunk_end"), col("chunk_tokens"),
         md5(array_join(slice(col("__toks"), col("chunk_start").cast("int"),
           col("chunk_tokens").cast("int")), " ")).as("fp"))
+  }
+
+  /** [[chunks]] as PURE row-local array expressions — no window, no
+    * shuffle — so the chunker composes into Structured Streaming
+    * (arbitrary non-time windows are unsupported there) and, in batch,
+    * runs map-only. Per document: cut positions filter out of one
+    * `sequence`, the document end closes the last chunk, and
+    * `posexplode` over the ends array yields one row per chunk with
+    * the 0-based chunk index equal to the cuts before it — the same
+    * numbering [[chunks]]' window prefix-sum produces (asserted
+    * equivalent in the spec). Cost is O(len²) array work per row,
+    * bounded by document length — the constant a shuffle-free streaming
+    * stage is worth.
+    */
+  def chunksMapOnly(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, modulus: Int = 8): DataFrame = {
+    require(k >= 2, s"k=$k")
+    require(modulus >= 2, s"modulus=$modulus")
+    val toksDf = df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 1)
+    val n = size(col("__toks")).cast("long")
+    def cut(i: Column): Column =
+      conv(substring(md5(array_join(
+        slice(col("__toks"), (i - k + 1).cast("int"), lit(k)), " ")),
+        1, 15), 16, 10).cast("long") % modulus === 0
+    val ends = concat(
+      when(n >= k,
+        filter(sequence(lit(k.toLong), n), i => cut(i) && i =!= n))
+        .otherwise(array().cast("array<bigint>")),
+      array(n))
+    toksDf.withColumn("__ends", ends)
+      .select(col(idCol), col("__toks"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("__j0", "__en")))
+      .select(col(idCol), col("__toks"),
+        col("__j0").cast("long").as("chunk_idx"),
+        when(col("__j0") === 0, lit(1L))
+          .otherwise(element_at(col("__ends"), col("__j0")) + 1L)
+          .as("chunk_start"),
+        col("__en").as("chunk_end"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        col("chunk_end"),
+        (col("chunk_end") - col("chunk_start") + 1L).as("chunk_tokens"),
+        md5(array_join(slice(col("__toks"), col("chunk_start").cast("int"),
+          (col("chunk_end") - col("chunk_start") + 1L).cast("int")), " "))
+          .as("fp"))
   }
 
   /** Per-document CDC dedup profile: chunk count, chunks whose content

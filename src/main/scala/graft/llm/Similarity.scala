@@ -55,6 +55,89 @@ object Similarity {
       when(element_at(a, i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Scalar-quantization (SQ8) top-k — the fifth index variant next to
+    * sign-LSH / multiprobe / IVF / PQ: each dimension min-max-quantizes
+    * to an 8-bit code and candidates rank by the INTEGER quantized dot.
+    * Where PQ trains sub-centroids (k-means literals an oracle must
+    * embed), SQ8's "training" is two exact aggregates — per-dimension
+    * min and max on the repo's 1e4 integer grid — so the whole index,
+    * codes and scores included, is BIGINT arithmetic a twin engine
+    * reproduces bit-for-bit with no trained literals at all.
+    *
+    *   e_i     = floor(v_i · 1e4)                (the grid used repo-wide)
+    *   code_i  = (e_i − mn_i) · 255 div max(mx_i − mn_i, 1)   ∈ 0..255
+    *   recon_i = mn_i · 255 + code_i · span_i    (≈ e_i · 255, exact BIGINT)
+    *   approx  = cosine(q_recon, c_recon)        (same fold as knnBrute)
+    *
+    * Ranking runs on the cosine of the RECONSTRUCTED integer vectors —
+    * a raw shifted-code dot would rank by magnitude in the shifted
+    * space, not similarity (an all-max corpus vector would beat the
+    * query's own duplicate). The scan reads 1 byte/dim instead of 4 —
+    * at 100 TB the difference between an in-memory index and not — and
+    * the per-dim stats are ONE 1-row aggregate broadcast back (never a
+    * driver collect). The emitted `true_sim` column is the exact
+    * re-rank over the k survivors only.
+    *
+    * @return `query_id, rank, neighbor_id, approx_sim, true_sim`
+    */
+  def knnSq8(queries: DataFrame, corpus: DataFrame, qidCol: String,
+             idCol: String, vecCol: String, dims: Int,
+             k: Int = 10): DataFrame = {
+    def grid(c: Column): Column =
+      transform(c, v => floor(v.cast("double") * lit(1e4)).cast("long"))
+    val ec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), grid(col(vecCol)).as("__e"))
+    // per-dimension min/max: dims-grain aggregate folded to ONE row of
+    // two dims-length arrays, broadcast back (bounded by dims, not rows)
+    val stats = ec.select(posexplode(col("__e")).as(Seq("__i", "__v")))
+      .groupBy(col("__i"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("__i"), col("__mn")))),
+          s => s.getField("__mn")).as("__mns"),
+        transform(sort_array(collect_list(struct(col("__i"), col("__mx")))),
+          s => s.getField("__mx")).as("__mxs"))
+    // floor of a double division == integer division here: numerators
+    // are exact ints <= ~1.7e7 and any non-integer quotient sits at
+    // least 1/span >= 1/65535 from the next integer — 9 decades above
+    // double ulp, so the correctly-rounded quotient can never cross it
+    def codes(e: Column): Column =
+      zip_with(e, sequence(lit(0), lit(dims - 1)), (x, i) => {
+        val mn = element_at(col("__mns"), (i + 1).cast("int"))
+        val span = greatest(
+          element_at(col("__mxs"), (i + 1).cast("int")) - mn, lit(1L))
+        floor(((x - mn) * lit(255L)).cast("double") / span.cast("double"))
+          .cast("long")
+      })
+    // reconstructed integer vector from the stored codes (what a real
+    // SQ8 scan decodes from its 1-byte/dim pages)
+    def recon(cs: Column): Column =
+      zip_with(cs, sequence(lit(0), lit(dims - 1)), (cde, i) => {
+        val mn = element_at(col("__mns"), (i + 1).cast("int"))
+        val span = greatest(
+          element_at(col("__mxs"), (i + 1).cast("int")) - mn, lit(1L))
+        mn * lit(255L) + cde * span
+      })
+    val coded = ec.crossJoin(broadcast(stats))
+      .select(col("neighbor_id"), col("__cv"),
+        recon(codes(col("__e"))).as("__cr"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+        grid(col(vecCol)).as("__qe"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("__qv"),
+        recon(codes(col("__qe"))).as("__qr"))
+    val sq = coded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim",
+        round(cosineDeclarative(col("__qr"), col("__cr")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    sq.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_sim"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("true_sim"))
+  }
+
   /** Exact cosine top-k: for each query vector, the `k` nearest corpus
     * vectors. Ranking uses (rounded similarity desc, corpus id) so
     * results are total-order deterministic.

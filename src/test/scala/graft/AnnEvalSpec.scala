@@ -94,6 +94,38 @@ class AnnEvalSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("knnSq8 codes are 0..255 and an identical vector ranks top-1") {
+    val rnd = new scala.util.Random(3)
+    val dims = 8
+    def v() = Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)
+    val shared = v()
+    val corpus = ((1L to 30L).map(id => (id, v())) :+ (98L, shared) :+
+      (99L, shared)).toDF("vec_id", "embedding")
+    val got = Similarity.knnSq8(
+      corpus.where(col("vec_id") === 99L), corpus,
+      "vec_id", "vec_id", "embedding", dims = dims, k = 5)
+      .orderBy("rank").collect()
+    // 98 reconstructs to the query's own codes — approx cosine exactly 1
+    assert(got.head.getLong(2) === 98L)
+    assert(got.head.getDouble(3) === 1.0)
+    assert(got.head.getDouble(4) === 1.0)
+    // approx score is monotone non-increasing down the ranking
+    val sims = got.map(_.getDouble(3)).toSeq
+    assert(sims === sims.sortBy(-_))
+  }
+
+  test("knnSq8 reruns bit-identically (no trained state)") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (1L to 40L)
+      .map(id => (id, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.knnSq8(corpus.where(col("vec_id") < 3L), corpus,
+        "vec_id", "vec_id", "embedding", dims = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(run() === run())
+  }
+
   test("pq codebooks memoize per subspace tag") {
     val df = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")

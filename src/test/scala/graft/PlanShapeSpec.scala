@@ -91,7 +91,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val sliceQueries =
     Set("knn_cosine_brute", "knn_cosine_pq", "knn_cosine_pq_refined",
       "ann_rbo_eval", "jl_projection_pairs", "hybrid_rrf_docs",
-      "hard_negative_pool")
+      "hard_negative_pool", "knn_cosine_sq8")
 
   import org.apache.spark.sql.execution.SparkPlan
 
@@ -109,6 +109,12 @@ class PlanShapeSpec extends AnyFunSuite {
       case _: LocalTableScanExec => true
       case _: GlobalLimitExec | _: LocalLimitExec |
            _: TakeOrderedAndProjectExec => true
+      // a cartesian of two bounded sides is bounded (e.g. a query
+      // slice decorated with a broadcast 1-row stats aggregate)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        boundedBuild(j.left, allowSlice) && boundedBuild(j.right, allowSlice)
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        boundedBuild(b.child, allowSlice)
       case pr: ProjectExec => boundedBuild(pr.child, allowSlice)
       case f: FilterExec => boundedBuild(f.child, allowSlice)
       case s: SortExec => boundedBuild(s.child, allowSlice)
