@@ -1768,6 +1768,51 @@ object LlmQueries {
         col("sum_lcp"), col("lrs_doc_id"), col("lrs_pos"), col("lrs_text"))
   }
 
+  /** Repeat FAMILIES at threshold L=10 — the any-length grouping the
+    * suffix structure makes cheap: suffixes sharing a >= L prefix are
+    * CONTIGUOUS in rank order, so families are connected components of
+    * the path graph whose edges are rank-adjacent pairs with
+    * `lcp >= L` ([[graft.ops.ConnectedComponents.components]] reused
+    * verbatim — the component label is the family's min rank). Per
+    * family: occurrence count, the longest prefix shared by ALL
+    * members (= min adjacent LCP over the run), and the first witness
+    * occurrence in corpus order with its text. Edge count is the
+    * conn-pair count, decades below corpus size — CC runs on the
+    * sparse linked set only.
+    */
+  private def suffixRepeatFamilies(s: SparkSession, dir: String): DataFrame = {
+    val L = 10
+    val res = saFor(s, dir)
+    val conn = saLcpFor(s, dir).where(col("lcp") >= L).localCheckpoint(true)
+    // alternating (log-star) closure, NOT plain min-label: runs are
+    // PATHS, so plain propagation needs diameter rounds and a
+    // 100-copy boilerplate run blows any fixed budget; pointer
+    // jumping closes the longest sf1 runs in a handful of rounds
+    val fam = graft.ops.ConnectedComponents.componentsAlternating(
+      conn.select((col("rank_hi") - 1L).as("src"), col("rank_hi").as("dst")),
+      "src", "dst")
+    val shared = conn
+      .join(fam.select(col("id").as("rank_hi"), col("component")), Seq("rank_hi"))
+      .groupBy(col("component")).agg(min(col("lcp")).as("shared_len"))
+    val wit = fam.join(res.sa.select(col("r").as("id"), col("g")), Seq("id"))
+      .join(res.seq.select(col("g"), col("doc_id"), col("pos")), Seq("g"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("pos"))).as("__w"))
+      .select(col("component"), col("n_occurrences"),
+        col("__w.doc_id").as("witness_doc_id"), col("__w.pos").as("witness_pos"))
+    val docToks = t(s, dir, "documents")
+      .select(col("doc_id").as("witness_doc_id"),
+        TextStats.tokens(col("text")).as("__toks"))
+    wit.join(shared, Seq("component"))
+      .join(docToks, Seq("witness_doc_id"))
+      .select(col("component").as("family_rank"), col("n_occurrences"),
+        col("shared_len"), col("witness_doc_id"), col("witness_pos"),
+        array_join(slice(col("__toks"), col("witness_pos").cast("int"),
+          col("shared_len").cast("int")), " ").as("family_text"))
+      .orderBy(col("family_rank"))
+  }
+
   /** Per-document duplicated 5-gram positions derived from the suffix
     * array ([[SuffixArray.dupPositions]]) — the twin runs the INDEPENDENT
     * shingle-count algorithm, so the hash certifies two different exact
@@ -1894,6 +1939,7 @@ object LlmQueries {
     "cdc_chunk_stats" -> (cdcChunkStats _),
     "substring_dedup_rebuild" -> (substringDedupRebuild _),
     "knn_cosine_sq8" -> (knnCosineSq8 _),
+    "suffix_repeat_families" -> (suffixRepeatFamilies _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -3443,6 +3489,46 @@ object LlmQueries {
          |       coalesce(pd.dup_chunk_tokens, 0) AS dup_chunk_tokens
          |FROM documents d LEFT JOIN tcn USING (doc_id) LEFT JOIN pd USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // same rank-run islands (window form of the CC min-label), same
+    // min-adjacent-lcp shared length, same corpus-order witness
+    "suffix_repeat_families" ->
+      s"""WITH $SuffixCtes, $SuffixLcpCtes,
+         |conn AS (SELECT rank_hi, lcp FROM lc WHERE lcp >= 10),
+         |mem AS (
+         |  SELECT rank_hi AS r FROM conn
+         |  UNION SELECT rank_hi - 1 AS r FROM conn
+         |), mk AS (
+         |  SELECT m.r, (c.rank_hi IS NOT NULL) AS linked
+         |  FROM mem m LEFT JOIN conn c ON c.rank_hi = m.r
+         |), isl AS (
+         |  SELECT r, sum(CASE WHEN linked THEN 0 ELSE 1 END)
+         |           OVER (ORDER BY r) AS il
+         |  FROM mk
+         |), famr AS (
+         |  SELECT r, min(r) OVER (PARTITION BY il) AS family_rank FROM isl
+         |), shared AS (
+         |  SELECT f.family_rank, CAST(min(c.lcp) AS BIGINT) AS shared_len
+         |  FROM conn c JOIN famr f ON f.r = c.rank_hi GROUP BY 1
+         |), witrn AS (
+         |  SELECT f.family_rank, s.doc_id, s.pos,
+         |         row_number() OVER (PARTITION BY f.family_rank
+         |           ORDER BY s.doc_id, s.pos) AS rn,
+         |         count(*) OVER (PARTITION BY f.family_rank) AS n_occ
+         |  FROM famr f JOIN sar s ON s.r = f.r
+         |), wit AS (
+         |  SELECT family_rank, doc_id AS witness_doc_id,
+         |         CAST(pos AS BIGINT) AS witness_pos,
+         |         CAST(n_occ AS BIGINT) AS n_occurrences
+         |  FROM witrn WHERE rn = 1
+         |)
+         |SELECT CAST(w.family_rank AS BIGINT) AS family_rank,
+         |       w.n_occurrences, sh.shared_len,
+         |       w.witness_doc_id, w.witness_pos,
+         |       array_to_string(($Toks)[w.witness_pos :
+         |         w.witness_pos + sh.shared_len - 1], ' ') AS family_text
+         |FROM wit w JOIN shared sh USING (family_rank)
+         |JOIN documents d ON d.doc_id = w.witness_doc_id
+         |ORDER BY family_rank""".stripMargin,
     // INDEPENDENT algorithm: exact 5-gram multiplicity (no suffix array,
     // no hashes) — certifies the SA-derived neighbor-LCP dup positions
     // by a structurally different computation

@@ -148,6 +148,33 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(!exp.exists(_._1 == 4L))
   }
 
+  test("repeat families: a passage shared by 3 docs yields shifted families") {
+    // 12-token passage P in three docs; threshold semantics (L=6) group
+    // SUFFIXES: start positions share all 12 tokens, the +1 shifts share
+    // 11, ... down to shifts sharing exactly 6 — seven families of
+    // size 3, shared_len 12..6
+    val p = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12"
+    val docs = Seq(
+      (1L, s"$p x y"),
+      (2L, s"a b $p"),
+      (3L, s"c $p d"))
+    val L = 6
+    val res = buildOn(docs)
+    val lcp = SuffixArray.adjacentLcp(res)
+    val conn = lcp.where(col("lcp") >= L)
+    val fam = graft.ops.ConnectedComponents.components(
+      conn.select((col("rank_hi") - 1L).as("src"), col("rank_hi").as("dst")),
+      "src", "dst")
+    val sizes = fam.groupBy(col("component")).count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(sizes === Seq.fill(12 - L + 1)(3L))
+    val sharedLens = conn
+      .join(fam.select(col("id").as("rank_hi"), col("component")), Seq("rank_hi"))
+      .groupBy(col("component")).agg(min(col("lcp")).as("sl"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(sharedLens === (L.toLong to 12L))
+  }
+
   test("empty and single-token documents are handled") {
     val docs = Seq((1L, "a"), (2L, "   "), (3L, "a b a"))
     val res = buildOn(docs)
