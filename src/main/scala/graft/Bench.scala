@@ -16,6 +16,21 @@ import org.apache.spark.sql.SparkSession
   *  - `spark.catalog.clearCache()` between queries, so a query that
   *    caches internally cannot leak blocks into its successors' memory.
   *
+  * Trained/memoized honesty (round-10 verdict finding #1): several
+  * query families share JVM-level memos (BPE merge tables, k-means
+  * centroids, trade pairs, LPA labels, the suffix-array structure).
+  * `clearCache()` does not reset those, so without care pass 1 pays
+  * training and later passes report the warm apply path — a floor that
+  * understates the query. Two countermeasures:
+  *  - [[Memos.clearAll]] runs between passes, so EVERY pass pays each
+  *    training exactly once and min-over-passes includes it (memos stay
+  *    live WITHIN a pass — they exist so one training feeds its whole
+  *    consumer family, which is also how a real pipeline runs);
+  *  - the JSON carries `cold` (first-pass per-query seconds) and
+  *    `trained_queries` (queries that fired at least one memo training
+  *    in some pass, detected via [[Memos.trainedEvents]]) so a reader
+  *    can see exactly where shared training cost landed.
+  *
   * The JSON is ALSO written to `BENCH.json` (override with
   * `SPARK_GRAFT_BENCH_OUT`) because sbt wraps stdout in `[info]` prefixes
   * that defeat line-oriented parsers.
@@ -69,8 +84,10 @@ object Bench {
     // where a query fails fast (transient OOM, missing file) must NOT
     // feed its small failure time into the min-over-passes below — that
     // would silently deflate the headline total.
+    val trainedIn = scala.collection.mutable.Set.empty[String]
     def runPass(): Map[String, (Double, Boolean)] =
       bench.map { case (name, fn) =>
+        val ev0 = Memos.trainedEvents
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (count() would let Catalyst prune projection-only plans).
@@ -83,10 +100,17 @@ object Bench {
         // Drop anything the query persisted: leaked cache blocks would
         // otherwise squeeze execution memory for every later query.
         spark.catalog.clearCache()
+        if (Memos.trainedEvents > ev0) trainedIn += name
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
 
-    val allPasses = (1 to math.max(1, passes)).map(_ => runPass())
+    val allPasses = (1 to math.max(1, passes)).map { i =>
+      // every pass pays each shared training once: without the reset,
+      // min-over-passes reports the warm apply path for the memoized
+      // trained families (round-10 verdict finding #1)
+      if (i > 1) Memos.clearAll()
+      runPass()
+    }
     // min over SUCCESSFUL passes only. A query that never succeeded has NO
     // real run time — a fail-fast error (missing file) would understate it
     // and a timeout-ish failure overstate it — so it contributes null to
@@ -100,6 +124,15 @@ object Bench {
     val qs = best.map { case (k, v) =>
       s"\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
+    // first-pass (cold-JVM) per-query seconds: for the trained families
+    // this is the worst case (training + first codegen), the floor the
+    // best case — together they bracket the query's real cost
+    val coldJson = bench.keys.map { name =>
+      val c = allPasses.head.get(name).collect { case (t, true) => t }
+      s"\"" + name + "\":" + c.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
+    val trainedJson = trainedIn.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.values.flatten.sum
     // The 49 s baseline (BASELINE.md) was recorded over EXACTLY these
     // 38 round-1/2 queries. An ALLOWLIST, not a since-baseline denylist:
@@ -170,7 +203,7 @@ object Bench {
     val subsetJson = only.fold("null")(
       _.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${best.size},"failures":${failedQueries.size},"failed_queries":$failedJson,"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"bench_only":$subsetJson,"spread_p50":${"%.3f".format(pct(0.5))},"spread_p90":${"%.3f".format(pct(0.9))},"noisiest_queries":$noisiest,"note":"value and per-query times are the min over successful runs across ${allPasses.size} in-JVM passes (a failed run never deflates the min; a query with no successful run is null in queries, excluded from value, and listed in failed_queries); pass_totals holds each raw pass sum; bench_only is the SPARK_GRAFT_BENCH_ONLY subset or null for the full surface; spread_p50/p90 are per-query (max-min)/min across passes (contention telemetry: quiet machine keeps p50 near 0); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"trained_queries":$trainedJson,"sf":"$sfDir","n_queries":${best.size},"failures":${failedQueries.size},"failed_queries":$failedJson,"baseline_subset_total":$baselineSubsetTotal,"pass_totals":$passTotals,"bench_only":$subsetJson,"spread_p50":${"%.3f".format(pct(0.5))},"spread_p90":${"%.3f".format(pct(0.9))},"noisiest_queries":$noisiest,"note":"value and per-query times are the min over successful runs across ${allPasses.size} in-JVM passes (a failed run never deflates the min; a query with no successful run is null in queries, excluded from value, and listed in failed_queries); JVM-level trained memos (BPE merges, centroids, trade pairs, LPA labels, suffix array) are RESET between passes so each pass pays every shared training once and the min includes it; trained_queries lists queries that fired a memo training in some pass; cold holds first-pass (cold-JVM) per-query seconds; pass_totals holds each raw pass sum; bench_only is the SPARK_GRAFT_BENCH_ONLY subset or null for the full surface; spread_p50/p90 are per-query (max-min)/min across passes (contention telemetry: quiet machine keeps p50 near 0; trained queries legitimately spread by where training lands); baseline_subset_total sums the original 38 queries the 49s baseline was recorded on"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")

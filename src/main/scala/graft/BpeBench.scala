@@ -99,6 +99,14 @@ object BpeBench {
         passes = 8, batchK = batchK))
     val batSec = (System.nanoTime() - t1) / 1e9
     val batRounds = Bpe.lastTrainRounds
+    // per-round KEPT batch width: the collapse mechanism made visible —
+    // width 1 means the 2·M barrier (or a symbol conflict) truncated
+    // the round to sequential behavior
+    val widths = Bpe.lastBatchWidths
+    val widthMean =
+      if (widths.isEmpty) 0.0 else widths.sum.toDouble / widths.size
+    val widthMax = if (widths.isEmpty) 0 else widths.max
+    val width1Rounds = widths.count(_ == 1)
 
     // the hybrid trainer: the same word table collected once (bounded,
     // vocab-grain), exact greedy in memory — zero Spark training rounds
@@ -114,6 +122,9 @@ object BpeBench {
         s""""batch_k":$batchK,"word_forms":$nForms,""" +
         f""""seq_sec":$seqSec%.3f,"seq_rounds":$seqRounds,""" +
         f""""batched_sec":$batSec%.3f,"batched_rounds":$batRounds,""" +
+        f""""batched_width_mean":$widthMean%.3f,""" +
+        s""""batched_width_max":$widthMax,""" +
+        s""""batched_width1_rounds":$width1Rounds,""" +
         f""""local_sec":$locSec%.3f,""" +
         f""""local_speedup":${seqSec / locSec}%.1f,""" +
         f""""batched_speedup":${seqSec / batSec}%.2f,""" +

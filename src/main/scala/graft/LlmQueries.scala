@@ -583,8 +583,28 @@ object LlmQueries {
     * covers the `</w>`-terminated alphabet applied to (here same-corpus)
     * text end to end, not just aggregate token counts.
     */
-  private def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
-    val words = tPar(s, dir, "documents")
+  private def bpeDocTokens(s: SparkSession, dir: String): DataFrame =
+    bpeDocTokensOver(tPar(s, dir, "documents"), s, dir)
+
+  /** [[bpeDocTokens]] restricted to the 1% [[Curation.sampleHash]]
+    * document stratum, with the merge table still trained on the FULL
+    * corpus. This is the sf100-certifiable form of the contract: the
+    * full-stream twin materializes every document's subword stream
+    * through the 20-round apply chain — infeasible for single-node
+    * DuckDB at 5M docs (the round-10 standing exception) — while the
+    * hash-stratified sample keeps the identical end-to-end semantics
+    * (full training, real per-doc re-tokenization, byte-hashed streams)
+    * at 1/100 the doc grain, deterministically and engine-agnostically
+    * keyed so both sides pick the same documents.
+    */
+  private def bpeDocTokensSample(s: SparkSession, dir: String): DataFrame =
+    bpeDocTokensOver(
+      tPar(s, dir, "documents")
+        .where(Curation.sampleHash(col("doc_id"), 0.01)), s, dir)
+
+  private def bpeDocTokensOver(docs: DataFrame, s: SparkSession,
+                               dir: String): DataFrame = {
+    val words = docs
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "word")))
       .where(col("word") =!= "" && length(col("word")) <= 16)
@@ -1163,6 +1183,37 @@ object LlmQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Byte-exact MP4/ISO-BMFF contract (the video container the
+    * PNG/JPEG/GIF/WAV family doesn't cover): every document builds a
+    * real minimal MP4 ([[graft.functions.Mp4FixturePayload]] —
+    * ftyp + moov(mvhd + tkhd-only traks) + mdat, valid box sizes), and
+    * [[graft.functions.MediaHeaderSniff]]'s box walk parses back the
+    * ftyp brand, mvhd duration·1000/timescale, trak count, and the
+    * first video tkhd's 16.16 dimensions. The emitted `header_hex` is
+    * the payload's first 240 bytes (ftyp + moov header + mvhd + first
+    * trak); the DuckDB twin CONSTRUCTS that identical hex from the
+    * fixture formulas and re-derives every parsed field by hex slicing
+    * + integer arithmetic — a hash match certifies builder bytes AND
+    * parser fields, never echoed formulas.
+    */
+  private def videoHeaderStats(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.MediaHeaderSniff.sniff(col("payload"))
+    tPar(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        coalesce(octet_length(col("text")), lit(0)).cast("long").as("n"))
+      .select(col("media_id"),
+        graft.functions.Mp4FixturePayload
+          .payload(col("media_id"), col("n")).as("payload"))
+      .select(col("media_id"), col("payload"), m.as("m"))
+      .select(col("media_id"),
+        col("m.format").as("format"), col("m.brand").as("brand"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.n_tracks").as("n_tracks"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        hex(col("payload").substr(lit(1), lit(240))).as("header_hex"))
+      .orderBy(col("media_id"))
+  }
+
   /** Domain-cap curation: at most 10 docs per source, kept in
     * deterministic hash order via the bounded-heap top-k (the oracle is
     * the `row_number` window form — equality proves the heap path).
@@ -1652,6 +1703,49 @@ object LlmQueries {
     UnigramLm.docStats(tPar(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Rounds of the unigram hard-EM training contract (both engines). */
+  private val UnigramTrainRounds = 2
+
+  private val unigramVocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One [[graft.llm.UnigramLm.trainVocab]] run per (session, dir):
+    * the trained-vocab dump and the trained-tokenization stats must
+    * read the SAME trained frame (trainVocab checkpoints per round, so
+    * the memo hands back materialized blocks; keyed and evicted like
+    * the other session memos).
+    */
+  private def unigramTrained(s: SparkSession, dir: String): DataFrame =
+    Memos.sessionCached(unigramVocabMemo, s, dir) {
+      UnigramLm.trainVocab(
+        UnigramLm.wordForms(UnigramLm.wordOccurrences(
+          tPar(s, dir, "documents"), "doc_id", "text")),
+        rounds = UnigramTrainRounds)
+    }
+
+  /** The unigram hard-EM TRAINING loop ([[graft.llm.UnigramLm
+    * .trainVocab]]): seed from substring counts, then fixed rounds of
+    * Viterbi E-step piece usage → shrink-prune → milli-nat-grid
+    * re-estimation. The emitted frame IS the trained model (piece,
+    * usage count, log-prob) — the twin unrolls the identical rounds
+    * with the same recursive-CTE DP the inference family certifies,
+    * plus a backpointer walk.
+    */
+  private def unigramTrainVocab(s: SparkSession, dir: String): DataFrame =
+    unigramTrained(s, dir)
+      .select(col("piece"), col("cnt"), col("lp_nano"))
+      .orderBy(col("piece"))
+
+  /** Per-document tokenization under the TRAINED vocabulary — proof
+    * the trained model segments, not just dumps: same DP, same packed
+    * tie-breaks, model supplied by [[unigramTrained]] instead of the
+    * seed frequencies.
+    */
+  private def unigramTrainDocStats(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.docStatsWith(tPar(s, dir, "documents"), "doc_id", "text",
+        _ => unigramTrained(s, dir).select(col("piece"), col("lp_nano")))
+      .orderBy(col("doc_id"))
+
   /** SQ8 scalar-quantization top-k ([[Similarity.knnSq8]]) — the fifth
     * ANN index variant; codes and scores are pure BIGINT on the 1e4
     * grid, so the oracle needs no trained literals at all.
@@ -1694,9 +1788,16 @@ object LlmQueries {
     * restarted session can never read a dead session's plans).
     */
   private def saFor(s: SparkSession, dir: String): SuffixArrayResult =
-    saMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
-      _ => SuffixArray.build(tPar(s, dir, "documents"), "doc_id", "text"))
+    Memos.sessionCached(saMemo, s, dir) {
+      SuffixArray.build(tPar(s, dir, "documents"), "doc_id", "text")
+    }
+
+  /** Drop this object's JVM-level shared memos (bench pass isolation —
+    * see [[Memos.clearAll]]).
+    */
+  private[graft] def clearMemos(): Unit = {
+    saMemo.clear(); saLcpMemo.clear(); unigramVocabMemo.clear()
+  }
 
   private val saLcpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -1707,9 +1808,9 @@ object LlmQueries {
     * memo hands back materialized blocks.
     */
   private def saLcpFor(s: SparkSession, dir: String): DataFrame =
-    saLcpMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
-      _ => SuffixArray.adjacentLcp(saFor(s, dir)))
+    Memos.sessionCached(saLcpMemo, s, dir) {
+      SuffixArray.adjacentLcp(saFor(s, dir))
+    }
 
   /** The full suffix-rank permutation at token grain — certifying the
     * entire distributed structure position-by-position against a twin
@@ -1850,6 +1951,7 @@ object LlmQueries {
     "bpe_merges_batched" -> (bpeMergesBatched _),
     "bpe_merges_local" -> (bpeMergesLocal _),
     "bpe_doc_tokens" -> (bpeDocTokens _),
+    "bpe_doc_tokens_sample" -> (bpeDocTokensSample _),
     "bpe_tokenize_stats" -> (bpeTokenizeStats _),
     "knn_cosine_brute" -> (knnCosineBrute _),
     "mmr_rerank_docs" -> (mmrRerankDocs _),
@@ -1874,6 +1976,7 @@ object LlmQueries {
     "embedding_near_dups" -> (embeddingNearDups _),
     "multimodal_features" -> (multimodalFeatures _),
     "image_header_stats" -> (imageHeaderStats _),
+    "video_header_stats" -> (videoHeaderStats _),
     "frame_sample_plan" -> (frameSamplePlan _),
     "resize_plan" -> (resizePlan _),
     "pii_scrub_stats" -> (piiScrubStats _),
@@ -1930,6 +2033,8 @@ object LlmQueries {
     "nb_lang_confusion" -> (nbLangConfusion _),
     "lang_xent_matrix" -> (langXentMatrix _),
     "unigram_tokenize_stats" -> (unigramTokenizeStats _),
+    "unigram_train_vocab" -> (unigramTrainVocab _),
+    "unigram_train_doc_stats" -> (unigramTrainDocStats _),
     "hard_negative_pool" -> (hardNegativePool _),
     "leakage_safe_splits" -> (leakageSafeSplits _),
     "novelty_ngram_stats" -> (noveltyNgramStats _),
@@ -2162,6 +2267,159 @@ object LlmQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Shared CTE prefix of the unigram twins (corpus → forms →
+    * substring counts → seed vocab `v0(piece, cnt, lp)` → the
+    * candidate table every DP round joins). MATERIALIZED where
+    * multi-referenced — the rounds would otherwise re-inline the
+    * corpus scan per reference (the DuckDB CTE-inlining hazard).
+    */
+  private lazy val UnigramSharedCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, $Toks AS toks FROM documents
+       |), wocc AS MATERIALIZED (
+       |  SELECT doc_id, w AS word FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+       |  WHERE length(w) BETWEEN 1 AND 32
+       |), forms AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_occ FROM wocc GROUP BY 1
+       |), pcraw AS (
+       |  SELECT n_occ,
+       |         unnest(flatten(list_transform(range(1, length(word) + 1),
+       |           i -> list_transform(range(1, least(4, i) + 1),
+       |             j -> word[i - j + 1:i])))) AS piece
+       |  FROM forms
+       |), pc AS (
+       |  SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt FROM pcraw GROUP BY 1
+       |), kept0 AS (
+       |  SELECT piece, cnt FROM pc WHERE cnt >= 3 OR length(piece) = 1
+       |), tot0 AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept0
+       |), v0 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |         CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT) AS lp
+       |  FROM kept0 CROSS JOIN tot0
+       |), candraw AS MATERIALIZED (
+       |  SELECT word,
+       |         unnest(flatten(list_transform(range(1, length(word) + 1),
+       |           i -> list_transform(range(1, least(4, i) + 1),
+       |             j -> {'i': i, 'j': j, 'piece': word[i - j + 1:i]})))) AS c
+       |  FROM forms
+       |)""".stripMargin
+
+  /** One packed-DP round under vocabulary CTE `$v`, ending in
+    * `dpres$r(word, n, st)` — the same recursive CTE as
+    * [[UnigramSql]], parameterized so the trainer can unroll it per
+    * EM round.
+    */
+  private def unigramDpCtes(r: String, v: String): String = {
+    def cand(k: Int): String = {
+      val prev = s"dp.st[dp.i + 2 - $k]"
+      val rr = s"((($prev % 512) + 512) % 512)"
+      s"""CASE WHEN dp.i + 1 >= $k AND c$k.lp IS NOT NULL THEN
+         |  (CAST(($prev - $rr) / 512 AS BIGINT) + c$k.lp) * 512
+         |  + (CAST(($rr - ($rr % 8)) / 8 AS BIGINT) - 1) * 8 + $k
+         |END""".stripMargin
+    }
+    val joins = (1 to 4).map(k =>
+      s"LEFT JOIN cand$r c$k ON c$k.word = dp.word AND c$k.i = dp.i + 1 AND c$k.j = $k")
+      .mkString("\n  ")
+    s"""cand$r AS (
+       |  SELECT w.word, CAST(w.c.i AS INTEGER) AS i, CAST(w.c.j AS INTEGER) AS j, v.lp
+       |  FROM candraw w JOIN $v v ON v.piece = w.c.piece
+       |), dp$r AS (
+       |  SELECT word, CAST(length(word) AS INTEGER) AS n, 0 AS i,
+       |         [CAST(504 AS BIGINT)] AS st
+       |  FROM forms
+       |  UNION ALL
+       |  SELECT dp.word, dp.n, dp.i + 1,
+       |         list_append(dp.st, greatest(
+       |           ${(1 to 4).map(cand).mkString(",\n           ")}))
+       |  FROM dp$r dp
+       |  $joins
+       |  WHERE dp.i < dp.n
+       |), dpres$r AS MATERIALIZED (
+       |  SELECT word, n, st FROM dp$r WHERE i = n
+       |)""".stripMargin
+  }
+
+  /** One hard-EM round `r` (input vocab `v{r-1}`, output
+    * `v$r(piece, cnt, lp)`): DP under the current model, backpointer
+    * walk (low 3 bits of each packed state = the best candidate's
+    * piece length), occurrence-weighted usage counts, the
+    * ceil(3/4)-shrink prune over used multi-char pieces (singles
+    * always kept, usage floored at 1), milli-nat re-estimation.
+    */
+  private def unigramEmRoundCtes(r: Int): String = {
+    val j = "CAST((((st[pos + 1] % 512) + 512) % 512) % 8 AS INTEGER)"
+    s"""${unigramDpCtes(r.toString, s"v${r - 1}")},
+       |bt$r AS (
+       |  SELECT word, st, CAST(n AS INTEGER) AS pos, CAST(NULL AS VARCHAR) AS piece
+       |  FROM dpres$r
+       |  UNION ALL
+       |  SELECT word, st, pos - $j, word[pos - $j + 1 : pos]
+       |  FROM bt$r WHERE pos > 0
+       |), use$r AS (
+       |  SELECT b.piece, CAST(sum(f.n_occ) AS BIGINT) AS u
+       |  FROM bt$r b JOIN forms f USING (word)
+       |  WHERE b.piece IS NOT NULL
+       |  GROUP BY 1
+       |), scored$r AS (
+       |  SELECT v.piece, CAST(coalesce(u.u, 0) AS BIGINT) AS u
+       |  FROM v${r - 1} v LEFT JOIN use$r u USING (piece)
+       |), keptm$r AS (
+       |  SELECT piece, u,
+       |         row_number() OVER (ORDER BY u DESC, piece) AS rk,
+       |         count(*) OVER () AS nm
+       |  FROM scored$r WHERE length(piece) > 1 AND u >= 1
+       |), kept$r AS (
+       |  SELECT piece, greatest(u, 1) AS cnt FROM scored$r WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, u AS cnt FROM keptm$r WHERE rk <= (nm * 3 + 3) // 4
+       |), tot$r AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept$r
+       |), v$r AS MATERIALIZED (
+       |  SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |         CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT) AS lp
+       |  FROM kept$r CROSS JOIN tot$r
+       |)""".stripMargin
+  }
+
+  /** Twin of `unigram_train_vocab`: the full unrolled training. */
+  private lazy val UnigramTrainVocabSql: String = {
+    val rounds = (1 to 2).map(unigramEmRoundCtes).mkString(",\n")
+    s"""WITH RECURSIVE $UnigramSharedCtes,
+       |$rounds
+       |SELECT piece, cnt, lp AS lp_nano FROM v2 ORDER BY piece""".stripMargin
+  }
+
+  /** Twin of `unigram_train_doc_stats`: train (same unrolled rounds),
+    * then one more scoring DP under the trained vocab and the
+    * [[UnigramSql]] doc-stats tail.
+    */
+  private lazy val UnigramTrainDocStatsSql: String = {
+    val rounds = (1 to 2).map(unigramEmRoundCtes).mkString(",\n")
+    s"""WITH RECURSIVE $UnigramSharedCtes,
+       |$rounds,
+       |${unigramDpCtes("f", "v2")},
+       |wres AS (
+       |  SELECT word,
+       |         CAST((st[n + 1] - (((st[n + 1] % 512) + 512) % 512)) / 512 AS BIGINT) AS score_nano,
+       |         63 - CAST(((((st[n + 1] % 512) + 512) % 512) - ((((st[n + 1] % 512) + 512) % 512) % 8)) / 8 AS BIGINT) AS n_pieces
+       |  FROM dpresf
+       |), docstats AS (
+       |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |         CAST(sum(score_nano) AS BIGINT) AS lp_nano_sum
+       |  FROM wocc w JOIN wres USING (word) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(s.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |       CAST(coalesce(s.lp_nano_sum, 0) AS BIGINT) AS lp_nano_sum
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN docstats s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Generated DuckDB twin of `lang_xent_matrix`: the same per-lang
     * add-one models, nano roundings, wide pivot + OOV coalesce and
     * (actual, model) aggregation, classes interpolated from
@@ -2353,9 +2611,19 @@ object LlmQueries {
        |), savocab AS MATERIALIZED (
        |  SELECT tok, row_number() OVER (ORDER BY tok) AS vr
        |  FROM (SELECT DISTINCT tok FROM pt)
+       |), wguard AS (
+       |  -- %05x holds symbol codes up to 2^20-1; past that printf
+       |  -- silently widens to 6 chars and every substr stride below is
+       |  -- wrong. FAIL instead of corrupting (round-10 ADVICE).
+       |  SELECT CASE WHEN (SELECT d FROM dcount) +
+       |                   coalesce((SELECT max(vr) FROM savocab), 0)
+       |                   >= 1048576
+       |              THEN error('suffix oracle: docs+vocab >= 2^20 overflows the %05x fixed-width key')
+       |              ELSE 1 END AS ok
        |), dstr AS MATERIALIZED (
        |  SELECT s.doc_id, s.dseq, len(s.toks) AS n_tok,
-       |         coalesce(tc.c, '') || printf('%05x', s.dseq) AS dc
+       |         coalesce(tc.c, '') ||
+       |           printf('%05x', s.dseq * (SELECT ok FROM wguard)) AS dc
        |  FROM sadocs s LEFT JOIN (
        |    SELECT pt.doc_id,
        |           string_agg(printf('%05x', (SELECT d FROM dcount) + v.vr),
@@ -2374,50 +2642,63 @@ object LlmQueries {
        |    FROM dstr)
        |)""".stripMargin
 
+  /** Symbol budget of the LCP twin's fixed block ladder: documents may
+    * carry at most this many symbols (tokens + sentinel). The fixture
+    * corpora cap at 100 tokens/doc at every rung (sf10/sf100 are
+    * key-offset copies of sf0.1 text); the ladder guard `error()`s
+    * rather than mis-scanning if a future fixture exceeds it.
+    */
+  private val LcpMaxSymbols = 128
+
   /** Adjacent-pair LCP CTEs on top of [[SuffixCtes]], ending in
     * `lc(lo_doc_id, lo_pos, rank_hi, lcp)`: rank-adjacent suffixes
-    * compared symbol-by-symbol over their bounded sort keys, scanning
-    * at most `least(rem_lo, rem_hi)` symbols (the sentinel caps every
+    * compared over their bounded per-document sort keys, scanning at
+    * most `least(rem_lo, rem_hi)` symbols (the sentinel caps every
     * LCP).
+    *
+    * ROW-PRESERVING by construction: the first differing 8-symbol
+    * block and the differing symbol within it are found by FIXED CASE
+    * ladders ([[LcpMaxSymbols]]/8 block compares + 8 symbol compares
+    * per pair), not an unnest — the earlier block/symbol explode
+    * carried O(pairs × blocks) rows and OOM'd an 80 GB DuckDB at the
+    * 27M-pair decade (round-10 standing exception). One row per
+    * adjacent pair flows end to end; the substr length caps keep every
+    * compare inside `bnd`, so sentinel bytes past the shorter suffix
+    * never leak in.
     */
-  private val SuffixLcpCtes: String =
+  private val SuffixLcpCtes: String = {
+    val blkCase = (1 to LcpMaxSymbols / 8).map { b =>
+      val off = (b - 1) * 40 + 1
+      val ln = s"CAST(least(8, bnd - ${(b - 1) * 8}) * 5 AS BIGINT)"
+      s"WHEN bnd > ${(b - 1) * 8} AND substr(sk_lo, $off, $ln) <> substr(sk_hi, $off, $ln) THEN $b"
+    }.mkString("\n    ")
+    val fineCase = (1 to 8).map { o =>
+      val t = s"((mbv - 1) * 8 + $o)"
+      s"WHEN $t <= bnd AND substr(sk_lo, ($t - 1) * 5 + 1, 5) <> substr(sk_hi, ($t - 1) * 5 + 1, 5) THEN $t"
+    }.mkString("\n    ")
     s"""pr AS (
        |  SELECT a.doc_id AS lo_doc_id, a.pos AS lo_pos, b.r AS rank_hi,
        |         least(a.rem, b.rem) AS bnd, a.sk AS sk_lo, b.sk AS sk_hi
        |  FROM sar a JOIN sar b ON b.r = a.r + 1
-       |), blk AS (
-       |  -- two-level scan: compare 8-symbol (40-char) BLOCKS first —
-       |  -- a symbol-grain explode carries O(pairs x bnd) rows and
-       |  -- OOM'd DuckDB at the 30M-token decade; blocks cut the
-       |  -- exploded row count 8x. Block b covers symbols
-       |  -- (b-1)*8+1 .. min(b*8, bnd); the substr length cap keeps the
-       |  -- compare inside bnd so sentinel bytes past the shorter
-       |  -- suffix never leak in.
-       |  SELECT rank_hi, CAST(b AS BIGINT) AS b,
-       |         substr(sk_lo, (b - 1) * 40 + 1,
-       |                CAST(least(8, bnd - (b - 1) * 8) * 5 AS BIGINT)) AS ca,
-       |         substr(sk_hi, (b - 1) * 40 + 1,
-       |                CAST(least(8, bnd - (b - 1) * 8) * 5 AS BIGINT)) AS cb
-       |  FROM pr, unnest(range(1, (bnd + 7) // 8 + 1)) AS u(b)
-       |), badblk AS (
-       |  SELECT rank_hi, min(b) AS mb FROM blk
-       |  WHERE ca <> cb
-       |  GROUP BY rank_hi
-       |), fine AS (
-       |  -- fine scan ONLY inside the first differing block (<= 8
-       |  -- symbols per pair)
-       |  SELECT p.rank_hi, min(CAST(t AS BIGINT)) AS m
-       |  FROM pr p JOIN badblk k USING (rank_hi),
-       |       unnest(range((k.mb - 1) * 8 + 1,
-       |                    least(k.mb * 8, p.bnd) + 1)) AS u(t)
-       |  WHERE substr(p.sk_lo, (t - 1) * 5 + 1, 5) <>
-       |        substr(p.sk_hi, (t - 1) * 5 + 1, 5)
-       |  GROUP BY p.rank_hi
+       |), lguard AS (
+       |  SELECT CASE WHEN (SELECT max(bnd) FROM pr) > $LcpMaxSymbols
+       |              THEN error('suffix LCP twin: a doc exceeds $LcpMaxSymbols symbols - widen LcpMaxSymbols')
+       |              ELSE 0 END AS pad
+       |), mbt AS (
+       |  SELECT rank_hi, lo_doc_id, lo_pos, bnd, sk_lo, sk_hi,
+       |    CASE $blkCase END AS mbv
+       |  FROM pr
+       |), ft AS (
+       |  SELECT rank_hi, lo_doc_id, lo_pos, bnd,
+       |    CASE WHEN mbv IS NULL THEN NULL
+       |    $fineCase END AS fdiff
+       |  FROM mbt
        |), lc AS (
-       |  SELECT pr.lo_doc_id, pr.lo_pos, pr.rank_hi,
-       |         coalesce(fine.m, pr.bnd + 1) - 1 AS lcp
-       |  FROM pr LEFT JOIN fine USING (rank_hi)
+       |  SELECT lo_doc_id, lo_pos, rank_hi,
+       |         coalesce(fdiff, bnd + 1) - 1 + (SELECT pad FROM lguard) AS lcp
+       |  FROM ft
        |)""".stripMargin
+  }
 
   /** Winnowing (k=3, w=4) as shared CTEs ending in `wfp(doc_id, pos,
     * fp)` — the DuckDB twin of [[TextStats.winnowFingerprints]], reused
@@ -3364,7 +3645,11 @@ object LlmQueries {
          |SELECT ag.n_pairs, ag.lrs_len, lrc.lrs_count, ag.pairs_ge_5,
          |       ag.pairs_ge_10, ag.pairs_ge_25, ag.sum_lcp,
          |       txt.lrs_doc_id, txt.lrs_pos, txt.lrs_text
-         |FROM ag, lrc, txt""".stripMargin,
+         |-- LEFT JOIN txt, not a cross join: on an empty/single-suffix
+         |-- corpus wpos/txt are EMPTY while Spark's no-group aggregates
+         |-- still emit one all-null row — both engines must agree on
+         |-- that degenerate row (round-10 ADVICE)
+         |FROM ag CROSS JOIN lrc LEFT JOIN txt ON TRUE""".stripMargin,
     // same 1e4 grid, same per-dim min/max, same integer codes and dot —
     // zero trained literals
     "knn_cosine_sq8" ->
@@ -3383,7 +3668,8 @@ object LlmQueries {
          |), coded AS (
          |  SELECT vec_id, embedding,
          |         list_transform(range(1, 65),
-         |           i -> ((e[i] - mns[i]) * 255) // spans[i]) AS c
+         |           i -> greatest(least(((e[i] - mns[i]) * 255) // spans[i],
+         |                              255), 0)) AS c
          |  FROM eq, stl
          |), recon AS (
          |  SELECT vec_id, embedding,
@@ -4222,6 +4508,26 @@ object LlmQueries {
          |       string_agg(v.syms, ' ' ORDER BY dw.pos) AS subword_stream
          |FROM dw JOIN v20 v USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same chain over the 1% sampleHash stratum: full-corpus
+    // training, per-doc streams only for the deterministically sampled
+    // docs — the twin that stays single-node-feasible at the 5M-doc
+    // decade where the full-stream form is not
+    "bpe_doc_tokens_sample" ->
+      s"""WITH ${graft.llm.Bpe.learnAndApplyChainSql(
+               BpeWordsSql, BpeFormsSql, numMerges = 20, passes = 8)},
+         |dw AS (
+         |  SELECT doc_id, g AS pos, a[g + 1] AS word
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS a
+         |        FROM documents
+         |        WHERE ${graft.llm.Curation.sampleBucketSql("doc_id", 12345L)} < 10000) t,
+         |       unnest(range(0, len(a))) AS u(g)
+         |  WHERE a[g + 1] <> '' AND length(a[g + 1]) <= 16
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(string_split(v.syms, ' '))) AS BIGINT) AS n_subwords,
+         |       string_agg(v.syms, ' ' ORDER BY dw.pos) AS subword_stream
+         |FROM dw JOIN v20 v USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "knn_cosine_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 16),
          |s AS (
@@ -4526,6 +4832,53 @@ object LlmQueries {
         |                       WHEN 4 THEN 2 WHEN 6 THEN 4 END
         |         WHEN 1 THEN ('0x' || substr(header_hex, 59, 2))::BIGINT
         |       END AS INTEGER) AS channels,
+        |       header_hex
+        |FROM hx ORDER BY media_id""".stripMargin,
+    // byte-exact MP4 twin: CONSTRUCT the 240-byte ftyp+moov(mvhd)+trak1
+    // prefix the fixture builder emits, then re-derive brand, duration,
+    // timescale, trak count and tkhd 16.16 dims by hex slicing — the
+    // image_header_stats discipline applied to ISO-BMFF
+    "video_header_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id AS BIGINT) AS d,
+        |         CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents
+        |), fx AS (
+        |  SELECT media_id,
+        |         CASE WHEN d % 2 = 0 THEN '69736F6D' ELSE '6D703432' END AS bh,
+        |         CASE d % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+        |         1 + d % 3 AS k,
+        |         16 + d % 4080 AS w, 16 + n % 2160 AS h, n
+        |  FROM m
+        |), hx AS (
+        |  SELECT media_id,
+        |         '0000001866747970' || bh || '0000000069736F6D6D703431'
+        |         || printf('%08X', 116 + 100 * k) || '6D6F6F76'
+        |         || '0000006C6D76686400000000' || '0000000000000000'
+        |         || printf('%08X', ts) || printf('%08X', ts + n % 100000)
+        |         || '0001000001000000' || '0000000000000000'
+        |         || '000100000000000000000000000000000001000000000000000000000000000040000000'
+        |         || repeat('0', 48) || printf('%08X', k + 1)
+        |         || '000000647472616B' || '0000005C746B686400000007'
+        |         || '0000000000000000' || '00000001' || '00000000'
+        |         || printf('%08X', ts + n % 100000)
+        |         || '0000000000000000' || '00000000' || '00000000'
+        |         || '000100000000000000000000000000000001000000000000000000000000000040000000'
+        |         || printf('%04X', w) || '0000' || printf('%04X', h) || '0000'
+        |           AS header_hex
+        |  FROM fx
+        |)
+        |SELECT media_id, 'mp4' AS format,
+        |       CASE substr(header_hex, 17, 8) WHEN '69736F6D' THEN 'isom'
+        |            WHEN '6D703432' THEN 'mp42' END AS brand,
+        |       CAST(('0x' || substr(header_hex, 113, 8))::BIGINT * 1000
+        |            // ('0x' || substr(header_hex, 105, 8))::BIGINT AS BIGINT)
+        |         AS duration_ms,
+        |       CAST((('0x' || substr(header_hex, 49, 8))::BIGINT - 116) // 100
+        |         AS INTEGER) AS n_tracks,
+        |       CAST(('0x' || substr(header_hex, 465, 4))::BIGINT AS INTEGER) AS width,
+        |       CAST(('0x' || substr(header_hex, 473, 4))::BIGINT AS INTEGER) AS height,
         |       header_hex
         |FROM hx ORDER BY media_id""".stripMargin,
     "resize_plan" ->
@@ -5034,6 +5387,8 @@ object LlmQueries {
     "nb_lang_confusion" -> NbConfusionSql,
     "lang_xent_matrix" -> LangXentSql,
     "unigram_tokenize_stats" -> UnigramSql,
+    "unigram_train_vocab" -> UnigramTrainVocabSql,
+    "unigram_train_doc_stats" -> UnigramTrainDocStatsSql,
     // the SubstringDupCtes gram idiom at w=8, split by pmod, distinct
     // train hashes left-joined onto the held-out occurrence stream
     "novelty_ngram_stats" ->

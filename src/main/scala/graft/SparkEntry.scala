@@ -1819,14 +1819,15 @@ object SparkEntry {
   // keyed by (applicationId, startTime): stable for a context's lifetime
   // and never reused after stop/GC, unlike identityHashCode (round-8
   // ADVICE: a recycled hash could hand back a frame whose checkpoint
-  // blocks belong to a dead context)
+  // blocks belong to a dead context); Memos.sessionCached evicts dead-
+  // session keys on insert (round-10 ADVICE)
   private def tradePairs(s: SparkSession, dir: String): DataFrame =
-    tradePairsMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
-      _ => t(s, dir, "orders")
+    Memos.sessionCached(tradePairsMemo, s, dir) {
+      t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct().localCheckpoint(true))
+        .distinct().localCheckpoint(true)
+    }
 
   /** Supplier node-id offset for the trade graph: disjoins supplier ids
     * from customer ids for any customer key space below 1e9 — wide
@@ -1913,10 +1914,17 @@ object SparkEntry {
     * blocks; keyed like [[tradePairsMemo]]).
     */
   private def lpTradeLabels(s: SparkSession, dir: String): DataFrame =
-    lpLabelsMemo.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}:$dir",
-      _ => graft.ops.Communities.labelPropagation(tradeEdgesDirected(s, dir),
-        "src", "dst", iters = 3))
+    Memos.sessionCached(lpLabelsMemo, s, dir) {
+      graft.ops.Communities.labelPropagation(tradeEdgesDirected(s, dir),
+        "src", "dst", iters = 3)
+    }
+
+  /** Drop this object's JVM-level shared memos (bench pass isolation —
+    * see [[Memos.clearAll]]).
+    */
+  private[graft] def clearMemos(): Unit = {
+    tradePairsMemo.clear(); lpLabelsMemo.clear()
+  }
 
   private def communitiesTradeGraph(s: SparkSession, dir: String): DataFrame =
     lpTradeLabels(s, dir).orderBy(col("id"))

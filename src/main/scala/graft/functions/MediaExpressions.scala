@@ -51,7 +51,10 @@ case class MediaHeaderSniff(child: Expression) extends UnaryExpression {
 
 object MediaHeaderSniff {
 
-  /** Struct emitted per payload; all fields null-when-inapplicable. */
+  /** Struct emitted per payload; all fields null-when-inapplicable
+    * (brand/duration_ms/n_tracks are the MP4/ISO-BMFF container trio —
+    * null for the flat image/audio formats).
+    */
   val schema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
@@ -59,7 +62,10 @@ object MediaHeaderSniff {
     StructField("n_frames", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
-    StructField("bit_depth", IntegerType, nullable = true)))
+    StructField("bit_depth", IntegerType, nullable = true),
+    StructField("brand", StringType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true)))
 
   /** Parse + box into an [[InternalRow]]; null when the payload doesn't
     * parse. Called from both the interpreted path and generated code.
@@ -73,7 +79,10 @@ object MediaHeaderSniff {
         m.frames.map(Int.box).orNull,
         m.channels.map(Int.box).orNull,
         m.sampleRate.map(Int.box).orNull,
-        m.bitDepth.map(Int.box).orNull))
+        m.bitDepth.map(Int.box).orNull,
+        m.brand.map(UTF8String.fromString).orNull,
+        m.durationMs.map(Long.box).orNull,
+        m.tracks.map(Int.box).orNull))
       case None => null
     }
 
@@ -138,5 +147,59 @@ object MediaFixturePayload {
 
   def payload(d: Column, n: Column): Column =
     ColumnBridge.column(MediaFixturePayload(
+      ColumnBridge.expression(d), ColumnBridge.expression(n)))
+}
+
+/** Deterministic MP4/ISO-BMFF fixture payloads
+  * ([[graft.llm.MediaFixtures.mp4Bytes]] keyed by the same
+  * `(doc_id, octet_length(text))` convention as
+  * [[MediaFixturePayload]]) as a codegen'd expression — the video
+  * container the image/audio fixture family doesn't cover.
+  */
+case class Mp4FixturePayload(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mp4_fixture_payload needs (bigint, bigint), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mp4_fixture_payload"
+
+  protected override def nullSafeEval(d: Any, n: Any): Any =
+    Mp4FixturePayload.payloadFor(d.asInstanceOf[Long], n.asInstanceOf[Long])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, n) =>
+      s"${ev.value} = graft.functions.Mp4FixturePayload$$.MODULE$$.payloadFor($d, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object Mp4FixturePayload {
+
+  /** The MP4 fixture formulas (mirrored in the DuckDB oracle;
+    * d = doc_id, n = octet_length(text)):
+    * brand = isom/mp42 by d%2; timescale ∈ {600, 1000, 90000} by d%3;
+    * duration ticks = timescale + n%100000; width = 16 + d%4080;
+    * height = 16 + n%2160; tracks = 1 + d%3.
+    */
+  def payloadFor(d: Long, n: Long): Array[Byte] = {
+    val timescale = Array(600, 1000, 90000)((d % 3).toInt)
+    MediaFixtures.mp4Bytes(
+      brand = if (d % 2 == 0) "isom" else "mp42",
+      timescale = timescale,
+      duration = timescale + n % 100000,
+      width = (16 + d % 4080).toInt,
+      height = (16 + n % 2160).toInt,
+      nTraks = (1 + d % 3).toInt)
+  }
+
+  def payload(d: Column, n: Column): Column =
+    ColumnBridge.column(Mp4FixturePayload(
       ColumnBridge.expression(d), ColumnBridge.expression(n)))
 }

@@ -59,6 +59,17 @@ object Bpe {
     ThreadLocal.withInitial[Integer](() => Integer.valueOf(0))
   def lastTrainRounds: Int = lastRoundsTl.get()
 
+  /** Per-round KEPT batch widths of this thread's last
+    * [[learnMergesBatched]] call — the telemetry that makes the
+    * batched trainer's certified negative result measurable
+    * (BENCH_BPE_SF1.json: on a zipfian corpus the 2·M barrier collapses
+    * almost every round to width 1, which is WHY batched lost to
+    * sequential there). Bench-only, like [[lastTrainRounds]].
+    */
+  private val lastWidthsTl =
+    ThreadLocal.withInitial[Seq[Int]](() => Seq.empty[Int])
+  def lastBatchWidths: Seq[Int] = lastWidthsTl.get()
+
   private val mergeSchema = StructType(Seq(
     StructField("rank", LongType, nullable = false),
     StructField("lft", StringType, nullable = false),
@@ -222,6 +233,7 @@ object Bpe {
       .groupBy(col("syms")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
     var exhausted = false
     var rounds = 0
     while (merges.size < numMerges && !exhausted) {
@@ -265,6 +277,7 @@ object Bpe {
             tentative.head +: tentative.tail.takeWhile(_._3 > 2 * barrier)
               .toSeq
           }
+        widths += kept.size
         kept.foreach { case (l, r, pc) =>
           merges += Merge(merges.size + 1L, l, r, pc)
         }
@@ -277,6 +290,7 @@ object Bpe {
     }
     CheckpointBridge.release(state)
     lastRoundsTl.set(rounds)
+    lastWidthsTl.set(widths.toSeq)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.map(m => Row(m.rank, m.lft, m.rgt, m.pairCount)).toSeq, 1),
@@ -495,12 +509,14 @@ object Bpe {
   def learnMergesCached(tag: String, words: => DataFrame, wordCol: String,
                         cntCol: String, numMerges: Int, passes: Int = 8,
                         minCount: Long = 1L): Seq[Merge] =
-    mergeMemo.computeIfAbsent(tag,
-      _ => learnMerges(words, wordCol, cntCol, numMerges, passes, minCount)
+    mergeMemo.computeIfAbsent(tag, { _ =>
+      graft.Memos.markTrained()
+      learnMerges(words, wordCol, cntCol, numMerges, passes, minCount)
         .collect()
         .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3)))
-        .toSeq)
+        .toSeq
+    })
 
   /** [[learnMergesBatched]] through the same memo (distinct tag —
     * the batched trainer must actually run to be certified, not read
@@ -511,13 +527,20 @@ object Bpe {
                                numMerges: Int, passes: Int = 8,
                                minCount: Long = 1L, batchK: Int = 8)
     : Seq[Merge] =
-    mergeMemo.computeIfAbsent(tag,
-      _ => learnMergesBatched(words, wordCol, cntCol, numMerges, passes,
+    mergeMemo.computeIfAbsent(tag, { _ =>
+      graft.Memos.markTrained()
+      learnMergesBatched(words, wordCol, cntCol, numMerges, passes,
         minCount, batchK)
         .collect()
         .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3)))
-        .toSeq)
+        .toSeq
+    })
+
+  /** Drop the trained-merge memo (bench pass isolation — see
+    * [[graft.Memos.clearAll]]).
+    */
+  private[graft] def clearMemos(): Unit = mergeMemo.clear()
 
   /** [[learnMergesLocal]] through the same memo (distinct tag — the
     * local trainer must actually run to be certified, not read a
@@ -528,9 +551,11 @@ object Bpe {
                              numMerges: Int, passes: Int = 8,
                              minCount: Long = 1L,
                              maxForms: Int = 4000000): Seq[Merge] =
-    mergeMemo.computeIfAbsent(tag,
-      _ => learnMergesLocal(words, wordCol, cntCol, numMerges, passes,
-        minCount, maxForms))
+    mergeMemo.computeIfAbsent(tag, { _ =>
+      graft.Memos.markTrained()
+      learnMergesLocal(words, wordCol, cntCol, numMerges, passes,
+        minCount, maxForms)
+    })
 
   /** The cached merges as a frame (rank, lft, rgt, pair_count). */
   def mergesFrame(spark: org.apache.spark.sql.SparkSession,

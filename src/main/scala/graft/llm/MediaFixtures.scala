@@ -126,6 +126,67 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Minimal valid ISO-BMFF/MP4: `ftyp` (major brand + 'isom','mp41'
+    * compatibles, 24 bytes), `moov` holding a version-0 `mvhd`
+    * (timescale/duration, 108 bytes) and `nTraks` `trak` boxes each
+    * holding only a version-0 `tkhd` (92 bytes; track 1 carries the
+    * video dimensions as 16.16 fixed-point, the rest declare 0×0 like
+    * audio tracks), then an 8+16-byte `mdat` of deterministic filler.
+    * Closed-form size (mirrored in the oracle):
+    * 24 + 8 + 108 + 100·nTraks + 24.
+    */
+  def mp4Bytes(brand: String, timescale: Int, duration: Long, width: Int,
+               height: Int, nTraks: Int): Array[Byte] = {
+    require(brand.length == 4, s"brand=$brand")
+    require(timescale > 0 && duration >= 0 && duration <= 0xffffffffL)
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
+    require(nTraks > 0)
+    val out = new ByteArrayOutputStream(164 + 100 * nTraks)
+    def s(x: String): Unit =
+      out.write(x.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def b32(v: Long): Unit = {
+      val a = new Array[Byte](4); putBe32(a, 0, v.toInt); out.write(a)
+    }
+    val identityMatrix: () => Unit = () => {
+      b32(0x00010000L); b32(0); b32(0)
+      b32(0); b32(0x00010000L); b32(0)
+      b32(0); b32(0); b32(0x40000000L)
+    }
+    // ftyp: major brand, minor version 0, compatible brands isom+mp41
+    b32(24); s("ftyp"); s(brand); b32(0); s("isom"); s("mp41")
+    // moov
+    b32(8 + 108 + 100L * nTraks); s("moov")
+    //   mvhd v0
+    b32(108); s("mvhd"); b32(0) // version 0, flags 0
+    b32(0); b32(0) // creation, modification
+    b32(timescale); b32(duration)
+    b32(0x00010000L) // rate 1.0
+    out.write(Array(0x01, 0x00, 0x00, 0x00).map(_.toByte)) // volume+reserved
+    b32(0); b32(0) // reserved u32[2]
+    identityMatrix()
+    (0 until 6).foreach(_ => b32(0)) // pre_defined
+    b32(nTraks + 1L) // next_track_ID
+    //   trak boxes (tkhd only)
+    (1 to nTraks).foreach { tid =>
+      b32(100); s("trak")
+      b32(92); s("tkhd"); b32(7) // version 0, flags: enabled|movie|preview
+      b32(0); b32(0) // creation, modification
+      b32(tid.toLong) // track_ID
+      b32(0) // reserved
+      b32(duration)
+      b32(0); b32(0) // reserved u32[2]
+      b32(0) // layer + alternate_group
+      b32(0) // volume + reserved
+      identityMatrix()
+      if (tid == 1) { b32(width.toLong << 16); b32(height.toLong << 16) }
+      else { b32(0); b32(0) }
+    }
+    // mdat: 16 deterministic filler bytes
+    b32(24); s("mdat")
+    out.write(Array.tabulate[Byte](16)(i => ((i * 29 + 3) & 0xff).toByte))
+    out.toByteArray
+  }
+
   private def putBe32(a: Array[Byte], i: Int, v: Int): Unit = {
     a(i) = ((v >> 24) & 0xff).toByte
     a(i + 1) = ((v >> 16) & 0xff).toByte

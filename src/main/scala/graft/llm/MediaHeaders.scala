@@ -23,6 +23,11 @@ object MediaHeaders {
     * one (PNG color type, JPEG SOF Nf, WAV fmt; GIF is palette-indexed
     * — None); `bitDepth` is bits per sample/component (PNG IHDR depth,
     * JPEG SOF precision, GIF color resolution, WAV bits-per-sample).
+    * MP4/ISO-BMFF additionally sets `brand` (ftyp major brand),
+    * `durationMs` (mvhd duration·1000 / timescale, integer division)
+    * and `tracks` (trak box count); width/height come from the first
+    * trak whose tkhd declares nonzero 16.16 dimensions (the video
+    * track — audio tkhds carry 0×0 per spec).
     */
   final case class MediaMeta(
       format: String,
@@ -31,7 +36,10 @@ object MediaHeaders {
       frames: Option[Int],
       channels: Option[Int],
       sampleRate: Option[Int],
-      bitDepth: Option[Int])
+      bitDepth: Option[Int],
+      brand: Option[String] = None,
+      durationMs: Option[Long] = None,
+      tracks: Option[Int] = None)
 
   /** Dispatch on magic bytes; `None` for null/unknown/corrupt payloads. */
   def sniff(payload: Array[Byte]): Option[MediaMeta] = {
@@ -41,6 +49,8 @@ object MediaHeaders {
       parseJpeg(payload)
     else if (ascii(payload, 0, 3) == "GIF") parseGif(payload)
     else if (ascii(payload, 0, 4) == "RIFF") parseWav(payload)
+    else if (payload.length >= 12 && ascii(payload, 4, 4) == "ftyp")
+      parseMp4(payload)
     else None
   }
 
@@ -204,6 +214,120 @@ object MediaHeaders {
       Some(rate), if (bits > 0) Some(bits) else None))
   }
 
+  // ---- MP4 / ISO-BMFF ----------------------------------------------------
+
+  /** MP4 (ISO base media file format, ISO/IEC 14496-12): a box walk, no
+    * codec decode. Top level must open with `ftyp` (major brand read
+    * from it); then boxes are scanned for `moov`, whose children give
+    * the movie header (`mvhd` version 0 or 1: timescale + duration) and
+    * the track list (`trak` count; width/height from the first `tkhd`
+    * declaring nonzero 16.16 fixed-point dimensions — video tracks
+    * carry real dims, audio tracks 0×0). Box sizes honor the spec's
+    * escape values: size 1 = 64-bit `largesize` follows the type, size
+    * 0 = box extends to end of file. A size that overruns the payload,
+    * a missing/malformed `mvhd`, or a zero timescale ⇒ None.
+    */
+  private def parseMp4(p: Array[Byte]): Option[MediaMeta] = {
+    if (p.length < 16 || ascii(p, 4, 4) != "ftyp") return None
+    val ftypEnd = boxEnd(p, 0)
+    if (ftypEnd < 16) return None
+    val brand = ascii(p, 8, 4)
+    if (brand.length != 4 || brand.exists(c => c < 0x20 || c > 0x7e))
+      return None
+    var timescale = 0L
+    var duration = -1L
+    var tracks = 0
+    var w = -1
+    var h = -1
+    var i = ftypEnd.toInt
+    var sawMoov = false
+    while (i + 8 <= p.length) {
+      val end = boxEnd(p, i)
+      if (end < 0 || end > p.length) return None
+      if (ascii(p, i + 4, 4) == "moov") {
+        sawMoov = true
+        var j = i + hdrLen(p, i)
+        while (j + 8 <= end) {
+          val cEnd = boxEnd(p, j)
+          if (cEnd < 0 || cEnd > end) return None
+          val kind = ascii(p, j + 4, 4)
+          val body = j + hdrLen(p, j)
+          if (kind == "mvhd") {
+            if (body + 4 > end) return None
+            (p(body) & 0xff) match {
+              case 0 => // u32 creation/modification/timescale/duration
+                if (body + 24 > end) return None
+                timescale = be32(p, body + 12) & 0xffffffffL
+                duration = be32(p, body + 16) & 0xffffffffL
+              case 1 => // u64 creation/modification, u32 timescale, u64 dur
+                if (body + 32 > end) return None
+                timescale = be32(p, body + 20) & 0xffffffffL
+                duration = be64(p, body + 24)
+              case _ => return None
+            }
+          } else if (kind == "trak") {
+            tracks += 1
+            var t = body
+            while (t + 8 <= cEnd) {
+              val tEnd = boxEnd(p, t)
+              if (tEnd < 0 || tEnd > cEnd) return None
+              if (ascii(p, t + 4, 4) == "tkhd") {
+                val tb = t + hdrLen(p, t)
+                if (tb + 4 > cEnd) return None
+                // width/height are the LAST two u32s (16.16) in both
+                // versions; v1 widens the three time fields by 4 each
+                val dimOff = (p(tb) & 0xff) match {
+                  case 0 => tb + 76
+                  case 1 => tb + 88
+                  case _ => -1
+                }
+                if (dimOff >= 0 && dimOff + 8 <= cEnd && w < 0) {
+                  val tw = be32(p, dimOff) >>> 16
+                  val th = be32(p, dimOff + 4) >>> 16
+                  if (tw > 0 && th > 0) { w = tw; h = th }
+                }
+              }
+              t = tEnd.toInt
+            }
+          }
+          j = cEnd.toInt
+        }
+      }
+      i = end.toInt
+    }
+    if (!sawMoov || timescale <= 0 || duration < 0 || tracks == 0) None
+    else Some(MediaMeta("mp4",
+      if (w > 0) Some(w) else None, if (h > 0) Some(h) else None,
+      None, None, None, None,
+      brand = Some(brand),
+      durationMs = Some(duration * 1000L / timescale),
+      tracks = Some(tracks)))
+  }
+
+  /** End offset (exclusive) of the box starting at `i`, honoring the
+    * size-escape values; -1 when malformed/overrunning. Result fits an
+    * Int for any parseable payload (arrays cap at 2^31).
+    */
+  private def boxEnd(p: Array[Byte], i: Int): Long = {
+    if (i + 8 > p.length) return -1L
+    val raw = be32(p, i) & 0xffffffffL
+    val end =
+      if (raw == 0L) p.length.toLong // to end of file
+      else if (raw == 1L) { // 64-bit largesize after the type
+        if (i + 16 > p.length) return -1L
+        val ls = be64(p, i + 8)
+        if (ls < 16L) return -1L
+        i + ls
+      }
+      else if (raw < 8L) return -1L
+      else i + raw
+    if (end > p.length || end <= i) -1L else end
+  }
+
+  /** Header length of the box at `i`: 8, or 16 with a largesize. */
+  private def hdrLen(p: Array[Byte], i: Int): Int =
+    if ((be32(p, i) & 0xffffffffL) == 1L) 16 else 8
+
   // ---- byte readers ------------------------------------------------------
 
   private def ascii(p: Array[Byte], off: Int, len: Int): String =
@@ -227,4 +351,8 @@ object MediaHeaders {
     if (i + 4 > p.length) -1
     else (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
       ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+
+  private def be64(p: Array[Byte], i: Int): Long =
+    if (i + 8 > p.length) -1L
+    else ((be32(p, i) & 0xffffffffL) << 32) | (be32(p, i + 4) & 0xffffffffL)
 }

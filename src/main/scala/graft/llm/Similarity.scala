@@ -101,13 +101,18 @@ object Similarity {
     // are exact ints <= ~1.7e7 and any non-integer quotient sits at
     // least 1/span >= 1/65535 from the next integer — 9 decades above
     // double ulp, so the correctly-rounded quotient can never cross it
+    // clamp to the 0..255 code range: corpus vectors are in range by
+    // construction (the stats cover them), but a general-API query
+    // vector outside the corpus envelope must saturate like a real
+    // 1-byte SQ8 code, not escape the byte (round-10 ADVICE)
     def codes(e: Column): Column =
       zip_with(e, sequence(lit(0), lit(dims - 1)), (x, i) => {
         val mn = element_at(col("__mns"), (i + 1).cast("int"))
         val span = greatest(
           element_at(col("__mxs"), (i + 1).cast("int")) - mn, lit(1L))
-        floor(((x - mn) * lit(255L)).cast("double") / span.cast("double"))
-          .cast("long")
+        greatest(lit(0L), least(lit(255L),
+          floor(((x - mn) * lit(255L)).cast("double") / span.cast("double"))
+            .cast("long")))
       })
     // reconstructed integer vector from the stored codes (what a real
     // SQ8 scan decodes from its 1-byte/dim pages)
@@ -236,8 +241,15 @@ object Similarity {
   def kMeansCentroidsCached(tag: String, corpus: => DataFrame, idCol: String,
                             vecCol: String, k: Int, iters: Int)
       : Array[Array[Float]] =
-    centroidMemo.computeIfAbsent(tag,
-      _ => kMeansCentroids(corpus, idCol, vecCol, k, iters))
+    centroidMemo.computeIfAbsent(tag, { _ =>
+      graft.Memos.markTrained()
+      kMeansCentroids(corpus, idCol, vecCol, k, iters)
+    })
+
+  /** Drop the trained-centroid memo (bench pass isolation — see
+    * [[graft.Memos.clearAll]]).
+    */
+  private[graft] def clearMemos(): Unit = centroidMemo.clear()
 
   /** The memoized centroids for `tag`, if that training already ran. */
   def trainedCentroids(tag: String): Option[Array[Array[Float]]] =

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM (SentencePiece-style) subword tokenization: build a
@@ -97,11 +98,11 @@ object UnigramLm {
        |    ${(1 to MaxPieceLen).map(candSql).mkString(",\n    ")}))),
        |  acc -> element_at(acc, size(acc)))""".stripMargin
 
-  /** Viterbi-segment every distinct form: `(word, n_occ, n_pieces,
-    * score_nano)` — the likelihood-optimal segmentation's piece count
-    * and exact score.
+  /** `forms` decorated with the candidate lp map `m` (key i·8+j →
+    * lp_nano) under `vocabDf` — the shared setup of the scoring and
+    * piece-emitting DPs.
     */
-  def segmentForms(forms: DataFrame, vocabDf: DataFrame): DataFrame = {
+  private def withCandMap(forms: DataFrame, vocabDf: DataFrame): DataFrame = {
     val cand = forms.select(col("word"), expr(
         s"""explode(flatten(transform(sequence(1, length(word)), i ->
            |  transform(sequence(1, least($MaxPieceLen, i)), j ->
@@ -114,6 +115,14 @@ object UnigramLm {
       .agg(map_from_entries(collect_list(struct(col("k"), col("lp_nano"))))
         .as("m"))
     forms.join(cand, Seq("word")) // total: single chars are always kept
+  }
+
+  /** Viterbi-segment every distinct form: `(word, n_occ, n_pieces,
+    * score_nano)` — the likelihood-optimal segmentation's piece count
+    * and exact score.
+    */
+  def segmentForms(forms: DataFrame, vocabDf: DataFrame): DataFrame =
+    withCandMap(forms, vocabDf)
       .withColumn("__pk", expr(DpSql))
       .select(col("word"), col("n_occ"),
         (lit(63L) - ((pmod(col("__pk"), lit(512L)) -
@@ -121,6 +130,125 @@ object UnigramLm {
           .cast("long")).as("n_pieces"),
         ((col("__pk") - pmod(col("__pk"), lit(512L))) / lit(512))
           .cast("long").as("score_nano"))
+
+  // [[DpSql]] with an identity finish: the FULL packed array (position
+  // p at index p+1), so the optimal path is recoverable — each packed
+  // value's low 3 bits are the best candidate's piece length at that
+  // position, which is exactly a Viterbi backpointer.
+  private val DpAllSql: String =
+    s"""aggregate(sequence(1, length(word)), array(cast($Sentinel as bigint)),
+       |  (acc, i) -> concat(acc, array(greatest(
+       |    ${(1 to MaxPieceLen).map(candSql).mkString(",\n    ")}))),
+       |  acc -> acc)""".stripMargin
+
+  // walk the backpointers from position length(word) down to 0, at
+  // most MaxWordLen hops, emitting each step's piece: j = pmod(pk, 8)
+  // (8 divides 512, so the low 3 bits survive the score field) and the
+  // predecessor is pos - j. Words are non-empty and single chars are
+  // always in vocab, so every position has j >= 1 — the walk always
+  // reaches 0.
+  private val BacktrackSql: String =
+    s"""aggregate(sequence(1, $MaxWordLen),
+       |  struct(cast(length(word) as int) as pos,
+       |         cast(array() as array<string>) as ps),
+       |  (st, x) -> case when st.pos <= 0 then st else named_struct(
+       |    'pos', cast(st.pos - pmod(element_at(__acc, st.pos + 1), 8) as int),
+       |    'ps', array_append(st.ps, substring(word,
+       |      cast(st.pos - pmod(element_at(__acc, st.pos + 1), 8) + 1 as int),
+       |      cast(pmod(element_at(__acc, st.pos + 1), 8) as int)))) end,
+       |  st -> st.ps)""".stripMargin
+
+  /** The pieces ON each form's Viterbi path (exploded, multiplicity
+    * preserved): `(word, n_occ, piece)` — the hard-EM E-step readout.
+    */
+  def viterbiPieces(forms: DataFrame, vocabDf: DataFrame): DataFrame =
+    withCandMap(forms, vocabDf)
+      .withColumn("__acc", expr(DpAllSql))
+      .select(col("word"), col("n_occ"),
+        explode(expr(BacktrackSql)).as("piece"))
+
+  /** The seed vocabulary WITH its corpus counts: `(piece, cnt,
+    * lp_nano)` — [[vocab]]'s kept set, counts retained for the
+    * trainer's prune ranking.
+    */
+  def vocabWithCounts(counts: DataFrame): DataFrame = {
+    val kept = counts
+      .where(col("cnt") >= MinCount || length(col("piece")) === 1)
+    val tot = kept.agg(sum(col("cnt")).as("__t"))
+    kept.join(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("__t").cast("double")) *
+          lit(1e9)).cast("long").as("lp_nano"))
+  }
+
+  /** SentencePiece-style unigram TRAINING (Kudo '18 §3.2's loop in its
+    * deterministic hard-EM form): seed vocabulary from substring
+    * counts, then `rounds` iterations of
+    *
+    *  1. '''E-step''' — Viterbi-segment every distinct word form under
+    *     the current model ([[viterbiPieces]]; the same packed-BIGINT
+    *     DP the inference path certifies) and count each piece's
+    *     occurrences on the optimal paths, occurrence-weighted;
+    *  2. '''prune''' — single-char pieces are always kept (coverage —
+    *     SentencePiece's required-char rule); multi-char pieces must
+    *     have been USED this round, and only the top
+    *     `ceil(3/4 · |used multi|)` by (usage desc, piece asc) survive
+    *     — the shrinking-factor step, with usage standing in for the
+    *     likelihood-loss ranking;
+    *  3. '''M-step''' — re-estimate `lp_nano = round(ln(cnt/total)·1e9)`
+    *     over the kept set, unused singles floored at count 1 (they
+    *     must keep a finite probability to guarantee segmentability).
+    *
+    * Hard EM (Viterbi counts) rather than SentencePiece's
+    * forward-backward expectations is the deliberate contract choice:
+    * expected counts need log-sum-exp over path space, which no integer
+    * grid makes bit-reproducible across engines, while the Viterbi path
+    * is already a certified exact-integer object — so training inherits
+    * the inference DP's cross-engine determinism. Fixed `rounds` is the
+    * contract (no convergence test), mirroring the BPE family's fixed
+    * merge count.
+    *
+    * Scale shape: each round is one form-grain DP (map-only after the
+    * piece-grain candidate join), one piece-grain count, one
+    * vocab-grain prune. The prune's global window orders VOCAB-grain
+    * rows (bounded by the ≤[[MaxPieceLen]]-gram space, not the corpus);
+    * every crossJoin broadcasts a 1-row aggregate. Per-round
+    * `localCheckpoint` cuts the lineage so round r+1's plan does not
+    * nest round r's DP.
+    *
+    * @return `(piece, cnt, lp_nano)` — the trained vocabulary;
+    *         `select(piece, lp_nano)` feeds [[segmentForms]] /
+    *         [[exportVocab]] directly.
+    */
+  def trainVocab(forms: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds")
+    var v = vocabWithCounts(pieceCounts(forms)).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val use = viterbiPieces(forms, v.select(col("piece"), col("lp_nano")))
+        .groupBy(col("piece")).agg(sum(col("n_occ")).as("__u"))
+      val scored = v.select(col("piece"))
+        .join(use, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("__u"), lit(0L)).as("__u"))
+      val singles = scored.where(length(col("piece")) === 1)
+        .select(col("piece"), greatest(col("__u"), lit(1L)).as("cnt"))
+      val multi = scored
+        .where(length(col("piece")) > 1 && col("__u") >= 1L)
+      val nMulti = multi.agg(count(lit(1)).as("__n"))
+      val keptMulti = multi
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("__u").desc, col("piece"))))
+        .crossJoin(broadcast(nMulti))
+        .where(col("__rk") <= expr("(__n * 3 + 3) div 4"))
+        .select(col("piece"), col("__u").as("cnt"))
+      val kept = singles.union(keptMulti)
+      val tot = kept.agg(sum(col("cnt")).as("__t"))
+      v = kept.join(broadcast(tot))
+        .select(col("piece"), col("cnt"),
+          round(log(col("cnt").cast("double") / col("__t").cast("double")) *
+            lit(1e9)).cast("long").as("lp_nano"))
+        .localCheckpoint(true)
+    }
+    v
   }
 
   /** Write the vocabulary in the SentencePiece-style `.vocab` text
@@ -151,10 +279,19 @@ object UnigramLm {
     * words keep a zero row.
     */
   def docStats(docs: DataFrame, idCol: String,
-               textCol: String): DataFrame = {
+               textCol: String): DataFrame =
+    docStatsWith(docs, idCol, textCol, forms => vocab(pieceCounts(forms)))
+
+  /** [[docStats]] under a caller-supplied vocabulary (e.g. a
+    * [[trainVocab]] result or an [[importVocab]] round trip) — the
+    * vocab factory sees the corpus word forms so the default seed path
+    * stays a one-liner.
+    */
+  def docStatsWith(docs: DataFrame, idCol: String, textCol: String,
+                   vocabFor: DataFrame => DataFrame): DataFrame = {
     val occ = wordOccurrences(docs, idCol, textCol).localCheckpoint(true)
     val forms = wordForms(occ)
-    val seg = segmentForms(forms, vocab(pieceCounts(forms)))
+    val seg = segmentForms(forms, vocabFor(forms))
     val per = occ.join(seg.select(col("word"), col("n_pieces"),
         col("score_nano")), Seq("word"))
       .groupBy(col(idCol))

@@ -155,4 +155,81 @@ class MediaHeadersSpec extends AnyFunSuite {
     zpng(16) = 0; zpng(17) = 0; zpng(18) = 0; zpng(19) = 0
     assert(MediaHeaders.sniff(zpng) === None)
   }
+
+  // ---- MP4 / ISO-BMFF -----------------------------------------------------
+
+  test("MP4 fixture round-trips brand / duration / tracks / tkhd dims") {
+    for (ts <- Seq(600, 1000, 90000); k <- Seq(1, 2, 3)) {
+      val dur = ts.toLong * 7 + 123
+      val p = MediaFixtures.mp4Bytes("isom", ts, dur, 640, 480, k)
+      assert(p.length === 164 + 100 * k) // closed-form size
+      assert(MediaHeaders.sniff(p) ===
+        Some(MediaMeta("mp4", Some(640), Some(480), None, None, None, None,
+          Some("isom"), Some(dur * 1000L / ts), Some(k))))
+    }
+    // a different brand survives; dims come from track 1 only
+    assert(MediaHeaders.sniff(
+      MediaFixtures.mp4Bytes("mp42", 1000, 2500L, 1, 65535, 3)) ===
+      Some(MediaMeta("mp4", Some(1), Some(65535), None, None, None, None,
+        Some("mp42"), Some(2500L), Some(3))))
+  }
+
+  /** Spec shapes the fixture builder doesn't emit: version-1 mvhd/tkhd
+    * (64-bit times), a 64-bit `largesize` moov, and a size-0
+    * to-end-of-file box — built by hand so the parser is proven against
+    * ISO/IEC 14496-12's escapes, not just our own writer.
+    */
+  test("MP4 parser handles v1 boxes, largesize, and size-0 boxes") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def s(x: String): Array[Byte] = x.getBytes("US-ASCII")
+    val matrix = be32(0x10000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x10000L) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000L)
+    // mvhd v1: u64 creation/modification, u32 timescale, u64 duration
+    val mvhd1Body = Array(1.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      be64(0) ++ be64(0) ++ be32(90000) ++ be64(450000L) ++
+      be32(0x10000L) ++ Array[Byte](1, 0, 0, 0) ++ be64(0) ++ matrix ++
+      new Array[Byte](24) ++ be32(2)
+    val mvhd1 = be32(8L + mvhd1Body.length) ++ s("mvhd") ++ mvhd1Body
+    // tkhd v1: u64 creation/modification/duration
+    val tkhd1Body = Array(1.toByte, 0.toByte, 0.toByte, 7.toByte) ++
+      be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++ be64(450000L) ++
+      be64(0) ++ be32(0) ++ be32(0) ++ matrix ++
+      be32(1920L << 16) ++ be32(1080L << 16)
+    val tkhd1 = be32(8L + tkhd1Body.length) ++ s("tkhd") ++ tkhd1Body
+    val trak = be32(8L + tkhd1.length) ++ s("trak") ++ tkhd1
+    val moovPayload = mvhd1 ++ trak
+    val ftyp = be32(24) ++ s("ftyp") ++ s("avc1") ++ be32(0) ++
+      s("isom") ++ s("mp41")
+    // moov with a 64-bit largesize header (size=1 escape)
+    val moovLarge = be32(1) ++ s("moov") ++
+      be64(16L + moovPayload.length) ++ moovPayload
+    assert(MediaHeaders.sniff(ftyp ++ moovLarge) ===
+      Some(MediaMeta("mp4", Some(1920), Some(1080), None, None, None, None,
+        Some("avc1"), Some(5000L), Some(1))))
+    // size-0 mdat (extends to EOF) after a plain moov
+    val moov = be32(8L + moovPayload.length) ++ s("moov") ++ moovPayload
+    val mdat0 = be32(0) ++ s("mdat") ++ Array.fill[Byte](10)(0x5a)
+    assert(MediaHeaders.sniff(ftyp ++ moov ++ mdat0) ===
+      Some(MediaMeta("mp4", Some(1920), Some(1080), None, None, None, None,
+        Some("avc1"), Some(5000L), Some(1))))
+  }
+
+  test("MP4 corruption yields None: truncation, overrun, missing moov") {
+    val ok = MediaFixtures.mp4Bytes("isom", 1000, 3000L, 320, 240, 2)
+    // cut inside the moov: child box overruns
+    assert(MediaHeaders.sniff(ok.take(100)) === None)
+    // ftyp alone (no moov / no mvhd)
+    assert(MediaHeaders.sniff(ok.take(24)) === None)
+    // box size smaller than a header (moov size bytes 25..28 -> 3)
+    val bad = ok.clone(); bad(26) = 0; bad(27) = 3
+    assert(MediaHeaders.sniff(bad) === None)
+    // zero timescale rejected
+    val zts = ok.clone()
+    // mvhd timescale bytes 53..56 (1-indexed) -> indices 52..55
+    zts(52) = 0; zts(53) = 0; zts(54) = 0; zts(55) = 0
+    assert(MediaHeaders.sniff(zts) === None)
+  }
 }

@@ -79,6 +79,67 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("viterbiPieces: the backpointer walk emits exactly the optimal path") {
+    val forms = Seq(("abcde", 2L), ("ab", 1L)).toDF("word", "n_occ")
+    val vocab = Seq(("abcd", -1000000000L), ("e", -2000000000L),
+      ("a", -9000000000L), ("b", -9000000000L), ("c", -9000000000L),
+      ("d", -9000000000L), ("bcde", -1500000000L), ("ab", -1100000000L))
+      .toDF("piece", "lp_nano")
+    val got = UnigramLm.viterbiPieces(forms, vocab)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    // abcde -> abcd + e (the segmentForms-certified optimum); ab -> ab
+    assert(got.toSet === Set(("abcde", "abcd"), ("abcde", "e"), ("ab", "ab")))
+    assert(got.length === 3) // multiplicity: no duplicates here
+  }
+
+  test("trainVocab: E-step usage prunes unused pieces, M-step renormalizes") {
+    // 'ab' dominates: every Viterbi path uses it, so 'a'+'b' go unused
+    // as multi... they're single chars (always kept); piece 'aba' is in
+    // the seed (cnt >= 3) but never on an optimal path -> pruned.
+    val docs = Seq((1L, "abab abab abab"), (2L, "ab ab abab"))
+      .toDF("doc_id", "text")
+    val forms = UnigramLm.wordForms(
+      UnigramLm.wordOccurrences(docs, "doc_id", "text"))
+    val trained = UnigramLm.trainVocab(forms, rounds = 2)
+    val rows = trained.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // single chars survive even if unused (usage floored at 1)
+    assert(rows.contains("a") && rows.contains("b"))
+    // the workhorse pieces survive with their real usage counts:
+    // form "abab" (4 occ) Viterbi-segments as the single piece "abab",
+    // form "ab" (2 occ) as "ab"
+    assert(rows.contains("abab") && rows("abab")._1 === 4L)
+    assert(rows.contains("ab") && rows("ab")._1 === 2L)
+    // seed pieces that no optimal path used are gone
+    assert(!rows.contains("aba") && !rows.contains("bab"))
+    // log-probs are normalized over the kept set: sum of exp(lp) ~ 1
+    val mass = rows.values.map(v => math.exp(v._2 / 1e9)).sum
+    assert(math.abs(mass - 1.0) < 1e-6)
+    // determinism: retraining yields the identical frame
+    val again = UnigramLm.trainVocab(forms, rounds = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again === rows)
+  }
+
+  test("trainVocab round-trips through exportVocab and re-segments identically") {
+    val docs = Seq((1L, "hello world hello held hell hello"),
+      (2L, "low lower new newer lowest")).toDF("doc_id", "text")
+    val forms = UnigramLm.wordForms(
+      UnigramLm.wordOccurrences(docs, "doc_id", "text"))
+    val trained = UnigramLm.trainVocab(forms, rounds = 2)
+      .select(col("piece"), col("lp_nano"))
+    val dir = java.nio.file.Files.createTempDirectory("uni_train").toString
+    UnigramLm.exportVocab(trained, s"$dir/v")
+    val back = UnigramLm.importVocab(spark, s"$dir/v")
+    assert(back.orderBy("piece").collect().map(_.toSeq).toSeq ===
+      trained.orderBy("piece").collect().map(_.toSeq).toSeq)
+    val a = UnigramLm.segmentForms(forms, trained).orderBy("word")
+      .collect().map(_.toSeq)
+    val b = UnigramLm.segmentForms(forms, back).orderBy("word")
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("docStats: zero row for wordless docs, over-length words excluded, partition-invariant") {
     val long = "x" * 40 // over MaxWordLen -> excluded everywhere
     val docs = Seq((1L, "aa aa bb"), (2L, ""), (3L, long))
