@@ -925,6 +925,27 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ composed index ([[Similarity.knnIvfPq]]): the SAME trained
+    * coarse quantizer as `knn_cosine_ivf` routes each query to its 2
+    * nearest of 8 buckets, the SAME trained codebooks as
+    * `knn_cosine_pq` score the probed candidates by ADC over 4 stored
+    * codes, and exact cosine refines the ADC top-20 down to 5 — one
+    * training each, three certified consumers, and the candidate scan
+    * reads codes for ~2/8 of the corpus instead of floats for all of
+    * it. The twin embeds both literal sets and replays route + encode +
+    * ADC + refine statement for statement.
+    */
+  private def knnCosineIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = tPar(s, dir, "embeddings")
+    val cents = Similarity.kMeansCentroidsCached(ivfTag(dir), emb,
+      "vec_id", "embedding", k = 8, iters = 3)
+    val books = Similarity.pqCodebooksCached(pqTag(dir), emb, "vec_id",
+      "embedding", dims = 64, m = 4, k = 8, iters = 2)
+    Similarity.knnIvfPq(emb.where(col("vec_id") < 16), emb, "vec_id",
+        "vec_id", "embedding", cents, books, k = 5, nProbes = 2, refine = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Rank-biased overlap@10 ([[graft.ops.Eval.rbo]], p = 0.9) between
     * the exact cosine ranking and the label-bucketed ANN ranking, per
     * query — the top-weighted agreement score an index rollout gates
@@ -2045,6 +2066,7 @@ object LlmQueries {
     "substring_dedup_rebuild" -> (substringDedupRebuild _),
     "knn_cosine_sq8" -> (knnCosineSq8 _),
     "suffix_repeat_families" -> (suffixRepeatFamilies _),
+    "knn_cosine_ivfpq" -> (knnCosineIvfPq _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -3057,10 +3079,12 @@ object LlmQueries {
     // repr exactly (caught by knn_cosine_pq at sf0.01: one ADC term
     // differed 4e-10 and crossed a 6-decimal rounding boundary)
     def fLit(x: Float): String = s"'$x'::FLOAT"
-    val ivfEntries = centsOpt.toSeq.flatMap { cents =>
-      val rows = cents.zipWithIndex.map { case (c, i) =>
+    val centRowsOpt = centsOpt.map { cents =>
+      cents.zipWithIndex.map { case (c, i) =>
         c.map(fLit).mkString(s"    ($i, list_value(", ", ", "))")
       }.mkString(",\n")
+    }
+    val ivfEntries = centRowsOpt.toSeq.flatMap { rows =>
       Seq(ivfEntry(rows), semanticDedupEntry(rows), silhouetteEntry(rows))
     }.toMap
     val booksOpt = sys.props.get("graft.oracle.sfDir").flatMap { dir =>
@@ -3072,15 +3096,21 @@ object LlmQueries {
         }
       }
     }
-    val pqEntries = booksOpt.toSeq.flatMap { books =>
-      val rows = books.zipWithIndex.flatMap { case (cb, s) =>
+    val bookRowsOpt = booksOpt.map { books =>
+      books.zipWithIndex.flatMap { case (cb, s) =>
         cb.zipWithIndex.map { case (c, i) =>
           c.map(fLit).mkString(s"    ($s, $i, list_value(", ", ", "))")
         }
       }.mkString(",\n")
+    }
+    val pqEntries = bookRowsOpt.toSeq.flatMap { rows =>
       Seq(pqEntry(rows), pqRefinedEntry(rows))
     }.toMap
-    ivfEntries ++ pqEntries
+    // the composed index needs BOTH trained artifacts
+    val ivfpqEntries = (for {
+      centRows <- centRowsOpt; bookRows <- bookRowsOpt
+    } yield ivfpqEntry(centRows, bookRows)).toMap
+    ivfEntries ++ pqEntries ++ ivfpqEntries
   }
 
   /** PQ twin: codebooks as (subspace, code, centroid) literals; encode =
@@ -3122,6 +3152,104 @@ object LlmQueries {
          |  FROM cand)
          |WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ twin ([[Similarity.knnIvfPq]]): BOTH trained artifacts as
+    * literals — coarse centroids route (assignment argmax + per-query
+    * top-2 probe, [[ivfEntry]]'s chain) and PQ codes score (encode +
+    * pivoted ADC sums, [[pqCtes]]'s chain) — but the ADC join starts
+    * from the PROBED candidate set instead of the full cross product,
+    * then the exact-cosine refine re-orders the ADC top-20 and keeps 5,
+    * statement-for-statement the Spark plan.
+    */
+  private def ivfpqEntry(centRows: String, cbRows: String): (String, String) = {
+    val sub = 16
+    def slAt(v: String, sRef: String) =
+      s"$v[$sRef * $sub + 1 : $sRef * $sub + $sub]"
+    "knn_cosine_ivfpq" ->
+      s"""WITH cents AS (
+         |  SELECT * FROM (VALUES
+         |$centRows
+         |  ) AS t(ci, cv)
+         |), cb AS (
+         |  SELECT * FROM (VALUES
+         |$cbRows
+         |  ) AS t(s, ci, cv)
+         |), e AS (SELECT vec_id, embedding FROM embeddings),
+         |scored AS (
+         |  SELECT e.vec_id, c.ci,
+         |         ${cosineSql("e.embedding", "c.cv")} AS s
+         |  FROM e CROSS JOIN cents c
+         |), assign AS (
+         |  SELECT vec_id, ci AS bucket FROM (
+         |    SELECT vec_id, ci,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+         |    FROM scored) WHERE rn = 1
+         |), enc AS (
+         |  SELECT vec_id, s, ci AS code FROM (
+         |    SELECT e.vec_id, cb.s, cb.ci,
+         |           row_number() OVER (PARTITION BY e.vec_id, cb.s
+         |             ORDER BY ${cosineSql(slAt("e.embedding", "cb.s"), "cb.cv")} DESC, cb.ci) AS rn
+         |    FROM e CROSS JOIN cb) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe,
+         |         ${dotSql("embedding", "embedding")} AS qn2
+         |  FROM embeddings WHERE vec_id < 16
+         |), qprobe AS (
+         |  SELECT vec_id AS query_id, ci AS probe FROM (
+         |    SELECT vec_id, ci,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+         |    FROM scored WHERE vec_id < 16) WHERE rn <= 2
+         |), cand AS (
+         |  SELECT qp.query_id, a.vec_id AS neighbor_id
+         |  FROM assign a JOIN qprobe qp ON a.bucket = qp.probe
+         |  WHERE a.vec_id <> qp.query_id
+         |), adc AS (
+         |  SELECT cd.query_id, cd.neighbor_id, enc.s, q.qn2,
+         |         ${dotSql(slAt("q.qe", "enc.s"), "cb.cv")} AS d,
+         |         ${dotSql("cb.cv", "cb.cv")} AS c2
+         |  FROM cand cd
+         |  JOIN q ON q.query_id = cd.query_id
+         |  JOIN enc ON enc.vec_id = cd.neighbor_id
+         |  JOIN cb ON cb.s = enc.s AND cb.ci = enc.code
+         |), p AS (
+         |  SELECT query_id, neighbor_id, max(qn2) AS qn2,
+         |         max(CASE WHEN s = 0 THEN d END) AS d0,
+         |         max(CASE WHEN s = 1 THEN d END) AS d1,
+         |         max(CASE WHEN s = 2 THEN d END) AS d2,
+         |         max(CASE WHEN s = 3 THEN d END) AS d3,
+         |         max(CASE WHEN s = 0 THEN c2 END) AS e0,
+         |         max(CASE WHEN s = 1 THEN c2 END) AS e1,
+         |         max(CASE WHEN s = 2 THEN c2 END) AS e2,
+         |         max(CASE WHEN s = 3 THEN c2 END) AS e3
+         |  FROM adc GROUP BY 1, 2
+         |), sims AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(CASE WHEN sqrt(qn2) * sqrt(e0 + e1 + e2 + e3) > 0
+         |               THEN (d0 + d1 + d2 + d3) / (sqrt(qn2) * sqrt(e0 + e1 + e2 + e3))
+         |               ELSE 0.0 END, 6) AS approx_sim
+         |  FROM p
+         |), r AS (
+         |  SELECT query_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx_sim DESC, neighbor_id) AS INTEGER) AS rank,
+         |         neighbor_id, approx_sim
+         |  FROM sims
+         |), short AS (
+         |  SELECT r.query_id, r.neighbor_id, r.approx_sim,
+         |         round(${cosineSql("q.qe", "e.embedding")}, 6) AS true_sim
+         |  FROM r JOIN q ON q.query_id = r.query_id
+         |  JOIN e ON e.vec_id = r.neighbor_id
+         |  WHERE r.rank <= 20
+         |)
+         |SELECT query_id, rank, neighbor_id, approx_sim, true_sim FROM (
+         |  SELECT query_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY true_sim DESC, neighbor_id) AS INTEGER) AS rank,
+         |         neighbor_id, approx_sim, true_sim
+         |  FROM short)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The shared PQ chain (codebook literals → per-subspace encode →
     * ADC terms → pivoted exact-order sums → `r(query_id, rank,

@@ -495,6 +495,96 @@ object Similarity {
         col("approx_sim"), col("true_sim"))
   }
 
+  /** IVF-PQ composed index (the `IndexIVFPQ` shape of Jégou et al.,
+    * "Product quantization for nearest neighbor search", PAMI'11;
+    * extension scope — the reference ETL has no ANN surface, this
+    * composes the repo's own IVF and PQ families): the coarse
+    * quantizer ROUTES — each query
+    * probes its `nProbes` nearest IVF centroids and only those buckets'
+    * rows become candidates — while PQ codes SCORE — candidates rank by
+    * the ADC approximation over `m` stored codes, never touching the
+    * raw floats until the exact refine over the final shortlist.
+    *
+    * This is the 100 TB serving shape: the corpus-grain state is
+    * (probe, m codes) per row — one int + m bytes — the corpus never
+    * shuffles (probes explode on the broadcast query side, candidates
+    * come from an equi-join on the bucket), the ADC scan reads codes
+    * only, and exact distances are paid for `|Q|·k·refine` rows total.
+    * Scan cost drops from |corpus| to Σ probed-bucket sizes — with
+    * balanced centroids, ~`nProbes/nlist` of the corpus.
+    *
+    * Encoding variant: PQ over the RAW vectors (FAISS
+    * `by_residual=false`), not residuals — the codebooks are shared
+    * bit-for-bit with [[knnPqAdc]] (one training, two indexes, the same
+    * memo-sharing discipline as the LPA labeling), and scores stay
+    * exactly the cross-engine-reproducible literal-fold arithmetic the
+    * PQ family certified. Residual encoding would re-center each bucket
+    * (better recall at equal code budget) at the cost of per-bucket
+    * codebook training; the raw variant is the documented trade.
+    *
+    * Output contract matches [[knnPqRefined]]: (query_id, rank,
+    * neighbor_id, approx_sim, true_sim), `rank` = exact-cosine rank over
+    * the ADC shortlist of `k·refine` per query, ties by neighbor_id.
+    */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame, qidCol: String,
+               idCol: String, vecCol: String,
+               centroids: Array[Array[Float]],
+               codebooks: Array[Array[Array[Float]]], k: Int = 10,
+               nProbes: Int = 1, refine: Int = 4): DataFrame = {
+    require(nProbes >= 1 && nProbes <= centroids.length,
+      s"nProbes=$nProbes for ${centroids.length} centroids")
+    require(refine >= 1, s"refine=$refine")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    def litVec(cen: Array[Float]): Column = array(cen.map(lit).toIndexedSeq: _*)
+    def subv(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
+    // corpus index state, map-only: coarse probe + m PQ codes per row
+    val codeCols = (0 until m).map(s =>
+      nearestCentroid(subv(col("__cv"), s), codebooks(s)).as(s"__code$s"))
+    val c = corpus.select(
+      (col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
+        nearestCentroid(col(vecCol), centroids).as("__probe") +: codeCols): _*)
+    // query probes: rank ALL centroids per query, keep the nProbes best
+    // (one struct array sort on the broadcast side — [[knnIvf]]'s shape)
+    val ranked = array_sort(array(centroids.zipWithIndex.map { case (cen, i) =>
+      struct(
+        (-cosine(col("__qv"), array(cen.map(x => lit(x)): _*))).as("d"),
+        lit(i).as("i"))
+    }: _*))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe",
+        explode(slice(transform(ranked, e => e.getField("i")), 1, nProbes)))
+    // ADC terms over the candidate set: per subspace, the dot of the
+    // query slice against EVERY sub-centroid (a literal array), selected
+    // by the stored code — [[knnPqAdc]]'s identity on fewer rows
+    val adc = (0 until m).map { s =>
+      element_at(array(codebooks(s).map(cen =>
+        dot(subv(col("__qv"), s), litVec(cen))).toIndexedSeq: _*),
+        col(s"__code$s") + 1)
+    }.reduceLeft(_ + _)
+    val recon2 = (0 until m).map { s =>
+      element_at(array(codebooks(s).map(cen =>
+        dot(litVec(cen), litVec(cen))).toIndexedSeq: _*),
+        col(s"__code$s") + 1)
+    }.reduceLeft(_ + _)
+    val den = sqrt(dot(col("__qv"), col("__qv"))) * sqrt(recon2)
+    val sims = c.join(broadcast(q), Seq("__probe"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim",
+        round(when(den > 0, adc / den).otherwise(lit(0.0)), 6))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val shortlist = sims.withColumn("rank", row_number().over(wAdc))
+      .where(col("rank") <= k * refine)
+      .withColumn("true_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("true_sim").desc, col("neighbor_id"))
+    shortlist.withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_sim"), col("true_sim"))
+  }
+
   /** IVF top-k: train (or reuse) centroids, assign the corpus once, then
     * probe the `nProbes` centroids nearest to each query — candidates =
     * the union of those buckets, still an equi-join keyed on the bucket

@@ -333,6 +333,67 @@ class LlmSpec extends AnyFunSuite {
     assert(r3 === 1.0, "probing every centroid is exhaustive search")
   }
 
+  test("IVF-PQ: full-probe equals PQ-refined exactly; routed probes keep recall on planted clusters") {
+    // same planted-cluster fixture as the IVF test: 3 tight clusters,
+    // 16 dims, deterministic jitter
+    def base(c: Int): Array[Float] =
+      (0 until 16).map(d => if (d % 3 == c) 1.0f else 0.05f).toArray
+    def member(c: Int, j: Int): Array[Float] =
+      base(c).zipWithIndex.map { case (x, d) =>
+        x + (((j * 31 + d * 7) % 11) - 5) * 0.02f
+      }
+    val rows = for (c <- 0 until 3; j <- 0 until 40)
+      yield ((c * 40 + j).toLong, member(c, j))
+    val corpus = rows.toDF("id", "embedding")
+    val queries = corpus.where($"id" % 17 === 0)
+      .select($"id".as("qid"), $"embedding")
+
+    val cents = Similarity.kMeansCentroids(corpus, "id", "embedding",
+      k = 3, iters = 5)
+    val books = Similarity.pqCodebooksCached("llmspec-ivfpq", corpus,
+      "id", "embedding", dims = 16, m = 4, k = 4, iters = 3)
+
+    // nProbes = nlist means every bucket is a candidate source — the
+    // routing is a no-op and IVF-PQ must reproduce PQ-refined ROW FOR ROW
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val full = rowsOf(Similarity.knnIvfPq(queries, corpus, "qid", "id",
+      "embedding", cents, books, k = 5, nProbes = 3, refine = 2))
+    val pqr = rowsOf(Similarity.knnPqRefined(queries, corpus, "qid", "id",
+      "embedding", books, k = 5, refine = 2))
+    assert(full === pqr, "full-probe IVF-PQ diverged from PQ-refined")
+
+    // routed probes: tight planted clusters keep within-cluster
+    // neighbors reachable through the query's own bucket
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.knnBrute(queries, corpus, "qid", "id",
+      "embedding", 5))
+    // a 4×4-code quantizer is deliberately coarse — recall comes from
+    // the refine width, and probing more buckets can only add candidates
+    val routed = hits(Similarity.knnIvfPq(queries, corpus, "qid", "id",
+      "embedding", cents, books, k = 5, nProbes = 1, refine = 4))
+    val all = hits(Similarity.knnIvfPq(queries, corpus, "qid", "id",
+      "embedding", cents, books, k = 5, nProbes = 3, refine = 4))
+    val recall = (routed & brute).size.toDouble / brute.size
+    val recallAll = (all & brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@5 vs brute: nProbes=1 $recall%.3f, nProbes=3 $recallAll%.3f")
+    assert(recall > 0.6, f"routed IVF-PQ recall $recall%.3f")
+    assert(recallAll >= recall, "probing every bucket must not lose recall")
+
+    // contract: exact rank is (true_sim desc, neighbor_id) within query
+    val out = Similarity.knnIvfPq(queries, corpus, "qid", "id",
+      "embedding", cents, books, k = 5, nProbes = 2, refine = 2)
+      .orderBy("query_id", "rank").collect()
+    out.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(1))
+      val ts = byRank.map(r => (r.getDouble(4), r.getLong(2)))
+      assert(ts === ts.sortBy { case (t, n) => (-t, n) },
+        "exact rank must order by (true_sim desc, neighbor_id)")
+    }
+  }
+
   test("embedding near-dups: threshold keeps only the twin pair") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 0),

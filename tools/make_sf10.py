@@ -15,7 +15,13 @@ memory at once. Strides are asserted against the base maxima — an
 overlapping copy would silently alias keys and corrupt every
 certification built on the fixture.
 
-Usage: python3 tools/make_sf10.py [src=/root/testdata/sf0.1] [dst=target/sf10full]
+The copy count is a parameter so the same generator produces the
+THIRD full-table decade (copies=1000 -> target/sf100full, 600M
+lineitem / 150M orders / 15M customers, ~17 GB parquet). Key head-room
+at 1000 copies: custkeys reach 1.5e6 + 999*1e5 ~ 1.01e8, still one
+decade under the 1e9 supplier node offset; suppkeys reach ~1e7.
+
+Usage: python3 tools/make_sf10.py [src=/root/testdata/sf0.1] [dst=target/sf10full] [copies=100]
 """
 import os
 import shutil
@@ -36,6 +42,7 @@ STRIDE = {'o_orderkey': 1_000_000, 'l_orderkey': 1_000_000,
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
     dst = sys.argv[2] if len(sys.argv) > 2 else 'target/sf10full'
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else COPIES
     os.makedirs(dst, exist_ok=True)
     for t in ['region', 'nation']:
         shutil.copy(f'{src}/{t}.parquet', f'{dst}/{t}.parquet')
@@ -51,7 +58,7 @@ def main():
                     f'offset copies would overlap — raise STRIDE')
         writer = pq.ParquetWriter(f'{dst}/{t}.parquet', tab.schema)
         n = 0
-        for i in range(COPIES):
+        for i in range(copies):
             cols = []
             for name in tab.column_names:
                 col = tab[name]
