@@ -620,6 +620,68 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-selection eval: per language, the fertility
+    * (pieces per word) and compression (chars per piece) of the two
+    * trained tokenizer families on the SAME corpus — the comparison a
+    * pipeline runs before committing a vocabulary, asked per language
+    * because fertility divergence across languages is the standard
+    * argument for/against a shared multilingual vocab. Each tokenizer
+    * is measured under its OWN word model (BPE's lowercase-alpha forms
+    * ≤16 chars, unigram's tokenizer forms ≤32), so the numbers are the
+    * ones each family's certified stats queries already pin.
+    *
+    * Execution shape: both tokenizers run at DISTINCT-FORM grain (the
+    * merge chain / Viterbi DP never see occurrence multiplicity), doc
+    * occurrences join their form's result key-grain, and the output is
+    * |langs| rows. Ratios are exact micro-integers (BIGINT div), so
+    * the row hashes cross-engine.
+    */
+  private def tokenizerFertilityEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = tPar(s, dir, "documents")
+    val bpeWordsByDoc = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "" && length(col("word")) <= 16)
+    val merges = Bpe.learnMergesCached(bpeTag(dir), bpeWords(s, dir),
+      "word", "cnt", numMerges = 20, passes = 8)
+    val bpePerDoc = Bpe.tokenizeDocWords(bpeWordsByDoc, "word",
+        merges.map(m => (m.lft, m.rgt)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bpe_words"),
+        sum(size(split(col("syms"), " ")).cast("long")).as("bpe_subwords"),
+        sum(length(col("word")).cast("long")).as("bpe_chars"))
+    val uniPerDoc = UnigramLm.docStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_words").as("uni_words"),
+        col("n_pieces").as("uni_pieces"))
+    val uniChars = UnigramLm.wordOccurrences(docs, "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("word")).cast("long")).as("uni_chars"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(bpePerDoc, Seq("doc_id"), "left")
+      .join(uniPerDoc, Seq("doc_id"), "left")
+      .join(uniChars, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("bpe_words"), lit(0L))).as("bpe_words"),
+        sum(coalesce(col("bpe_subwords"), lit(0L))).as("bpe_subwords"),
+        sum(coalesce(col("bpe_chars"), lit(0L))).as("bpe_chars"),
+        sum(coalesce(col("uni_words"), lit(0L))).as("uni_words"),
+        sum(coalesce(col("uni_pieces"), lit(0L))).as("uni_pieces"),
+        sum(coalesce(col("uni_chars"), lit(0L))).as("uni_chars"))
+      .select(col("lang"), col("n_docs"), col("bpe_words"),
+        col("bpe_subwords"), col("uni_words"), col("uni_pieces"),
+        expr("CASE WHEN bpe_words > 0 THEN (bpe_subwords * 1000000L) div bpe_words ELSE 0L END")
+          .as("bpe_fert_micro"),
+        expr("CASE WHEN uni_words > 0 THEN (uni_pieces * 1000000L) div uni_words ELSE 0L END")
+          .as("uni_fert_micro"),
+        expr("CASE WHEN bpe_subwords > 0 THEN (bpe_chars * 1000000L) div bpe_subwords ELSE 0L END")
+          .as("bpe_chars_per_tok_micro"),
+        expr("CASE WHEN uni_pieces > 0 THEN (uni_chars * 1000000L) div uni_pieces ELSE 0L END")
+          .as("uni_chars_per_tok_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** Distinct word forms for the keyed SQL apply chain. */
   private val BpeFormsSql =
     """SELECT DISTINCT word FROM (
@@ -2067,6 +2129,7 @@ object LlmQueries {
     "knn_cosine_sq8" -> (knnCosineSq8 _),
     "suffix_repeat_families" -> (suffixRepeatFamilies _),
     "knn_cosine_ivfpq" -> (knnCosineIvfPq _),
+    "tokenizer_fertility_eval" -> (tokenizerFertilityEval _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -2214,7 +2277,13 @@ object LlmQueries {
     * skipped on both engines). Keep the packing arithmetic in lockstep
     * with [[graft.llm.UnigramLm]].
     */
-  private lazy val UnigramSql: String = {
+  /** The CTE chain of [[UnigramSql]] up to `docstats(doc_id, n_words,
+    * n_pieces, lp_nano_sum)`, exposed so composite twins (the
+    * tokenizer-comparison eval) can share the inference DP without
+    * duplicating the packing arithmetic. Callers prepend
+    * `WITH RECURSIVE`.
+    */
+  private lazy val UnigramDocstatsCtes: String = {
     def cand(k: Int): String = {
       val prev = s"dp.st[dp.i + 2 - $k]"
       val r = s"((($prev % 512) + 512) % 512)"
@@ -2226,7 +2295,7 @@ object LlmQueries {
     val joins = (1 to 4).map(k =>
       s"LEFT JOIN cand c$k ON c$k.word = dp.word AND c$k.i = dp.i + 1 AND c$k.j = $k")
       .mkString("\n  ")
-    s"""WITH RECURSIVE base AS (
+    s"""base AS (
        |  SELECT doc_id, $Toks AS toks FROM documents
        |), wocc AS (
        |  SELECT doc_id, w AS word FROM (SELECT doc_id, unnest(toks) AS w FROM base)
@@ -2279,7 +2348,11 @@ object LlmQueries {
        |         CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
        |         CAST(sum(score_nano) AS BIGINT) AS lp_nano_sum
        |  FROM wocc w JOIN wres USING (word) GROUP BY 1
-       |)
+       |)""".stripMargin
+  }
+
+  private lazy val UnigramSql: String =
+    s"""WITH RECURSIVE $UnigramDocstatsCtes
        |SELECT d.doc_id,
        |       CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
        |       CAST(coalesce(s.n_pieces, 0) AS BIGINT) AS n_pieces,
@@ -2287,7 +2360,6 @@ object LlmQueries {
        |FROM (SELECT doc_id FROM documents) d
        |LEFT JOIN docstats s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** Shared CTE prefix of the unigram twins (corpus → forms →
     * substring counts → seed vocab `v0(piece, cnt, lp)` → the
@@ -5517,6 +5589,56 @@ object LlmQueries {
     "unigram_tokenize_stats" -> UnigramSql,
     "unigram_train_vocab" -> UnigramTrainVocabSql,
     "unigram_train_doc_stats" -> UnigramTrainDocStatsSql,
+    // both tokenizer chains composed: the BPE train+apply CTEs and the
+    // unigram inference DP run over the same corpus, each under its own
+    // word model, rolled up to language grain with micro-integer ratios
+    "tokenizer_fertility_eval" ->
+      s"""WITH RECURSIVE ${graft.llm.Bpe.learnAndApplyChainSql(
+               BpeWordsSql, BpeFormsSql, numMerges = 20, passes = 8)},
+         |bdw AS (
+         |  SELECT doc_id, a[g + 1] AS word
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS a
+         |        FROM documents) t,
+         |       unnest(range(0, len(a))) AS u(g)
+         |  WHERE a[g + 1] <> '' AND length(a[g + 1]) <= 16
+         |), bper AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS bpe_words,
+         |         CAST(sum(len(string_split(v.syms, ' '))) AS BIGINT) AS bpe_subwords,
+         |         CAST(sum(length(bdw.word)) AS BIGINT) AS bpe_chars
+         |  FROM bdw JOIN v20 v USING (word) GROUP BY 1
+         |),
+         |$UnigramDocstatsCtes,
+         |uchars AS (
+         |  SELECT doc_id, CAST(sum(length(word)) AS BIGINT) AS uni_chars
+         |  FROM wocc GROUP BY 1
+         |), per AS (
+         |  SELECT d.lang,
+         |         coalesce(b.bpe_words, 0) AS bpe_words,
+         |         coalesce(b.bpe_subwords, 0) AS bpe_subwords,
+         |         coalesce(b.bpe_chars, 0) AS bpe_chars,
+         |         coalesce(s.n_words, 0) AS uni_words,
+         |         coalesce(s.n_pieces, 0) AS uni_pieces,
+         |         coalesce(u.uni_chars, 0) AS uni_chars
+         |  FROM documents d
+         |  LEFT JOIN bper b USING (doc_id)
+         |  LEFT JOIN docstats s USING (doc_id)
+         |  LEFT JOIN uchars u USING (doc_id)
+         |), lg AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(bpe_words) AS BIGINT) AS bpe_words,
+         |         CAST(sum(bpe_subwords) AS BIGINT) AS bpe_subwords,
+         |         CAST(sum(bpe_chars) AS BIGINT) AS bpe_chars,
+         |         CAST(sum(uni_words) AS BIGINT) AS uni_words,
+         |         CAST(sum(uni_pieces) AS BIGINT) AS uni_pieces,
+         |         CAST(sum(uni_chars) AS BIGINT) AS uni_chars
+         |  FROM per GROUP BY 1
+         |)
+         |SELECT lang, n_docs, bpe_words, bpe_subwords, uni_words, uni_pieces,
+         |       CAST(CASE WHEN bpe_words > 0 THEN (bpe_subwords * 1000000) // bpe_words ELSE 0 END AS BIGINT) AS bpe_fert_micro,
+         |       CAST(CASE WHEN uni_words > 0 THEN (uni_pieces * 1000000) // uni_words ELSE 0 END AS BIGINT) AS uni_fert_micro,
+         |       CAST(CASE WHEN bpe_subwords > 0 THEN (bpe_chars * 1000000) // bpe_subwords ELSE 0 END AS BIGINT) AS bpe_chars_per_tok_micro,
+         |       CAST(CASE WHEN uni_pieces > 0 THEN (uni_chars * 1000000) // uni_pieces ELSE 0 END AS BIGINT) AS uni_chars_per_tok_micro
+         |FROM lg ORDER BY lang""".stripMargin,
     // the SubstringDupCtes gram idiom at w=8, split by pmod, distinct
     // train hashes left-joined onto the held-out occurrence stream
     "novelty_ngram_stats" ->
