@@ -28,6 +28,22 @@ import org.apache.spark.sql.SparkSession
   *     every pass pays training and the floor stays honest.
   */
 object Memos {
+
+  /** Eager local checkpoint at SERIALIZED storage — the corpus-grain
+    * variant. `localCheckpoint(true)`'s default level caches
+    * deserialized rows, ~3-5× the serialized bytes; for fact-table- or
+    * edge-grain frames (600M-row lineitem projections, the 500M-edge
+    * trade cache at sf100full) that overruns executor storage AND the
+    * spill disk. Serialized blocks trade a one-time decode per read —
+    * noise for the handful of consumers these caches feed. Small
+    * per-round fixed-point states keep the default level (they are
+    * read hot every round).
+    */
+  def bigCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   private val trainings = new AtomicLong(0L)
 
   /** Count of memo-training events since JVM start (monotonic). */

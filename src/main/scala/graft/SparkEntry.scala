@@ -123,13 +123,14 @@ object SparkEntry {
     // persist: blocks free when the result is unreferenced, so nothing
     // leaks into the rest of the session (round-2 finding). At cluster
     // scale this is the difference between 1 and 3 reads of the fact
-    // table.
-    val orders = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-      .localCheckpoint(true)
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
-      .localCheckpoint(true)
+    // table. SERIALIZED storage: these are fact-table-grain blocks —
+    // deserialized row caching cost ~4× the bytes and overran both
+    // memory and spill disk at sf100full (600M lineitem); the few
+    // consumers re-read once each, so the deser CPU is noise.
+    val orders = Memos.bigCheckpoint(t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")))
+    val li = Memos.bigCheckpoint(t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice")))
     val fineOrder = li.select(col("l_orderkey").as("k"), dec(col("l_extendedprice")).as("total"))
     val byOrder = Dq.reconcile(
       orders.select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("total")),
@@ -1823,10 +1824,10 @@ object SparkEntry {
   // session keys on insert (round-10 ADVICE)
   private def tradePairs(s: SparkSession, dir: String): DataFrame =
     Memos.sessionCached(tradePairsMemo, s, dir) {
-      t(s, dir, "orders")
+      Memos.bigCheckpoint(t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct().localCheckpoint(true)
+        .distinct())
     }
 
   /** Supplier node-id offset for the trade graph: disjoins supplier ids

@@ -26,6 +26,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Shuffle files are reclaimed by the ContextCleaner only after
+      // the owning RDDs are garbage-collected — on a large heap the JVM
+      // may not GC for an hour, and an iterative query's dead
+      // generations pile up on disk until then (the sf100full HITS run
+      // filled the disk with reclaimable shuffle files). A short
+      // periodic GC bounds that window; no-op cost on small runs.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
