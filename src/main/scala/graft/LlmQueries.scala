@@ -2014,6 +2014,29 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ----- trained linear probe ---------------------------------------------
+
+  /** Full integer-GD training run of the English-vs-rest linear probe
+    * ([[graft.llm.LinearProbe]]): the (step, bucket, w_micro)
+    * trajectory, every round bit-certified against the unrolled twin.
+    */
+  private def linearProbeTrace(s: SparkSession, dir: String): DataFrame = {
+    val feats = LinearProbe.featureRows(tPar(s, dir, "documents")).persist()
+    try LinearProbe.traceFrame(s, LinearProbe.train(feats))
+    finally feats.unpersist()
+  }
+
+  /** Held-fold confusion of the trained probe under the LDA-style
+    * floor-midpoint threshold calibrated on train scores. The persisted
+    * feature frame stays cached into the returned plan (the caller's
+    * post-query `clearCache` reclaims it — the standing in-query
+    * persist discipline).
+    */
+  private def linearProbeEval(s: SparkSession, dir: String): DataFrame = {
+    val feats = LinearProbe.featureRows(tPar(s, dir, "documents")).persist()
+    LinearProbe.evalFrame(feats, LinearProbe.train(feats).last)
+  }
+
   // ----- contract maps ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2130,6 +2153,8 @@ object LlmQueries {
     "suffix_repeat_families" -> (suffixRepeatFamilies _),
     "knn_cosine_ivfpq" -> (knnCosineIvfPq _),
     "tokenizer_fertility_eval" -> (tokenizerFertilityEval _),
+    "linear_probe_trace" -> (linearProbeTrace _),
+    "linear_probe_eval" -> (linearProbeEval _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -2185,6 +2210,115 @@ object LlmQueries {
        |         CAST(sum(f.cnt * d.dlp) AS BIGINT) AS logw_nano
        |  FROM f JOIN dlp d USING (bucket) GROUP BY 1
        |)""".stripMargin
+
+  /** Integer floor division `floorDiv(a, m)` in engine-portable SQL:
+    * DuckDB's `%` truncates like the JVM's, so
+    * `(a - ((a % m + m) % m)) // m` floors exactly like
+    * `Math.floorDiv` (the numerator is exactly divisible, so `//`'s
+    * own rounding never engages). Operands are re-parenthesized —
+    * callers may pass compound expressions.
+    */
+  private def fdivSql(a: String, m: String): String =
+    s"((($a) - ((($a) % ($m) + ($m)) % ($m))) // ($m))"
+
+  /** Shared CTE chain of the linear-probe twins ([[graft.llm
+    * .LinearProbe]]): hashed features + bias bucket, labels/folds, and
+    * `Rounds` unrolled integer-GD rounds ending at CTE `w<Rounds>`.
+    * Every constant (grid, clips, round count, positive class) is
+    * interpolated from the Scala object so the two engines can never
+    * drift. The feature/label CTEs and every per-round weight state
+    * are MATERIALIZED — `w(k-1)` is referenced by both `s_k` and
+    * `w_k` (and the trace select), so an inlining planner would
+    * otherwise expand the chain 2^Rounds-fold.
+    */
+  private lazy val LinearProbeCtes: String = {
+    import graft.llm.LinearProbe.{Dims, Rounds, LrInv, WMax, RClamp,
+      LabelScale, PosLang}
+    val rounds = (1 to Rounds).map { k =>
+      val p = k - 1
+      s"""s$k AS (
+         |  SELECT doc_id, max(y) AS y,
+         |         CAST(sum(value * w) AS BIGINT) AS s
+         |  FROM tf JOIN w$p USING (bucket) GROUP BY 1
+         |), r$k AS (
+         |  SELECT doc_id,
+         |         GREATEST(-$RClamp, LEAST($RClamp, s - y * $LabelScale)) AS r
+         |  FROM s$k
+         |), g$k AS (
+         |  SELECT f.bucket, CAST(sum(r.r * f.value) AS BIGINT) AS g
+         |  FROM r$k r JOIN tf f USING (doc_id) GROUP BY 1
+         |), w$k AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |         GREATEST(-$WMax, LEAST($WMax,
+         |           w.w - ${fdivSql("COALESCE(g.g, 0)", s"$LrInv * nt.n")})) AS w
+         |  FROM w$p w LEFT JOIN g$k g USING (bucket) CROSS JOIN nt
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fh AS MATERIALIZED (
+       |${FeatureHash.hashedFeaturesSql(Toks, Dims)}
+       |), feats AS MATERIALIZED (
+       |  SELECT doc_id, bucket, value FROM fh
+       |  UNION ALL
+       |  SELECT doc_id, CAST($Dims AS BIGINT) AS bucket,
+       |         CAST(1 AS BIGINT) AS value
+       |  FROM documents
+       |), lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN lang = '$PosLang' THEN CAST(1 AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS y,
+       |         CAST(((doc_id % 5) + 5) % 5 AS BIGINT) AS fold
+       |  FROM documents
+       |), tf AS MATERIALIZED (
+       |  SELECT f.doc_id, f.bucket, f.value, l.y
+       |  FROM feats f JOIN lab l USING (doc_id) WHERE l.fold <> 0
+       |), nt AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+       |), w0 AS MATERIALIZED (
+       |  SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+       |  FROM range(0, ${Dims + 1})
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** Twin of `linear_probe_trace`: the full weight trajectory. */
+  private lazy val LinearProbeTraceSql: String = {
+    val steps = (0 to graft.llm.LinearProbe.Rounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, bucket, w AS w_micro FROM w$k"
+    }.mkString("\nUNION ALL\n")
+    s"$LinearProbeCtes\n$steps\nORDER BY step, bucket"
+  }
+
+  /** Twin of `linear_probe_eval`: scores every document under the
+    * final weights, calibrates the floor-midpoint threshold on the
+    * train folds, and emits the held-fold confusion.
+    */
+  private lazy val LinearProbeEvalSql: String = {
+    val r = graft.llm.LinearProbe.Rounds
+    s"""$LinearProbeCtes,
+       |pd AS (
+       |  SELECT l.doc_id, l.y, l.fold,
+       |         CAST(sum(f.value * w.w) AS BIGINT) AS s
+       |  FROM lab l JOIN feats f USING (doc_id) JOIN w$r w USING (bucket)
+       |  GROUP BY 1, 2, 3
+       |), cal AS (
+       |  SELECT CAST(sum(CASE WHEN y = 1 THEN s END) AS BIGINT) AS s1,
+       |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN y = 0 THEN s END) AS BIGINT) AS s0,
+       |         CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+       |  FROM pd WHERE fold <> 0
+       |), th AS (
+       |  SELECT ${fdivSql("mu0 + mu1", "2")} AS thresh
+       |  FROM (SELECT ${fdivSql("s1", "n1")} AS mu1,
+       |               ${fdivSql("s0", "n0")} AS mu0 FROM cal)
+       |)
+       |SELECT y AS label,
+       |       CASE WHEN s >= thresh THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS pred,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(s) AS BIGINT) AS sum_score_micro
+       |FROM pd CROSS JOIN th WHERE fold = 0
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** Generated DuckDB twin of `nb_lang_confusion`: the conditional-
     * aggregate wide layout, add-one smoothing, nano roundings and
@@ -5639,6 +5773,8 @@ object LlmQueries {
          |       CAST(CASE WHEN bpe_subwords > 0 THEN (bpe_chars * 1000000) // bpe_subwords ELSE 0 END AS BIGINT) AS bpe_chars_per_tok_micro,
          |       CAST(CASE WHEN uni_pieces > 0 THEN (uni_chars * 1000000) // uni_pieces ELSE 0 END AS BIGINT) AS uni_chars_per_tok_micro
          |FROM lg ORDER BY lang""".stripMargin,
+    "linear_probe_trace" -> LinearProbeTraceSql,
+    "linear_probe_eval" -> LinearProbeEvalSql,
     // the SubstringDupCtes gram idiom at w=8, split by pmod, distinct
     // train hashes left-joined onto the held-out occurrence stream
     "novelty_ngram_stats" ->

@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Discriminative trained linear probe over hashing-trick features —
+  * the quality-filter classifier of the GPT-3/CCNet pipelines (train a
+  * cheap linear model to score documents against a target slice, keep
+  * high scorers), built so the SGD-shaped objection in
+  * [[NaiveBayes]]'s scaladoc ("gradient methods are sequential-by-
+  * iteration and float-accumulation-ordered") is actually answered
+  * rather than avoided:
+  *
+  *  - '''Squared loss, not logistic.''' The gradient of ½(s−y)² is
+  *    (s−y)·x — pure rational arithmetic, no sigmoid/exp anywhere, so
+  *    training runs entirely on an integer micro-grid (weights in
+  *    1e-6 units, labels at [[LabelScale]]). A least-squares linear
+  *    classifier with a calibrated threshold is the classic "linear
+  *    probe"; on (near-)separable classes it classifies like the
+  *    logistic fit without the transcendental.
+  *  - '''Full-batch, fixed rounds.''' Each of [[Rounds]] rounds is two
+  *    partitioning-invariant BIGINT aggregates (per-doc scores, then
+  *    per-bucket gradient sums); the weight update itself runs on the
+  *    driver over the collected 65-row gradient (the bounded
+  *    model-grain collect of the kMeans-centroid pattern) with
+  *    `Math.floorDiv` — every intermediate is an exact integer, so the
+  *    trajectory is bit-reproducible on any cluster layout and the
+  *    DuckDB twin replays it round for round.
+  *  - '''Per-example gradient clipping''' bounds the BIGINT sums: a
+  *    clipped residual |r̂| ≤ [[RClamp]] caps the gradient at
+  *    RClamp · Σ|x| ≤ 2e6 · total_train_tokens — safe to ~4.6e12
+  *    training tokens (int64 headroom); past that, shard the gradient
+  *    sum or lower RClamp (documented bound, asserted in the spec).
+  *
+  * Features are [[FeatureHash.hashedFeatures]]'s signed hashed unigram
+  * buckets (dims = [[Dims]]) plus an always-on bias bucket [[Dims]],
+  * so zero-token documents still score. The shipped task is
+  * English-vs-rest over `documents.lang`. (On the synthetic test
+  * corpus all langs share one vocabulary, so the shipped confusion is
+  * near-chance by construction — the spec proves separation on a
+  * planted two-vocabulary corpus; on a real corpus the lang signal is
+  * lexical.) Split: `pmod(doc_id, 5) = 0` held out (the repo's
+  * standing split discipline); the decision threshold is calibrated on
+  * TRAIN scores as the floor-midpoint of the two class means (the
+  * LDA-style cut — integer floorDiv on both engines).
+  *
+  * Scale shape: featurization is one explode + one (doc, bucket)
+  * aggregate; each round touches only the persisted (doc, bucket)
+  * feature frame, repartitioned by doc_id so the per-doc score
+  * aggregate and the residual join reuse one exchange; the only
+  * shuffle that varies per round is the 65-key gradient aggregate.
+  * Nothing data-grain is collected or broadcast — the driver sees 65
+  * gradient rows per round and two 1-row calibration aggregates.
+  *
+  * Reference anchor: the reference pipeline has no trained models
+  * (its classifier-shaped gates are rule predicates — the validity
+  * filters of `dags/pdq_etl_dag.py` / `spark_jobs/transform_*.py`);
+  * this family is extension scope alongside [[NaiveBayes]]/[[Dsir]].
+  */
+object LinearProbe {
+
+  /** Hashed feature buckets (bias lives at index [[Dims]]). */
+  val Dims = 64
+
+  /** Fixed full-batch GD rounds — part of the model contract. */
+  val Rounds = 12
+
+  /** Inverse learning rate: Δw = floorDiv(g, LrInv · nTrain). */
+  val LrInv = 16L
+
+  /** Weight clamp (micro units) — projected GD keeps |w| ≤ 4.0. */
+  val WMax = 4000000L
+
+  /** Per-example residual clip (micro units): |ŝ−y| capped at 2.0. */
+  val RClamp = 2000000L
+
+  /** Label grid: y ∈ {0, LabelScale} micro. */
+  val LabelScale = 1000000L
+
+  /** Positive-class predicate on `documents` (English vs rest). */
+  val PosLang = "en"
+
+  /** (doc_id, y, bucket, value): signed hashed counts + the bias row,
+    * labels attached, repartitioned by doc_id so the per-round score
+    * aggregate and residual⋈feature join share one exchange.
+    */
+  def featureRows(docs: DataFrame): DataFrame = {
+    val lab = docs.select(col("doc_id"),
+      when(col("lang") === PosLang, lit(1L)).otherwise(lit(0L)).as("y"),
+      pmod(col("doc_id"), lit(5L)).as("fold"))
+    val fh = FeatureHash.hashedFeatures(docs, "doc_id", "text", Dims)
+    val bias = docs.select(col("doc_id"),
+      lit(Dims.toLong).as("bucket"), lit(1L).as("value"))
+    fh.unionByName(bias).join(lab, Seq("doc_id"))
+      .repartition(col("doc_id"))
+  }
+
+  /** One exact-integer training run: returns the weight trajectory
+    * `w(0) .. w(Rounds)` as arrays indexed by bucket. `feats` must be
+    * [[featureRows]] output (persist it — every round scans it twice).
+    */
+  def train(feats: DataFrame): Seq[Array[Long]] = {
+    val train = feats.filter(col("fold") =!= 0L)
+    val nTrain = train.select(countDistinct(col("doc_id"))).head().getLong(0)
+    require(nTrain > 0, "empty train split")
+    val step = LrInv * nTrain
+    val trajectory = Vector.newBuilder[Array[Long]]
+    var w = Array.fill(Dims + 1)(0L)
+    trajectory += w.clone()
+    val spark = feats.sparkSession
+    import spark.implicits._
+    (1 to Rounds).foreach { _ =>
+      val wDf = broadcast(
+        w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+          .toSeq.toDF("bucket", "w"))
+      // per-doc score, residual clipped on the micro grid
+      val scores = train.join(wDf, Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("value") * col("w")).as("s"), max(col("y")).as("y"))
+        .select(col("doc_id"),
+          greatest(lit(-RClamp), least(lit(RClamp),
+            col("s") - col("y") * lit(LabelScale))).as("r"))
+      // bucket-grain gradient — the only per-round collect (≤ 65 rows)
+      val g = scores.join(train, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("r") * col("value")).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wt, b) =>
+        val upd = wt - Math.floorDiv(g.getOrElse(b, 0L), step)
+        math.max(-WMax, math.min(WMax, upd))
+      }
+      trajectory += w.clone()
+    }
+    trajectory.result()
+  }
+
+  /** The weight trajectory as a frame: (step, bucket, w_micro) —
+    * (Rounds+1) · (Dims+1) rows, the full training run certifiable
+    * bit-for-bit.
+    */
+  def traceFrame(spark: SparkSession, traj: Seq[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    traj.zipWithIndex.flatMap { case (w, k) =>
+      w.zipWithIndex.map { case (wt, b) => (k.toLong, b.toLong, wt) }
+    }.toDF("step", "bucket", "w_micro")
+  }
+
+  /** Held-fold confusion at (label, pred) grain with exact score sums.
+    * Threshold = floorDiv(mu0 + mu1, 2) over the TRAIN class mean
+    * scores (each an integer floorDiv) under the FINAL weights.
+    */
+  def evalFrame(feats: DataFrame, wFinal: Array[Long]): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(
+      wFinal.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+        .toSeq.toDF("bucket", "w"))
+    val perDoc = feats.join(wDf, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("value") * col("w")).as("s"),
+        max(col("y")).as("y"), max(col("fold")).as("fold"))
+    val cal = perDoc.filter(col("fold") =!= 0L).agg(
+      sum(when(col("y") === 1L, col("s"))).as("s1"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0L, col("s"))).as("s0"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0")).head()
+    require(cal.getLong(1) > 0 && cal.getLong(3) > 0,
+      "threshold calibration needs both classes in the train split")
+    val mu1 = Math.floorDiv(cal.getLong(0), cal.getLong(1))
+    val mu0 = Math.floorDiv(cal.getLong(2), cal.getLong(3))
+    val thresh = Math.floorDiv(mu0 + mu1, 2L)
+    perDoc.filter(col("fold") === 0L)
+      .select(col("y").as("label"),
+        when(col("s") >= thresh, lit(1L)).otherwise(lit(0L)).as("pred"),
+        col("s"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("sum_score_micro"))
+  }
+}
