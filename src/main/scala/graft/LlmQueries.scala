@@ -1880,6 +1880,7 @@ object LlmQueries {
     */
   private[graft] def clearMemos(): Unit = {
     saMemo.clear(); saLcpMemo.clear(); unigramVocabMemo.clear()
+    probeMemo.clear()
   }
 
   private val saLcpMemo =
@@ -2020,22 +2021,44 @@ object LlmQueries {
     * ([[graft.llm.LinearProbe]]): the (step, bucket, w_micro)
     * trajectory, every round bit-certified against the unrolled twin.
     */
-  private def linearProbeTrace(s: SparkSession, dir: String): DataFrame = {
-    val feats = LinearProbe.featureRows(tPar(s, dir, "documents")).persist()
-    try LinearProbe.traceFrame(s, LinearProbe.train(feats))
-    finally feats.unpersist()
-  }
+  private def linearProbeTrace(s: SparkSession, dir: String): DataFrame =
+    LinearProbe.traceFrame(s, probeFor(s, dir)._2)
 
   /** Held-fold confusion of the trained probe under the LDA-style
-    * floor-midpoint threshold calibrated on train scores. The persisted
-    * feature frame stays cached into the returned plan (the caller's
-    * post-query `clearCache` reclaims it — the standing in-query
-    * persist discipline).
+    * floor-midpoint threshold calibrated on train scores.
     */
   private def linearProbeEval(s: SparkSession, dir: String): DataFrame = {
-    val feats = LinearProbe.featureRows(tPar(s, dir, "documents")).persist()
-    LinearProbe.evalFrame(feats, LinearProbe.train(feats).last)
+    val (feats, traj) = probeFor(s, dir)
+    LinearProbe.evalFrame(feats, traj.last)
   }
+
+  /** The probe as a quality GATE: keep/drop funnel at (lang, kept)
+    * grain over the whole corpus under the trained threshold.
+    */
+  private def linearProbeFilterStats(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val (feats, traj) = probeFor(s, dir)
+    LinearProbe.filterStats(tPar(s, dir, "documents"), feats, traj.last)
+  }
+
+  private val probeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Seq[Array[Long]])]()
+
+  /** One probe training per (app, sfDir) — the trace, confusion and
+    * gate queries all read the same checkpointed feature frame and
+    * trajectory ([[Memos.sessionCached]]: bench-honest, evicting).
+    * Checkpoint (not persist): the memo outlives a consumer query, and
+    * the standing post-query `clearCache()` would drop persisted
+    * blocks but leaves checkpointed RDD blocks alone (the saMemo
+    * discipline).
+    */
+  private def probeFor(s: SparkSession,
+                       dir: String): (DataFrame, Seq[Array[Long]]) =
+    Memos.sessionCached(probeMemo, s, dir) {
+      val feats = LinearProbe.featureRows(tPar(s, dir, "documents"))
+        .localCheckpoint(true)
+      (feats, LinearProbe.train(feats))
+    }
 
   // ----- contract maps ---------------------------------------------------
 
@@ -2155,6 +2178,7 @@ object LlmQueries {
     "tokenizer_fertility_eval" -> (tokenizerFertilityEval _),
     "linear_probe_trace" -> (linearProbeTrace _),
     "linear_probe_eval" -> (linearProbeEval _),
+    "linear_probe_filter_stats" -> (linearProbeFilterStats _),
   )
 
   // DuckDB fragments shared by several oracles. The whitespace class is
@@ -2288,14 +2312,15 @@ object LlmQueries {
     s"$LinearProbeCtes\n$steps\nORDER BY step, bucket"
   }
 
-  /** Twin of `linear_probe_eval`: scores every document under the
-    * final weights, calibrates the floor-midpoint threshold on the
-    * train folds, and emits the held-fold confusion.
+  /** [[LinearProbeCtes]] extended with the scored/calibrated CTEs:
+    * `pd` (every doc scored under the final weights, MATERIALIZED —
+    * both the calibration and the final select read it) and `th`
+    * (the floor-midpoint threshold from the train folds).
     */
-  private lazy val LinearProbeEvalSql: String = {
+  private lazy val LinearProbeScoredCtes: String = {
     val r = graft.llm.LinearProbe.Rounds
     s"""$LinearProbeCtes,
-       |pd AS (
+       |pd AS MATERIALIZED (
        |  SELECT l.doc_id, l.y, l.fold,
        |         CAST(sum(f.value * w.w) AS BIGINT) AS s
        |  FROM lab l JOIN feats f USING (doc_id) JOIN w$r w USING (bucket)
@@ -2310,7 +2335,14 @@ object LlmQueries {
        |  SELECT ${fdivSql("mu0 + mu1", "2")} AS thresh
        |  FROM (SELECT ${fdivSql("s1", "n1")} AS mu1,
        |               ${fdivSql("s0", "n0")} AS mu0 FROM cal)
-       |)
+       |)""".stripMargin
+  }
+
+  /** Twin of `linear_probe_eval`: the held-fold confusion under the
+    * calibrated threshold.
+    */
+  private lazy val LinearProbeEvalSql: String =
+    s"""$LinearProbeScoredCtes
        |SELECT y AS label,
        |       CASE WHEN s >= thresh THEN CAST(1 AS BIGINT)
        |            ELSE CAST(0 AS BIGINT) END AS pred,
@@ -2318,7 +2350,19 @@ object LlmQueries {
        |       CAST(sum(s) AS BIGINT) AS sum_score_micro
        |FROM pd CROSS JOIN th WHERE fold = 0
        |GROUP BY 1, 2""".stripMargin
-  }
+
+  /** Twin of `linear_probe_filter_stats`: the whole-corpus keep/drop
+    * funnel at (lang, kept) grain under the same calibrated gate.
+    */
+  private lazy val LinearProbeFilterSql: String =
+    s"""$LinearProbeScoredCtes
+       |SELECT d.lang,
+       |       CASE WHEN pd.s >= th.thresh THEN CAST(1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS kept,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(pd.s) AS BIGINT) AS sum_score_micro
+       |FROM documents d JOIN pd USING (doc_id) CROSS JOIN th
+       |GROUP BY 1, 2""".stripMargin
 
   /** Generated DuckDB twin of `nb_lang_confusion`: the conditional-
     * aggregate wide layout, add-one smoothing, nano roundings and
@@ -5775,6 +5819,7 @@ object LlmQueries {
          |FROM lg ORDER BY lang""".stripMargin,
     "linear_probe_trace" -> LinearProbeTraceSql,
     "linear_probe_eval" -> LinearProbeEvalSql,
+    "linear_probe_filter_stats" -> LinearProbeFilterSql,
     // the SubstringDupCtes gram idiom at w=8, split by pmod, distinct
     // train hashes left-joined onto the held-out occurrence stream
     "novelty_ngram_stats" ->

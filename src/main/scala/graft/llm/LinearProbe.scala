@@ -145,20 +145,26 @@ object LinearProbe {
     }.toDF("step", "bucket", "w_micro")
   }
 
-  /** Held-fold confusion at (label, pred) grain with exact score sums.
-    * Threshold = floorDiv(mu0 + mu1, 2) over the TRAIN class mean
-    * scores (each an integer floorDiv) under the FINAL weights.
+  /** Per-document scores under a fixed weight vector:
+    * (doc_id, s, y, fold).
     */
-  def evalFrame(feats: DataFrame, wFinal: Array[Long]): DataFrame = {
+  private def perDocScores(feats: DataFrame,
+                           w: Array[Long]): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
     val wDf = broadcast(
-      wFinal.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+      w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
         .toSeq.toDF("bucket", "w"))
-    val perDoc = feats.join(wDf, Seq("bucket"))
+    feats.join(wDf, Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("value") * col("w")).as("s"),
         max(col("y")).as("y"), max(col("fold")).as("fold"))
+  }
+
+  /** LDA-style cut calibrated on TRAIN folds only:
+    * floorDiv(mu0 + mu1, 2) over the integer class mean scores.
+    */
+  private def calibratedThreshold(perDoc: DataFrame): Long = {
     val cal = perDoc.filter(col("fold") =!= 0L).agg(
       sum(when(col("y") === 1L, col("s"))).as("s1"),
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
@@ -168,12 +174,38 @@ object LinearProbe {
       "threshold calibration needs both classes in the train split")
     val mu1 = Math.floorDiv(cal.getLong(0), cal.getLong(1))
     val mu0 = Math.floorDiv(cal.getLong(2), cal.getLong(3))
-    val thresh = Math.floorDiv(mu0 + mu1, 2L)
+    Math.floorDiv(mu0 + mu1, 2L)
+  }
+
+  /** Held-fold confusion at (label, pred) grain with exact score sums,
+    * under the [[calibratedThreshold]] of the FINAL weights.
+    */
+  def evalFrame(feats: DataFrame, wFinal: Array[Long]): DataFrame = {
+    val perDoc = perDocScores(feats, wFinal)
+    val thresh = calibratedThreshold(perDoc)
     perDoc.filter(col("fold") === 0L)
       .select(col("y").as("label"),
         when(col("s") >= thresh, lit(1L)).otherwise(lit(0L)).as("pred"),
         col("s"))
       .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("sum_score_micro"))
+  }
+
+  /** The quality-GATE product: score EVERY document under the final
+    * weights and report the keep/drop funnel at (lang, kept) grain —
+    * what a 100 TB curation run would actually materialize (the
+    * doc-grain filter is the same `s >= thresh` predicate; this
+    * aggregate is its auditable summary). Calibration never peeks at
+    * held data; the gate itself applies to all folds.
+    */
+  def filterStats(docs: DataFrame, feats: DataFrame,
+                  wFinal: Array[Long]): DataFrame = {
+    val perDoc = perDocScores(feats, wFinal)
+    val thresh = calibratedThreshold(perDoc)
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc.select(col("doc_id"), col("s")), Seq("doc_id"))
+      .groupBy(col("lang"),
+        when(col("s") >= thresh, lit(1L)).otherwise(lit(0L)).as("kept"))
       .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("sum_score_micro"))
   }
 }

@@ -63,6 +63,24 @@ class LinearProbeSpec extends AnyFunSuite {
     assert(n === docs.where("pmod(doc_id, 5) = 0").count())
   }
 
+  test("filterStats gate: funnel counts every doc once and agrees with evalFrame on held folds") {
+    val docs = planted(60)
+    val feats = LinearProbe.featureRows(docs).persist()
+    val w = LinearProbe.train(feats).last
+    val funnel = LinearProbe.filterStats(docs, feats, w).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val conf = LinearProbe.evalFrame(feats, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    feats.unpersist()
+    assert(funnel.values.sum === 60L)
+    // perfect separation on the planted corpus: en all kept, zh all dropped
+    assert(funnel.getOrElse(("en", 0L), 0L) === 0L)
+    assert(funnel.getOrElse(("zh", 1L), 0L) === 0L)
+    // held-fold slice of the funnel equals the confusion's pred counts
+    assert(conf((1L, 1L)) + conf.getOrElse((0L, 1L), 0L) <=
+      funnel(("en", 1L)) + funnel.getOrElse(("zh", 1L), 0L))
+  }
+
   test("floorDiv grid: engine fdiv spelling matches Math.floorDiv on negatives") {
     // the twin's (a - ((a % m + m) % m)) // m composite vs the JVM —
     // exercised where truncating division would differ (negative a)
