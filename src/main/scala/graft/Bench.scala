@@ -46,12 +46,26 @@ object Bench {
     // contended machine two samples still let one noisy pass dominate a
     // query's floor (pass_totals regularly show a 1.3-3× spread here)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Shuffle parallelism scales with DATA, not cores (same knob and
+    // rationale as graft.Verify): the full-table decades (sf10full /
+    // sf100full) need 256 so graph fixed-point hash builds stay
+    // executor-sized; the canonical sf0.1 bench keeps cores.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Same block-manager hygiene as graft.Verify (r11 verdict noted
+      // the asymmetry): compressed serialized RDD blocks + zstd +
+      // periodic GC are what let the 600M-row graph family finish on a
+      // 59 GB scratch disk, and running the bench under the exact
+      // configs the correctness dumps use keeps the two comparable.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.rdd.compress", "true")
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + shuffle machinery otherwise land on

@@ -2050,13 +2050,16 @@ object LlmQueries {
     * Checkpoint (not persist): the memo outlives a consumer query, and
     * the standing post-query `clearCache()` would drop persisted
     * blocks but leaves checkpointed RDD blocks alone (the saMemo
-    * discipline).
+    * discipline). [[Memos.bigCheckpoint]] (serialized level), not bare
+    * `localCheckpoint(true)`: the feature frame is corpus-grain (up to
+    * ~65 rows/doc — ~325M rows at sf100 docs), exactly the
+    * deserialized-cache blow-up the sf100full rung diagnosed.
     */
   private def probeFor(s: SparkSession,
                        dir: String): (DataFrame, Seq[Array[Long]]) =
     Memos.sessionCached(probeMemo, s, dir) {
-      val feats = LinearProbe.featureRows(tPar(s, dir, "documents"))
-        .localCheckpoint(true)
+      val feats = Memos.bigCheckpoint(
+        LinearProbe.featureRows(tPar(s, dir, "documents")))
       (feats, LinearProbe.train(feats))
     }
 
@@ -2315,7 +2318,11 @@ object LlmQueries {
   /** [[LinearProbeCtes]] extended with the scored/calibrated CTEs:
     * `pd` (every doc scored under the final weights, MATERIALIZED —
     * both the calibration and the final select read it) and `th`
-    * (the floor-midpoint threshold from the train folds).
+    * (the floor-midpoint threshold from the train folds). `calok`
+    * raises via `error()` when a class is absent from the train split
+    * — parity with [[graft.llm.LinearProbe]]'s `require`, which fails
+    * fast on the same degenerate corpus; without it the NULL class sum
+    * would flow into a NULL threshold and a silently all-drop gate.
     */
   private lazy val LinearProbeScoredCtes: String = {
     val r = graft.llm.LinearProbe.Rounds
@@ -2331,10 +2338,14 @@ object LlmQueries {
        |         CAST(sum(CASE WHEN y = 0 THEN s END) AS BIGINT) AS s0,
        |         CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
        |  FROM pd WHERE fold <> 0
+       |), calok AS (
+       |  SELECT CASE WHEN n1 > 0 AND n0 > 0 THEN s1
+       |              ELSE error('threshold calibration needs both classes in the train split') END AS s1,
+       |         n1, s0, n0 FROM cal
        |), th AS (
        |  SELECT ${fdivSql("mu0 + mu1", "2")} AS thresh
        |  FROM (SELECT ${fdivSql("s1", "n1")} AS mu1,
-       |               ${fdivSql("s0", "n0")} AS mu0 FROM cal)
+       |               ${fdivSql("s0", "n0")} AS mu0 FROM calok)
        |)""".stripMargin
   }
 
