@@ -114,6 +114,33 @@ object LlmQueries {
         sum(col("n_tokens")).cast("long").as("token_sum"))
   }
 
+  /** The trained probe wired INTO the curation funnel (the model-based
+    * quality stage of a GPT-3/CCNet-style pipeline): rule filters →
+    * probe gate → exact dedup → deterministic sample, one composed
+    * plan. The gate sits BEFORE dedup — a gated-out document must not
+    * survive as its fingerprint group's min-id and shadow a kept
+    * duplicate ([[Curation.curateCorpus]]'s `gate` stage). The oracle
+    * replays the probe's full 12-round integer-GD training
+    * (`LinearProbeScoredCtes`) plus the funnel CTEs, so this single
+    * hash certifies training, calibration, gating and funnel
+    * composition together. Probe training rides the shared
+    * [[probeFor]] memo — one training feeds trace/eval/filter AND the
+    * funnel, as a real pipeline would run it.
+    */
+  private def curationFunnelProbe(s: SparkSession, dir: String): DataFrame = {
+    val (feats, traj) = probeFor(s, dir)
+    val gate = LinearProbe.scoreGate(feats, traj.last)
+    Curation.curateCorpus(
+        tPar(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        minQuality = 0.5, maxDupTokenRatio = 0.9, sampleFraction = 0.5,
+        gate = Some(gate))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_tokens")).cast("long").as("token_sum"),
+        sum(col("probe_score_micro")).cast("long").as("sum_score_micro"))
+  }
+
   /** One-survivor-per-cluster dedup summary; see
     * [[Dedup.dropNearDupsExact]].
     */
@@ -2144,6 +2171,7 @@ object LlmQueries {
     "near_dedup_survivors_exact" -> (nearDedupSurvivorsExact _),
     "audio_window_plan" -> (audioWindowPlanQ _),
     "curation_funnel_near" -> (curationFunnelNear _),
+    "curation_funnel_probe" -> (curationFunnelProbe _),
     "source_cap_stats" -> (sourceCapStats _),
     "edit_sim_pairs" -> (editSimPairs _),
     "boilerplate_strip_stats" -> (boilerplateStripStats _),
@@ -3203,12 +3231,14 @@ object LlmQueries {
        |)""".stripMargin
   }
 
-  /** The curation funnel as shared CTEs ending at `sampled` (survivors
-    * with `n_tokens`, `quality_score`, `lang_pred`, `fingerprint`) —
-    * the DuckDB twin of [[Curation.curateCorpus]] at minQuality 0.5,
-    * maxDupTokenRatio 0.9, sampleFraction 0.5, seed 12345.
+  /** The curation funnel's scoring front half as shared CTEs ending at
+    * `fscored` (every document with `n_tokens`, ratio attributes,
+    * `quality_score`, `lang_pred`, `fingerprint`) — shared by the
+    * rule-only funnel ([[FunnelCtes]]) and the trained-gate funnel
+    * (`curation_funnel_probe`), which diverge only in what sits
+    * between the rule filter and the dedup QUALIFY.
     */
-  private val FunnelCtes: String = {
+  private val FunnelScoredCtes: String = {
     val hits = TextStats.LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
       s"len(list_filter(toks, t -> list_contains($lst, lower(t)))) AS hits_$lang"
@@ -3235,7 +3265,15 @@ object LlmQueries {
        |           + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.5 END) * 0.25 AS quality_score,
        |         CASE $langCases ELSE 'und' END AS lang_pred
        |  FROM fstats
-       |), fdeduped AS (
+       |)""".stripMargin
+  }
+
+  /** The full rule-only curation funnel ending at `sampled` —
+    * the DuckDB twin of [[Curation.curateCorpus]] at minQuality 0.5,
+    * maxDupTokenRatio 0.9, sampleFraction 0.5, seed 12345.
+    */
+  private val FunnelCtes: String =
+    s"""$FunnelScoredCtes, fdeduped AS (
        |  SELECT * FROM fscored
        |  WHERE quality_score >= 0.5 AND dup_token_ratio <= 0.9
        |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
@@ -3243,7 +3281,6 @@ object LlmQueries {
        |  SELECT * FROM fdeduped
        |  WHERE ${Curation.sampleBucketSql("doc_id", 12345L)} < 500000
        |)""".stripMargin
-  }
 
   /** Round budget for [[minLabelRoundsSql]]. The GUARANTEED coverage is
     * one hop per round (the neighbor-min step alone): after r rounds
@@ -4380,6 +4417,28 @@ object LlmQueries {
          |       CAST(sum(n_tokens) AS BIGINT) AS token_sum
          |FROM sampled
          |WHERE doc_id NOT IN (SELECT id FROM cl WHERE m <> id)""".stripMargin,
+    // the trained gate composed into the funnel: probe training (12
+    // unrolled GD rounds) + calibrated threshold + rule filters + gate
+    // + dedup + sample, one hash over the whole composition
+    "curation_funnel_probe" ->
+      s"""$LinearProbeScoredCtes,
+         |$FunnelScoredCtes, fgated AS (
+         |  SELECT f.*, pd.s AS probe_score_micro
+         |  FROM fscored f JOIN pd ON f.doc_id = pd.doc_id CROSS JOIN th
+         |  WHERE f.quality_score >= 0.5 AND f.dup_token_ratio <= 0.9
+         |    AND pd.s >= th.thresh
+         |), fdedupedp AS (
+         |  SELECT * FROM fgated
+         |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+         |), sampledp AS (
+         |  SELECT * FROM fdedupedp
+         |  WHERE ${Curation.sampleBucketSql("doc_id", 12345L)} < 500000
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+         |       CAST(sum(probe_score_micro) AS BIGINT) AS sum_score_micro
+         |FROM sampledp""".stripMargin,
     "repetition_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, $Toks AS toks FROM documents

@@ -213,8 +213,8 @@ object Curation {
 
   /** The standard corpus-curation funnel as one composition:
     *
-    *   quality + repetition filter → exact dedup (min-id survivor) →
-    *   deterministic sample
+    *   quality + repetition filter → [trained gate] → exact dedup
+    *   (min-id survivor) → deterministic sample
     *
     * with language-ID and quality carried through as columns. Tokenizes
     * once: every stat reads the materialized token attribute. Shapes:
@@ -222,14 +222,23 @@ object Curation {
     * (fingerprint-keyed window). All stages are individually
     * oracle-checked; the funnel's own query checks the composition.
     *
+    * `gate`, when given, is an id-keyed keep frame (e.g. the trained
+    * [[LinearProbe.scoreGate]] — the model-based quality filter of the
+    * GPT-3/CCNet pipelines): an INNER join on `idCol` applies it
+    * after the rule filters and BEFORE dedup, so a gated-out document
+    * can never survive as its fingerprint group's min-id and shadow a
+    * kept duplicate. The gate's non-id columns (e.g. the model score)
+    * ride through to the output.
+    *
     * Returns the surviving rows of `df` plus `n_tokens`, `quality_score`,
-    * `lang_pred`, and `fingerprint`.
+    * `lang_pred`, `fingerprint`, and any gate-carried columns.
     */
   def curateCorpus(df: DataFrame, idCol: String, textCol: String,
                    minQuality: Double = 0.5,
                    maxDupTokenRatio: Double = 0.9,
                    sampleFraction: Double = 1.0,
-                   seed: Long = 12345L): DataFrame = {
+                   seed: Long = 12345L,
+                   gate: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val passthrough = df.columns.filterNot(_ == textCol).map(col).toSeq
     val base = df.select(passthrough :+ col(textCol) :+
@@ -251,15 +260,18 @@ object Curation {
     val filtered = scored.where(
       col("quality_score") >= minQuality &&
         col("__dup_token_ratio") <= maxDupTokenRatio)
+    val gated = gate.fold(filtered)(g => filtered.join(g, Seq(idCol)))
+    val gateCols = gate.toSeq.flatMap(_.columns).filterNot(_ == idCol).map(col)
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
-    val deduped = filtered
+    val deduped = gated
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .where(col("__rn") === 1)
     val sampled =
       if (sampleFraction >= 1.0) deduped
       else deduped.where(sampleHash(col(idCol), sampleFraction, seed))
     sampled.select(passthrough ++ Seq(col(textCol), col("n_tokens"),
-      col("quality_score"), col("lang_pred"), col("fingerprint")): _*)
+      col("quality_score"), col("lang_pred"), col("fingerprint")) ++
+      gateCols: _*)
   }
 
   // ----- weighted source mixing ------------------------------------------

@@ -191,6 +191,22 @@ object LinearProbe {
       .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("sum_score_micro"))
   }
 
+  /** The gate as a composable doc-grain frame: every document whose
+    * integer score under the FINAL weights clears the calibrated
+    * threshold, with the score carried as `probe_score_micro`. This is
+    * the form a pipeline composes (inner-join on the id applies the
+    * gate); [[filterStats]] is its auditable (lang, kept) summary. The
+    * frame derives from `feats`, which [[featureRows]] repartitioned by
+    * doc_id — so the downstream id-equi-join is co-partitioned with
+    * everything else keyed on the document id, no extra exchange.
+    */
+  def scoreGate(feats: DataFrame, wFinal: Array[Long]): DataFrame = {
+    val perDoc = perDocScores(feats, wFinal)
+    val thresh = calibratedThreshold(perDoc)
+    perDoc.where(col("s") >= thresh)
+      .select(col("doc_id"), col("s").as("probe_score_micro"))
+  }
+
   /** The quality-GATE product: score EVERY document under the final
     * weights and report the keep/drop funnel at (lang, kept) grain —
     * what a 100 TB curation run would actually materialize (the

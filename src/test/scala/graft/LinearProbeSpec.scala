@@ -90,6 +90,28 @@ class LinearProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreGate composes into curateCorpus as the pre-dedup trained gate") {
+    val docs = planted(60)
+    val feats = LinearProbe.featureRows(docs).persist()
+    val w = LinearProbe.train(feats).last
+    val gate = LinearProbe.scoreGate(feats, w)
+    // planted corpus separates: the gate keeps exactly the en docs
+    val gateRows = gate.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("probe_score_micro"))
+      .toMap
+    assert(gateRows.nonEmpty && gateRows.keySet.forall(_ % 2 == 0))
+    val out = graft.llm.Curation.curateCorpus(
+      docs.select($"doc_id", $"text"), "doc_id", "text",
+      minQuality = 0.0, maxDupTokenRatio = 0.9, sampleFraction = 1.0,
+      gate = Some(gate)).collect()
+    feats.unpersist()
+    // gate applies BEFORE dedup: the zh fingerprint group vanishes
+    // entirely (no survivor), and the en group's min-id survives with
+    // the model score carried through
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(0L))
+    assert(out.head.getAs[Long]("probe_score_micro") === gateRows(0L))
+  }
+
   test("gradient clip bounds the per-round update under adversarial scores") {
     // one gigantic doc would, unclipped, swing the gradient by
     // len*LabelScale; the residual clip caps its contribution
