@@ -1833,6 +1833,58 @@ object LlmQueries {
         rounds = UnigramTrainRounds)
     }
 
+  /** Target multi-piece vocab size of the SIZED training contract. */
+  private val UnigramTargetMulti = 16
+
+  private val unigramSizedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Int)]()
+
+  /** One [[graft.llm.UnigramLm.trainVocabToSize]] run per (session,
+    * dir): the sized-vocab query and its oracle-entry generator must
+    * read the SAME derived round count.
+    */
+  private def unigramTrainedSized(s: SparkSession,
+                                  dir: String): (DataFrame, Int) =
+    Memos.sessionCached(unigramSizedMemo, s, dir) {
+      UnigramLm.trainVocabToSize(
+        UnigramLm.wordForms(UnigramLm.wordOccurrences(
+          tPar(s, dir, "documents"), "doc_id", "text")),
+        targetMulti = UnigramTargetMulti)
+    }
+
+  /** The derived round count for `dir` if a training already ran this
+    * session (the [[Similarity.trainedCentroids]] peek pattern —
+    * oracle emission must reuse the query's own run, never retrain).
+    */
+  private def sizedRoundsPeek(dir: String): Option[Int] = {
+    val it = unigramSizedMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith(":" + dir)) return Some(e.getValue._2)
+    }
+    None
+  }
+
+  /** Unigram training under the TARGET-VOCAB stopping rule
+    * ([[graft.llm.UnigramLm.trainVocabToSize]]): prune until ≤
+    * [[UnigramTargetMulti]] multi-char pieces survive, round count
+    * derived from the data — SentencePiece's actual contract (train to
+    * a vocab size), completing the arc the fixed-round form started
+    * the way `learnMergesLocal` completed BPE. `n_rounds` rides on
+    * every row so the derived count is inside the hash; the twin
+    * unrolls exactly that many rounds and `error()`s unless BOTH sides
+    * of the stopping rule hold (round R lands ≤ target AND round R−1
+    * was still above it), so an off-by-one in the derivation fails
+    * loudly on the oracle side rather than silently certifying.
+    */
+  private def unigramTrainVocabSized(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val (v, rounds) = unigramTrainedSized(s, dir)
+    v.select(col("piece"), col("cnt"), col("lp_nano"),
+        lit(rounds.toLong).as("n_rounds"))
+      .orderBy(col("piece"))
+  }
+
   /** The unigram hard-EM TRAINING loop ([[graft.llm.UnigramLm
     * .trainVocab]]): seed from substring counts, then fixed rounds of
     * Viterbi E-step piece usage → shrink-prune → milli-nat-grid
@@ -1907,7 +1959,7 @@ object LlmQueries {
     */
   private[graft] def clearMemos(): Unit = {
     saMemo.clear(); saLcpMemo.clear(); unigramVocabMemo.clear()
-    probeMemo.clear()
+    unigramSizedMemo.clear(); probeMemo.clear()
   }
 
   private val saLcpMemo =
@@ -2194,6 +2246,7 @@ object LlmQueries {
     "lang_xent_matrix" -> (langXentMatrix _),
     "unigram_tokenize_stats" -> (unigramTokenizeStats _),
     "unigram_train_vocab" -> (unigramTrainVocab _),
+    "unigram_train_vocab_sized" -> (unigramTrainVocabSized _),
     "unigram_train_doc_stats" -> (unigramTrainDocStats _),
     "hard_negative_pool" -> (hardNegativePool _),
     "leakage_safe_splits" -> (leakageSafeSplits _),
@@ -2656,10 +2709,14 @@ object LlmQueries {
     * `v$r(piece, cnt, lp)`): DP under the current model, backpointer
     * walk (low 3 bits of each packed state = the best candidate's
     * piece length), occurrence-weighted usage counts, the
-    * ceil(3/4)-shrink prune over used multi-char pieces (singles
+    * `capSql`-ranked prune over used multi-char pieces (singles
     * always kept, usage floored at 1), milli-nat re-estimation.
+    * `capSql` is an expression over `nm` (the used-multi count):
+    * ceil-3/4 shrink for the fixed-round contract (default),
+    * floor-3/4-with-target-floor for the sized contract.
     */
-  private def unigramEmRoundCtes(r: Int): String = {
+  private def unigramEmRoundCtes(
+      r: Int, capSql: String = "(nm * 3 + 3) // 4"): String = {
     val j = "CAST((((st[pos + 1] % 512) + 512) % 512) % 8 AS INTEGER)"
     s"""${unigramDpCtes(r.toString, s"v${r - 1}")},
        |bt$r AS (
@@ -2684,7 +2741,7 @@ object LlmQueries {
        |), kept$r AS (
        |  SELECT piece, greatest(u, 1) AS cnt FROM scored$r WHERE length(piece) = 1
        |  UNION ALL
-       |  SELECT piece, u AS cnt FROM keptm$r WHERE rk <= (nm * 3 + 3) // 4
+       |  SELECT piece, u AS cnt FROM keptm$r WHERE rk <= $capSql
        |), tot$r AS (
        |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept$r
        |), v$r AS MATERIALIZED (
@@ -2696,7 +2753,7 @@ object LlmQueries {
 
   /** Twin of `unigram_train_vocab`: the full unrolled training. */
   private lazy val UnigramTrainVocabSql: String = {
-    val rounds = (1 to 2).map(unigramEmRoundCtes).mkString(",\n")
+    val rounds = (1 to 2).map(unigramEmRoundCtes(_)).mkString(",\n")
     s"""WITH RECURSIVE $UnigramSharedCtes,
        |$rounds
        |SELECT piece, cnt, lp AS lp_nano FROM v2 ORDER BY piece""".stripMargin
@@ -2707,7 +2764,7 @@ object LlmQueries {
     * [[UnigramSql]] doc-stats tail.
     */
   private lazy val UnigramTrainDocStatsSql: String = {
-    val rounds = (1 to 2).map(unigramEmRoundCtes).mkString(",\n")
+    val rounds = (1 to 2).map(unigramEmRoundCtes(_)).mkString(",\n")
     s"""WITH RECURSIVE $UnigramSharedCtes,
        |$rounds,
        |${unigramDpCtes("f", "v2")},
@@ -3408,7 +3465,46 @@ object LlmQueries {
     val ivfpqEntries = (for {
       centRows <- centRowsOpt; bookRows <- bookRowsOpt
     } yield ivfpqEntry(centRows, bookRows)).toMap
-    ivfEntries ++ pqEntries ++ ivfpqEntries
+    // the sized unigram twin's round count is data-derived, like the
+    // centroids: reuse the round count the query's own training run
+    // produced (peek the memo; train via the active session otherwise)
+    val sizedRoundsOpt = sys.props.get("graft.oracle.sfDir").flatMap { dir =>
+      sizedRoundsPeek(dir).orElse {
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(s => unigramTrainedSized(s, dir)._2)
+      }
+    }
+    val sizedEntries = sizedRoundsOpt.map(unigramSizedEntry).toMap
+    ivfEntries ++ pqEntries ++ ivfpqEntries ++ sizedEntries
+  }
+
+  /** Twin of `unigram_train_vocab_sized`: `rounds` unrolled EM rounds
+    * under the target-floored floor-3/4 prune cap, with the derived
+    * round count CERTIFIED, not trusted — the final select `error()`s
+    * unless round `rounds` lands ≤ [[UnigramTargetMulti]] multi pieces
+    * AND round `rounds−1` was still above it (minimality), so a wrong
+    * Spark-side derivation can never silently pass the gate.
+    */
+  private def unigramSizedEntry(rounds: Int): (String, String) = {
+    val t = UnigramTargetMulti
+    val cap = s"greatest($t, (nm * 3) // 4)"
+    val roundCtes =
+      (1 to rounds).map(unigramEmRoundCtes(_, cap)).mkString(",\n")
+    val prevGuard =
+      if (rounds == 0) "TRUE"
+      else s"(SELECT count(*) FROM v${rounds - 1} WHERE length(piece) > 1) > $t"
+    val ctes =
+      if (rounds == 0) s"WITH RECURSIVE $UnigramSharedCtes"
+      else s"WITH RECURSIVE $UnigramSharedCtes,\n$roundCtes"
+    "unigram_train_vocab_sized" ->
+      s"""$ctes
+         |SELECT piece, cnt, lp AS lp_nano,
+         |       CASE WHEN (SELECT count(*) FROM v$rounds WHERE length(piece) > 1) <= $t
+         |             AND $prevGuard
+         |            THEN CAST($rounds AS BIGINT)
+         |            ELSE CAST(error('derived round count $rounds violates the <= $t stopping rule') AS BIGINT)
+         |       END AS n_rounds
+         |FROM v$rounds ORDER BY piece""".stripMargin
   }
 
   /** PQ twin: codebooks as (subspace, code, centroid) literals; encode =

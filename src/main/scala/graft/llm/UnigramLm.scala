@@ -224,31 +224,79 @@ object UnigramLm {
     require(rounds >= 1, s"rounds=$rounds")
     var v = vocabWithCounts(pieceCounts(forms)).localCheckpoint(true)
     (1 to rounds).foreach { _ =>
-      val use = viterbiPieces(forms, v.select(col("piece"), col("lp_nano")))
-        .groupBy(col("piece")).agg(sum(col("n_occ")).as("__u"))
-      val scored = v.select(col("piece"))
-        .join(use, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("__u"), lit(0L)).as("__u"))
-      val singles = scored.where(length(col("piece")) === 1)
-        .select(col("piece"), greatest(col("__u"), lit(1L)).as("cnt"))
-      val multi = scored
-        .where(length(col("piece")) > 1 && col("__u") >= 1L)
-      val nMulti = multi.agg(count(lit(1)).as("__n"))
-      val keptMulti = multi
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(col("__u").desc, col("piece"))))
-        .crossJoin(broadcast(nMulti))
-        .where(col("__rk") <= expr("(__n * 3 + 3) div 4"))
-        .select(col("piece"), col("__u").as("cnt"))
-      val kept = singles.union(keptMulti)
-      val tot = kept.agg(sum(col("cnt")).as("__t"))
-      v = kept.join(broadcast(tot))
-        .select(col("piece"), col("cnt"),
-          round(log(col("cnt").cast("double") / col("__t").cast("double")) *
-            lit(1e9)).cast("long").as("lp_nano"))
-        .localCheckpoint(true)
+      v = emRound(forms, v, expr("(__n * 3 + 3) div 4"))
     }
     v
+  }
+
+  /** One hard-EM round shared by the fixed-round and target-size
+    * trainers: Viterbi E-step usage under `v`, prune used multi-char
+    * pieces to rank ≤ `cap` (an expression over `__n` = the used-multi
+    * count, broadcast as a 1-row aggregate), singles always kept with
+    * usage floored at 1, M-step nano-grid re-estimation. Checkpointed
+    * so the next round's plan does not nest this round's DP.
+    */
+  private def emRound(forms: DataFrame, v: DataFrame,
+                      cap: Column): DataFrame = {
+    val use = viterbiPieces(forms, v.select(col("piece"), col("lp_nano")))
+      .groupBy(col("piece")).agg(sum(col("n_occ")).as("__u"))
+    val scored = v.select(col("piece"))
+      .join(use, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("__u"), lit(0L)).as("__u"))
+    val singles = scored.where(length(col("piece")) === 1)
+      .select(col("piece"), greatest(col("__u"), lit(1L)).as("cnt"))
+    val multi = scored
+      .where(length(col("piece")) > 1 && col("__u") >= 1L)
+    val nMulti = multi.agg(count(lit(1)).as("__n"))
+    val keptMulti = multi
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__u").desc, col("piece"))))
+      .crossJoin(broadcast(nMulti))
+      .where(col("__rk") <= cap)
+      .select(col("piece"), col("__u").as("cnt"))
+    val kept = singles.union(keptMulti)
+    val tot = kept.agg(sum(col("cnt")).as("__t"))
+    kept.join(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("__t").cast("double")) *
+          lit(1e9)).cast("long").as("lp_nano"))
+      .localCheckpoint(true)
+  }
+
+  /** [[trainVocab]] under SentencePiece's ACTUAL stopping rule: prune
+    * until at most `targetMulti` multi-char pieces remain, the round
+    * count DERIVED from the data rather than fixed. Each round's cap is
+    * `max(targetMulti, ⌊3/4 · |used multi|⌋)` — the shrinking-factor
+    * step floored at the target (SentencePiece keeps
+    * `int(0.75 · |V|)` per prune, never cutting below the requested
+    * vocab size), so the loop terminates in ≤ log₄⒡₃(|multi₀|) rounds:
+    * while above target the kept count is strictly below the current
+    * count (⌊3n/4⌋ < n for all n ≥ 1), and once ⌊3n/4⌋ ≤ targetMulti
+    * the cap IS the target, so the next round lands ≤ target exactly.
+    * The 64-round require is an invariant guard, not a contract knob —
+    * it allows a 2.4e8× starting-to-target ratio.
+    *
+    * Driver-side state is two BIGINTs per round (the vocab-grain count
+    * and the round index); everything data-grain stays distributed,
+    * same as [[trainVocab]]. Returns the trained vocabulary AND the
+    * derived round count — the count is part of the certified model
+    * contract (the oracle twin unrolls exactly that many rounds and
+    * independently asserts both sides of the stopping rule).
+    */
+  def trainVocabToSize(forms: DataFrame,
+                       targetMulti: Int): (DataFrame, Int) = {
+    require(targetMulti >= 1, s"targetMulti=$targetMulti")
+    var v = vocabWithCounts(pieceCounts(forms)).localCheckpoint(true)
+    def nMulti: Long = v.where(length(col("piece")) > 1).count()
+    var rounds = 0
+    while (nMulti > targetMulti) {
+      rounds += 1
+      require(rounds <= 64,
+        s"target-vocab loop failed to converge to $targetMulti in 64 rounds")
+      v = emRound(forms, v,
+        greatest(lit(targetMulti.toLong), expr("(__n * 3) div 4")))
+    }
+    (v, rounds)
   }
 
   /** Write the vocabulary in the SentencePiece-style `.vocab` text

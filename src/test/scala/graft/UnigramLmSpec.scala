@@ -140,6 +140,35 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("trainVocabToSize: prunes to the target, derives the round count, partition-invariant") {
+    // enough distinct words that the seed multi vocab far exceeds the
+    // target, forcing the shrink loop to actually iterate
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"alpha$i beta$i gamma delta alpha$i")
+    }.toDF("doc_id", "text")
+    val forms = UnigramLm.wordForms(
+      UnigramLm.wordOccurrences(docs, "doc_id", "text"))
+    val (v, rounds) = UnigramLm.trainVocabToSize(forms, targetMulti = 8)
+    val nMulti = v.where(length(col("piece")) > 1).count()
+    assert(nMulti <= 8L)
+    assert(rounds >= 1)
+    // singles always survive: every observed char stays segmentable
+    val singles = v.where(length(col("piece")) === 1).count()
+    assert(singles > 0L)
+    // derived count and vocabulary are partitioning-invariant
+    val (v2, rounds2) = UnigramLm.trainVocabToSize(
+      forms.repartition(7), targetMulti = 8)
+    assert(rounds2 === rounds)
+    assert(v2.orderBy("piece").collect().map(_.toSeq).toSeq ===
+      v.orderBy("piece").collect().map(_.toSeq).toSeq)
+    // already-satisfied target: zero rounds, the seed comes back
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val tf = UnigramLm.wordForms(
+      UnigramLm.wordOccurrences(tiny, "doc_id", "text"))
+    val (_, r0) = UnigramLm.trainVocabToSize(tf, targetMulti = 100)
+    assert(r0 === 0)
+  }
+
   test("docStats: zero row for wordless docs, over-length words excluded, partition-invariant") {
     val long = "x" * 40 // over MaxWordLen -> excluded everywhere
     val docs = Seq((1L, "aa aa bb"), (2L, ""), (3L, long))
