@@ -2032,6 +2032,43 @@ object LlmQueries {
         col("sum_lcp"), col("lrs_doc_id"), col("lrs_pos"), col("lrs_text"))
   }
 
+  /** 1%-stratum keep bound for the sampled LCP certification (buckets
+    * run 0..999999; rank keyed, seed distinct from the corpus
+    * samplers so the strata are decorrelated).
+    */
+  private val SuffixSampleBucket = 10000L
+  private val SuffixSampleSeed = 777L
+
+  /** The sampled CERTIFIABLE form of the adjacent-LCP structure (the
+    * `bpe_doc_tokens_sample` pattern): a deterministic rank-keyed 1%
+    * stratum of adjacent suffix pairs, each row pinning both
+    * endpoints' (doc, pos) and the exact LCP from the binary-lifting
+    * structure ([[SuffixArray.adjacentLcp]]). The twin recomputes
+    * every sampled pair's LCP INDEPENDENTLY — direct bounded symbol
+    * comparison over materialized per-document sort keys — so the
+    * stratum cross-checks lifting vs direct comparison pair by pair.
+    * Exists because the full-scan `suffix_lcp_stats` twin's pair frame
+    * (27M pairs × ~1.3 KB keys) overruns a single-node 80 GB DuckDB at
+    * sf10 — an oracle envelope, not an engine bound; the stratum keeps
+    * the certification corpus-grain-honest at every rung (~1% of pairs
+    * at any scale) while the pair frame stays 100× smaller.
+    */
+  private def suffixLcpSample(s: SparkSession, dir: String): DataFrame = {
+    val res = saFor(s, dir)
+    val lcp = saLcpFor(s, dir)
+    val lo = res.seq.select(col("g").as("g_lo"),
+      col("doc_id").as("lo_doc_id"), col("pos").as("lo_pos"))
+    val hi = res.seq.select(col("g").as("g_hi"),
+      col("doc_id").as("hi_doc_id"), col("pos").as("hi_pos"))
+    lcp.where(Curation.sampleBucket(col("rank_hi"), SuffixSampleSeed)
+        < lit(SuffixSampleBucket))
+      .join(lo, Seq("g_lo")).join(hi, Seq("g_hi"))
+      .select(col("rank_hi").as("sa_rank"),
+        col("lo_doc_id"), col("lo_pos"),
+        col("hi_doc_id"), col("hi_pos"), col("lcp"))
+      .orderBy(col("sa_rank"))
+  }
+
   /** Repeat FAMILIES at threshold L=10 — the any-length grouping the
     * suffix structure makes cheap: suffixes sharing a >= L prefix are
     * CONTIGUOUS in rank order, so families are connected components of
@@ -2253,6 +2290,7 @@ object LlmQueries {
     "novelty_ngram_stats" -> (noveltyNgramStats _),
     "suffix_rank_docs" -> (suffixRankDocs _),
     "suffix_lcp_stats" -> (suffixLcpStats _),
+    "suffix_lcp_sample" -> (suffixLcpSample _),
     "suffix_dup_positions" -> (suffixDupPositions _),
     "cdc_chunk_stats" -> (cdcChunkStats _),
     "substring_dedup_rebuild" -> (substringDedupRebuild _),
@@ -3034,7 +3072,19 @@ object LlmQueries {
     * compare inside `bnd`, so sentinel bytes past the shorter suffix
     * never leak in.
     */
-  private val SuffixLcpCtes: String = {
+  private val SuffixLcpCtes: String = suffixLcpCtes("TRUE")
+
+  /** [[SuffixLcpCtes]] with the adjacent-pair relation restricted by
+    * `pairFilter` (over aliases `a` = rank r, `b` = rank r+1): the
+    * sampled certifiable form's hook. The filter lands INSIDE `pr`, so
+    * a rank-keyed stratum cuts the pair frame — the part whose 27M ×
+    * ~1.3 KB sort-key rows are what overran the 80 GB single-node
+    * oracle at sf10 — before anything materializes; `sar` itself is
+    * the certified-feasible piece (the `suffix_rank_docs` twin sorts
+    * it in ~199 s at sf10). Carries BOTH endpoints so the sampled
+    * query can pin (doc, pos) on each side.
+    */
+  private def suffixLcpCtes(pairFilter: String): String = {
     val blkCase = (1 to LcpMaxSymbols / 8).map { b =>
       val off = (b - 1) * 40 + 1
       val ln = s"CAST(least(8, bnd - ${(b - 1) * 8}) * 5 AS BIGINT)"
@@ -3046,23 +3096,26 @@ object LlmQueries {
     }.mkString("\n    ")
     s"""pr AS (
        |  SELECT a.doc_id AS lo_doc_id, a.pos AS lo_pos, b.r AS rank_hi,
+       |         b.doc_id AS hi_doc_id, b.pos AS hi_pos,
        |         least(a.rem, b.rem) AS bnd, a.sk AS sk_lo, b.sk AS sk_hi
        |  FROM sar a JOIN sar b ON b.r = a.r + 1
+       |  WHERE $pairFilter
        |), lguard AS (
        |  SELECT CASE WHEN (SELECT max(bnd) FROM pr) > $LcpMaxSymbols
        |              THEN error('suffix LCP twin: a doc exceeds $LcpMaxSymbols symbols - widen LcpMaxSymbols')
        |              ELSE 0 END AS pad
        |), mbt AS (
-       |  SELECT rank_hi, lo_doc_id, lo_pos, bnd, sk_lo, sk_hi,
+       |  SELECT rank_hi, lo_doc_id, lo_pos, hi_doc_id, hi_pos, bnd,
+       |         sk_lo, sk_hi,
        |    CASE $blkCase END AS mbv
        |  FROM pr
        |), ft AS (
-       |  SELECT rank_hi, lo_doc_id, lo_pos, bnd,
+       |  SELECT rank_hi, lo_doc_id, lo_pos, hi_doc_id, hi_pos, bnd,
        |    CASE WHEN mbv IS NULL THEN NULL
        |    $fineCase END AS fdiff
        |  FROM mbt
        |), lc AS (
-       |  SELECT lo_doc_id, lo_pos, rank_hi,
+       |  SELECT lo_doc_id, lo_pos, hi_doc_id, hi_pos, rank_hi,
        |         coalesce(fdiff, bnd + 1) - 1 + (SELECT pad FROM lguard) AS lcp
        |  FROM ft
        |)""".stripMargin
@@ -4172,6 +4225,18 @@ object LlmQueries {
          |-- still emit one all-null row — both engines must agree on
          |-- that degenerate row (round-10 ADVICE)
          |FROM ag CROSS JOIN lrc LEFT JOIN txt ON TRUE""".stripMargin,
+    // the sampled certifiable LCP form: 1% rank-keyed stratum, each
+    // pair's LCP recomputed by direct bounded symbol comparison (the
+    // filter cuts the pair frame INSIDE pr — the full frame is the
+    // sf10 single-node envelope)
+    "suffix_lcp_sample" ->
+      s"""WITH $SuffixCtes, ${suffixLcpCtes(
+             s"${Curation.sampleBucketSql("b.r", SuffixSampleSeed)} < $SuffixSampleBucket")}
+         |SELECT rank_hi AS sa_rank,
+         |       lo_doc_id, CAST(lo_pos AS BIGINT) AS lo_pos,
+         |       hi_doc_id, CAST(hi_pos AS BIGINT) AS hi_pos,
+         |       CAST(lcp AS BIGINT) AS lcp
+         |FROM lc ORDER BY sa_rank""".stripMargin,
     // same 1e4 grid, same per-dim min/max, same integer codes and dot —
     // zero trained literals
     "knn_cosine_sq8" ->

@@ -210,6 +210,64 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Content-defined-chunking boundary scan of an array<string> of
+    * tokens: the chunk END positions (1-based, inclusive, final
+    * position always included) under the [[graft.llm.CdcChunks]] cut
+    * rule — position i ≥ k ends a chunk when the md5 of the
+    * space-joined k-token window ending at i has
+    * `first-15-hex-digits mod modulus == 0`. Bit-identical to the
+    * declarative
+    * `concat(filter(sequence(k, n), i -> cut(i) && i != n), array(n))`
+    * formulation, which evaluates one INTERPRETED lambda (slice +
+    * array_join + md5 + conv) per token — the measured 6× throughput
+    * gap of the streaming CDC rung (BENCH_STREAMING r11: 949 rows/s vs
+    * 5.6k for fixed segments on identical input and state shape) was
+    * exactly that per-element interpretation, not state or planning.
+    * Here: one rolling UTF-8 window buffer and one digest per
+    * position, all in a tight JVM loop per row.
+    */
+  case class CdcCutEnds(child: Expression, k: Int, modulus: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 2, s"k=$k")
+    require(modulus >= 2, s"modulus=$modulus")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cdc_cut_ends"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return new GenericArrayData(Array.empty[Long])
+      val toks = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      val md = md5Local.get()
+      val sp = ' '.toByte
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Long]
+      i = k
+      while (i < n) { // i == n is never a cut-emitted end; appended below
+        md.reset()
+        var j = i - k
+        while (j < i) {
+          if (j > i - k) md.update(sp)
+          md.update(toks(j))
+          j += 1
+        }
+        val d = md.digest()
+        // first 15 hex digits = high 7.5 bytes, non-negative in 60 bits
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v = (v << 4) | ((d(7) >> 4) & 0xfL)
+        if (v % modulus == 0) ends += i.toLong
+        i += 1
+      }
+      ends += n.toLong
+      new GenericArrayData(ends.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column wrappers (classic-API Column <-> Expression bridge) ----------
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -225,4 +283,7 @@ object HashExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def cdcCutEnds(tokens: Column, k: Int, modulus: Int): Column =
+    column(CdcCutEnds(expression(tokens), k, modulus))
 }

@@ -71,9 +71,16 @@ object CdcChunks {
     * `posexplode` over the ends array yields one row per chunk with
     * the 0-based chunk index equal to the cuts before it — the same
     * numbering [[chunks]]' window prefix-sum produces (asserted
-    * equivalent in the spec). Cost is O(len²) array work per row,
-    * bounded by document length — the constant a shuffle-free streaming
-    * stage is worth.
+    * equivalent in the spec).
+    *
+    * The boundary scan is the native
+    * [[graft.functions.HashExpressions.CdcCutEnds]] expression, not a
+    * `filter(sequence(...), i -> md5(...))` lambda: higher-order
+    * functions are CodegenFallback, so the lambda body evaluated one
+    * INTERPRETED slice+join+md5 call per token — measured as the whole
+    * 6× gap between this chunker and the fixed-segment stream on
+    * identical input (BENCH_STREAMING r11). One tight JVM digest loop
+    * per row computes bit-identical ends.
     */
   def chunksMapOnly(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, modulus: Int = 8): DataFrame = {
@@ -81,17 +88,8 @@ object CdcChunks {
     require(modulus >= 2, s"modulus=$modulus")
     val toksDf = df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= 1)
-    val n = size(col("__toks")).cast("long")
-    def cut(i: Column): Column =
-      conv(substring(md5(array_join(
-        slice(col("__toks"), (i - k + 1).cast("int"), lit(k)), " ")),
-        1, 15), 16, 10).cast("long") % modulus === 0
-    val ends = concat(
-      when(n >= k,
-        filter(sequence(lit(k.toLong), n), i => cut(i) && i =!= n))
-        .otherwise(array().cast("array<bigint>")),
-      array(n))
-    toksDf.withColumn("__ends", ends)
+    toksDf.withColumn("__ends",
+        graft.functions.HashExpressions.cdcCutEnds(col("__toks"), k, modulus))
       .select(col(idCol), col("__toks"), col("__ends"),
         posexplode(col("__ends")).as(Seq("__j0", "__en")))
       .select(col(idCol), col("__toks"),
