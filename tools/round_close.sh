@@ -34,4 +34,26 @@ if ! git diff --quiet; then
   git diff --stat >&2
   exit 1
 fi
+
+# Standing rule (round-11 verdict #8): every query on the contract
+# surface ships with an sf1 ladder rung in the same round it lands.
+# Warn on any SparkEntry.queries name absent from CORRECTNESS_SF1.json.
+python3 - <<'PYEOF' || true
+import json, re, glob
+sf1 = set(json.load(open("CORRECTNESS_SF1.json"))) - {"__meta__"}
+# the query surface, from the newest verify dump's oracle_sql.json
+dumps = sorted(glob.glob("target/verify*/oracle_sql.json") +
+               glob.glob("/tmp/verify*/oracle_sql.json"),
+               key=lambda p: __import__("os").path.getmtime(p))
+if not dumps:
+    print("LADDER CHECK: no verify dump found to read the query surface from")
+else:
+    surface = set(json.load(open(dumps[-1])))
+    missing = sorted(surface - sf1)
+    if missing:
+        print("LADDER CHECK WARNING: queries with no sf1 rung in "
+              "CORRECTNESS_SF1.json:", ", ".join(missing))
+    else:
+        print("LADDER CHECK: every oracle-backed query has an sf1 rung")
+PYEOF
 echo "round-close artifacts staged; commit to finish."
