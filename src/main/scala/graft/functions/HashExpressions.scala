@@ -268,6 +268,70 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-window gram hashes of an array<string> of tokens: element i
+    * (0-based output index, 1-based `pos`) is
+    * `(pos = i+1, h = first hexDigits hex digits of md5 of the
+    * space-joined w-token window starting at pos)` — bit-identical to
+    * `transform(sequence(1, n-w+1), i -> struct(i, conv(substring(
+    * md5(array_join(slice(toks, i, w), ' ')), 1, hexDigits), 16, 10)))`,
+    * the shape both [[graft.llm.SubstringDedup.shingleHashes]]
+    * (hexDigits = 15) and `TextStats.winnowFingerprints`
+    * (hexDigits = 10) explode. The declarative lambda evaluates one
+    * INTERPRETED slice+join+md5 per window — the same CodegenFallback
+    * higher-order-function cost class as the CDC cut rule, at corpus
+    * grain on the exact-substring family's hottest path (5M docs ×
+    * ~96 windows at the sf100 rung). One rolling buffer + one digest
+    * per window in a tight JVM loop per row.
+    */
+  case class WindowGramHashes(child: Expression, w: Int, hexDigits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1, s"w=$w")
+    require(hexDigits >= 1 && hexDigits <= 15, s"hexDigits=$hexDigits")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("pos", LongType, nullable = false),
+        StructField("h", LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "window_gram_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < w) return new GenericArrayData(Array.empty[Any])
+      val toks = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      val md = md5Local.get()
+      val sp = ' '.toByte
+      val out = new Array[Any](n - w + 1)
+      i = 0
+      while (i <= n - w) {
+        md.reset()
+        var j = i
+        while (j < i + w) {
+          if (j > i) md.update(sp)
+          md.update(toks(j))
+          j += 1
+        }
+        val d = md.digest()
+        // first hexDigits nibbles of the hex rendering, as a long
+        var v = 0L
+        var nib = 0
+        while (nib < hexDigits) {
+          val b = d(nib >> 1)
+          val x = if ((nib & 1) == 0) (b >> 4) & 0xf else b & 0xf
+          v = (v << 4) | x
+          nib += 1
+        }
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any]((i + 1).toLong, v))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column wrappers (classic-API Column <-> Expression bridge) ----------
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -286,4 +350,7 @@ object HashExpressions {
 
   def cdcCutEnds(tokens: Column, k: Int, modulus: Int): Column =
     column(CdcCutEnds(expression(tokens), k, modulus))
+
+  def windowGramHashes(tokens: Column, w: Int, hexDigits: Int): Column =
+    column(WindowGramHashes(expression(tokens), w, hexDigits))
 }

@@ -47,14 +47,15 @@ object SubstringDedup {
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
                     w: Int): DataFrame = {
     require(w >= 2, s"w=$w — a 1-token 'substring' is a vocabulary, not a span")
+    // native per-window digest loop, bit-identical to the declarative
+    // explode(transform(..., i -> md5(slice))) — which paid one
+    // INTERPRETED lambda per window (HOFs are CodegenFallback); this is
+    // the exact-substring family's hottest path at corpus scale
     df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= w)
       .select(col(idCol),
-        expr(
-          s"""explode(transform(sequence(1, size(__toks) - ${w - 1}),
-             |  i -> struct(cast(i as bigint) as pos,
-             |    cast(conv(substring(md5(array_join(slice(__toks, i, $w), ' ')), 1, 15), 16, 10) as bigint) as h)))"""
-            .stripMargin).as("g"))
+        explode(graft.functions.HashExpressions
+          .windowGramHashes(col("__toks"), w, 15)).as("g"))
       .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
   }
 

@@ -275,11 +275,11 @@ object TextStats {
         (size(col("__toks")) - lit(k - 1)).cast("long").as("__ng"),
         col("__toks"))
       .select(col(idCol), col("__ng"),
-        expr(
-          s"""explode(transform(sequence(1, size(__toks) - ${k - 1}),
-             |  i -> struct(cast(i as bigint) as pos,
-             |    cast(conv(substring(md5(array_join(slice(__toks, i, $k), ' ')), 1, 10), 16, 10) as bigint) as h)))"""
-            .stripMargin).as("g"))
+        // native per-window digest loop (bit-identical to the
+        // declarative transform-lambda, which is interpreted per
+        // window under CodegenFallback HOFs)
+        explode(graft.functions.HashExpressions
+          .windowGramHashes(col("__toks"), k, 10)).as("g"))
       .select(col(idCol), col("__ng"), col("g.pos").as("pos"),
         // a position past the cap would silently alias into another
         // (hash, pos) key and corrupt selections — fail loudly instead
