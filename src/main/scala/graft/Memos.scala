@@ -44,6 +44,28 @@ object Memos {
     df.localCheckpoint(eager = true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** [[bigCheckpoint]] with a SIZE-ADAPTIVE storage level. Serialized
+    * blocks are what let the full-table decades survive, but every
+    * consumer read pays a decode — measured at ~30% of
+    * `rollup_reconcile`'s floor at bench scale (1.93 s → 2.8 s when
+    * r11 moved its fact inputs to [[bigCheckpoint]] unconditionally;
+    * the r11 verdict's one unexplained baseline-subset regression).
+    * Catalyst's optimizer estimate (parquet scan bytes × projection —
+    * deterministic for a given input) picks the level: small frames
+    * keep the default deserialized cache the hot path wants, anything
+    * over `thresholdBytes` takes the serialized path that survives
+    * 600M-row inputs. The threshold errs low: a frame the estimator
+    * can't size (joins default to huge) goes serialized, which only
+    * costs decode CPU — the safe direction.
+    */
+  def adaptiveCheckpoint(df: org.apache.spark.sql.DataFrame,
+                         thresholdBytes: Long = 2L << 30)
+      : org.apache.spark.sql.DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= thresholdBytes) df.localCheckpoint(eager = true)
+    else bigCheckpoint(df)
+  }
+
   private val trainings = new AtomicLong(0L)
 
   /** Count of memo-training events since JVM start (monotonic). */

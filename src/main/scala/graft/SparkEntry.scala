@@ -123,13 +123,17 @@ object SparkEntry {
     // persist: blocks free when the result is unreferenced, so nothing
     // leaks into the rest of the session (round-2 finding). At cluster
     // scale this is the difference between 1 and 3 reads of the fact
-    // table. SERIALIZED storage: these are fact-table-grain blocks —
-    // deserialized row caching cost ~4× the bytes and overran both
-    // memory and spill disk at sf100full (600M lineitem); the few
-    // consumers re-read once each, so the deser CPU is noise.
-    val orders = Memos.bigCheckpoint(t(s, dir, "orders")
+    // table. SIZE-ADAPTIVE storage (r12): unconditional serialized
+    // blocks (r11) survived sf100full's 600M-row lineitem — where
+    // deserialized rows cost ~4× the bytes and overran memory AND
+    // spill disk — but charged every small-scale read a decode,
+    // measured as ~30% of this query's bench floor (1.93 s → 2.8 s).
+    // These are plain projected scans, so Catalyst's size estimate is
+    // reliable; adaptiveCheckpoint keeps deserialized below 2 GiB and
+    // serialized above.
+    val orders = Memos.adaptiveCheckpoint(t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")))
-    val li = Memos.bigCheckpoint(t(s, dir, "lineitem")
+    val li = Memos.adaptiveCheckpoint(t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice")))
     val fineOrder = li.select(col("l_orderkey").as("k"), dec(col("l_extendedprice")).as("total"))
     val byOrder = Dq.reconcile(
