@@ -831,10 +831,13 @@ object LlmQueries {
     */
   private def sourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
-    val fp = TextStats.winnowFingerprints(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("fp").as("f"), col("source"))
-      .distinct()
+    // three consumers (sizes + both self-join sides) — checkpoint so the
+    // winnowing pipeline runs once instead of once per reference
+    val fp = Memos.adaptiveCheckpoint(
+      TextStats.winnowFingerprints(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("fp").as("f"), col("source"))
+        .distinct())
     val sizes = fp.groupBy(col("source")).agg(count(lit(1)).as("__n"))
     val shared = fp.select(col("f"), col("source").as("source_a"))
       .join(fp.select(col("f").as("__f2"), col("source").as("source_b")),
@@ -1661,9 +1664,12 @@ object LlmQueries {
     val bg = docs.select(col("doc_id"), col("lang"),
       explode(LangModel.charBigrams(col("text"))).as("bigram"))
     val train = bg.where(!isHeld)
-    // per-lang counts, totals and add-one lp — all at model grain
-    val counts = train.groupBy(col("lang"), col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
+    // per-lang counts, totals and add-one lp — all at model grain.
+    // Checkpointed (small): read by totals, the model join AND the
+    // driver-side totals.collect() below.
+    val counts = Memos.adaptiveCheckpoint(
+      train.groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt")))
     val totals = counts.groupBy(col("lang"))
       .agg(sum(col("cnt")).as("__t"), count(lit(1)).as("__v"))
     val model = counts.join(totals, Seq("lang"))

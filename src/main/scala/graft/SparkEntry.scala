@@ -1145,18 +1145,25 @@ object SparkEntry {
     */
   private def scd2CustomerHistory(s: SparkSession, dir: String): DataFrame = {
     import graft.sinks.Scd2
-    val counts = t(s, dir, "orders")
+    // EAGER checkpoint, not lazy persist: the fold references the four
+    // snapshot slices from inside an exponentially-self-embedding merge
+    // tree, and a lazy InMemoryRelation still leaves that whole tree to
+    // plan and execute per reference
+    val counts = Memos.adaptiveCheckpoint(t(s, dir, "orders")
       .where(year(col("o_orderdate")) === 1996)
       .groupBy(col("o_custkey").as("custkey"),
         (year(col("o_orderdate")) * 10 + quarter(col("o_orderdate"))).as("q"))
-      .agg(count(lit(1)).as("n_orders"))
-      .persist() // four snapshot slices read one materialization
+      .agg(count(lit(1)).as("n_orders")))
     def snap(q: Int) = counts.where(col("q") === q)
       .select(col("custkey"), col("n_orders"))
-    val hist = (19962 to 19964).foldLeft(Scd2.init(snap(19961), lit(19961))) {
-      case (h, q) =>
-        Scd2.mergeSnapshot(h, snap(q), Seq("custkey"), Seq("n_orders"), lit(q))
-    }
+    // foldSnapshots(checkpointEvery=1): each mergeSnapshot embeds the
+    // previous history ~5x, so the raw 3-merge fold executes the first
+    // merge ~25x and the base slices ~125x; checkpointing per merge
+    // makes every merge run once (r12 bench: 4.7 s -> sub-second) while
+    // computing the identical history
+    val hist = Scd2.foldSnapshots(Scd2.init(snap(19961), lit(19961)),
+      (19962 to 19964).map(q => (snap(q), lit(q))),
+      Seq("custkey"), Seq("n_orders"), checkpointEvery = 1)
     hist.select(col("custkey"), col("n_orders"), col("valid_from"),
         col("valid_to"), col("is_current"))
       .orderBy(col("custkey"), col("valid_from"))
@@ -1868,8 +1875,11 @@ object SparkEntry {
     * the iterative graph family gets an exact-hash oracle.
     */
   private def pagerankCustomerSupplier(s: SparkSession, dir: String): DataFrame = {
+    // assumeDistinct: tradePairs is distinct+checkpointed and the edge
+    // projection is injective — the op's canonicalizing shuffle is
+    // redundant for every trade-graph consumer
     graft.ops.PageRank.ranksFixedPoint(tradeEdgesDirected(s, dir),
-        "src", "dst", iters = 3)
+        "src", "dst", iters = 3, assumeDistinct = true)
       .orderBy(col("id"))
   }
 
@@ -1883,7 +1893,7 @@ object SparkEntry {
     */
   private def hitsTradeGraph(s: SparkSession, dir: String): DataFrame = {
     graft.ops.Hits.scoresFixedPoint(tradeEdgesDirected(s, dir),
-        "src", "dst", iters = 3)
+        "src", "dst", iters = 3, assumeDistinct = true)
       .orderBy(col("id"))
   }
 
@@ -1920,8 +1930,10 @@ object SparkEntry {
     */
   private def lpTradeLabels(s: SparkSession, dir: String): DataFrame =
     Memos.sessionCached(lpLabelsMemo, s, dir) {
+      // assumeCanonical: distinct, loop-free, direction-disjoint (offset
+      // supplier ids) by construction
       graft.ops.Communities.labelPropagation(tradeEdgesDirected(s, dir),
-        "src", "dst", iters = 3)
+        "src", "dst", iters = 3, assumeCanonical = true)
     }
 
   /** Drop this object's JVM-level shared memos (bench pass isolation —
@@ -1944,7 +1956,8 @@ object SparkEntry {
     val edges = tradeEdgesSymmetric(s, dir)
     val seeds = t(s, dir, "customer").where(col("c_nationkey") === 0)
       .select(col("c_custkey").as("id"))
-    graft.ops.Bfs.depths(edges, "src", "dst", seeds, "id", maxDepth = 3)
+    graft.ops.Bfs.depths(edges, "src", "dst", seeds, "id", maxDepth = 3,
+      assumeDistinct = true)
       .orderBy(col("id"))
   }
 
@@ -1956,7 +1969,7 @@ object SparkEntry {
     */
   private def modularityTradeCommunities(s: SparkSession, dir: String): DataFrame =
     graft.ops.Communities.modularityOf(tradeEdgesDirected(s, dir),
-        "src", "dst", lpTradeLabels(s, dir))
+        "src", "dst", lpTradeLabels(s, dir), assumeCanonical = true)
       .orderBy(col("label"))
 
   /** Deterministic hash-argmin walks ([[graft.ops.Walks.walks]]) from
@@ -1969,7 +1982,8 @@ object SparkEntry {
     val edges = tradeEdgesSymmetric(s, dir)
     val seeds = t(s, dir, "customer").where(col("c_nationkey") === 0)
       .select(col("c_custkey").as("id"))
-    graft.ops.Walks.walks(edges, "src", "dst", seeds, "id", steps = 4)
+    graft.ops.Walks.walks(edges, "src", "dst", seeds, "id", steps = 4,
+      assumeDistinct = true)
       .orderBy(col("walk_id"), col("step"))
   }
 
@@ -1988,7 +2002,7 @@ object SparkEntry {
       .where(pmod(col("s_suppkey"), lit(5)) === 0)
       .select((lit(SupplierNodeOffset) + col("s_suppkey")).as("id"))
     graft.ops.PageRank.ranksPersonalizedFixedPoint(edges, "src", "dst",
-        seeds, "id", iters = 3)
+        seeds, "id", iters = 3, assumeDistinct = true)
       .orderBy(col("id"))
   }
 

@@ -41,8 +41,16 @@ object Verify {
       // it saves; zstd beats the default lz4 on shuffle/spill ratio at
       // comparable speed. Both are what a real 100 TB deployment runs
       // with; correctness-neutral.
-      .config("spark.rdd.compress", "true")
-      .config("spark.io.compression.codec", "zstd")
+      // (parameterized like graft.Bench, but the DEFAULT here stays
+      // zstd: correctness dumps are not timed, and the full-table
+      // decades are scratch-disk-bound where zstd's ratio is the point;
+      // the bench defaults to lz4 because local-mode shuffles never
+      // cross a NIC and zstd's CPU cost is a measured ~30% on the
+      // shuffle-heavy families)
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -79,21 +79,26 @@ object Retrieval {
     require(k >= 1, s"k=$k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"k1=$k1 b=$b")
     val terms = queryTerms.distinct
-    val tf = Tfidf.termFrequencies(documents, idCol, textCol)
+    // postings restricted to the query terms BEFORE the (doc, term)
+    // shuffle: only candidate postings ever enter an exchange
+    val tfq = documents
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val dl = documents.select(col(idCol),
       TextStats.nTokensOf(TextStats.tokens(col(textCol))).as("dl"))
     val stats = documents.agg(count(lit(1)).as("n_docs"),
       sum(TextStats.nTokensOf(TextStats.tokens(col(textCol))))
         .as("total_len"))
-    val qv = tf.where(col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qv = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast("double")
     val idf = log((nd - col("df").cast("double") + 0.5)
       / (col("df").cast("double") + 0.5) + 1.0)
     val denom = col("tf").cast("double") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") * nd
         / col("total_len").cast("double"))
-    val contrib = tf.where(col("term").isin(terms: _*))
+    val contrib = tfq
       .join(broadcast(qv), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
@@ -133,7 +138,6 @@ object Retrieval {
                      queryPred: org.apache.spark.sql.Column, k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k=$k")
-    val tf = Tfidf.termFrequencies(documents, idCol, textCol)
     val qterms = documents.where(queryPred)
       .select(col(idCol).as("query_id"),
         explode(array_distinct(TextStats.tokens(col(textCol)))).as("term"))
@@ -143,15 +147,24 @@ object Retrieval {
       sum(TextStats.nTokensOf(TextStats.tokens(col(textCol))))
         .as("total_len"))
     val qvocab = qterms.select(col("term")).distinct()
-    val df = tf.join(broadcast(qvocab), "term")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // postings restricted to the query vocabulary BEFORE the
+    // (doc, term) shuffle: the full-vocabulary tf aggregate (which used
+    // to shuffle the whole corpus' (doc, term) table twice — once per
+    // reference) never runs at all; only query-term postings enter the
+    // exchange (guide §2.3, filter before the shuffle)
+    val tfq = documents
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("term"))
+      .join(broadcast(qvocab), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast("double")
     val idf = log((nd - col("df").cast("double") + 0.5)
       / (col("df").cast("double") + 0.5) + 1.0)
     val denom = col("tf").cast("double") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") * nd
         / col("total_len").cast("double"))
-    val contrib = tf
+    val contrib = tfq
       .join(broadcast(qterms), "term")
       .where(col(idCol) =!= col("query_id"))
       .join(broadcast(df), "term")

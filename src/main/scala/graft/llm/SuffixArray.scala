@@ -84,7 +84,13 @@ object SuffixArray {
     */
   def corpusSeq(docs: DataFrame, idCol: String, textCol: String,
                 numRanges: Int = 32): DataFrame = {
-    val toksDf = docs.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+    // tokenize ONCE: the token arrays feed the length spine, the
+    // vocabulary and the position explode — three references, three
+    // full scan+tokenize passes without the checkpoint (the caller
+    // releases these scratch blocks once the corpus sequence itself is
+    // checkpointed)
+    val toksDf = graft.Memos.adaptiveCheckpoint(
+      docs.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks")))
     val lens = toksDf.select(col(idCol), size(col("__toks")).cast("long").as("n_tok"))
 
     // ranged prefix-sum over the document spine: dseq (1-based document
@@ -164,8 +170,15 @@ object SuffixArray {
       .drop("__cuts", "__cd")
       .repartition(numRanges, col("__pid"))
     val wl = Window.partitionBy(col("__pid")).orderBy(col("ra"), col("rb"))
+    // checkpoint AFTER the per-bucket window: `local` feeds the bucket
+    // counts, the group-min aggregate and the final join — left lazy,
+    // each reference re-runs the whole pair join + repartition + sort
+    // (the r12 audit measured the window subtree executing twice and the
+    // pair join four times per round). Released before return: the round
+    // only hands its final rank table to the caller.
     val local = bucketed.withColumn("__rn", row_number().over(wl).cast("long"))
-    val counts = bucketed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true)
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1) // numRanges rows
     val offs = counts
@@ -175,15 +188,22 @@ object SuffixArray {
       .withColumn("__gr", col("__off") + col("__rn"))
     val groupMin = withGlobal.groupBy(col("ra"), col("rb"))
       .agg(min(col("__gr")).as("r"))
-    withGlobal.join(groupMin, Seq("ra", "rb"))
+    val out = withGlobal.join(groupMin, Seq("ra", "rb"))
       .select(col("g"), col("r"))
       .localCheckpoint(true)
+    // the intra-round scratch blocks have no reader past this point
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(local)
+    out
   }
 
   /** Build the suffix array by prefix doubling (see object doc). */
   def build(docs: DataFrame, idCol: String, textCol: String,
             numRanges: Int = 32): SuffixArrayResult = {
-    val seq = corpusSeq(docs, idCol, textCol, numRanges).localCheckpoint(true)
+    val seqRaw = corpusSeq(docs, idCol, textCol, numRanges)
+    val seq = seqRaw.localCheckpoint(true)
+    // corpusSeq's internal token-array checkpoint has no reader once the
+    // sequence itself is materialized
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(seqRaw)
     val n = seq.count()
     // monotone bucketing proxy: ranks and shifted ranks are <= n (round-0
     // keys <= 2n); any scale above the max rb keeps the proxy monotone
@@ -229,6 +249,7 @@ object SuffixArray {
     for ((p, rt) <- res.levels.reverse) {
       val ra = rt.select(col("g").as("__ga"), col("r").as("__ra"))
       val rb = rt.select(col("g").as("__gb"), col("r").as("__rb"))
+      val prev = pairs
       pairs = pairs
         .withColumn("__ka", col("g_lo") + col("lcp"))
         .withColumn("__kb", col("g_hi") + col("lcp"))
@@ -239,6 +260,11 @@ object SuffixArray {
             col("__ra") === col("__rb"), lit(p)).otherwise(lit(0L)))
         .select(col("rank_hi"), col("g_lo"), col("g_hi"), col("lcp"))
         .localCheckpoint(true)
+      // `prev` is a bare checkpoint leaf (its plan holds no level
+      // table), superseded the moment the new generation materializes —
+      // without the release the lift pins one n-row generation per
+      // level for the whole walk (scale hygiene, not bench speed)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
     }
     pairs
   }

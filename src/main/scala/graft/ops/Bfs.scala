@@ -28,10 +28,15 @@ object Bfs {
     * @return (id, depth) for every node reachable within `maxDepth`
     */
   def depths(edges: DataFrame, srcCol: String, dstCol: String,
-             seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+             seeds: DataFrame, seedCol: String, maxDepth: Int,
+             assumeDistinct: Boolean = false): DataFrame = {
     require(maxDepth >= 0, s"maxDepth=$maxDepth")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(true)
+    // assumeDistinct: caller certifies distinct (src, dst) — skips the
+    // canonicalizing shuffle (see PageRank.ranksFixedPoint). Duplicate
+    // edges would not change BFS results anyway, only frontier sizes.
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(true)
     var visited = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("depth", lit(0L)).localCheckpoint(true)
     var frontier = visited

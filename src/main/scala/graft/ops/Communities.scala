@@ -34,13 +34,19 @@ object Communities {
     *         synchronous rounds
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3,
+                       assumeCanonical: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters=$iters")
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    // assumeCanonical: caller certifies the input is distinct,
+    // self-loop-free, and direction-disjoint (src/dst key spaces never
+    // overlap, e.g. offset supplier ids), so the symmetrized union has
+    // no duplicates or loops by construction and the canonicalizing
+    // where+distinct shuffle is skipped
+    val sym0 = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = (if (assumeCanonical) sym0
+               else sym0.where(col("src") =!= col("dst")).distinct())
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -90,12 +96,14 @@ object Communities {
     * k-core shells) score it without paying the rounds again.
     */
   def modularityOf(edges: DataFrame, srcCol: String, dstCol: String,
-                   labels: DataFrame): DataFrame = {
+                   labels: DataFrame,
+                   assumeCanonical: Boolean = false): DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    // assumeCanonical: see labelPropagation
+    val sym0 = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = (if (assumeCanonical) sym0
+               else sym0.where(col("src") =!= col("dst")).distinct())
       .localCheckpoint(true)
     val tot = sym.agg(count(lit(1)).as("__E"))
     val joined = sym

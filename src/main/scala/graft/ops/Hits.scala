@@ -42,11 +42,14 @@ object Hits {
     */
   def scoresFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 3,
-                       unit: Long = 1000000000L): DataFrame = {
+                       unit: Long = 1000000000L,
+                       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters=$iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // assumeDistinct: caller certifies distinct (src, dst) — skips the
+    // canonicalizing shuffle (see PageRank.ranksFixedPoint)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true)
+    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)

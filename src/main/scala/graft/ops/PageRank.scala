@@ -124,13 +124,19 @@ object PageRank {
     */
   def ranksFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int = 3, unit: Long = 1000000000000L,
-                      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                      dampNum: Long = 85L, dampDen: Long = 100L,
+                      assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters=$iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping $dampNum/$dampDen out of (0,1)")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // assumeDistinct: caller certifies the (src, dst) pairs are already
+    // distinct (e.g. derived from a distinct-and-checkpointed shared
+    // edge memo), so the canonicalizing shuffle is skipped — one full
+    // edge exchange saved per call, the same contract style as the
+    // maxDegree caps (guide §2.4: remove shuffles outright)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true)
+    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
@@ -183,13 +189,15 @@ object PageRank {
                                   seedCol: String, iters: Int = 3,
                                   unit: Long = 1000000000000L,
                                   dampNum: Long = 85L,
-                                  dampDen: Long = 100L): DataFrame = {
+                                  dampDen: Long = 100L,
+                                  assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters=$iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping $dampNum/$dampDen out of (0,1)")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // assumeDistinct: see ranksFixedPoint
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(true)
+    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))

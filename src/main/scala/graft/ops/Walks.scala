@@ -33,11 +33,16 @@ object Walks {
     *         a walk that hits a sink stops early
     */
   def walks(edges: DataFrame, srcCol: String, dstCol: String,
-            seeds: DataFrame, idCol: String, steps: Int): DataFrame = {
+            seeds: DataFrame, idCol: String, steps: Int,
+            assumeDistinct: Boolean = false): DataFrame = {
     require(steps >= 1, s"steps=$steps")
-    val e = edges.select(col(srcCol).cast("long").as("__u"),
+    // assumeDistinct: duplicate edges would CHANGE walk selection (the
+    // deterministic next-hop hash ranks neighbor multiset), so the
+    // distinct is semantics here — only skip when the caller certifies
+    // the input is already a set (see PageRank.ranksFixedPoint)
+    val e0 = edges.select(col(srcCol).cast("long").as("__u"),
         col(dstCol).cast("long").as("__v"))
-      .distinct()
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       .localCheckpoint(true)
     var cur = seeds.select(col(idCol).cast("long").as("walk_id"))
       .distinct()
