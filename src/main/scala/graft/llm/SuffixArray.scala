@@ -150,53 +150,39 @@ object SuffixArray {
     tokRows.unionByName(sentinels)
   }
 
-  /** One doubling-round rank assignment: global min-rownumber rank of
-    * each row under the exact (ra, rb) order. Deterministic percentile
-    * cuts on a monotone double proxy pick the range buckets; the exact
-    * long pair orders rows inside each bucket; bucket row-counts
-    * (a `numRanges`-row table) offset local row numbers to global ones;
-    * the rank of a row is the min global row number over its exact
-    * (ra, rb) group — correct even when a tie group straddles a bucket
-    * boundary, because the group min is taken globally.
+  /** Build the suffix array by prefix doubling (see object doc).
+    *
+    * Rank assignment exploits the min-rownumber rank identity (r12
+    * optimization; guide §2.4 — remove shuffles outright): once `ra` IS
+    * a min-rownumber rank, the rows of an `ra` tie group are exactly
+    * the rows occupying global sort positions `ra .. ra+|group|-1`, so
+    * the refined rank of a row is
+    *
+    *   r' = ra + |{rows in the same ra group with smaller rb}|
+    *
+    * — computable at (ra, rb)-DISTINCT grain as an exclusive running
+    * sum of pair counts within each `ra` partition. No percentile
+    * bucketing, no global-rownumber offset table, no group-min repair
+    * join: one partial-aggregated shuffle to pair grain, one bounded
+    * window, one join back. Rows whose rank group is already a
+    * SINGLETON are final (their smaller-suffix set can never change)
+    * and skip every later round — the re-ranked set shrinks
+    * geometrically, so late rounds cost ties-grain, not corpus-grain.
+    *
+    * Skew: the per-`ra` window runs at pair-count grain — its partition
+    * size is the number of DISTINCT level-p successor ranks within one
+    * tie group, bounded by the tie group's multiplicity (for round 1,
+    * by the vocabulary). A 1000-copy duplicated document contributes
+    * 1000-row tie groups whose distinct-successor count collapses to 1
+    * everywhere except at its tail — 16-byte count rows, decades below
+    * corpus grain.
+    *
+    * Round 0 needs no corpus-grain machinery at all: sentinel ranks are
+    * their document index by construction, and token ranks follow from
+    * a vocabulary-grain cumulative count broadcast back onto the
+    * sequence (same bounded-grid class as the vocabulary window in
+    * [[corpusSeq]]).
     */
-  private def assignRanks(paired: DataFrame, proxyScale: Double,
-                          numRanges: Int): DataFrame = {
-    val fracs = lit((1 until numRanges).map(_.toDouble / numRanges).toArray)
-    val proxy = col("ra").cast("double") * lit(proxyScale) + col("rb").cast("double")
-    val cuts = paired.agg(percentile_approx(proxy, fracs, lit(10000)).as("__cuts"))
-    val bucketed = paired.withColumn("__cd", proxy)
-      .crossJoin(broadcast(cuts))
-      .withColumn("__pid", size(filter(col("__cuts"), c => c <= col("__cd"))))
-      .drop("__cuts", "__cd")
-      .repartition(numRanges, col("__pid"))
-    val wl = Window.partitionBy(col("__pid")).orderBy(col("ra"), col("rb"))
-    // checkpoint AFTER the per-bucket window: `local` feeds the bucket
-    // counts, the group-min aggregate and the final join — left lazy,
-    // each reference re-runs the whole pair join + repartition + sort
-    // (the r12 audit measured the window subtree executing twice and the
-    // pair join four times per round). Released before return: the round
-    // only hands its final rank table to the caller.
-    val local = bucketed.withColumn("__rn", row_number().over(wl).cast("long"))
-      .localCheckpoint(true)
-    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1) // numRanges rows
-    val offs = counts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    val withGlobal = local.join(broadcast(offs), Seq("__pid"))
-      .withColumn("__gr", col("__off") + col("__rn"))
-    val groupMin = withGlobal.groupBy(col("ra"), col("rb"))
-      .agg(min(col("__gr")).as("r"))
-    val out = withGlobal.join(groupMin, Seq("ra", "rb"))
-      .select(col("g"), col("r"))
-      .localCheckpoint(true)
-    // the intra-round scratch blocks have no reader past this point
-    org.apache.spark.sql.graftbridge.CheckpointBridge.release(local)
-    out
-  }
-
-  /** Build the suffix array by prefix doubling (see object doc). */
   def build(docs: DataFrame, idCol: String, textCol: String,
             numRanges: Int = 32): SuffixArrayResult = {
     val seqRaw = corpusSeq(docs, idCol, textCol, numRanges)
@@ -205,27 +191,61 @@ object SuffixArray {
     // sequence itself is materialized
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(seqRaw)
     val n = seq.count()
-    // monotone bucketing proxy: ranks and shifted ranks are <= n (round-0
-    // keys <= 2n); any scale above the max rb keeps the proxy monotone
-    val proxyScale = (n + 2).toDouble
+    val dCount = seq.where(!col("is_tok")).count()
 
-    var level = assignRanks(
-      seq.select(col("g"), col("key").as("ra"), lit(0L).as("rb")),
-      proxyScale, numRanges)
-    var levels = Vector(1L -> level)
+    // round 0: min-rownumber rank by `key`. Sentinels (key = dseq) sit
+    // below every token key and are mutually distinct, so a sentinel's
+    // rank is its dseq; a token's rank is dCount + 1 + (count of token
+    // occurrences with a smaller key), a vocabulary-grain running sum.
+    val tokCounts = seq.where(col("is_tok"))
+      .groupBy(col("key")).agg(count(lit(1)).as("__c"))
+    val wVocab = Window.orderBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, -1) // vocabulary grain
+    val r0map = tokCounts
+      .withColumn("__prev", coalesce(sum(col("__c")).over(wVocab), lit(0L)))
+      .select(col("key"),
+        (lit(dCount) + 1L + col("__prev")).as("r"),
+        (col("__c") > 1L).as("tied"))
+    val level0 = seq.where(col("is_tok")).select(col("g"), col("key"))
+      .join(broadcast(r0map), Seq("key"))
+      .select(col("g"), col("r"), col("tied"))
+      .unionByName(seq.where(!col("is_tok"))
+        .select(col("g"), col("dseq").as("r"), lit(false).as("tied")))
+      .localCheckpoint(true)
+
+    var level = level0
+    var levels = Vector(1L -> level.select(col("g"), col("r")))
     var prefLen = 1L
-    var nGroups = level.agg(count_distinct(col("r"))).head.getLong(0)
-    while (nGroups < n && prefLen < n) {
-      val shifted = level.select((col("g") - prefLen).as("g"), col("r").as("__rshift"))
-      val paired = level.join(shifted, Seq("g"), "left")
+    var nTies = level.where(col("tied")).count()
+    while (nTies > 0 && prefLen < n) {
+      // rb = the level-p rank of the suffix prefLen ahead (0 past the
+      // corpus end); only still-tied rows need a refined rank
+      val shifted = level.select((col("g") - prefLen).as("g"),
+        col("r").as("__rshift"))
+      val paired = level.where(col("tied"))
+        .join(shifted, Seq("g"), "left")
         .select(col("g"), col("r").as("ra"),
           coalesce(col("__rshift"), lit(0L)).as("rb"))
-      level = assignRanks(paired, proxyScale, numRanges)
+      // pair-grain counts; refined rank = ra + exclusive running count
+      val pc = paired.groupBy(col("ra"), col("rb"))
+        .agg(count(lit(1)).as("__c"))
+      val wRa = Window.partitionBy(col("ra")).orderBy(col("rb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = pc
+        .withColumn("__prev", coalesce(sum(col("__c")).over(wRa), lit(0L)))
+        .select(col("ra"), col("rb"),
+          (col("ra") + col("__prev")).as("r"),
+          (col("__c") > 1L).as("tied"))
+      val refined = paired.join(rk, Seq("ra", "rb"))
+        .select(col("g"), col("r"), col("tied"))
+      level = level.where(!col("tied"))
+        .unionByName(refined)
+        .localCheckpoint(true)
       prefLen *= 2
-      levels :+= (prefLen -> level)
-      nGroups = level.agg(count_distinct(col("r"))).head.getLong(0)
+      levels :+= (prefLen -> level.select(col("g"), col("r")))
+      nTies = level.where(col("tied")).count()
     }
-    SuffixArrayResult(seq, level, levels, n)
+    SuffixArrayResult(seq, level.select(col("g"), col("r")), levels, n)
   }
 
   /** Exact LCP between every rank-adjacent suffix pair, by binary
@@ -246,11 +266,12 @@ object SuffixArray {
       .select(col("r").as("rank_hi"), col("g_lo"), col("g").as("g_hi"),
         lit(0L).as("lcp"))
       .localCheckpoint(true)
-    for ((p, rt) <- res.levels.reverse) {
+    var lastCp = pairs
+    val walk = res.levels.reverse
+    for (((p, rt), i) <- walk.zipWithIndex) {
       val ra = rt.select(col("g").as("__ga"), col("r").as("__ra"))
       val rb = rt.select(col("g").as("__gb"), col("r").as("__rb"))
-      val prev = pairs
-      pairs = pairs
+      val step = pairs
         .withColumn("__ka", col("g_lo") + col("lcp"))
         .withColumn("__kb", col("g_hi") + col("lcp"))
         .join(ra, col("__ka") === col("__ga"), "left")
@@ -259,12 +280,22 @@ object SuffixArray {
           when(col("__ra").isNotNull && col("__rb").isNotNull &&
             col("__ra") === col("__rb"), lit(p)).otherwise(lit(0L)))
         .select(col("rank_hi"), col("g_lo"), col("g_hi"), col("lcp"))
-        .localCheckpoint(true)
-      // `prev` is a bare checkpoint leaf (its plan holds no level
-      // table), superseded the moment the new generation materializes —
-      // without the release the lift pins one n-row generation per
-      // level for the whole walk (scale hygiene, not bench speed)
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
+      // checkpoint every OTHER level (r12: each checkpoint is a
+      // synchronous job; a 2-level lazy span keeps the plan shallow
+      // while halving the action count), releasing the superseded
+      // generation — without the release the lift pins one n-row
+      // generation per checkpoint for the whole walk.
+      // (Measured-and-REJECTED here: filtering each level's join input
+      // by the sentinel bound `lcp + p <= min(rem_lo, rem_hi)` — the
+      // two extra rem joins at init plus a filter+union per level cost
+      // more than the skipped join volume saves at every scale the
+      // bench can see; suffix_repeat_families regressed 3.7→4.5 s.)
+      if (i % 2 == 1 || i == walk.size - 1) {
+        val prev = lastCp
+        pairs = step.localCheckpoint(true)
+        lastCp = pairs
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
+      } else pairs = step
     }
     pairs
   }
