@@ -102,19 +102,30 @@ object UnigramLm {
     * lp_nano) under `vocabDf` — the shared setup of the scoring and
     * piece-emitting DPs.
     */
-  private def withCandMap(forms: DataFrame, vocabDf: DataFrame): DataFrame = {
-    val cand = forms.select(col("word"), expr(
+  private def withCandMap(forms: DataFrame, vocabDf: DataFrame): DataFrame =
+    withCandMapFrom(forms, candEntries(forms), vocabDf)
+
+  /** Every candidate `(word, k = i·8+j, piece)` of every form — the
+    * ROUND-INVARIANT half of the DP setup (r12: the EM loop used to
+    * re-explode this per round; only the vocabulary changes).
+    */
+  private def candEntries(forms: DataFrame): DataFrame =
+    forms.select(col("word"), expr(
         s"""explode(flatten(transform(sequence(1, length(word)), i ->
            |  transform(sequence(1, least($MaxPieceLen, i)), j ->
            |    struct(i * 8 + j AS k,
            |           substring(word, i - j + 1, j) AS piece))))) AS c"""
           .stripMargin))
       .select(col("word"), col("c.k").as("k"), col("c.piece").as("piece"))
+
+  private def withCandMapFrom(forms: DataFrame, cand: DataFrame,
+                              vocabDf: DataFrame): DataFrame = {
+    val m = cand
       .join(vocabDf, Seq("piece")) // absent pieces = no candidate
       .groupBy(col("word"))
       .agg(map_from_entries(collect_list(struct(col("k"), col("lp_nano"))))
         .as("m"))
-    forms.join(cand, Seq("word")) // total: single chars are always kept
+    forms.join(m, Seq("word")) // total: single chars are always kept
   }
 
   /** Viterbi-segment every distinct form: `(word, n_occ, n_pieces,
@@ -222,11 +233,37 @@ object UnigramLm {
     */
   def trainVocab(forms: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds")
-    var v = vocabWithCounts(pieceCounts(forms)).localCheckpoint(true)
+    val (f, cand, seed) = trainSetup(forms)
+    var v = seed
     (1 to rounds).foreach { _ =>
-      v = emRound(forms, v, expr("(__n * 3 + 3) div 4"))
+      val prev = v
+      v = emRound(f, cand, v, expr("(__n * 3 + 3) div 4"))
+      // the superseded vocab generation has no reader once the next
+      // round's checkpoint materializes (rounds >= 1, so `seed` is
+      // always superseded and the returned frame never released)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
     }
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(cand)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(f)
     v
+  }
+
+  /** Shared E-step setup (r12): the distinct-form table and the
+    * candidate entries are ROUND-INVARIANT, so the loop reads them as
+    * materialized blocks instead of re-running the corpus tokenize +
+    * form aggregate + candidate explode every round. Candidates are
+    * semi-filtered by the SEED vocabulary — pruning only ever shrinks
+    * the kept set, so a candidate absent from the seed can never join a
+    * later round's model.
+    */
+  private def trainSetup(
+      forms: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val f = forms.localCheckpoint(true)
+    val seed = vocabWithCounts(pieceCounts(f)).localCheckpoint(true)
+    val cand = candEntries(f)
+      .join(seed.select(col("piece")), Seq("piece"), "left_semi")
+      .localCheckpoint(true)
+    (f, cand, seed)
   }
 
   /** One hard-EM round shared by the fixed-round and target-size
@@ -236,9 +273,13 @@ object UnigramLm {
     * usage floored at 1, M-step nano-grid re-estimation. Checkpointed
     * so the next round's plan does not nest this round's DP.
     */
-  private def emRound(forms: DataFrame, v: DataFrame,
+  private def emRound(forms: DataFrame, cand: DataFrame, v: DataFrame,
                       cap: Column): DataFrame = {
-    val use = viterbiPieces(forms, v.select(col("piece"), col("lp_nano")))
+    val use = withCandMapFrom(forms, cand,
+        v.select(col("piece"), col("lp_nano")))
+      .withColumn("__acc", expr(DpAllSql))
+      .select(col("word"), col("n_occ"),
+        explode(expr(BacktrackSql)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("n_occ")).as("__u"))
     val scored = v.select(col("piece"))
       .join(use, Seq("piece"), "left")
@@ -286,16 +327,24 @@ object UnigramLm {
   def trainVocabToSize(forms: DataFrame,
                        targetMulti: Int): (DataFrame, Int) = {
     require(targetMulti >= 1, s"targetMulti=$targetMulti")
-    var v = vocabWithCounts(pieceCounts(forms)).localCheckpoint(true)
+    val (f, cand, seed) = trainSetup(forms)
+    var v = seed
     def nMulti: Long = v.where(length(col("piece")) > 1).count()
     var rounds = 0
     while (nMulti > targetMulti) {
       rounds += 1
       require(rounds <= 64,
         s"target-vocab loop failed to converge to $targetMulti in 64 rounds")
-      v = emRound(forms, v,
+      val prev = v
+      v = emRound(f, cand, v,
         greatest(lit(targetMulti.toLong), expr("(__n * 3) div 4")))
+      // superseded generation; `seed` may BE the result when the seed
+      // vocabulary is already at target (loop body never runs), which
+      // is why the release lives inside the loop
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
     }
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(cand)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(f)
     (v, rounds)
   }
 
