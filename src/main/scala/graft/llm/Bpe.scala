@@ -135,6 +135,12 @@ object Bpe {
     * @return (rank, lft, rgt, pair_count) ordered by rank — the merge
     *         table, ready to drive [[applyMerges]] / a tokenizer
     */
+  /** Trainer state-checkpoint cadence: materialize the symbol table
+    * every this-many applied merges (see the r12 note in
+    * [[learnMerges]]); [[applyMerges]] has its own wider constant.
+    */
+  private val CpEvery = 4
+
   def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
                   numMerges: Int, passes: Int = 8,
                   minCount: Long = 1L): DataFrame = {
@@ -150,6 +156,14 @@ object Bpe {
     var exhausted = false
     var rounds = 0
     var rank = 0L
+    // r12: checkpoint every CpEvery rounds, not every round — the
+    // inter-checkpoint lineage is a map-only replace chain over a
+    // vocab-grain frame, so re-running ≤ CpEvery−1 merges inside the
+    // next round's aggregate is cheaper than a synchronous materialize
+    // job per merge (each checkpoint is a scheduled job; at 20 merges
+    // that was 20 extra barriers)
+    var lastCp = state
+    var sinceCp = 0
     while (rank < numMerges && !exhausted) {
       rounds += 1
       val top = pairCounts(state)
@@ -161,14 +175,19 @@ object Bpe {
         val (l, r, pc) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, pc)
-        val prev = state
-        state = prev
+        state = state
           .select(applyOne(col("syms"), l, r, passes).as("syms"), col("cnt"))
-          .localCheckpoint(true)
-        CheckpointBridge.release(prev)
+        sinceCp += 1
+        if (sinceCp >= CpEvery) {
+          val prev = lastCp
+          state = state.localCheckpoint(true)
+          lastCp = state
+          sinceCp = 0
+          CheckpointBridge.release(prev)
+        }
       }
     }
-    CheckpointBridge.release(state)
+    CheckpointBridge.release(lastCp)
     lastRoundsTl.set(rounds)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -236,6 +255,11 @@ object Bpe {
     val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
     var exhausted = false
     var rounds = 0
+    // same checkpoint cadence as [[learnMerges]] (see the r12 note
+    // there): materialize every CpEvery rounds, re-run the map-only
+    // replace chain in between
+    var lastCp = state
+    var sinceCp = 0
     while (merges.size < numMerges && !exhausted) {
       rounds += 1
       val budget = math.min(batchK, numMerges - merges.size)
@@ -281,14 +305,20 @@ object Bpe {
         kept.foreach { case (l, r, pc) =>
           merges += Merge(merges.size + 1L, l, r, pc)
         }
-        val prev = state
         var c: org.apache.spark.sql.Column = col("syms")
         kept.foreach { case (l, r, _) => c = applyOne(c, l, r, passes) }
-        state = prev.select(c.as("syms"), col("cnt")).localCheckpoint(true)
-        CheckpointBridge.release(prev)
+        state = state.select(c.as("syms"), col("cnt"))
+        sinceCp += kept.size
+        if (sinceCp >= CpEvery) {
+          val prev = lastCp
+          state = state.localCheckpoint(true)
+          lastCp = state
+          sinceCp = 0
+          CheckpointBridge.release(prev)
+        }
       }
     }
-    CheckpointBridge.release(state)
+    CheckpointBridge.release(lastCp)
     lastRoundsTl.set(rounds)
     lastWidthsTl.set(widths.toSeq)
     spark.createDataFrame(

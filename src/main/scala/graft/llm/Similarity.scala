@@ -396,13 +396,57 @@ object Similarity {
                         vecCol: String, dims: Int, m: Int, k: Int,
                         iters: Int): Array[Array[Array[Float]]] = {
     require(m >= 1 && dims % m == 0, s"dims=$dims not divisible by m=$m")
+    // all-or-nothing: the only producer fills every subspace slot, so a
+    // full read hits the same memo keys the per-subspace path used
+    trainedCodebooks(tag, m).getOrElse {
+      graft.Memos.markTrained()
+      val books = pqCodebooksJoint(corpus, idCol, vecCol, dims, m, k, iters)
+      (0 until m).foreach(s => centroidMemo.putIfAbsent(s"$tag#$s", books(s)))
+      (0 until m).map(s => centroidMemo.get(s"$tag#$s")).toArray
+    }
+  }
+
+  /** All `m` subspace codebooks trained in ONE Lloyd's loop (r12,
+    * guide §1.2 driver-action hygiene): the per-subspace trainer paid
+    * `m · (iters + 1)` driver collects of bounded aggregates — at 4
+    * subspaces × 2 iterations that is 12 scheduled jobs for arithmetic
+    * a single pass covers. Here each iteration stacks the m subspace
+    * assignments into one exploded frame and collects ONE
+    * (subspace, bucket, dim)-grain aggregate (m·k·dims rows, bounded by
+    * the model, not the corpus): `iters + 1` jobs total, identical
+    * assignments, the same empty-cluster keep-previous rule.
+    */
+  private def pqCodebooksJoint(corpus: DataFrame, idCol: String,
+                               vecCol: String, dims: Int, m: Int, k: Int,
+                               iters: Int): Array[Array[Array[Float]]] = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     val sub = dims / m
-    lazy val c = corpus // evaluate the by-name corpus at most once
-    (0 until m).map { s =>
-      kMeansCentroidsCached(s"$tag#$s",
-        c.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("__sub")),
-        idCol, "__sub", k, iters)
-    }.toArray
+    val first = corpus.orderBy(col(idCol)).select(col(vecCol)).limit(k)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(first.length == k,
+      s"corpus has only ${first.length} rows for k=$k sub-centroids")
+    var books: Array[Array[Array[Float]]] =
+      (0 until m).map(s => first.map(_.slice(s * sub, (s + 1) * sub))).toArray
+    (0 until iters).foreach { _ =>
+      val stacked = (0 until m).map { s =>
+        val sv = slice(col(vecCol), s * sub + 1, sub)
+        struct(lit(s).as("s"), nearestCentroid(sv, books(s)).as("b"),
+          sv.as("v"))
+      }
+      val sums = corpus
+        .select(explode(array(stacked: _*)).as("__e"))
+        .select(col("__e.s").as("__s"), col("__e.b").as("__b"),
+          posexplode(col("__e.v")).as(Seq("__d", "__x")))
+        .groupBy(col("__s"), col("__b"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      books = next
+    }
+    books
   }
 
   /** The memoized PQ codebooks for `tag`, if training already ran. */
