@@ -146,10 +146,13 @@ object ConnectedComponents {
       val mins = nbrs.groupBy(col("a"))
         .agg(min(col("b")).as("__nmin"))
         .select(col("a"), least(col("__nmin"), col("a")).as("m"))
+      // NOT deduplicated (r12): duplicate (u, m) rows — several a's
+      // linking the same pair — cannot change mins2's min and the final
+      // `ss` distinct restores set semantics, so the mid-alternation
+      // distinct bought one full exchange per alternation for nothing.
       val ls = nbrs.join(mins, "a")
         .where(col("b") > col("a")) // b > a >= m, so u > v is preserved
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: every node links its smaller neighbors AND itself to
       // the minimum of those neighbors. Input is canonical (u > v), so
       // grouping by u sees exactly the smaller neighborhood.
