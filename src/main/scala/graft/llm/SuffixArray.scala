@@ -226,7 +226,13 @@ object SuffixArray {
         .join(shifted, Seq("g"), "left")
         .select(col("g"), col("r").as("ra"),
           coalesce(col("__rshift"), lit(0L)).as("rb"))
-      // pair-grain counts; refined rank = ra + exclusive running count
+      // pair-grain counts; refined rank = ra + exclusive running count.
+      // (Measured-and-REJECTED here: folding the member positions into
+      // the aggregate with collect_list to skip the rank join-back —
+      // collect_list demotes the hot aggregate to ObjectHashAggregate
+      // outside whole-stage codegen, and suffix_dup_positions went
+      // 17.1 → 21.8 s. The double execution of the pairing join below
+      // is the cheaper evil: its input exchanges are AQE-reused.)
       val pc = paired.groupBy(col("ra"), col("rb"))
         .agg(count(lit(1)).as("__c"))
       val wRa = Window.partitionBy(col("ra")).orderBy(col("rb"))
