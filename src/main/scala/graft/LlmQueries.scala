@@ -677,16 +677,24 @@ object LlmQueries {
       .agg(count(lit(1)).as("bpe_words"),
         sum(size(split(col("syms"), " ")).cast("long")).as("bpe_subwords"),
         sum(length(col("word")).cast("long")).as("bpe_chars"))
-    val uniPerDoc = UnigramLm.docStats(docs, "doc_id", "text")
-      .select(col("doc_id"), col("n_words").as("uni_words"),
-        col("n_pieces").as("uni_pieces"))
-    val uniChars = UnigramLm.wordOccurrences(docs, "doc_id", "text")
+    // one unigram-side corpus pass (r12): words, pieces and chars come
+    // out of a single occurrence⋈segmentation join instead of
+    // docStats + a second wordOccurrences scan for the char sums —
+    // same per-doc integers, one tokenize pass fewer
+    val occ = UnigramLm.wordOccurrences(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val forms = UnigramLm.wordForms(occ)
+    val seg = UnigramLm.segmentForms(forms,
+      UnigramLm.vocab(UnigramLm.pieceCounts(forms)))
+    val uniPerDoc = occ
+      .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(sum(length(col("word")).cast("long")).as("uni_chars"))
+      .agg(count(lit(1)).as("uni_words"),
+        sum(col("n_pieces")).as("uni_pieces"),
+        sum(length(col("word")).cast("long")).as("uni_chars"))
     docs.select(col("doc_id"), col("lang"))
       .join(bpePerDoc, Seq("doc_id"), "left")
       .join(uniPerDoc, Seq("doc_id"), "left")
-      .join(uniChars, Seq("doc_id"), "left")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
