@@ -107,23 +107,24 @@ object LinearProbe {
     val trajectory = Vector.newBuilder[Array[Long]]
     var w = Array.fill(Dims + 1)(0L)
     trajectory += w.clone()
-    val spark = feats.sparkSession
-    import spark.implicits._
     (1 to Rounds).foreach { _ =>
-      val wDf = broadcast(
-        w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
-          .toSeq.toDF("bucket", "w"))
-      // per-doc score, residual clipped on the micro grid
-      val scores = train.join(wDf, Seq("bucket"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("value") * col("w")).as("s"), max(col("y")).as("y"))
-        .select(col("doc_id"),
-          greatest(lit(-RClamp), least(lit(RClamp),
-            col("s") - col("y") * lit(LabelScale))).as("r"))
+      // r12: the 65 weights ride as an ARRAY LITERAL (bounded by the
+      // Dims contract, not the data) instead of a broadcast-joined
+      // 65-row frame, and the per-doc score is a window over the
+      // doc_id-partitioned feature frame instead of a groupBy followed
+      // by a residual⋈feature self-join — one feats scan per round
+      // instead of two, no per-round broadcast build, same integers.
+      val wLit = typedlit(w.toSeq)
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val scored = train
+        .withColumn("__s", sum(col("value") *
+          element_at(wLit, col("bucket").cast("int") + 1)).over(wd))
+        .withColumn("__r", greatest(lit(-RClamp), least(lit(RClamp),
+          col("__s") - col("y") * lit(LabelScale))))
       // bucket-grain gradient — the only per-round collect (≤ 65 rows)
-      val g = scores.join(train, Seq("doc_id"))
-        .groupBy(col("bucket"))
-        .agg(sum(col("r") * col("value")).as("g"))
+      val g = scored.groupBy(col("bucket"))
+        .agg(sum(col("__r") * col("value")).as("g"))
         .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
       w = w.zipWithIndex.map { case (wt, b) =>
         val upd = wt - Math.floorDiv(g.getOrElse(b, 0L), step)
