@@ -82,7 +82,7 @@ object LinearProbe {
 
   /** (doc_id, y, bucket, value): signed hashed counts + the bias row,
     * labels attached, repartitioned by doc_id so the per-round score
-    * aggregate and residual⋈feature join share one exchange.
+    * window needs no further exchange.
     */
   def featureRows(docs: DataFrame): DataFrame = {
     val lab = docs.select(col("doc_id"),
@@ -97,7 +97,7 @@ object LinearProbe {
 
   /** One exact-integer training run: returns the weight trajectory
     * `w(0) .. w(Rounds)` as arrays indexed by bucket. `feats` must be
-    * [[featureRows]] output (persist it — every round scans it twice).
+    * [[featureRows]] output (persist it — every round scans it).
     */
   def train(feats: DataFrame): Seq[Array[Long]] = {
     val train = feats.filter(col("fold") =!= 0L)
