@@ -4,6 +4,25 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One retained doubling-round rank table, restricted to the rows the
+  * LCP lift can ever use (r13): a position whose level-`p` rank group is
+  * a SINGLETON cannot share that rank with any OTHER position, so a lift
+  * lookup of it can never satisfy the `ra === rb` advance test — dropping
+  * singleton rows from the stored table changes a lookup hit into a miss
+  * with the identical "no advance" outcome. Tied row counts shrink
+  * geometrically with the level, so the deep tables are tiny (the top
+  * one is empty by construction) and `nTied` lets the lift skip them or
+  * broadcast them instead of shuffling the pair frame.
+  *
+  * @param prefixLen two positions appear with equal `r` iff their
+  *                  suffixes agree on the first `prefixLen` symbols
+  * @param tiedRanks `(g, r)` for exactly the non-singleton rank groups
+  * @param nTied     row count of `tiedRanks` (known driver-side from the
+  *                  build loop's own termination probe — no extra job)
+  */
+final case class SuffixLevel(prefixLen: Long, tiedRanks: DataFrame,
+                             nTied: Long)
+
 /** The built suffix structure over a document corpus.
   *
   * @param seq    corpus sequence: `idCol, dseq, pos, n_tok, g, key, is_tok,
@@ -14,14 +33,14 @@ import org.apache.spark.sql.functions._
   * @param sa     `g, r` — the suffix rank of every global position, a
   *               permutation of 1..n (sentinel uniqueness makes every
   *               suffix distinct). Checkpointed.
-  * @param levels ascending `(prefixLen, (g, r))` rank tables from each
-  *               doubling round: two positions share `r` at level `p` iff
-  *               their suffixes agree on the first `p` symbols. Kept for
-  *               LCP binary lifting; ~log2(maxDocLen) tables of n rows.
+  * @param levels ascending [[SuffixLevel]] tables from each doubling
+  *               round, tied rows only (see [[SuffixLevel]]). Kept for
+  *               LCP binary lifting; Σ nTied ≈ 2n rows instead of
+  *               ~log2(maxDocLen)·n.
   * @param n      corpus length (tokens + sentinels).
   */
 final case class SuffixArrayResult(seq: DataFrame, sa: DataFrame,
-                                   levels: Seq[(Long, DataFrame)], n: Long)
+                                   levels: Seq[SuffixLevel], n: Long)
 
 /** Distributed suffix array over a tokenized document corpus — the EXACT
   * substring-dedup structure (Lee et al. 2022, "Deduplicating Training
@@ -73,6 +92,28 @@ final case class SuffixArrayResult(seq: DataFrame, sa: DataFrame,
   * pair keys spread and the percentile cuts balance.
   */
 object SuffixArray {
+
+  /** Tied-row count at or below which the doubling round (and the LCP
+    * lift) joins via an EXPLICIT broadcast of the tied-rank side instead
+    * of shuffling corpus-grain frames (r13; guide §3.1 — pick the join
+    * strategy deliberately). The threshold is an ABSOLUTE broadcast
+    * budget (~32 MB of (g, r) longs at 1M rows — far under the 8 GB
+    * relation cap), not a scale factor: tie counts shrink geometrically
+    * with the round at every corpus size, so at 100 TB the early
+    * corpus-grain rounds keep the shuffle path and the switch fires
+    * exactly when the tied set is executor-small. Overridable per call
+    * so specs can force the shuffle path on tiny corpora.
+    */
+  val DefaultBroadcastTies: Long = 1L << 20
+
+  /** The session's shuffle parallelism — the partition count every
+    * exchange in the build would produce, used as the narrow-coalesce
+    * target wherever a union would otherwise multiply partition counts
+    * (r13). Scale-parameterized exactly like the exchanges themselves
+    * (`spark.sql.shuffle.partitions` / `SPARK_GRAFT_SHUFFLE_PARTITIONS`).
+    */
+  private def confParts(df: DataFrame): Int =
+    math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** Corpus sequence table (see [[SuffixArrayResult.seq]]). `idCol` must
     * be numeric, non-null and unique; document order is `idCol`
@@ -184,14 +225,18 @@ object SuffixArray {
     * [[corpusSeq]]).
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            numRanges: Int = 32): SuffixArrayResult = {
+            numRanges: Int = 32,
+            broadcastTies: Long = DefaultBroadcastTies): SuffixArrayResult = {
     val seqRaw = corpusSeq(docs, idCol, textCol, numRanges)
-    val seq = seqRaw.localCheckpoint(true)
+    val seq = seqRaw.coalesce(confParts(seqRaw)).localCheckpoint(true)
     // corpusSeq's internal token-array checkpoint has no reader once the
     // sequence itself is materialized
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(seqRaw)
-    val n = seq.count()
-    val dCount = seq.where(!col("is_tok")).count()
+    // one aggregate job for both corpus constants (was two count jobs)
+    val nRow = seq.agg(count(lit(1)),
+      count(when(!col("is_tok"), lit(1)))).head()
+    val n = nRow.getLong(0)
+    val dCount = nRow.getLong(1)
 
     // round 0: min-rownumber rank by `key`. Sentinels (key = dseq) sit
     // below every token key and are mutually distinct, so a sentinel's
@@ -211,29 +256,65 @@ object SuffixArray {
       .select(col("g"), col("r"), col("tied"))
       .unionByName(seq.where(!col("is_tok"))
         .select(col("g"), col("dseq").as("r"), lit(false).as("tied")))
+      .coalesce(confParts(seq))
       .localCheckpoint(true)
 
+    val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")
     var level = level0
-    var levels = Vector(1L -> level.select(col("g"), col("r")))
     var prefLen = 1L
     var nTies = level.where(col("tied")).count()
+    var levels = Vector(SuffixLevel(1L,
+      level.where(col("tied")).select(col("g"), col("r")), nTies))
     while (nTies > 0 && prefLen < n) {
+      val tRound0 = System.nanoTime()
+      // The tied set shrinks geometrically, so once it fits the
+      // broadcast budget the round stops exchanging ANY corpus-grain
+      // frame (r13; guide §2.4/§3.1): broadcast the tied rows against a
+      // TOTALIZED shift stream (the level scan plus prefLen synthetic
+      // past-the-end keys with rank 0, so an inner join reproduces the
+      // left-join-with-coalesce exactly) — the full level is only ever
+      // scanned map-side, never shuffled. nTies is a data quantity the
+      // loop already tracks, so the switch is scale-adaptive, not a
+      // local[32] tune.
+      val small = nTies <= broadcastTies
       // rb = the level-p rank of the suffix prefLen ahead (0 past the
       // corpus end); only still-tied rows need a refined rank
-      val shifted = level.select((col("g") - prefLen).as("g"),
-        col("r").as("__rshift"))
-      val paired = level.where(col("tied"))
-        .join(shifted, Seq("g"), "left")
-        .select(col("g"), col("r").as("ra"),
-          coalesce(col("__rshift"), lit(0L)).as("rb"))
+      val paired =
+        if (small) {
+          val dummies = level.sparkSession.range(0L, prefLen, 1L, 1)
+            .select((lit(n) - col("id")).as("g"), lit(0L).as("__rshift"))
+          val shiftedTotal = level
+            .select((col("g") - prefLen).as("g"), col("r").as("__rshift"))
+            .unionByName(dummies)
+          shiftedTotal
+            .join(broadcast(level.where(col("tied"))
+              .select(col("g"), col("r"))), Seq("g"))
+            .select(col("g"), col("r").as("ra"), col("__rshift").as("rb"))
+        } else {
+          val shifted = level.select((col("g") - prefLen).as("g"),
+            col("r").as("__rshift"))
+          level.where(col("tied"))
+            .join(shifted, Seq("g"), "left")
+            .select(col("g"), col("r").as("ra"),
+              coalesce(col("__rshift"), lit(0L)).as("rb"))
+        }
       // pair-grain counts; refined rank = ra + exclusive running count.
       // (Measured-and-REJECTED here: folding the member positions into
       // the aggregate with collect_list to skip the rank join-back —
       // collect_list demotes the hot aggregate to ObjectHashAggregate
       // outside whole-stage codegen, and suffix_dup_positions went
       // 17.1 → 21.8 s. The double execution of the pairing join below
-      // is the cheaper evil: its input exchanges are AQE-reused.)
-      val pc = paired.groupBy(col("ra"), col("rb"))
+      // is the cheaper evil: its input exchanges are AQE-reused, and on
+      // the broadcast path both executions are map-only scans.)
+      // Small path: one explicit hash(ra) exchange serves BOTH the
+      // (ra, rb) aggregate and the per-ra window (hash partitioning on
+      // a subset of the clustering keys satisfies each), where the
+      // aggregate-induced exchange would be followed by a second one
+      // for the window. Row-grain volume is bounded by the broadcast
+      // budget, so the partial-aggregation-before-exchange protection
+      // of the big path is not needed here.
+      val pcIn = if (small) paired.repartition(col("ra")) else paired
+      val pc = pcIn.groupBy(col("ra"), col("rb"))
         .agg(count(lit(1)).as("__c"))
       val wRa = Window.partitionBy(col("ra")).orderBy(col("rb"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -242,14 +323,29 @@ object SuffixArray {
         .select(col("ra"), col("rb"),
           (col("ra") + col("__prev")).as("r"),
           (col("__c") > 1L).as("tied"))
-      val refined = paired.join(rk, Seq("ra", "rb"))
+      // the rank table is pair-grain (≤ nTies rows) — on the small path
+      // broadcast it too, so the join-back never exchanges `paired`
+      val refined = paired
+        .join(if (small) broadcast(rk) else rk, Seq("ra", "rb"))
         .select(col("g"), col("r"), col("tied"))
+      // the broadcast path has NO exchange to reset the layout, so the
+      // untied ∪ refined union would DOUBLE the partition count every
+      // round (2^rounds tiny tasks by the top level — first attempt
+      // measured round times growing 2.3 → 29 s, cost ∝ 2^round); a
+      // narrow coalesce back to the session's shuffle parallelism (the
+      // same layout the shuffle path's exchanges would produce, and the
+      // repo's scale-parameterized knob) keeps the layout constant
+      // without buying an exchange
       level = level.where(!col("tied"))
         .unionByName(refined)
+        .coalesce(confParts(level))
         .localCheckpoint(true)
       prefLen *= 2
-      levels :+= (prefLen -> level.select(col("g"), col("r")))
+      val tCkpt = System.nanoTime()
       nTies = level.where(col("tied")).count()
+      levels :+= SuffixLevel(prefLen,
+        level.where(col("tied")).select(col("g"), col("r")), nTies)
+      if (debug) println(f"[suffix] round -> prefLen=$prefLen%5d nTies=$nTies%8d small=$small ckpt=${(tCkpt - tRound0) / 1e9}%5.2f count=${(System.nanoTime() - tCkpt) / 1e9}%5.2f s")
     }
     SuffixArrayResult(seq, level.select(col("g"), col("r")), levels, n)
   }
@@ -263,20 +359,38 @@ object SuffixArray {
     * prefix length. Two integer equi-joins per level; checkpointed per
     * level so the plan stays flat.
     *
+    * The stored levels are TIED rows only ([[SuffixLevel]] — a
+    * singleton-rank lookup could never pass the equality test anyway,
+    * so a miss is the same outcome), which makes the walk cheap (r13):
+    * a level with `nTied == 0` is skipped outright (no two suffixes
+    * agree on that many symbols, and the remaining levels sum to
+    * `p - 1 ≥` every remaining LCP, so greediness is unaffected), and a
+    * level whose tied set fits the broadcast budget joins as an
+    * explicit broadcast — the pair frame is never exchanged for the
+    * deep levels, which at every scale hold geometrically few rows.
+    *
     * @return `rank_hi, g_lo, g_hi, lcp` — one row per rank pair
     *         (r-1, r), `rank_hi = r` in 2..n.
     */
-  def adjacentLcp(res: SuffixArrayResult): DataFrame = {
+  def adjacentLcp(res: SuffixArrayResult,
+                  broadcastTies: Long = DefaultBroadcastTies): DataFrame = {
     val lo = res.sa.select((col("r") + 1L).as("r"), col("g").as("g_lo"))
     var pairs = res.sa.join(lo, Seq("r"))
       .select(col("r").as("rank_hi"), col("g_lo"), col("g").as("g_hi"),
         lit(0L).as("lcp"))
       .localCheckpoint(true)
     var lastCp = pairs
-    val walk = res.levels.reverse
-    for (((p, rt), i) <- walk.zipWithIndex) {
-      val ra = rt.select(col("g").as("__ga"), col("r").as("__ra"))
-      val rb = rt.select(col("g").as("__gb"), col("r").as("__rb"))
+    val debug = sys.env.contains("GRAFT_SUFFIX_DEBUG")
+    var tLift = System.nanoTime()
+    val walk = res.levels.reverse.filter(_.nTied > 0)
+    for ((lvl, i) <- walk.zipWithIndex) {
+      val p = lvl.prefixLen
+      val hint: DataFrame => DataFrame =
+        if (lvl.nTied <= broadcastTies) broadcast(_) else identity
+      val ra = hint(lvl.tiedRanks
+        .select(col("g").as("__ga"), col("r").as("__ra")))
+      val rb = hint(lvl.tiedRanks
+        .select(col("g").as("__gb"), col("r").as("__rb")))
       val step = pairs
         .withColumn("__ka", col("g_lo") + col("lcp"))
         .withColumn("__kb", col("g_hi") + col("lcp"))
@@ -301,6 +415,10 @@ object SuffixArray {
         pairs = step.localCheckpoint(true)
         lastCp = pairs
         org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
+        if (debug) {
+          println(f"[suffix] lift level p=$p%5d (i=$i) ${(System.nanoTime() - tLift) / 1e9}%6.2f s")
+          tLift = System.nanoTime()
+        }
       } else pairs = step
     }
     pairs

@@ -135,9 +135,11 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
     var eSig = edgeSignature(e)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val tIter0 = System.nanoTime()
       // large-star: every node links its LARGER neighbors to the minimum
       // of its neighborhood (incl. itself). Emitted edges keep u > v:
       // b > a >= min(Γ(a) ∪ {a}) = m.
@@ -171,6 +173,7 @@ object ConnectedComponents {
       e = ss
       eSig = ssSig
       iter += 1
+      if (debug) println(f"[cc] alt=$iter edges=${eSig._1}%8d ${(System.nanoTime() - tIter0) / 1e9}%6.2f s")
     }
     if (!converged)
       throw new IllegalStateException(

@@ -20,6 +20,10 @@ object ProfileSuffix {
       .config("spark.ui.enabled", "false")
       .config("spark.rdd.compress", "true")
       .config("spark.io.compression.codec", "lz4")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_PROFILE_AQE", "true"))
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("GRAFT_PROFILE_CODEGEN", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timed[T](label: String)(f: => T): T = {

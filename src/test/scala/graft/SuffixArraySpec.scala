@@ -175,6 +175,32 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(sharedLens === (L.toLong to 12L))
   }
 
+  test("shuffle (big) path == broadcast path: ranks, levels and LCPs") {
+    // broadcastTies = 0 forces every round and every lift level onto the
+    // corpus-grain shuffle path that 100 TB early rounds take; the
+    // default build takes the broadcast path on a corpus this small.
+    // Both must produce the identical structure.
+    val rnd = new scala.util.Random(99)
+    val vocab = Seq("aa", "ab", "b", "c")
+    val docs = (1L to 30L).map { id =>
+      val len = 2 + rnd.nextInt(22)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val small = SuffixArray.build(df, "doc_id", "text", numRanges = 4)
+    val big = SuffixArray.build(df, "doc_id", "text", numRanges = 4,
+      broadcastTies = 0L)
+    def ranks(r: graft.llm.SuffixArrayResult) =
+      r.sa.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(ranks(small) === ranks(big))
+    assert(small.levels.map(l => (l.prefixLen, l.nTied)) ===
+      big.levels.map(l => (l.prefixLen, l.nTied)))
+    def lcps(r: graft.llm.SuffixArrayResult, bt: Long) =
+      SuffixArray.adjacentLcp(r, broadcastTies = bt)
+        .collect().map(x => (x.getLong(0), x.getLong(3))).toSet
+    assert(lcps(small, SuffixArray.DefaultBroadcastTies) === lcps(big, 0L))
+  }
+
   test("empty and single-token documents are handled") {
     val docs = Seq((1L, "a"), (2L, "   "), (3L, "a b a"))
     val res = buildOn(docs)
