@@ -23,6 +23,18 @@ import org.apache.spark.sql.graftbridge.CheckpointBridge
   */
 object ConnectedComponents {
 
+  /** Edge count at or below which a closure round joins via EXPLICIT
+    * broadcasts of the per-node minimum tables instead of exchanging the
+    * row-grain neighbor/edge frames (r13; guide §3.1). An ABSOLUTE
+    * broadcast budget (~16–32 MB of long pairs at 2^20 rows), not a
+    * scale tune: the star alternation contracts the edge set round over
+    * round at every graph size, and the count is already known
+    * driver-side from the convergence signature, so the switch costs no
+    * extra job and fires exactly when the state is executor-small. The
+    * corpus-grain early rounds keep the shuffle path unchanged.
+    */
+  val DefaultBroadcastEdges: Long = 1L << 20
+
   /** @param edges two-column frame of undirected edges (any orientation)
     * @return (id, component) — component = min node id reachable
     * @throws IllegalStateException if `maxIter` rounds pass without
@@ -40,15 +52,21 @@ object ConnectedComponents {
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var labels = ckpt
+    // one cheap count over the checkpointed edge blocks gates the
+    // broadcast rounds below (same budget rationale as
+    // [[DefaultBroadcastEdges]]; labels are node-grain ≤ |sym|)
+    val small = sym.count() <= DefaultBroadcastEdges
+    val hint: DataFrame => DataFrame = if (small) broadcast(_) else identity
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .join(hint(labels.withColumnRenamed("id", "b2")),
+          col("b") === col("b2"))
         .groupBy(col("a"))
         .agg(min(col("component")).as("nmin"))
       val updated = labels
-        .join(neighborMin, col("id") === col("a"), "left")
+        .join(hint(neighborMin), col("id") === col("a"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
@@ -140,6 +158,15 @@ object ConnectedComponents {
     var converged = false
     while (!converged && iter < maxIter) {
       val tIter0 = System.nanoTime()
+      // Once the contracting edge set fits the broadcast budget (count
+      // free from the previous signature), the min tables broadcast and
+      // both star joins run map-side — the raw neighbor/edge frames are
+      // never exchanged (their aggregate-keyed exchange carries
+      // partial-aggregated rows, so the join used to pay a SECOND
+      // row-grain exchange of the same frame).
+      val small = eSig._1 <= DefaultBroadcastEdges
+      val hint: DataFrame => DataFrame =
+        if (small) broadcast(_) else identity
       // large-star: every node links its LARGER neighbors to the minimum
       // of its neighborhood (incl. itself). Emitted edges keep u > v:
       // b > a >= min(Γ(a) ∪ {a}) = m.
@@ -152,14 +179,14 @@ object ConnectedComponents {
       // linking the same pair — cannot change mins2's min and the final
       // `ss` distinct restores set semantics, so the mid-alternation
       // distinct bought one full exchange per alternation for nothing.
-      val ls = nbrs.join(mins, "a")
+      val ls = nbrs.join(hint(mins), "a")
         .where(col("b") > col("a")) // b > a >= m, so u > v is preserved
         .select(col("b").as("u"), col("m").as("v"))
       // small-star: every node links its smaller neighbors AND itself to
       // the minimum of those neighbors. Input is canonical (u > v), so
       // grouping by u sees exactly the smaller neighborhood.
       val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(mins2, "u")
+      val ss = ls.join(hint(mins2), "u")
         .select(col("v").as("n"), col("m"))
         .union(mins2.select(col("u").as("n"), col("m")))
         .where(col("n") =!= col("m"))
@@ -181,8 +208,11 @@ object ConnectedComponents {
           s"fixpoint within maxIter=$maxIter alternations — raise maxIter " +
           "(worst case O(log^2 n) rounds)")
     // star forest: every non-root points at its root; roots (and nodes
-    // that only appeared in self-loops) label themselves
-    val labeled = nodes.join(e, nodes("id") === e("u"), "left")
+    // that only appeared in self-loops) label themselves. At the
+    // fixpoint |e| < |nodes|, so the same budget gates a broadcast here.
+    val eFinal =
+      if (eSig._1 <= DefaultBroadcastEdges) broadcast(e) else e
+    val labeled = nodes.join(eFinal, nodes("id") === eFinal("u"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
     (labeled, iter)
   }
