@@ -686,12 +686,19 @@ object LlmQueries {
     val forms = UnigramLm.wordForms(occ)
     val seg = UnigramLm.segmentForms(forms,
       UnigramLm.vocab(UnigramLm.pieceCounts(forms)))
+    // materialize the doc-grain result eagerly so the corpus-grain occ
+    // checkpoint can release NOW instead of pinning executor memory for
+    // the JVM lifetime (r12 ADVICE; doc-grain rows are the
+    // safe-to-checkpoint class — they scale with doc count, not corpus
+    // bytes)
     val uniPerDoc = occ
       .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("uni_words"),
         sum(col("n_pieces")).as("uni_pieces"),
         sum(length(col("word")).cast("long")).as("uni_chars"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(occ)
     docs.select(col("doc_id"), col("lang"))
       .join(bpePerDoc, Seq("doc_id"), "left")
       .join(uniPerDoc, Seq("doc_id"), "left")

@@ -930,12 +930,50 @@ object SparkEntry {
 
   /** NTILE quartiles by account balance — deterministic with the
     * unique-key tiebreak in the window order.
+    *
+    * r13: the bare `ntile(4) OVER (ORDER BY ...)` funneled the whole
+    * customer table through ONE task (the unpartitioned-window shape
+    * PlanShapeSpec's sweep now rejects). Rewritten as the repo's
+    * two-phase ranged global rank (deterministic percentile buckets on
+    * the balance, per-bucket local row_number, bounded bucket-offset
+    * table — [[graft.ops.Windows.leadRanged]]'s discipline; balance
+    * ties cannot straddle a bucket because the cut test uses only the
+    * balance) followed by NTile's exact arithmetic on (rank, n): base
+    * size `n div k` with the first `n mod k` buckets one larger —
+    * bit-identical quartiles, no data-grain window anywhere.
     */
   private def ntileCustomers(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.expressions.Window
+    val numRanges = 32
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val fracs = lit((1 until numRanges).map(_.toDouble / numRanges).toArray)
+    val cuts = cust.agg(
+      percentile_approx(col("c_acctbal"), fracs, lit(10000)).as("__cuts"))
+    val bucketed = cust.crossJoin(broadcast(cuts))
+      .withColumn("__pid",
+        size(filter(col("__cuts"), c => c <= col("c_acctbal"))))
+      .drop("__cuts")
+      .repartition(numRanges, col("__pid"))
+    val wl = Window.partitionBy(col("__pid"))
       .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    t(s, dir, "customer")
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val local = bucketed.withColumn("__rn", row_number().over(wl).cast("long"))
+    val totals = bucketed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // numRanges rows — driver-safe window
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    // n from the numRanges-row totals — no second full-table aggregate
+    val n1 = totals.agg(sum(col("__cnt")).as("__n"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn("__r", col("__off") + col("__rn"))
+      .crossJoin(broadcast(n1))
+      .withColumn("quartile",
+        when(col("__r") <= expr("(__n % 4) * (__n div 4 + 1)"),
+          expr("(__r - 1) div (__n div 4 + 1) + 1"))
+          .otherwise(expr(
+            "(__n % 4) + (__r - 1 - (__n % 4) * (__n div 4 + 1)) div (__n div 4) + 1")))
       .select(col("c_custkey"), dblOut(col("c_acctbal")).as("acctbal"),
         col("quartile"))
       .orderBy(col("c_custkey"))

@@ -396,15 +396,27 @@ object Similarity {
                         vecCol: String, dims: Int, m: Int, k: Int,
                         iters: Int): Array[Array[Array[Float]]] = {
     require(m >= 1 && dims % m == 0, s"dims=$dims not divisible by m=$m")
-    // all-or-nothing: the only producer fills every subspace slot, so a
-    // full read hits the same memo keys the per-subspace path used
+    // all-or-nothing under a per-JVM training lock (r12 ADVICE): two
+    // concurrent joint trainings could otherwise interleave slots from
+    // two runs via bare putIfAbsent (float avg is merge-order
+    // nondeterministic), memoizing a codebook mixing both. The
+    // double-check inside the lock makes exactly one run populate all
+    // m slots; training is rare, so a coarse lock costs nothing.
     trainedCodebooks(tag, m).getOrElse {
-      graft.Memos.markTrained()
-      val books = pqCodebooksJoint(corpus, idCol, vecCol, dims, m, k, iters)
-      (0 until m).foreach(s => centroidMemo.putIfAbsent(s"$tag#$s", books(s)))
-      (0 until m).map(s => centroidMemo.get(s"$tag#$s")).toArray
+      pqTrainLock.synchronized {
+        trainedCodebooks(tag, m).getOrElse {
+          graft.Memos.markTrained()
+          val books =
+            pqCodebooksJoint(corpus, idCol, vecCol, dims, m, k, iters)
+          (0 until m).foreach(s =>
+            centroidMemo.putIfAbsent(s"$tag#$s", books(s)))
+          (0 until m).map(s => centroidMemo.get(s"$tag#$s")).toArray
+        }
+      }
     }
   }
+
+  private val pqTrainLock = new Object
 
   /** All `m` subspace codebooks trained in ONE Lloyd's loop (r12,
     * guide §1.2 driver-action hygiene): the per-subspace trainer paid

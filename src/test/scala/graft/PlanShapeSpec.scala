@@ -252,6 +252,82 @@ class PlanShapeSpec extends AnyFunSuite {
       "slice allowance must not admit an unfiltered data-grain scan")
   }
 
+  // ---- unpartitioned-window sweep (r13, VERDICT item 7): WindowExec
+  // with no PARTITION BY moves its whole input through ONE task, so
+  // every such window in every shipped plan must sit on a frame whose
+  // row count a grain reduction bounds (value grid, vocabulary, bucket
+  // table, percentile-range firsts) — never on data-grain rows. The r12
+  // audit established this by hand over the WindowExec warnings in the
+  // Verify log; this sweep makes it a build-failing invariant.
+  private def boundedWindowInput(p: org.apache.spark.sql.execution.SparkPlan)
+      : Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    p match {
+      // the wrappers boundedBuild descends — replicated here so the
+      // recursion stays join-aware below them — plus a chained
+      // unpartitioned window over the same bounded frame
+      case w: WindowExec => boundedWindowInput(w.child)
+      case pr: ProjectExec => boundedWindowInput(pr.child)
+      case f: FilterExec => boundedWindowInput(f.child)
+      case s: SortExec => boundedWindowInput(s.child)
+      case e: Exchange => boundedWindowInput(e.child)
+      // a key-join of two grain-bounded frames is grain-bounded (the
+      // tick/bucket grids stitch two aggregates before their cumulative
+      // window: Drift.ks' full-outer bucket join, cumulativeDistinct's
+      // active⋈first-seen day join)
+      case j: SortMergeJoinExec =>
+        boundedWindowInput(j.left) && boundedWindowInput(j.right)
+      case j: ShuffledHashJoinExec =>
+        boundedWindowInput(j.left) && boundedWindowInput(j.right)
+      case j: BroadcastHashJoinExec =>
+        boundedWindowInput(j.left) && boundedWindowInput(j.right)
+      case _ => boundedBuild(p, allowSlice = false)
+    }
+  }
+
+  /** Documented data-grain global-window DEMO forms, each with a
+    * scale-shaped twin or rewrite in the same surface — the sweep pins
+    * the set so it can only shrink (a NEW unpartitioned data-grain
+    * window anywhere else fails the build):
+    * `packing_plan` is the global-window demo whose production form is
+    * `packing_plan_global` (per-shard windows + broadcast shard bases;
+    * its own scaladoc documents exactly this split).
+    */
+  private val globalWindowDemos = Set("packing_plan")
+
+  test("every unpartitioned window in every plan runs on a grain-bounded frame") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(globalWindowDemos)
+      .flatMap { name =>
+        val sp = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+        sp.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+            !boundedWindowInput(w.child) =>
+            s"$name: unpartitioned window over unbounded input\n${w.child.treeString.linesIterator.take(6).mkString("\n")}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows on data-grain frames:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("the window sweep rejects a data-grain global window (broken fixture)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val broken = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("rn", row_number().over(Window.orderBy(col("l_orderkey"))))
+    val flagged = broken.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !boundedWindowInput(w.child) => w
+    }
+    assert(flagged.nonEmpty,
+      "window sweep failed to flag a global window over a raw scan")
+  }
+
   test("the committed plan audit covers exactly the shipped query surface") {
     // round-close invariant (round-9 verdict #3): the human-readable
     // plan-audit artifact (PLANS_r*.md, graft.Explain output) must be

@@ -12,9 +12,12 @@ def main():
     src, outdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3], \
         set(sys.argv[4].split(","))
     text = pathlib.Path(src).read_text()
-    # sections: "## <name>\n\n```\n<plan>```"
+    # sections: "## <name>\n\n```\n<plan>\n```" — the closing fence is
+    # anchored to a LINE (r12 ADVICE: a non-greedy dotall match truncated
+    # a plan at the first ``` inside plan text and silently depended on
+    # the exact blank-line layout)
     found = set()
-    for m in re.finditer(r"^## (\S+)\n\n```\n(.*?)```", text,
+    for m in re.finditer(r"^## (\S+)\s*\n+```\n(.*?)^```\s*$", text,
                          re.M | re.S):
         name, plan = m.group(1), m.group(2)
         if name in names:
