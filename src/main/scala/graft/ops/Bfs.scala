@@ -40,15 +40,28 @@ object Bfs {
     var visited = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .withColumn("depth", lit(0L)).localCheckpoint(true)
     var frontier = visited
+    // full counts on the checkpointed generations replace the limit(1)
+    // existence probe: same per-round job cost (a count over cached
+    // node-grain blocks), and the counts gate EXPLICIT broadcasts of the
+    // frontier (edge join) and visited set (anti-join) — checkpointed
+    // generations are stats-less, so without the hint every round
+    // sort-merges the edge list (see [[PageRank.DefaultBroadcastNodes]])
+    var frontierCount = frontier.count()
+    var visitedCount = frontierCount
+    def hintIf(small: Boolean): DataFrame => DataFrame =
+      if (small) broadcast(_) else identity
     var d = 0L
-    while (d < maxDepth && frontier.limit(1).count() > 0) {
+    while (d < maxDepth && frontierCount > 0) {
       d += 1
       val prevVisited = visited
       val prevFrontier = frontier
-      val next = e.join(prevFrontier.select(col("id").as("__f")),
+      val next = e.join(
+          hintIf(frontierCount <= PageRank.DefaultBroadcastNodes)(
+            prevFrontier.select(col("id").as("__f"))),
           col("src") === col("__f"))
         .select(col("dst").as("id")).distinct()
-        .join(prevVisited.select(col("id").as("__v")),
+        .join(hintIf(visitedCount <= PageRank.DefaultBroadcastNodes)(
+            prevVisited.select(col("id").as("__v"))),
           col("id") === col("__v"), "left_anti")
         .withColumn("depth", lit(d))
         .localCheckpoint(true)
@@ -56,6 +69,8 @@ object Bfs {
       CheckpointBridge.release(prevVisited)
       if (d > 1) CheckpointBridge.release(prevFrontier)
       frontier = next
+      frontierCount = frontier.count()
+      visitedCount += frontierCount
     }
     CheckpointBridge.release(e)
     // the final frontier is already unioned into `visited` — release it

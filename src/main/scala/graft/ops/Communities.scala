@@ -51,20 +51,31 @@ object Communities {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // one cheap count on the checkpointed node table gates the broadcast
+    // rounds (see [[PageRank.DefaultBroadcastNodes]]: checkpointed label
+    // generations are stats-less, so the planner never auto-broadcasts
+    // them and each round would sort-merge the full edge list)
+    val hint: DataFrame => DataFrame =
+      if (labels.count() <= PageRank.DefaultBroadcastNodes) broadcast(_)
+      else identity
     (1 to iters).foreach { _ =>
       val prev = labels
       val counts = sym
-        .join(prev.select(col("id").as("__s"), col("label")),
+        .join(hint(prev.select(col("id").as("__s"), col("label"))),
           col("dst") === col("__s"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src"))
-        .orderBy(col("__c").desc, col("label").asc)
+      // argmax as min(struct(−count, label)): identical to the previous
+      // row_number() OVER (PARTITION BY src ORDER BY __c DESC, label)
+      // = 1 selection, but the aggregate PARTIAL-combines map-side, so
+      // the exchange carries ~one row per node instead of one row per
+      // (node, candidate label) — and the per-partition window sort
+      // disappears (guide §2.3 aggregate-before-shuffle)
       labels = counts
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("src").as("id"), col("label"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__w"))
+        .select(col("src").as("id"), col("__w.l").as("label"))
         .localCheckpoint(true)
       CheckpointBridge.release(prev)
     }
@@ -106,15 +117,22 @@ object Communities {
                else sym0.where(col("src") =!= col("dst")).distinct())
       .localCheckpoint(true)
     val tot = sym.agg(count(lit(1)).as("__E"))
+    // the labeling is node-grain and typically a checkpointed frame with
+    // no stats — under the node budget both edge⋈label joins broadcast
+    // instead of exchanging the symmetrized edge list twice (the gate
+    // count reads the checkpointed sym blocks: one cheap job)
+    val hint: DataFrame => DataFrame =
+      if (sym.count() <= 2 * PageRank.DefaultBroadcastNodes) broadcast(_)
+      else identity
     val joined = sym
-      .join(labels.select(col("id").as("src"), col("label").as("__lsrc")), Seq("src"))
-      .join(labels.select(col("id").as("dst"), col("label").as("__ldst")), Seq("dst"))
+      .join(hint(labels.select(col("id").as("src"), col("label").as("__lsrc"))), Seq("src"))
+      .join(hint(labels.select(col("id").as("dst"), col("label").as("__ldst"))), Seq("dst"))
     val perC = joined.groupBy(col("__lsrc").as("label"))
       .agg(count(lit(1)).as("degree_sum"),
         sum(when(col("__lsrc") === col("__ldst"), 1L).otherwise(0L))
           .as("__intra_dir"))
     val nNodes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
-    perC.join(nNodes, Seq("label")).crossJoin(broadcast(tot))
+    perC.join(hint(nNodes), Seq("label")).crossJoin(broadcast(tot))
       .select(col("label"), col("n_nodes"),
         // symmetric table ⇒ intra_dir is even; div keeps it BIGINT
         expr("__intra_dir div 2").as("intra_pairs"),

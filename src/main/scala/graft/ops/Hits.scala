@@ -62,6 +62,13 @@ object Hits {
     // invariant the overflow bound rests on
     var hubs = nodes.withColumn("h", lit(unit / n)).localCheckpoint(true)
     var auths: DataFrame = null
+    // node-grain generations fit the broadcast budget → both half-round
+    // joins run map-side and neither the edge list nor the node table is
+    // ever exchanged (see [[PageRank.DefaultBroadcastNodes]]; the
+    // checkpointed generations are stats-less LogicalRDDs the planner
+    // never auto-broadcasts). Count already in hand — the gate is free.
+    val hint: DataFrame => DataFrame =
+      if (n <= PageRank.DefaultBroadcastNodes) broadcast(_) else identity
     (1 to iters).foreach { _ =>
       val prevH = hubs
       val prevA = auths
@@ -71,21 +78,21 @@ object Hits {
       // `.head()` — one job per half-round, not two. The total is
       // always ≥ 1: e is non-empty (n > 0 requires it) and every
       // generation's scores sum to ~unit, so the div is safe.
-      val araw = e.join(prevH.select(col("id").as("__s"), col("h")),
+      val araw = e.join(hint(prevH.select(col("id").as("__s"), col("h"))),
           col("src") === col("__s"))
         .groupBy(col("dst")).agg(sum(col("h")).as("__araw"))
       val aTotF = araw.agg(sum(col("__araw")).as("__atot"))
-      val nextA = nodes.join(araw, nodes("id") === araw("dst"), "left")
+      val nextA = nodes.join(hint(araw), nodes("id") === araw("dst"), "left")
         .crossJoin(broadcast(aTotF))
         .select(col("id"),
           expr(s"(coalesce(__araw, 0L) * ${unit}L) div __atot").as("a"))
         .localCheckpoint(true)
       // hub half-round: pull the NEW authority mass back, renormalize
-      val hraw = e.join(nextA.select(col("id").as("__d"), col("a")),
+      val hraw = e.join(hint(nextA.select(col("id").as("__d"), col("a"))),
           col("dst") === col("__d"))
         .groupBy(col("src")).agg(sum(col("a")).as("__hraw"))
       val hTotF = hraw.agg(sum(col("__hraw")).as("__htot"))
-      val nextH = nodes.join(hraw, nodes("id") === hraw("src"), "left")
+      val nextH = nodes.join(hint(hraw), nodes("id") === hraw("src"), "left")
         .crossJoin(broadcast(hTotF))
         .select(col("id"),
           expr(s"(coalesce(__hraw, 0L) * ${unit}L) div __htot").as("h"))
@@ -95,7 +102,7 @@ object Hits {
       hubs = nextH
       auths = nextA
     }
-    val out = hubs.join(auths.select(col("id").as("__id2"), col("a")),
+    val out = hubs.join(hint(auths.select(col("id").as("__id2"), col("a"))),
         col("id") === col("__id2"))
       .select(col("id"), col("h").as("hub_fp"), col("a").as("auth_fp"))
     CheckpointBridge.release(e)

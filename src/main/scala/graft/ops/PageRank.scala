@@ -26,6 +26,22 @@ import org.apache.spark.sql.graftbridge.CheckpointBridge
   */
 object PageRank {
 
+  /** Node count at or below which a rank round joins via EXPLICIT
+    * broadcasts of the node-grain state tables (previous ranks into the
+    * edge join, the contribution sums into the node join) instead of
+    * exchanging the edge list and node table every round (r13; guide
+    * §3.1). Same rationale as
+    * [[ConnectedComponents.DefaultBroadcastEdges]]: the per-generation
+    * checkpoints are LogicalRDD leaves with no stats, so the planner
+    * NEVER auto-broadcasts them and every round pays two sort-merge
+    * exchanges of frames that are known driver-side to be tiny. An
+    * ABSOLUTE budget (~16–32 MB of (id, rank) pairs at 2^20 rows), not a
+    * scale tune: the node count is already known driver-side from the
+    * init count, so the gate costs no extra job, and corpus-scale graphs
+    * keep the shuffle path unchanged.
+    */
+  val DefaultBroadcastNodes: Long = 1L << 20
+
   /** @param edges directed (src, dst) frame; parallel edges count once
     * @param maxIter L1 delta contracts at the DAMPING rate in the worst
     *        case (a pure 2-cycle decays exactly by `d` per round), so the
@@ -56,6 +72,11 @@ object PageRank {
     // leaf: releasing a superseded generation must never unpersist the
     // shared `base`/`e` leaves that later rounds still read
     var ckpt = base.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // node-grain state fits the broadcast budget → per-round joins run
+    // map-side and the edge/node frames are never exchanged (see
+    // DefaultBroadcastNodes; count already in hand)
+    val hint: DataFrame => DataFrame =
+      if (n <= DefaultBroadcastNodes) broadcast(_) else identity
     var iter = 0
     var delta = Double.MaxValue
     while (delta > tol && iter < maxIter) {
@@ -63,17 +84,19 @@ object PageRank {
       val dangling = prev.where(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = e
-        .join(prev.withColumnRenamed("id", "__src2"), col("src") === col("__src2"))
+        .join(hint(prev.withColumnRenamed("id", "__src2")),
+          col("src") === col("__src2"))
         .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
       val next = base
-        .join(contribs, base("id") === contribs("dst"), "left")
+        .join(hint(contribs), base("id") === contribs("dst"), "left")
         .select(col("id"), col("__deg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
         .localCheckpoint(true)
-      delta = next.join(prev.select(col("id").as("__id2"), col("rank").as("__old")),
+      delta = next.join(hint(prev.select(col("id").as("__id2"),
+            col("rank").as("__old"))),
           col("id") === col("__id2"))
         .agg(sum(abs(col("rank") - col("__old")))).head().getDouble(0)
       CheckpointBridge.release(prev) // superseded generation — free now
@@ -146,16 +169,20 @@ object PageRank {
     require(n > 0, "empty graph")
     val basePart = ((dampDen - dampNum) * unit / dampDen) / n
     var cur = base.withColumn("rank", lit(unit / n)).localCheckpoint(true)
+    // see DefaultBroadcastNodes: checkpointed generations have no stats,
+    // so without the explicit hint every round sort-merges the edge list
+    val hint: DataFrame => DataFrame =
+      if (n <= DefaultBroadcastNodes) broadcast(_) else identity
     (1 to iters).foreach { _ =>
       val prev = cur
       val dangPerNode = prev.where(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0) / n
       val contribs = e
-        .join(prev.select(col("id").as("__s"), col("rank"), col("__deg")),
+        .join(hint(prev.select(col("id").as("__s"), col("rank"), col("__deg"))),
           col("src") === col("__s"))
         .select(col("dst"), expr("rank div __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      cur = base.join(contribs, base("id") === contribs("dst"), "left")
+      cur = base.join(hint(contribs), base("id") === contribs("dst"), "left")
         .select(col("id"), col("__deg"),
           (lit(basePart) + expr(
             s"(${dampNum}L * (coalesce(__in, 0L) + ${dangPerNode}L)) div ${dampDen}L"))
@@ -209,8 +236,12 @@ object PageRank {
       .select(col("id"), col("__deg"),
         coalesce(col("__seed"), lit(0L)).as("__seed"))
       .localCheckpoint(true)
-    val nSeeds =
-      base.agg(coalesce(sum(col("__seed")), lit(0L))).head().getLong(0)
+    // one aggregate row carries BOTH the seed count and the node count
+    // (the node count gates the broadcast rounds below — no extra job)
+    val seedRow = base.agg(coalesce(sum(col("__seed")), lit(0L)),
+      count(lit(1))).head()
+    val nSeeds = seedRow.getLong(0)
+    val n = seedRow.getLong(1)
     if (nSeeds == 0) {
       // no seed intersects the graph → zero trust everywhere. Return
       // the empty frame rather than throwing: a throwing query builder
@@ -227,16 +258,19 @@ object PageRank {
     val basePart = ((dampDen - dampNum) * unit / dampDen) / nSeeds
     var cur = base.withColumn("rank",
         col("__seed") * lit(unit / nSeeds)).localCheckpoint(true)
+    // see DefaultBroadcastNodes (same gate as ranksFixedPoint)
+    val hint: DataFrame => DataFrame =
+      if (n <= DefaultBroadcastNodes) broadcast(_) else identity
     (1 to iters).foreach { _ =>
       val prev = cur
       val dangPerSeed = prev.where(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0) / nSeeds
       val contribs = e
-        .join(prev.select(col("id").as("__s"), col("rank"), col("__deg")),
+        .join(hint(prev.select(col("id").as("__s"), col("rank"), col("__deg"))),
           col("src") === col("__s"))
         .select(col("dst"), expr("rank div __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      cur = base.join(contribs, base("id") === contribs("dst"), "left")
+      cur = base.join(hint(contribs), base("id") === contribs("dst"), "left")
         .select(col("id"), col("__deg"), col("__seed"),
           (col("__seed") * lit(basePart) + expr(
             s"(${dampNum}L * (coalesce(__in, 0L)" +

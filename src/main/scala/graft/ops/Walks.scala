@@ -48,6 +48,14 @@ object Walks {
       .distinct()
       .withColumn("node", col("walk_id"))
       .localCheckpoint(true)
+    // the walk frontier is ≤ one row per seed and only ever shrinks
+    // (dead ends stop emitting) — under the budget every step's edge
+    // join broadcasts the frontier, so the edge list is never exchanged
+    // (see [[PageRank.DefaultBroadcastNodes]]; the count reads the
+    // checkpointed seed blocks once)
+    val hint: DataFrame => DataFrame =
+      if (cur.count() <= PageRank.DefaultBroadcastNodes) broadcast(_)
+      else identity
     // emitted rows fold into a checkpointed accumulator each round so a
     // generation's blocks can be released the moment the accumulator has
     // materialized its copy (releasing while the final union still reads
@@ -57,7 +65,7 @@ object Walks {
     (1 to steps).foreach { s =>
       val prev = cur
       val prevAcc = acc
-      val cand = cur.join(e, col("node") === col("__u"))
+      val cand = hint(cur).join(e, col("node") === col("__u"))
         .withColumn("__h",
           conv(substring(md5(concat_ws(":",
             lit(s), col("node"), col("__v"))), 1, 15), 16, 10)
