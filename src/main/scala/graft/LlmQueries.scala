@@ -405,12 +405,13 @@ object LlmQueries {
     * integer-exact nano-units, so the score is partitioning-invariant.
     */
   private def lmQualityScore(s: SparkSession, dir: String): DataFrame = {
-    // train-then-score over the same corpus: one bigram-stream
-    // DEFINITION feeds both stages — recomputed per pass, never
-    // materialized (corpus-grain; see LangModel.bigramTable)
+    // the corpus-trained model comes from the shared memo (ccnet scores
+    // under the same LM — one training aggregate per pass, not two);
+    // the score pass recomputes the corpus-grain bigram stream, which
+    // is never materialized (see LangModel.bigramTable)
     val bg = LangModel.bigramTable(tPar(s, dir, "documents"), "doc_id",
       "text")
-    LangModel.scoreFromBigrams(bg, LangModel.trainFromBigrams(bg))
+    LangModel.scoreFromBigrams(bg, corpusBigramLm(s, dir))
       .withColumnRenamed("__id", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -1569,7 +1570,20 @@ object LlmQueries {
     * `source = src0` slice, raw model on the full pool; every document
     * keeps a row (no-feature docs score 0). Feeds both DSIR queries.
     */
-  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  /** [[dsirWeightsTrain]] memoized per (app, sfDir): the weight table is
+    * the shared intermediate BOTH dsir queries are defined over (the
+    * LPA-labels pattern — one training feeds its consumer family; the
+    * bench resets memos between passes so every pass pays it once). The
+    * frame is doc-grain, so the checkpoint scales with document count,
+    * not corpus bytes — [[Memos.adaptiveCheckpoint]] picks the storage
+    * level.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    Memos.sessionCached(dsirWeightsMemo, s, dir) {
+      Memos.adaptiveCheckpoint(dsirWeightsTrain(s, dir))
+    }
+
+  private def dsirWeightsTrain(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
     val feats = Dsir.hashedNgramCounts(docs, "doc_id", "text", DsirDims)
       .localCheckpoint(true) // featurization pays once: raw model + scoring
@@ -1620,8 +1634,8 @@ object LlmQueries {
   private def ccnetPplBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
     val bg = LangModel.bigramTable(docs, "doc_id", "text")
-    val sums = LangModel.scoreSumsFromBigrams(bg,
-      LangModel.trainFromBigrams(bg))
+    // model from the shared corpus-LM memo (see corpusBigramLm)
+    val sums = LangModel.scoreSumsFromBigrams(bg, corpusBigramLm(s, dir))
     // floor(mean_lp · 1000) as exact long arithmetic: a floordiv of
     // lp_sum by n_bigrams·1e6 — |lp_sum| stays ≪ 2^53 for any document
     // under ~4e5 bigrams, so the double steps are exact
@@ -1981,7 +1995,32 @@ object LlmQueries {
   private[graft] def clearMemos(): Unit = {
     saMemo.clear(); saLcpMemo.clear(); unigramVocabMemo.clear()
     unigramSizedMemo.clear(); probeMemo.clear()
+    dsirWeightsMemo.clear(); bigramLmMemo.clear()
   }
+
+  private val dsirWeightsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private val bigramLmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The corpus char-bigram LM, trained once per (app, sfDir) — the
+    * same shared-training discipline as [[saFor]]/[[SparkEntry]]'s LPA
+    * labels: `lm_quality_score` and `ccnet_ppl_buckets` score under the
+    * IDENTICAL model, and each retrained it from its own corpus pass
+    * (one full bigram-stream aggregate apiece). The model is
+    * model-grain (≤ |alphabet|² rows) so the checkpoint is bounded at
+    * any corpus size; the SCORING passes still recompute the
+    * corpus-grain bigram stream per query (see
+    * [[graft.llm.LangModel.bigramTable]] — materializing it is the
+    * measured sf100 OOM).
+    */
+  private def corpusBigramLm(s: SparkSession, dir: String): DataFrame =
+    Memos.sessionCached(bigramLmMemo, s, dir) {
+      LangModel.trainFromBigrams(
+        LangModel.bigramTable(tPar(s, dir, "documents"), "doc_id", "text"))
+        .localCheckpoint(true)
+    }
 
   private val saLcpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   * (trigram/bigram hits are raw ratios, per the paper).
   *
   * Scale shape: training = three groupBy-count aggregates over the
-  * train position stream (map-side combinable). Scoring = five
-  * n-gram-grain equi-joins (trigram, its prefix bigram, bigram, its
-  * prefix unigram, unigram) + one 1-row (N, V) broadcast, then one
-  * doc-grain sum. No model broadcast, no windows, no self-joins.
+  * train position stream (map-side combinable). Scoring = THREE
+  * n-gram-grain equi-joins against prefix-fused count tables (each
+  * level's prefix count rides its n-gram table via a model-grain join —
+  * legal because the formula reads a prefix count only when the longer
+  * n-gram hit, and a hit implies the prefix exists) + one 1-row (N, V)
+  * broadcast, then one doc-grain sum. No model broadcast, no windows,
+  * no self-joins.
   *
   * Cross-engine exactness: each position's ln(S) is rounded ONCE to
   * integer nano-units — S is a product of a decimal-literal penalty
@@ -76,13 +79,23 @@ object StupidBackoff {
     val nv = train.agg(count(lit(1)).cast("double").as("__n"),
       countDistinct(col("w")).cast("double").as("__v"))
 
+    // Each level's PREFIX count is fused onto its n-gram table at MODEL
+    // grain (r13; guide §2.4): the scoring formula only reads c2p when
+    // the trigram hit (lvl=3) and c1p when the bigram hit (lvl=2), and a
+    // hit IMPLIES its prefix exists in train (every trigram occurrence
+    // (w2,w1,w) at position i contains the bigram occurrence (w2,w1) at
+    // i−1; every bigram occurrence contains its unigram prefix) — so the
+    // inner model-grain joins lose nothing and the held-out POSITION
+    // STREAM crosses three n-gram joins instead of five. At corpus scale
+    // (models too big to broadcast) that is two fewer stream shuffles;
+    // the model-grain fuse joins shuffle only model rows.
+    val c3f = c3.join(c2.select(col("w1").as("w2"), col("w").as("w1"),
+      col("c2").as("c2p")), Seq("w2", "w1"))
+    val c2f = c2.join(c1.select(col("w").as("w1"), col("c1").as("c1p")),
+      Seq("w1"))
     val scored = heldout
-      .join(c3, Seq("w2", "w1", "w"), "left")
-      .join(c2.select(col("w1").as("w2"), col("w").as("w1"),
-        col("c2").as("c2p")), Seq("w2", "w1"), "left")
-      .join(c2, Seq("w1", "w"), "left")
-      .join(c1.select(col("w").as("w1"), col("c1").as("c1p")),
-        Seq("w1"), "left")
+      .join(c3f, Seq("w2", "w1", "w"), "left")
+      .join(c2f, Seq("w1", "w"), "left")
       .join(c1, Seq("w"), "left")
       .join(broadcast(nv))
 

@@ -52,8 +52,26 @@ object Pca {
   def floorDivQ(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** Vector dimensionality at or below which the power iteration runs
+    * DRIVER-SIDE on the collected dims²-grain scatter matrix (r13;
+    * guide §5 driver hygiene — the same bounded model-grain collect the
+    * PQ codebook trainer uses). The scatter matrix is the ONLY
+    * data-grain aggregate; the iteration state is dims² longs
+    * (≤ ~24 MB at 1024 dims), and iterating it distributed cost 3
+    * driver actions per round (eager w checkpoint, renormalizer head(),
+    * eager v checkpoint) over a frame of at most `dims` rows. Above the
+    * bound the original distributed loop runs unchanged.
+    */
+  val MaxDriverIterDims: Int = 1024
+
+  /** @param driverIterDims dims bound for the driver-side iteration
+    *        (tests pass 0 to force the distributed loop and prove the
+    *        two paths bit-equal — the SuffixArray broadcastTies idiom)
+    */
   def topComponentFixedPoint(df: DataFrame, idCol: String, vecCol: String,
-                             iters: Int = 5): DataFrame = {
+                             iters: Int = 5,
+                             driverIterDims: Int = MaxDriverIterDims)
+      : DataFrame = {
     require(iters >= 1, s"iters=$iters")
     val q = df.select(col(idCol).as("__id"),
       posexplode(transform(col(vecCol),
@@ -68,11 +86,17 @@ object Pca {
       .agg(sum(col("__e")).as("__s"), count(lit(1)).as("__n"))
     val si = sums.select(col("__i"), col("__s"), col("__n"))
     val sj = sums.select(col("__i").as("__j"), col("__s").as("__sj"))
-    val scatter = gram.join(si, Seq("__i")).join(sj, Seq("__j"))
+    val scatterDef = gram.join(si, Seq("__i")).join(sj, Seq("__j"))
       .select(col("__i"), col("__j"),
         floorDivQ(col("__n") * col("__g") - col("__s") * col("__sj"),
           lit(1000000L)).as("__c"))
-      .localCheckpoint(true)
+    // dims from the vector itself (one 1-row job): the scatter matrix is
+    // dims²-grain, so the bound is known before anything is collected
+    val nDims = df.select(size(col(vecCol))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (nDims <= driverIterDims)
+      return topComponentDriverIter(scatterDef, iters)
+    val scatter = scatterDef.localCheckpoint(true)
     val dims = scatter.select(col("__i")).distinct()
     // One checkpointed generation of v per iteration (the PageRank
     // discipline). The earlier formulation left every round LAZY and
@@ -110,5 +134,49 @@ object Pca {
           .otherwise(col("__v")).cast("double") / 1e4).as("loading"))
       .orderBy(col("dim"))
     out
+  }
+
+  /** Power iteration over the COLLECTED scatter matrix — bit-identical
+    * to the distributed loop above (same floor division as a pmod +
+    * exact double division, same wrap-free long sums, same
+    * lexicographic sign orientation), in one bounded dims²-grain
+    * collect instead of 3 driver actions per round. The data-grain work
+    * (the scatter aggregate) stays distributed; only the dims²-bounded
+    * fixed point moves to the driver.
+    */
+  private def topComponentDriverIter(scatter: DataFrame,
+                                     iters: Int): DataFrame = {
+    val spark = scatter.sparkSession
+    // exact replica of floorDivQ: pmod, then a DOUBLE division cast to
+    // long — the distributed expression's own arithmetic path
+    def floorDivL(a: Long, b: Long): Long =
+      ((a - Math.floorMod(a, b)).toDouble / b.toDouble).toLong
+    val tri = scatter.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    import spark.implicits._
+    if (tri.isEmpty) // empty input → empty frame, like the joins above
+      return Seq.empty[(Int, Double)].toDF("dim", "loading")
+    val dims = tri.iterator.map(_._1).toArray.distinct.sorted
+    var v: Map[Int, Long] = dims.iterator.map(_ -> 10000L).toMap
+    (0 until iters).foreach { _ =>
+      val w = scala.collection.mutable.HashMap.empty[Int, Long]
+      tri.foreach { case (i, j, c) =>
+        v.get(j).foreach { vj => w(i) = w.getOrElse(i, 0L) + c * vj }
+      }
+      val mVal = if (w.isEmpty) 0L else w.valuesIterator.map(math.abs).max
+      v = if (mVal > 0L) {
+        val d = mVal / 10000L + 1L
+        w.iterator.map { case (i, wi) => i -> floorDivL(wi, d) }.toMap
+      } else w.keysIterator.map(_ -> 10000L).toMap
+    }
+    // deterministic orientation: min over (-|v|, j) picks the
+    // largest-|loading| component, ties to the lowest dim
+    val lead = v.iterator.map { case (j, vj) => (-math.abs(vj), j, vj) }
+      .minBy(t => (t._1, t._2))
+    val flip = lead._3 < 0L
+    val rows = v.iterator.map { case (j, vj) =>
+      (j, (if (flip) -vj else vj).toDouble / 1e4)
+    }.toSeq.sortBy(_._1)
+    rows.toDF("dim", "loading").orderBy(col("dim"))
   }
 }

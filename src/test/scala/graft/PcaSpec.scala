@@ -56,4 +56,22 @@ class PcaSpec extends AnyFunSuite {
       .orderBy("dim").select("loading").as[Double].collect().toSeq
     assert(run() === run())
   }
+
+  test("driver-side iteration is bit-equal to the distributed loop") {
+    // driverIterDims = 0 forces the distributed path (the SuffixArray
+    // broadcastTies idiom); the default path must reproduce its exact
+    // integer arithmetic bit-for-bit, floors and sign flip included
+    val df = (0 until 120).map { k =>
+      val t = (k % 7) - 3
+      (k.toLong, Array.tabulate(6) { i =>
+        t * (if (i % 2 == 0) 0.4f else -0.3f) +
+          (((k * 37 + i * 11) % 19) - 9) / 95.0f
+      })
+    }.toDF("vec_id", "embedding")
+    def run(bound: Int) = Pca.topComponentFixedPoint(df, "vec_id",
+        "embedding", iters = 5, driverIterDims = bound)
+      .orderBy("dim").select("dim", "loading").as[(Int, Double)]
+      .collect().toSeq
+    assert(run(1024) === run(0))
+  }
 }
