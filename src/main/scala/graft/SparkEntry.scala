@@ -1946,8 +1946,10 @@ object SparkEntry {
   private def supplierNeighborJaccard(s: SparkSession, dir: String): DataFrame = {
     val edges = tradePairs(s, dir)
       .select(col("supp").as("src"), col("cust").as("dst"))
+    // assumeDistinct: tradePairs is distinct+checkpointed — the edge set
+    // skips the operator's canonicalizing shuffle
     graft.ops.GraphSim.neighborJaccard(edges, "src", "dst",
-        maxDegree = 500, minInter = 3L)
+        maxDegree = 500, minInter = 3L, assumeDistinct = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -38,6 +38,9 @@ object Basket {
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__i").isNotNull)
       .distinct()
+    // NOT checkpointed despite 4 references (r13, measured): AQE
+    // exchange reuse already dedupes the identical basket subtree, and
+    // an eager checkpoint A/B'd flat (0.97x) while adding an action
     val kept = bi.withColumn("__sz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("__b"))))

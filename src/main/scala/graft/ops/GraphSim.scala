@@ -38,15 +38,23 @@ object GraphSim {
     */
   def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
                       maxDegree: Int = 1000,
-                      minInter: Long = 2L): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("node"),
-      col(dstCol).cast("long").as("nbr")).distinct()
+                      minInter: Long = 2L,
+                      assumeDistinct: Boolean = false): DataFrame = {
+    // assumeDistinct: caller certifies distinct (src, dst) — skips the
+    // canonicalizing shuffle (see PageRank.ranksFixedPoint)
+    val e0 = edges.select(col(srcCol).cast("long").as("node"),
+      col(dstCol).cast("long").as("nbr"))
+    val e = if (assumeDistinct) e0 else e0.distinct()
     // drop stopword vertices FIRST so degrees and intersections see the
     // same capped world
     val capped = e.groupBy(col("nbr")).agg(count(lit(1)).as("__indeg"))
       .where(col("__indeg") <= maxDegree)
-    val en = e.join(capped.select(col("nbr").as("__n2")),
-      col("nbr") === col("__n2")).select(col("node"), col("nbr"))
+    // the capped edge table feeds the degree aggregate and BOTH pair
+    // sides — checkpointed so the cap join runs once (r13; guide §5;
+    // size-adaptive storage like the fact-table checkpoints)
+    val en = graft.Memos.adaptiveCheckpoint(
+      e.join(capped.select(col("nbr").as("__n2")),
+        col("nbr") === col("__n2")).select(col("node"), col("nbr")))
     val deg = en.groupBy(col("node")).agg(count(lit(1)).as("__deg"))
     val pairs = en.select(col("node").as("id_a"), col("nbr"))
       .join(en.select(col("node").as("id_b"), col("nbr").as("__nb")),

@@ -51,8 +51,13 @@ object Stats {
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
     import Exact.d38
-    val base = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
-      .where(col("__x").isNotNull && col("__y").isNotNull)
+    // the 2-long projection feeds both grid builds AND the rank
+    // join-back — checkpointed so the source scans once instead of
+    // three times (r13; guide §5 caching-when-reused; size-adaptive
+    // storage like the fact-table checkpoints)
+    val base = graft.Memos.adaptiveCheckpoint(
+      df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+        .where(col("__x").isNotNull && col("__y").isNotNull))
     def ranks2(c: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

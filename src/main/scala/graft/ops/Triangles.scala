@@ -51,7 +51,15 @@ object Triangles {
     * so directed / duplicated / self-looped inputs are fine.
     */
   def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val canon = canonicalEdges(edges, src, dst)
+    // the canonical edge set feeds the degree aggregate AND the
+    // orientation join, and `oriented` below feeds BOTH wedge sides plus
+    // the closure join — left lazy, the (often expensive) upstream edge
+    // build re-executes per reference (r13; guide §5 caching-when-reused:
+    // 6 evaluations of the edge build observed on part_triangle_counts).
+    // Size-adaptive checkpoints keep the hot path deserialized at bench
+    // scale and serialized at the 600M-edge decades.
+    val canon = graft.Memos.adaptiveCheckpoint(
+      canonicalEdges(edges, src, dst))
     val ranks = degrees(canon)
       .select(col("node"),
         // the packed rank is injective only for node ∈ [0, 2^40) — an
@@ -62,7 +70,7 @@ object Triangles {
           .otherwise(col("deg") * NodeIdCap + col("node")).as("rank"))
     // orient each edge low-rank -> high-rank ((degree, node) lexicographic,
     // packed into one long so the comparison is a single codegen'd op)
-    val oriented = canon
+    val oriented = graft.Memos.adaptiveCheckpoint(canon
       .join(ranks.withColumnRenamed("node", "u")
         .withColumnRenamed("rank", "__ru"), "u")
       .join(ranks.withColumnRenamed("node", "v")
@@ -71,7 +79,7 @@ object Triangles {
         when(col("__ru") < col("__rv"), col("u")).otherwise(col("v")).as("lo"),
         when(col("__ru") < col("__rv"), col("v")).otherwise(col("u")).as("hi"),
         when(col("__ru") < col("__rv"), col("__ru")).otherwise(col("__rv")).as("rlo"),
-        when(col("__ru") < col("__rv"), col("__rv")).otherwise(col("__ru")).as("rhi"))
+        when(col("__ru") < col("__rv"), col("__rv")).otherwise(col("__ru")).as("rhi")))
     // wedges at the low-rank center: unordered endpoint pair, kept once
     val left = oriented.select(col("lo").as("c"),
       col("hi").as("b"), col("rhi").as("rb"))
