@@ -141,11 +141,30 @@ object LlmQueries {
         sum(col("probe_score_micro")).cast("long").as("sum_score_micro"))
   }
 
+  private val minhashPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One [[MinHash.dupPairs]] candidate table per (app, sfDir) at the
+    * contract grain (n=3, k=8, rowsPerBand=2) — the shared intermediate
+    * the whole near-dup family (pairs report, both closure variants,
+    * both survivor summaries, edit-distance verify, leakage-safe
+    * splits) is defined over; each consumer rebuilt the signature + LSH
+    * + verify pipeline. Same shared-training discipline as [[saFor]];
+    * the bench resets memos between passes. Pair-grain (bounded by LSH
+    * band fan-out), size-adaptive storage.
+    */
+  private def minhashPairsT(s: SparkSession, dir: String): DataFrame =
+    Memos.sessionCached(minhashPairsMemo, s, dir) {
+      Memos.adaptiveCheckpoint(
+        MinHash.dupPairs(tPar(s, dir, "documents"), "doc_id", "text"))
+    }
+
   /** One-survivor-per-cluster dedup summary; see
     * [[Dedup.dropNearDupsExact]].
     */
   private def nearDedupSurvivorsExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.dropNearDupsExact(tPar(s, dir, "documents"), "doc_id", "text")
+    Dedup.dropNearDupsExactFromPairs(tPar(s, dir, "documents"), "doc_id",
+        minhashPairsT(s, dir))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("id_sum"))
 
@@ -168,20 +187,38 @@ object LlmQueries {
         "doc_id", "text", k = 3, w = 4)
       .orderBy(col("doc_id"), col("pos"), col("fp"))
 
+  private val winnowFpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One winnow `(__id, fp)` materialization per (app, sfDir) at the
+    * contract grain (k=3, w=4) — [[Dedup.winnowFingerprintTable]]'s own
+    * scaladoc prescribes exactly this seam ("a pairs + clusters + funnel
+    * composition over the same corpus should build THIS once"): the
+    * text stage (regex split + hashing per token) is the expensive part
+    * and the pairs and clusters queries each rebuilt it. Same
+    * shared-training discipline as [[saFor]]; the bench resets memos
+    * between passes.
+    */
+  private def winnowFpTable(s: SparkSession, dir: String): DataFrame =
+    Memos.sessionCached(winnowFpMemo, s, dir) {
+      Dedup.winnowFingerprintTable(tPar(s, dir, "documents"), "doc_id",
+        "text", k = 3, w = 4)
+    }
+
   /** Candidate pairs from shared winnow fingerprints — the local-overlap
     * complement of [[MinHash.dupPairs]]; see [[Dedup.winnowDupPairs]].
     */
   private def winnowDupPairsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowDupPairs(tPar(s, dir, "documents"), "doc_id", "text",
-        k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
+    Dedup.winnowDupPairsFromFps(winnowFpTable(s, dir),
+        minShared = 2, maxDocsPerFp = 100)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Transitive clusters over the winnow candidate graph; see
     * [[Dedup.winnowDupClusters]].
     */
   private def winnowDupClustersQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
-        k = 3, w = 4, minShared = 2, maxDocsPerFp = 100)
+    Dedup.winnowDupClustersFromFps(winnowFpTable(s, dir),
+        minShared = 2, maxDocsPerFp = 100)
       .orderBy(col("cluster_id"), col("doc_id"))
 
   /** Aggregate-only linear-probe training ([[Calibration.olsFit2]]):
@@ -449,7 +486,7 @@ object LlmQueries {
   }
 
   private def minhashDupPairs(s: SparkSession, dir: String): DataFrame =
-    MinHash.dupPairs(tPar(s, dir, "documents"), "doc_id", "text")
+    minhashPairsT(s, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact near-dup clusters via the opt-in min-label propagation
@@ -459,7 +496,7 @@ object LlmQueries {
     * diameter-bound path oracle-covered.)
     */
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
+    Dedup.nearDupClustersFromPairs(minhashPairsT(s, dir),
         minEstJaccard = 0.5, alternating = false)
       .orderBy(col("cluster_id"), col("doc_id"))
 
@@ -470,7 +507,7 @@ object LlmQueries {
     * recursive-CTE oracle.
     */
   private def nearDupClustersLogstar(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupClusters(tPar(s, dir, "documents"), "doc_id", "text",
+    Dedup.nearDupClustersFromPairs(minhashPairsT(s, dir),
         minEstJaccard = 0.5)
       .orderBy(col("cluster_id"), col("doc_id"))
 
@@ -478,8 +515,8 @@ object LlmQueries {
     * summarized (count + id sum prove the exact survivor set).
     */
   private def nearDedupSurvivors(s: SparkSession, dir: String): DataFrame =
-    Dedup.dropNearDups(tPar(s, dir, "documents"), "doc_id", "text",
-        minEstJaccard = 0.5)
+    Dedup.dropNearDupsFromPairs(tPar(s, dir, "documents"), "doc_id",
+        minhashPairsT(s, dir), minEstJaccard = 0.5)
       .agg(count(lit(1)).as("n_survivors"),
         sum(col("doc_id")).cast("long").as("id_sum"))
 
@@ -1359,7 +1396,7 @@ object LlmQueries {
     */
   private def editSimPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
-    val cands = MinHash.dupPairs(docs, "doc_id", "text")
+    val cands = minhashPairsT(s, dir)
       .where(col("est_jaccard") >= 0.5)
     Dedup.editDistancePairs(docs, "doc_id", "text", cands, prefixLen = 200)
       .orderBy(col("id_a"), col("id_b"))
@@ -1769,7 +1806,7 @@ object LlmQueries {
     */
   private def leakageSafeSplits(s: SparkSession, dir: String): DataFrame = {
     val docs = tPar(s, dir, "documents")
-    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+    val clusters = Dedup.nearDupClustersFromPairs(minhashPairsT(s, dir),
       minEstJaccard = 0.5, alternating = true)
     val grouped = docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
@@ -1995,7 +2032,8 @@ object LlmQueries {
   private[graft] def clearMemos(): Unit = {
     saMemo.clear(); saLcpMemo.clear(); unigramVocabMemo.clear()
     unigramSizedMemo.clear(); probeMemo.clear()
-    dsirWeightsMemo.clear(); bigramLmMemo.clear()
+    dsirWeightsMemo.clear(); bigramLmMemo.clear(); winnowFpMemo.clear()
+    minhashPairsMemo.clear()
   }
 
   private val dsirWeightsMemo =

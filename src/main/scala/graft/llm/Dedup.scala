@@ -49,8 +49,18 @@ object Dedup {
     * trade for corpus-scale dedup, documented rather than hidden.
     */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
-                   minEstJaccard: Double = 0.5): DataFrame = {
-    val dropped = MinHash.dupPairs(df, idCol, textCol)
+                   minEstJaccard: Double = 0.5): DataFrame =
+    dropNearDupsFromPairs(df, idCol, MinHash.dupPairs(df, idCol, textCol),
+      minEstJaccard)
+
+  /** [[dropNearDups]] over a pre-built [[MinHash.dupPairs]] candidate
+    * table — the shared-materialization seam (a survivors + clusters +
+    * splits composition over the same corpus should generate candidates
+    * once; candidate generation is the expensive stage).
+    */
+  def dropNearDupsFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                            minEstJaccard: Double = 0.5): DataFrame = {
+    val dropped = pairs
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("id_b").as("__drop_id")).distinct()
     df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
@@ -74,8 +84,17 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       minEstJaccard: Double = 0.5,
-                      alternating: Boolean = true): DataFrame = {
-    val edges = MinHash.dupPairs(df, idCol, textCol)
+                      alternating: Boolean = true): DataFrame =
+    nearDupClustersFromPairs(MinHash.dupPairs(df, idCol, textCol),
+      minEstJaccard, alternating)
+
+  /** [[nearDupClusters]] over a pre-built [[MinHash.dupPairs]] candidate
+    * table — see [[dropNearDupsFromPairs]] for the seam rationale.
+    */
+  def nearDupClustersFromPairs(pairs: DataFrame,
+                               minEstJaccard: Double = 0.5,
+                               alternating: Boolean = true): DataFrame = {
+    val edges = pairs
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"))
     val cc =
@@ -96,8 +115,17 @@ object Dedup {
     * generation — the price of exactness at corpus scale.
     */
   def dropNearDupsExact(df: DataFrame, idCol: String, textCol: String,
-                        minEstJaccard: Double = 0.5): DataFrame = {
-    val losers = nearDupClusters(df, idCol, textCol, minEstJaccard)
+                        minEstJaccard: Double = 0.5): DataFrame =
+    dropNearDupsExactFromPairs(df, idCol,
+      MinHash.dupPairs(df, idCol, textCol), minEstJaccard)
+
+  /** [[dropNearDupsExact]] over a pre-built [[MinHash.dupPairs]]
+    * candidate table — see [[dropNearDupsFromPairs]].
+    */
+  def dropNearDupsExactFromPairs(df: DataFrame, idCol: String,
+                                 pairs: DataFrame,
+                                 minEstJaccard: Double = 0.5): DataFrame = {
+    val losers = nearDupClustersFromPairs(pairs, minEstJaccard)
       .where(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as("__drop_id"))
     df.join(losers, col(idCol) === col("__drop_id"), "left_anti")
